@@ -1,0 +1,109 @@
+"""Decile summary over a histogram — the reference's one relational query.
+
+``compute_histogram.sql:1-3``::
+
+    with s as (select sum(count) as total from histo)
+    select floor((sum(count) over (order by value) / total) * 10) as pct, ...
+    group by pct order by min(value)
+
+Two twins are provided (SURVEY §2.3, §7 M2):
+
+- :func:`deciles_sql` — the query as Spark SQL text, structurally the
+  reference file with aliased outputs (CTE + scalar agg + cross join +
+  running-sum window + floor bucket + group agg + order-by-aggregate).
+- :func:`deciles` — the same plan through the DataFrame/Window API.
+
+Scale note: the running ``sum() OVER (ORDER BY value)`` is a global ordered
+window — a single-partition sort. That is correct here because its input is
+a *histogram* (<= bins rows, i.e. thousands), not raw data; computing
+deciles of raw 100 TB data goes through :func:`quantiles` /
+``approx_percentile`` instead, never a global window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+_DECILE_SQL = """
+WITH s AS (SELECT sum(pixel_count) AS total FROM {table}),
+c AS (
+    SELECT value, pixel_count, total,
+           sum(pixel_count) OVER (ORDER BY value) AS cum
+    FROM {table}, s
+)
+SELECT CAST(floor((cum / total) * 10) AS BIGINT) * 10 AS percentile,
+       min(value)        AS min_value,
+       max(value)        AS max_value,
+       sum(pixel_count)  AS bucket_count
+FROM c
+GROUP BY floor((cum / total) * 10)
+ORDER BY min_value
+"""
+
+
+def deciles_sql(histo: DataFrame, view_name: str = "histo") -> DataFrame:
+    """Run the reference decile query as Spark SQL over a histogram DF
+    with columns ``(value, pixel_count)``."""
+    histo.createOrReplaceTempView(view_name)
+    return histo.sparkSession.sql(_DECILE_SQL.format(table=view_name))
+
+
+def deciles(histo: DataFrame) -> DataFrame:
+    """DataFrame/Window twin of :func:`deciles_sql` (same output schema)."""
+    total = histo.agg(F.sum("pixel_count").alias("total"))
+    # comma-join with the 1-row scalar aggregate (compute_histogram.sql:2) —
+    # broadcast nested-loop join of a single row, negligible at any scale.
+    w = Window.orderBy("value")  # RANGE UNBOUNDED PRECEDING..CURRENT ROW
+    cum = (
+        histo.crossJoin(F.broadcast(total))
+        .withColumn("cum", F.sum("pixel_count").over(w))
+        .withColumn("pct", F.floor((F.col("cum") / F.col("total")) * 10))
+    )
+    return (
+        cum.groupBy("pct")
+        .agg(
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+            F.sum("pixel_count").alias("bucket_count"),
+        )
+        .select(
+            (F.col("pct").cast("bigint") * 10).alias("percentile"),
+            "min_value",
+            "max_value",
+            "bucket_count",
+        )
+        .orderBy("min_value")
+    )
+
+
+def quantiles(df: DataFrame, col: str, probs: list[float]) -> DataFrame:
+    """Exact linear-interpolation percentiles of a raw column -> one row per
+    probability ``(p DOUBLE, q DOUBLE)``.
+
+    Generalizes the decile SQL to raw data without a histogram
+    intermediate. Spark's ``percentile`` is an exact sort-based aggregate;
+    for 100 TB interactive use, swap in ``approx_percentile`` (t-digest-like
+    sketch, mergeable map-side) via :func:`approx_quantiles`.
+    """
+    arr = F.percentile(F.col(col), F.array(*[F.lit(p) for p in probs]))
+    row = df.agg(arr.alias("qs"))
+    pairs = F.arrays_zip(F.array(*[F.lit(p) for p in probs]).alias("p"), F.col("qs").alias("q"))
+    return (
+        row.select(F.explode(pairs).alias("pq"))
+        .select(F.col("pq.p").alias("p"), F.round(F.col("pq.q"), 6).alias("q"))
+        .orderBy("p")
+    )
+
+
+def approx_quantiles(df: DataFrame, col: str, probs: list[float], accuracy: int = 10000) -> DataFrame:
+    """Sketch-based percentiles (mergeable, single pass — the 100 TB path)."""
+    arr = F.approx_percentile(
+        F.col(col), F.array(*[F.lit(p) for p in probs]), F.lit(accuracy)
+    )
+    row = df.agg(arr.alias("qs"))
+    pairs = F.arrays_zip(F.array(*[F.lit(p) for p in probs]).alias("p"), F.col("qs").alias("q"))
+    return (
+        row.select(F.explode(pairs).alias("pq"))
+        .select(F.col("pq.p").alias("p"), F.col("pq.q").cast("double").alias("q"))
+        .orderBy("p")
+    )

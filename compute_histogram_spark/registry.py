@@ -1,0 +1,250 @@
+"""Query registry: every operator exposed as a named (Spark query, DuckDB
+oracle SQL) pair for the driver's correctness harness.
+
+Contract (see __spark_entry__.py): each Spark callable takes
+``(spark, sf_dir)`` and returns a DataFrame whose column NAMES and VALUES
+match the oracle SQL run by DuckDB over the same parquet tables. All
+computed columns are aliased identically on both sides; cross-engine
+float determinism notes are inline where it matters.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from typing import Dict
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from compute_histogram_spark.operators import histogram as H
+from compute_histogram_spark.operators import deciles as D
+from compute_histogram_spark.sources.tables import load
+
+QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: Dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# §2 A1-A2: min/max pass (main.py:127-149, 206-219)
+# ---------------------------------------------------------------------------
+
+@register(
+    "minmax",
+    """
+    SELECT min(value) AS min_value, max(value) AS max_value
+    FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+    """,
+)
+def q_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    v = F.col("value")
+    return ev.where(v.isNotNull() & ~F.isnan(v)).agg(
+        F.min(v).alias("min_value"), F.max(v).alias("max_value")
+    )
+
+
+@register(
+    "minmax_ref_compat",
+    """
+    SELECT least(0.0, min(value)) AS min_value,
+           greatest(0.0, max(value)) AS max_value
+    FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+    """,
+)
+def q_minmax_ref(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # zero-seeded accumulators (main.py:131-132) as a one-job plan
+    ev = load(spark, sf_dir, "events")
+    v = F.col("value")
+    return ev.where(v.isNotNull() & ~F.isnan(v)).agg(
+        F.least(F.lit(0.0), F.min(v)).alias("min_value"),
+        F.greatest(F.lit(0.0), F.max(v)).alias("max_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2 A5-A9: the flagship histogram (linear / log), dense zero-filled output
+# ---------------------------------------------------------------------------
+
+_HISTO_LINEAR_CTES = """
+src AS (
+    SELECT {col} AS value FROM {table}
+    WHERE {col} IS NOT NULL AND NOT isnan({col})
+),
+mm AS (
+    SELECT CAST(trunc(min(value) * 100) AS BIGINT) - 10 AS lo,
+           CAST(trunc(max(value) * 100) AS BIGINT) + 10 AS hi
+    FROM src
+),
+keys AS (SELECT CAST(trunc(value * 100) AS BIGINT) AS k FROM src),
+counts AS (
+    SELECT least(k, hi - 1) AS bin, count(*) AS pixel_count
+    FROM keys, mm WHERE k >= lo AND k <= hi
+    GROUP BY 1
+),
+spine AS (SELECT unnest(generate_series(mm.lo, mm.hi - 1)) AS bin FROM mm),
+histo AS (
+    SELECT s.bin, s.bin / 100.0 AS value,
+           CAST(coalesce(c.pixel_count, 0) AS BIGINT) AS pixel_count
+    FROM spine s LEFT JOIN counts c USING (bin)
+)
+"""
+
+
+def _histo_linear_sql(table: str, col: str = "value") -> str:
+    return (
+        "WITH "
+        + _HISTO_LINEAR_CTES.format(table=table, col=col)
+        + "SELECT bin, value, pixel_count FROM histo ORDER BY bin"
+    )
+
+
+@register("histogram_linear", _histo_linear_sql("events"))
+def q_histogram_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return H.histogram(load(spark, sf_dir, "events"), "value", "linear")
+
+
+@register(
+    "histogram_linear_price",
+    """
+    WITH src AS (
+        SELECT l_extendedprice AS value FROM lineitem
+        WHERE l_extendedprice IS NOT NULL AND NOT isnan(l_extendedprice)
+    ),
+    mm AS (
+        SELECT CAST(trunc(min(value) * 100) AS BIGINT) - 10 AS lo,
+               CAST(trunc(max(value) * 100) AS BIGINT) + 10 AS hi
+        FROM src
+    ),
+    keys AS (SELECT CAST(trunc(value * 100) AS BIGINT) AS k FROM src)
+    SELECT least(k, hi - 1) AS bin, least(k, hi - 1) / 100.0 AS value,
+           count(*) AS pixel_count
+    FROM keys, mm WHERE k >= lo AND k <= hi
+    GROUP BY 1, 2 ORDER BY bin
+    """,
+)
+def q_histogram_linear_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ~10M-cent value span: the dense zero-filled spine would dominate the
+    # output, so this uses the sparse form (occupied bins only) — the right
+    # shape for wide-range data at scale.
+    return H.histogram(
+        load(spark, sf_dir, "lineitem"), "l_extendedprice", "linear", dense=False
+    )
+
+
+@register(
+    "histogram_log",
+    """
+    WITH src AS (
+        SELECT value FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+    ),
+    mm0 AS (SELECT min(value) AS mn, max(value) AS mx FROM src),
+    mm AS (
+        SELECT CASE WHEN mn <= 0 THEN abs(mn) + 1 ELSE 0 END AS off,
+               CAST(trunc(ln(mn + CASE WHEN mn <= 0 THEN abs(mn) + 1 ELSE 0 END) * 1000) AS BIGINT) AS lo,
+               CAST(trunc(ln(mx + CASE WHEN mn <= 0 THEN abs(mn) + 1 ELSE 0 END) * 1000) AS BIGINT) AS hi
+        FROM mm0
+    ),
+    keys AS (SELECT CAST(trunc(ln(s.value + mm.off) * 1000) AS BIGINT) AS k FROM src s, mm),
+    counts AS (
+        SELECT least(k, hi - 1) AS bin, count(*) AS pixel_count
+        FROM keys, mm WHERE k >= lo AND k <= hi GROUP BY 1
+    ),
+    spine AS (SELECT unnest(generate_series(mm.lo, mm.hi - 1)) AS bin FROM mm)
+    SELECT s.bin, round(exp(s.bin / 1000.0) - mm.off, 2) AS value,
+           CAST(coalesce(c.pixel_count, 0) AS BIGINT) AS pixel_count
+    FROM spine s CROSS JOIN mm LEFT JOIN counts c USING (bin)
+    ORDER BY s.bin
+    """,
+)
+def q_histogram_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = H.histogram(load(spark, sf_dir, "events"), "value", "log")
+    # labels go through exp(); round to the reference's 2-decimal CSV
+    # precision (main.py:124 "%1.2f") so JVM-vs-C libm ulp noise cancels.
+    return out.withColumn("value", F.round("value", 2))
+
+
+# ---------------------------------------------------------------------------
+# §2.3: decile summary over the histogram (compute_histogram.sql:1-3)
+# ---------------------------------------------------------------------------
+
+_DECILES_ORACLE = (
+    "WITH "
+    + _HISTO_LINEAR_CTES.format(table="events", col="value")
+    + """,
+tot AS (SELECT CAST(sum(pixel_count) AS BIGINT) AS total FROM histo),
+cum AS (
+    SELECT value, pixel_count, total,
+           CAST(sum(pixel_count) OVER (ORDER BY value) AS BIGINT) AS cum
+    FROM histo, tot
+)
+SELECT CAST(floor((cum * 1.0 / total) * 10) AS BIGINT) * 10 AS percentile,
+       min(value) AS min_value, max(value) AS max_value,
+       CAST(sum(pixel_count) AS BIGINT) AS bucket_count
+FROM cum
+GROUP BY floor((cum * 1.0 / total) * 10)
+ORDER BY min_value
+"""
+)
+
+
+@register("histogram_deciles", _DECILES_ORACLE)
+def q_histogram_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    histo = H.histogram(load(spark, sf_dir, "events"), "value", "linear")
+    return D.deciles_sql(histo)
+
+
+@register("deciles_window", _DECILES_ORACLE)
+def q_deciles_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # DataFrame/Window twin of the same plan
+    histo = H.histogram(load(spark, sf_dir, "events"), "value", "linear")
+    return D.deciles(histo)
+
+
+# ---------------------------------------------------------------------------
+# quantiles / distinct — sketch-friendly summaries (SURVEY §2.4)
+# ---------------------------------------------------------------------------
+
+_PROBS = [0.1, 0.25, 0.5, 0.75, 0.9]
+
+@register(
+    "quantiles_exact",
+    f"""
+    WITH q AS (
+        SELECT quantile_cont(value, {_PROBS}) AS qs
+        FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+    ),
+    u AS (
+        SELECT unnest(CAST({_PROBS} AS DOUBLE[])) AS p, unnest(qs) AS q FROM q
+    )
+    SELECT p, round(q, 6) AS q FROM u ORDER BY p
+    """,
+)
+def q_quantiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    v = F.col("value")
+    return D.quantiles(ev.where(v.isNotNull() & ~F.isnan(v)), "value", _PROBS)
+
+
+@register(
+    "distinct_users",
+    """
+    SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("n_users"))
+        .orderBy("event_type")
+    )

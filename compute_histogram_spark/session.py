@@ -1,0 +1,58 @@
+"""SparkSession factory with engine defaults.
+
+The reference parallelizes with ``multiprocessing.Pool(cpu_count())``
+(main.py:23,93,134); here the equivalent knobs are the master thread count
+and ``spark.sql.shuffle.partitions``. AQE is enabled so the low-cardinality
+histogram shuffles (a few thousand bins) coalesce at runtime instead of
+producing 32 near-empty reducers — and so skewed join keys are split at the
+100 TB scale this engine targets.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_session(
+    app_name: str = "compute_histogram_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with engine defaults.
+
+    Defaults honor the driver environment: ``local[$SPARK_GRAFT_CPUS]``
+    (falling back to ``local[*]``) and 32 shuffle partitions — on a real
+    cluster these come from spark-submit and the defaults below are only
+    session-conf hints that remain valid at any scale.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS")
+        master = f"local[{cpus}]" if cpus else "local[*]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE", "32"))
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # NumPy-compatible arithmetic (reference relies on wrapping casts and
+        # silent truncation — main.py:195,197); ANSI would throw instead.
+        .config("spark.sql.ansi.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+        # Arrow for any pandas-UDF path and fast toPandas in tests.
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # The reference retries flaky tile reads 7x (main.py:231-236);
+        # Spark's task retry + corrupt-file tolerance is the built-in
+        # equivalent (SURVEY §2.1 S5).
+        .config("spark.sql.files.ignoreCorruptFiles", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

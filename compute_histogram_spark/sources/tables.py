@@ -1,0 +1,46 @@
+"""Table loaders for the driver's synthetic star schema (TESTDATA.md).
+
+Plain ``spark.read.parquet`` — columnar scan with column pruning and filter
+pushdown for free. At 100 TB the same call reads a partitioned directory
+tree; partition pruning applies when predicates hit partition columns.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimensions small enough to broadcast at every realistic scale factor —
+# region/nation are fixed-size; customer/supplier/part grow with SF but stay
+# orders of magnitude under the fact tables.
+BROADCAST_DIMS = ("region", "nation", "customer", "supplier", "part")
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS) which Spark's vectorized
+        # reader rejects; read it as raw epoch-nanos BIGINT instead. All
+        # time arithmetic downstream is integer math on nanos (exact, and
+        # byte-identical to DuckDB's epoch_ns()).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load(spark, sf_dir, t) for t in TABLES}

@@ -1,0 +1,50 @@
+"""Decile query (compute_histogram.sql:1-3): SQL twin vs Window twin, plus
+the verbatim reference SQL text executed by Spark SQL."""
+
+from pyspark.sql import Row
+
+from compute_histogram_spark import deciles, deciles_sql
+from compute_histogram_spark.operators.deciles import quantiles
+
+HISTO = [  # (value, pixel_count) incl. zero bins
+    (0.0, 0),
+    (0.1, 10),
+    (0.2, 20),
+    (0.3, 0),
+    (0.4, 30),
+    (0.5, 40),
+]
+
+
+def histo_df(spark):
+    return spark.createDataFrame([Row(value=v, pixel_count=c) for v, c in HISTO])
+
+
+def test_sql_and_window_twins_agree(spark):
+    h = histo_df(spark)
+    a = [tuple(r) for r in deciles_sql(h).collect()]
+    b = [tuple(r) for r in deciles(h).collect()]
+    assert a == b
+    # totals preserved
+    assert sum(r[3] for r in a) == 100
+
+
+def test_reference_sql_verbatim(spark):
+    # the reference file's exact text, modulo the column name `count`
+    h = histo_df(spark).withColumnRenamed("pixel_count", "count")
+    h.createOrReplaceTempView("histo")
+    ref_sql = (
+        "with s as (select sum(count) as total from histo) "
+        "select pct * 10 as percentile, min(value), max(value), sum(count) as count "
+        "from (select value, count, floor((sum(count) over (order by value) / total) * 10) as pct "
+        "from histo, s) group by pct order by min(value)"
+    )
+    rows = spark.sql(ref_sql).collect()
+    assert [r["percentile"] for r in rows] == sorted(r["percentile"] for r in rows)
+    assert sum(r["count"] for r in rows) == 100
+
+
+def test_quantiles_exact(spark):
+    df = spark.createDataFrame([Row(v=float(i)) for i in range(101)])
+    out = {r["p"]: r["q"] for r in quantiles(df, "v", [0.0, 0.5, 1.0]).collect()}
+    assert out == {0.0: 0.0, 0.5: 50.0, 1.0: 100.0}
