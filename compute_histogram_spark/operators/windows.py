@@ -1,0 +1,97 @@
+"""Time-windowed and sessionized aggregations over the events stream table.
+
+``events.ts`` arrives as epoch-*nanosecond* BIGINT (see sources/tables.py);
+the first projection truncates it to epoch-*microsecond* BIGINT (``ts div
+1000``) because microseconds are the finest precision every engine agrees on
+(DuckDB TIMESTAMP is micros). All bucketing/gap logic is integer arithmetic
+on micros — exact, portable, immune to timezone/precision drift.
+
+These are the *batch* twins of the Structured Streaming operators in
+``streaming/``: a tumbling ``window()`` is ``ts div window_ns`` and a
+``session_window`` is the classic lag/gap-flag/cumulative-sum pattern. Batch
+twins are what the DuckDB oracle can check; the streaming forms reuse the
+same expressions.
+
+Scale: both group-bys are plain hash aggregations (partial -> shuffle ->
+final). Sessionization partitions by user_id — the window sort is per-user,
+so it distributes; a single hot user would need salting by (user_id, day).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+NS_PER_S = 1_000_000_000
+US_PER_S = 1_000_000
+
+
+def ts_micros() -> F.Column:
+    """epoch-nanos BIGINT -> epoch-micros BIGINT (integer div — 1.7e18 nanos
+    exceeds double's 53-bit mantissa, so never go through a float)."""
+    return F.expr("ts div 1000")
+
+
+def windowed_histogram(
+    events: DataFrame,
+    window_s: int = 600,
+    bin_width: float = 50.0,
+) -> DataFrame:
+    """Tumbling-window value histogram: (window_start_s, bin) -> count.
+
+    ``window_start_s`` is epoch seconds of the window's left edge.
+    """
+    win_us = window_s * US_PER_S
+    return (
+        events.select(
+            (F.expr(f"(ts div 1000) div {win_us}") * window_s).alias("window_start_s"),
+            F.floor(F.col("value") / bin_width).cast("bigint").alias("bin"),
+        )
+        .groupBy("window_start_s", "bin")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "window_start_s",
+            "bin",
+            (F.col("bin") * bin_width).alias("bin_value"),
+            "n_events",
+        )
+        .orderBy("window_start_s", "bin")
+    )
+
+
+def sessionize(events: DataFrame, gap_s: int = 1800) -> DataFrame:
+    """Gap-based sessionization: a new session starts when the inter-event
+    gap within a user exceeds ``gap_s``. Output one row per session.
+
+    lag -> new-session flag -> running sum (the session id) -> group. The
+    same semantics as Structured Streaming's ``session_window`` with a
+    static gap (streaming/stream_ops.py), but checkable against a SQL
+    oracle.
+    """
+    gap_us = gap_s * US_PER_S
+    base = events.select("user_id", "event_id", ts_micros().alias("tsu"))
+    w = Window.partitionBy("user_id").orderBy("tsu", "event_id")
+    flagged = base.select(
+        "user_id",
+        "tsu",
+        "event_id",
+        F.when(
+            F.lag("tsu").over(w).isNull()
+            | ((F.col("tsu") - F.lag("tsu").over(w)) > gap_us),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_new"),
+    ).withColumn(
+        "session_id",
+        F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    return (
+        flagged.groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("tsu").alias("start_us"),
+            F.max("tsu").alias("end_us"),
+        )
+        .withColumn("duration_s", ((F.col("end_us") - F.col("start_us")) / US_PER_S))
+        .orderBy("user_id", "session_id")
+    )

@@ -17,6 +17,8 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from compute_histogram_spark.operators import histogram as H
 from compute_histogram_spark.operators import deciles as D
+from compute_histogram_spark.operators import relational as R
+from compute_histogram_spark.operators import windows as W
 from compute_histogram_spark.sources.tables import load
 
 QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -248,3 +250,129 @@ def q_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count_distinct("user_id").alias("n_users"))
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# relational coverage (joins / group aggs / top-k) — SURVEY §2.3 obligations
+# generalized to the star schema. Money summed in integer cents for exact
+# cross-engine equality (see operators/relational.py).
+# ---------------------------------------------------------------------------
+
+@register(
+    "pricing_summary",
+    """
+    WITH li AS (
+        SELECT l_returnflag, l_linestatus,
+               CAST(round(l_quantity * 100) AS BIGINT) AS qc,
+               CAST(round(l_extendedprice * 100) AS BIGINT) AS pc,
+               CAST(round(l_discount * 100) AS BIGINT) AS dc,
+               CAST(round(l_tax * 100) AS BIGINT) AS tc
+        FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    )
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(qc) AS BIGINT) / 100.0 AS sum_qty,
+           CAST(sum(pc) AS BIGINT) / 100.0 AS sum_base_price,
+           CAST(sum(pc * (100 - dc)) AS BIGINT) / 10000.0 AS sum_disc_price,
+           CAST(sum(pc * (100 - dc) * (100 + tc)) AS BIGINT) / 1000000.0 AS sum_charge,
+           CAST(sum(qc) AS BIGINT) / count(*) / 100.0 AS avg_qty,
+           CAST(sum(pc) AS BIGINT) / count(*) / 100.0 AS avg_price,
+           CAST(sum(dc) AS BIGINT) / count(*) / 100.0 AS avg_disc,
+           count(*) AS count_order
+    FROM li GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.pricing_summary(load(spark, sf_dir, "lineitem"))
+
+
+@register(
+    "top_customers",
+    """
+    SELECT c.c_custkey, c.c_name,
+           CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) / 100.0
+               AS total_spent,
+           count(*) AS n_orders
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey, c.c_name
+    ORDER BY total_spent DESC, c.c_custkey
+    LIMIT 10
+    """,
+)
+def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.top_customers(
+        load(spark, sf_dir, "customer"), load(spark, sf_dir, "orders")
+    )
+
+
+@register(
+    "region_revenue",
+    """
+    SELECT r.r_name, n.n_name,
+           CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) / 100.0
+               AS revenue,
+           count(*) AS n_orders
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name, n.n_name
+    ORDER BY r.r_name, n.n_name
+    """,
+)
+def q_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.region_revenue(
+        load(spark, sf_dir, "region"),
+        load(spark, sf_dir, "nation"),
+        load(spark, sf_dir, "customer"),
+        load(spark, sf_dir, "orders"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# time windows + sessionization (batch twins of the streaming operators).
+# ts is epoch-nanos BIGINT in Spark; both engines agree at micros precision.
+# ---------------------------------------------------------------------------
+
+@register(
+    "windowed_histogram",
+    """
+    SELECT (epoch_us(ts) // 600000000) * 600 AS window_start_s,
+           CAST(floor(value / 50.0) AS BIGINT) AS bin,
+           CAST(floor(value / 50.0) AS BIGINT) * 50.0 AS bin_value,
+           count(*) AS n_events
+    FROM events
+    GROUP BY 1, 2, 3 ORDER BY 1, 2
+    """,
+)
+def q_windowed_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return W.windowed_histogram(load(spark, sf_dir, "events"))
+
+
+@register(
+    "sessionize",
+    """
+    WITH t AS (SELECT user_id, event_id, epoch_us(ts) AS tsu FROM events),
+    l AS (
+        SELECT *, lag(tsu) OVER (PARTITION BY user_id ORDER BY tsu, event_id) AS prev
+        FROM t
+    ),
+    f AS (
+        SELECT *, CASE WHEN prev IS NULL OR tsu - prev > 1800000000
+                       THEN 1 ELSE 0 END AS is_new
+        FROM l
+    ),
+    s AS (
+        SELECT *, CAST(sum(is_new) OVER (
+            PARTITION BY user_id ORDER BY tsu, event_id ROWS UNBOUNDED PRECEDING
+        ) AS BIGINT) AS session_id
+        FROM f
+    )
+    SELECT user_id, session_id, count(*) AS n_events,
+           min(tsu) AS start_us, max(tsu) AS end_us,
+           (max(tsu) - min(tsu)) / 1000000 AS duration_s
+    FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id
+    """,
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return W.sessionize(load(spark, sf_dir, "events"))
