@@ -1,0 +1,203 @@
+"""Deduplication suite for a training-data pipeline, over ``documents``.
+
+Five methods, all expressed as declarative DataFrame plans:
+
+- :func:`exact_dedup` — content-hash groupBy. The hash (sha2-256) is the
+  shuffle key, so identical documents land in one reducer regardless of
+  cluster size; never group by raw text (shipping full documents through a
+  shuffle when a 32-byte digest suffices).
+- :func:`minhash_candidates` — MinHash + LSH banding. shingle -> k seeded
+  min-hashes (one groupBy with k min() aggregates = single shuffle) -> band
+  digests -> self-equi-join on (band_id, band_hash). The join is an
+  *equi*-join on a hash key: at 100 TB Spark hash-partitions both sides, and
+  only same-bucket docs ever meet — the O(n^2) pair space is never formed.
+- :func:`ngram_jaccard_pairs` — exact Jaccard via shingle-inverted-index
+  self-join (count shared shingles, join per-doc sizes). Pair cardinality is
+  bounded by shared-shingle co-occurrence, not n^2; stop-shingle capping
+  (drop shingles in > ``max_df`` docs) keeps hub shingles from exploding it.
+- :func:`simhash` — 16-bit frequency-weighted SimHash from md5 nibble bits;
+  near-dups differ in <= ~2 bits. One explode + two groupBys, all integer.
+- :func:`embedding_neardup_pairs` (operators/similarity.py uses the same
+  vector kernels) — cosine pairs inside a blocking key.
+
+Hashing is md5-hex for oracle portability (see functions/texthash.py for
+the xxhash64 production swap).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from compute_histogram_spark.functions.texthash import (
+    band_hashes,
+    minhash_aggs,
+    tokens,
+    word_shingles,
+)
+from compute_histogram_spark.functions import vectors as V
+
+DEFAULT_NUM_HASHES = 8
+DEFAULT_ROWS_PER_BAND = 2
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """One row per distinct content: kept (min) id + copy count."""
+    return (
+        docs.select(F.sha2(F.col(text_col), 256).alias("content_hash"), F.col(id_col))
+        .groupBy("content_hash")
+        .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("n_copies"))
+        .select(id_col, "n_copies")
+        .orderBy(id_col)
+    )
+
+
+def shingle_table(docs: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
+    """(doc_id, s) — distinct word n-gram shingles per document."""
+    return (
+        docs.select("doc_id", tokens(text_col).alias("toks"))
+        .select("doc_id", F.explode(word_shingles("toks", n)).alias("s"))
+        .distinct()
+    )
+
+
+def minhash_signatures(
+    shingles: DataFrame, num_hashes: int = DEFAULT_NUM_HASHES
+) -> DataFrame:
+    """One shuffle: k min() aggregates over seeded digests."""
+    return shingles.groupBy("doc_id").agg(*minhash_aggs("s", num_hashes))
+
+
+def minhash_candidates(
+    docs: DataFrame,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    rows_per_band: int = DEFAULT_ROWS_PER_BAND,
+    n: int = 3,
+) -> DataFrame:
+    """LSH candidate pairs (doc_id_1 < doc_id_2) sharing >= 1 band bucket."""
+    sig = minhash_signatures(shingle_table(docs, n=n), num_hashes)
+    bands = sig.select("doc_id", *band_hashes(num_hashes, rows_per_band))
+    n_bands = num_hashes // rows_per_band
+    stack_args = ", ".join(f"{b}, band{b}" for b in range(n_bands))
+    long = bands.selectExpr(
+        "doc_id", f"stack({n_bands}, {stack_args}) AS (band_id, band_hash)"
+    )
+    a, b = long.alias("a"), long.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_id_1"), F.col("b.doc_id").alias("doc_id_2")
+        )
+        .distinct()
+        .orderBy("doc_id_1", "doc_id_2")
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    n: int = 3,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Exact Jaccard >= threshold via inverted-index self-join.
+
+    ``max_df`` drops shingles appearing in more than that many docs (hub
+    shingles contribute pairs quadratically but little signal) — the lever
+    that keeps this exact method viable at scale.
+    """
+    sh = shingle_table(docs, n=n)
+    if max_df is not None:
+        rare = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df")).where(
+            F.col("df") <= max_df
+        )
+        sh = sh.join(F.broadcast(rare.select("s")), "s")
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_id_1"), F.col("b.doc_id").alias("doc_id_2"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    s1 = sizes.withColumnsRenamed({"doc_id": "doc_id_1", "n_sh": "n1"})
+    s2 = sizes.withColumnsRenamed({"doc_id": "doc_id_2", "n_sh": "n2"})
+    return (
+        inter.join(s1, "doc_id_1")
+        .join(s2, "doc_id_2")
+        .withColumn(
+            "jaccard",
+            F.round(
+                (F.col("n_inter") * 1.0)
+                / (F.col("n1") + F.col("n2") - F.col("n_inter")),
+                6,
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_id_1", "doc_id_2", "jaccard")
+        .orderBy("doc_id_1", "doc_id_2")
+    )
+
+
+def simhash(docs: DataFrame, bits: int = 16) -> DataFrame:
+    """(doc_id, simhash) — frequency-weighted SimHash.
+
+    Bit i comes from the parity of md5-hex nibble i of each token, weighted
+    by token count; the signature is the sign pattern of the 16 sums. Ties
+    (sum == 0) resolve to bit 1 — deterministic in every engine.
+    """
+    tok = docs.select("doc_id", F.explode(tokens("text")).alias("t"))
+    cnt = tok.groupBy("doc_id", "t").agg(F.count(F.lit(1)).alias("c"))
+    h = cnt.withColumn("h", F.md5("t"))
+    contribs = [
+        (
+            F.col("c")
+            * (2 * (F.conv(F.substring("h", i, 1), 16, 10).cast("int") % 2) - 1)
+        ).alias(f"w{i}")
+        for i in range(1, bits + 1)
+    ]
+    sums = h.select("doc_id", *contribs).groupBy("doc_id").agg(
+        *[F.sum(f"w{i}").alias(f"s{i}") for i in range(1, bits + 1)]
+    )
+    sim = None
+    for i in range(1, bits + 1):
+        bit = F.when(F.col(f"s{i}") >= 0, F.lit(2 ** (i - 1))).otherwise(F.lit(0))
+        sim = bit if sim is None else sim + bit
+    return sums.select("doc_id", sim.cast("bigint").alias("simhash")).orderBy("doc_id")
+
+
+def embedding_neardup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.35,
+    block_col: str = "label",
+) -> DataFrame:
+    """Cosine near-dup pairs *within a blocking key* (here: the given
+    partition label; in production a coarse quantizer / LSH bucket).
+    Blocking turns the O(n^2) pair space into sum over blocks of O(b^2) —
+    and the self-join is an equi-join on the block key, so it shuffles
+    once and never builds cross-block pairs."""
+    e = emb.select(
+        "vec_id",
+        F.col(block_col).alias("blk"),
+        V.to_double_array("embedding").alias("v"),
+    ).withColumn("nrm", V.norm(F.col("v")))
+    a, b = e.alias("a"), e.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_id_1"),
+            F.col("b.vec_id").alias("vec_id_2"),
+            F.round(
+                V.cosine(F.col("a.v"), F.col("b.v"), F.col("a.nrm"), F.col("b.nrm")),
+                6,
+            ).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+        .orderBy("vec_id_1", "vec_id_2")
+    )

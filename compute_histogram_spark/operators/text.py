@@ -1,0 +1,127 @@
+"""Text analysis for a training-data pipeline, over ``documents``.
+
+Everything is built-in column expressions (regexp/array lambdas) — JVM-side,
+whole-stage-codegen'd, no Python UDFs. Each operator is a single narrow
+projection + one aggregation at most: at 100 TB these are embarrassingly
+parallel scans whose only shuffle is the final (tiny) group-by, if any.
+
+Cross-engine notes: regex patterns restricted to syntax RE2 (DuckDB) and
+Java regex agree on; ratios rounded to 6 decimals after identical
+integer-derived arithmetic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from compute_histogram_spark.functions.texthash import tokens
+
+STOPWORDS = ("the", "a", "of", "and", "in", "to")
+
+# marker words per language for the n-gram-frequency language heuristic
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and"),
+    "de": ("der", "die", "und", "das"),
+    "fr": ("le", "la", "et", "les"),
+    "es": ("el", "los", "que", "y"),
+    "zh": ("的", "是", "了"),
+}
+
+# BPE-ish pre-tokenization: letter runs | digit runs | single other non-space
+BPE_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
+def _count_in(tok_col: Column, words: tuple[str, ...]) -> Column:
+    return F.size(F.filter(tok_col, lambda t: t.isin(*words)))
+
+
+def text_stats(docs: DataFrame) -> DataFrame:
+    """Per-doc quality features + a deterministic composite score."""
+    t = docs.select("doc_id", F.col("text"), tokens("text").alias("toks"))
+    n_tokens = F.size("toks")
+    n_nonspace = F.length(F.regexp_replace("text", " ", ""))
+    stop_hits = _count_in(F.col("toks"), STOPWORDS)
+    stats = t.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        F.round(n_nonspace * 1.0 / n_tokens, 6).alias("avg_token_len"),
+        F.round(stop_hits * 1.0 / n_tokens, 6).alias("stopword_ratio"),
+    )
+    quality = F.round(
+        F.least(F.lit(1.0), F.col("n_tokens") / 100.0)
+        * (1.0 - 0.5 * F.col("stopword_ratio")),
+        6,
+    )
+    return stats.withColumn("quality_score", quality).orderBy("doc_id")
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """Marker-word language scores + argmax prediction (fixed priority
+    en > de > fr > es > zh on ties — deterministic)."""
+    t = docs.select("doc_id", "lang", tokens("text").alias("toks"))
+    scores = t.select(
+        "doc_id",
+        "lang",
+        *[
+            _count_in(F.col("toks"), words).alias(f"s_{code}")
+            for code, words in LANG_MARKERS.items()
+        ],
+    )
+    codes = list(LANG_MARKERS)
+    pred = None
+    for code in codes:
+        cond = None
+        for other in codes:
+            if other == code:
+                continue
+            c = F.col(f"s_{code}") >= F.col(f"s_{other}")
+            cond = c if cond is None else (cond & c)
+        branch = F.when(cond, F.lit(code))
+        pred = branch if pred is None else pred.when(cond, F.lit(code))
+    pred = pred.otherwise(F.lit(codes[-1]))
+    return scores.withColumn("lang_pred", pred).orderBy("doc_id")
+
+
+def token_counts(docs: DataFrame) -> DataFrame:
+    """Whitespace vs BPE-ish token counts per doc."""
+    return docs.select(
+        "doc_id",
+        F.size(tokens("text")).alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(BPE_PATTERN), F.lit(0))).alias(
+            "n_bpe_tokens"
+        ),
+        F.length("text").alias("n_chars"),
+    ).orderBy("doc_id")
+
+
+def doc_fingerprint(docs: DataFrame, gram: int = 8) -> DataFrame:
+    """Rolling-hash fingerprint: min-md5 over character n-grams (a 1-hash
+    MinHash — winnowing's 'select the minimum' step) + distinct-gram count."""
+    grams = F.expr(
+        f"CASE WHEN length(text) >= {gram} "
+        f"THEN transform(sequence(1, length(text) - {gram} + 1), "
+        f"     g -> substr(text, g, {gram})) "
+        f"ELSE array(text) END"
+    )
+    g = docs.select("doc_id", F.explode(grams).alias("gr"))
+    return (
+        g.groupBy("doc_id")
+        .agg(
+            F.min(F.md5("gr")).alias("fingerprint"),
+            F.count_distinct("gr").alias("n_grams"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def top_tokens(docs: DataFrame, k: int = 20) -> DataFrame:
+    """Corpus-wide token frequency top-k (the token histogram — reuses the
+    reference's transform->bucket->count shape on text)."""
+    return (
+        docs.select(F.explode(tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(k)
+    )

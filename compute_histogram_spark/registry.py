@@ -376,3 +376,349 @@ def q_windowed_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return W.sessionize(load(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
+# dedup suite (operators/dedup.py) — documents table. Oracle SQL mirrors the
+# md5-based signatures exactly; shingling is word 3-grams on single-space
+# tokens in both engines.
+# ---------------------------------------------------------------------------
+
+from compute_histogram_spark.operators import dedup as DD  # noqa: E402
+
+_SHINGLE_CTES = """
+toks AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+g AS (
+    SELECT doc_id, toks, unnest(generate_series(1, greatest(len(toks) - 2, 0))) AS g
+    FROM toks
+),
+sh AS (
+    SELECT DISTINCT doc_id, concat_ws(' ', toks[g], toks[g+1], toks[g+2]) AS s
+    FROM g
+)
+"""
+
+
+@register(
+    "dedup_exact",
+    """
+    SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+    FROM documents GROUP BY text ORDER BY doc_id
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Spark groups by sha2(text) — digest shuffle keys, not full documents;
+    # the oracle groups by raw text (same partition, collision-free).
+    return DD.exact_dedup(load(spark, sf_dir, "documents"))
+
+
+def _minhash_oracle(num_hashes: int = 8, rows_per_band: int = 2) -> str:
+    mins = ",\n           ".join(
+        f"min(md5('{i}:' || s)) AS mh{i}" for i in range(num_hashes)
+    )
+    n_bands = num_hashes // rows_per_band
+    band_selects = []
+    for b in range(n_bands):
+        members = " || '|' || ".join(
+            f"mh{b * rows_per_band + r}" for r in range(rows_per_band)
+        )
+        band_selects.append(
+            f"SELECT doc_id, {b} AS band_id, md5({members}) AS band_hash FROM mh"
+        )
+    bands = "\n    UNION ALL ".join(band_selects)
+    return f"""
+    WITH {_SHINGLE_CTES},
+    mh AS (
+        SELECT doc_id,
+           {mins}
+        FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+    {bands}
+    )
+    SELECT DISTINCT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2
+    FROM bands a
+    JOIN bands b ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+                AND a.doc_id < b.doc_id
+    ORDER BY doc_id_1, doc_id_2
+    """
+
+
+@register("dedup_minhash", _minhash_oracle())
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return DD.minhash_candidates(load(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH {_SHINGLE_CTES},
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2, count(*) AS i
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_id_1, doc_id_2,
+           round((i * 1.0) / (s1.n + s2.n - i), 6) AS jaccard
+    FROM inter
+    JOIN sizes s1 ON s1.doc_id = doc_id_1
+    JOIN sizes s2 ON s2.doc_id = doc_id_2
+    WHERE round((i * 1.0) / (s1.n + s2.n - i), 6) >= 0.5
+    ORDER BY doc_id_1, doc_id_2
+    """,
+)
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return DD.ngram_jaccard_pairs(load(spark, sf_dir, "documents"), threshold=0.5)
+
+
+def _simhash_oracle(bits: int = 16) -> str:
+    sums = ",\n           ".join(
+        f"sum(c * (2 * ((instr('0123456789abcdef', substr(h, {i}, 1)) - 1) % 2) - 1)) AS s{i}"
+        for i in range(1, bits + 1)
+    )
+    bits_expr = " + ".join(
+        f"(CASE WHEN s{i} >= 0 THEN {2 ** (i - 1)} ELSE 0 END)"
+        for i in range(1, bits + 1)
+    )
+    return f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+    ),
+    c AS (
+        SELECT doc_id, t, count(*) AS c, md5(t) AS h
+        FROM tok GROUP BY doc_id, t
+    ),
+    s AS (
+        SELECT doc_id,
+           {sums}
+        FROM c GROUP BY doc_id
+    )
+    SELECT doc_id, CAST({bits_expr} AS BIGINT) AS simhash
+    FROM s ORDER BY doc_id
+    """
+
+
+@register("dedup_simhash", _simhash_oracle())
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return DD.simhash(load(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_embedding",
+    """
+    WITH u AS (
+        SELECT vec_id, label, g, CAST(embedding[g] AS DOUBLE) AS x
+        FROM (
+            SELECT vec_id, label, embedding,
+                   unnest(generate_series(1, len(embedding))) AS g
+            FROM embeddings
+        )
+    ),
+    n AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM u GROUP BY vec_id),
+    d AS (
+        SELECT a.vec_id AS vec_id_1, b.vec_id AS vec_id_2, sum(a.x * b.x) AS dot
+        FROM u a
+        JOIN u b ON a.g = b.g AND a.label = b.label AND a.vec_id < b.vec_id
+        GROUP BY 1, 2
+    ),
+    c AS (
+        SELECT vec_id_1, vec_id_2,
+               round(dot / (n1.nrm * n2.nrm), 6) AS cosine
+        FROM d
+        JOIN n n1 ON n1.vec_id = vec_id_1
+        JOIN n n2 ON n2.vec_id = vec_id_2
+    )
+    SELECT vec_id_1, vec_id_2, cosine FROM c
+    WHERE cosine >= 0.35 ORDER BY vec_id_1, vec_id_2
+    """,
+)
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return DD.embedding_neardup_pairs(load(spark, sf_dir, "embeddings"), threshold=0.35)
+
+
+# ---------------------------------------------------------------------------
+# similarity search (operators/similarity.py) — embeddings table
+# ---------------------------------------------------------------------------
+
+from compute_histogram_spark.operators import similarity as SIM  # noqa: E402
+
+_EMB_CTES = """
+u AS (
+    SELECT vec_id, label, g, CAST(embedding[g] AS DOUBLE) AS x
+    FROM (
+        SELECT vec_id, label, embedding,
+               unnest(generate_series(1, len(embedding))) AS g
+        FROM embeddings
+    )
+),
+n AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM u GROUP BY vec_id)
+"""
+
+
+@register(
+    "similarity_topk",
+    f"""
+    WITH {_EMB_CTES},
+    d AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS vec_id, sum(q.x * c.x) AS dot
+        FROM u q JOIN u c ON q.g = c.g AND q.vec_id != c.vec_id
+        WHERE q.vec_id < 10
+        GROUP BY 1, 2
+    ),
+    cs AS (
+        SELECT query_id, d.vec_id AS vec_id,
+               round(dot / (nq.nrm * nc.nrm), 6) AS cosine
+        FROM d
+        JOIN n nq ON nq.vec_id = d.query_id
+        JOIN n nc ON nc.vec_id = d.vec_id
+    ),
+    r AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, vec_id
+        ) AS rnk
+        FROM cs
+    )
+    SELECT query_id, rnk, vec_id, cosine FROM r WHERE rnk <= 5
+    ORDER BY query_id, rnk
+    """,
+)
+def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return SIM.cosine_topk(load(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "similarity_topk_ivf",
+    f"""
+    WITH {_EMB_CTES},
+    d AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS vec_id, sum(q.x * c.x) AS dot
+        FROM u q JOIN u c ON q.g = c.g AND q.label = c.label
+                         AND q.vec_id != c.vec_id
+        WHERE q.vec_id < 10
+        GROUP BY 1, 2
+    ),
+    cs AS (
+        SELECT query_id, d.vec_id AS vec_id,
+               round(dot / (nq.nrm * nc.nrm), 6) AS cosine
+        FROM d
+        JOIN n nq ON nq.vec_id = d.query_id
+        JOIN n nc ON nc.vec_id = d.vec_id
+    ),
+    r AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, vec_id
+        ) AS rnk
+        FROM cs
+    )
+    SELECT query_id, rnk, vec_id, cosine FROM r WHERE rnk <= 5
+    ORDER BY query_id, rnk
+    """,
+)
+def q_similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return SIM.cosine_topk_ivf(load(spark, sf_dir, "embeddings"))
+
+
+# ---------------------------------------------------------------------------
+# text analysis (operators/text.py) — documents table
+# ---------------------------------------------------------------------------
+
+from compute_histogram_spark.operators import text as TX  # noqa: E402
+
+
+@register(
+    "text_stats",
+    """
+    WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+    s AS (
+        SELECT doc_id,
+               length(text) AS n_chars,
+               len(toks) AS n_tokens,
+               round(length(replace(text, ' ', '')) * 1.0 / len(toks), 6) AS avg_token_len,
+               round(len(list_filter(toks,
+                     t -> t IN ('the','a','of','and','in','to'))) * 1.0 / len(toks), 6)
+                   AS stopword_ratio
+        FROM t
+    )
+    SELECT doc_id, n_chars, n_tokens, avg_token_len, stopword_ratio,
+           round(least(1.0, n_tokens / 100.0) * (1.0 - 0.5 * stopword_ratio), 6)
+               AS quality_score
+    FROM s ORDER BY doc_id
+    """,
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TX.text_stats(load(spark, sf_dir, "documents"))
+
+
+def _lang_oracle() -> str:
+    score_cols = []
+    for code, words in TX.LANG_MARKERS.items():
+        lst = ", ".join(f"'{w}'" for w in words)
+        score_cols.append(
+            f"len(list_filter(toks, t -> t IN ({lst}))) AS s_{code}"
+        )
+    codes = list(TX.LANG_MARKERS)
+    branches = []
+    for code in codes:
+        conds = " AND ".join(
+            f"s_{code} >= s_{other}" for other in codes if other != code
+        )
+        branches.append(f"WHEN {conds} THEN '{code}'")
+    case = "CASE " + " ".join(branches) + f" ELSE '{codes[-1]}' END"
+    return f"""
+    WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+    s AS (SELECT doc_id, lang, {', '.join(score_cols)} FROM t)
+    SELECT doc_id, lang, s_en, s_de, s_fr, s_es, s_zh, {case} AS lang_pred
+    FROM s ORDER BY doc_id
+    """
+
+
+@register("lang_id", _lang_oracle())
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TX.lang_id(load(spark, sf_dir, "documents"))
+
+
+@register(
+    "token_count",
+    f"""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_ws_tokens,
+           len(regexp_extract_all(text, '{TX.BPE_PATTERN}')) AS n_bpe_tokens,
+           length(text) AS n_chars
+    FROM documents ORDER BY doc_id
+    """,
+)
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TX.token_counts(load(spark, sf_dir, "documents"))
+
+
+@register(
+    "doc_fingerprint",
+    """
+    WITH g AS (
+        SELECT doc_id, substr(text, gg, 8) AS gr
+        FROM (
+            SELECT doc_id, text,
+                   unnest(generate_series(1, greatest(length(text) - 7, 1))) AS gg
+            FROM documents
+        )
+    )
+    SELECT doc_id, min(md5(gr)) AS fingerprint,
+           CAST(count(DISTINCT gr) AS BIGINT) AS n_grams
+    FROM g GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TX.doc_fingerprint(load(spark, sf_dir, "documents"))
+
+
+@register(
+    "top_tokens",
+    """
+    SELECT token, count(*) AS n
+    FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+    GROUP BY token ORDER BY n DESC, token LIMIT 20
+    """,
+)
+def q_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TX.top_tokens(load(spark, sf_dir, "documents"))

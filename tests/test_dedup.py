@@ -1,0 +1,66 @@
+from pyspark.sql import Row
+
+from compute_histogram_spark.operators import dedup as DD
+
+
+def docs_df(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again ok"
+    near = "the quick brown fox jumps over the lazy dog again and again yes"
+    other = "completely different words about spark hash joins and shuffles here"
+    return spark.createDataFrame(
+        [
+            Row(doc_id=0, text=base),
+            Row(doc_id=1, text=base),   # exact dup of 0
+            Row(doc_id=2, text=near),   # near dup of 0 (1 word changed)
+            Row(doc_id=3, text=other),
+        ]
+    )
+
+
+def test_exact_dedup(spark):
+    out = {r["doc_id"]: r["n_copies"] for r in DD.exact_dedup(docs_df(spark)).collect()}
+    assert out == {0: 2, 2: 1, 3: 1}
+
+
+def test_minhash_finds_near_dups_not_distinct(spark):
+    pairs = {
+        (r["doc_id_1"], r["doc_id_2"])
+        for r in DD.minhash_candidates(docs_df(spark)).collect()
+    }
+    assert (0, 1) in pairs  # identical -> identical signature -> all bands
+    assert (0, 2) in pairs or (1, 2) in pairs  # near dup shares most bands
+    assert not any(3 in p for p in pairs)  # unrelated doc never paired
+
+
+def test_ngram_jaccard_exact_values(spark):
+    out = {
+        (r["doc_id_1"], r["doc_id_2"]): r["jaccard"]
+        for r in DD.ngram_jaccard_pairs(docs_df(spark), threshold=0.2).collect()
+    }
+    assert out[(0, 1)] == 1.0
+    # 13 tokens -> 11 trigrams; one word change at position 12 breaks 3 -> 8 shared
+    assert 0.2 <= out[(0, 2)] < 1.0
+    assert (0, 3) not in out
+
+
+def test_simhash_near_dups_close(spark):
+    out = {r["doc_id"]: r["simhash"] for r in DD.simhash(docs_df(spark)).collect()}
+    assert out[0] == out[1]
+    ham = bin(out[0] ^ out[2]).count("1")
+    ham_other = bin(out[0] ^ out[3]).count("1")
+    assert ham <= ham_other  # near dup at least as close as unrelated
+    assert all(0 <= v < 2**16 for v in out.values())
+
+
+def test_embedding_neardup_blocking(spark):
+    rows = [
+        Row(vec_id=0, label=0, embedding=[1.0, 0.0, 0.0]),
+        Row(vec_id=1, label=0, embedding=[0.999, 0.01, 0.0]),   # same block, similar
+        Row(vec_id=2, label=1, embedding=[1.0, 0.0, 0.0]),      # other block: excluded
+        Row(vec_id=3, label=0, embedding=[0.0, 1.0, 0.0]),      # same block, orthogonal
+    ]
+    df = spark.createDataFrame(rows)
+    out = {(r["vec_id_1"], r["vec_id_2"]): r["cosine"]
+           for r in DD.embedding_neardup_pairs(df, threshold=0.9).collect()}
+    assert list(out) == [(0, 1)]
+    assert out[(0, 1)] > 0.999
