@@ -1,0 +1,156 @@
+"""Multimodal (image/audio/video) columns as opaque BINARY + typed metadata.
+
+The Spark-side plumbing is real: schemas, Arrow-batched ``mapInPandas``
+kernels, partition-preserving feature extraction, frame-sampling explosion.
+The *decoders* are stubs — the container has no image/audio libraries — so
+``decode_image`` tries Pillow and otherwise falls back to a clearly-marked
+deterministic fake (derived from the byte content, so tests are stable).
+Swapping the fake for a real decoder changes only the inner function; the
+distributed plan (batch iteration, schema, partitioning) is unchanged.
+
+Scale notes: mapInPandas streams Arrow batches — one batch in memory per
+task, never the whole partition; binary payloads never pass through a
+shuffle (feature extraction projects them away first); at 100 TB the asset
+table is stored with payloads in their own parquet column (column pruning
+skips them unless the kernel asks).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+ASSET_SCHEMA = (
+    "asset_id BIGINT, kind STRING, content BINARY, source STRING"
+)
+
+FEATURE_SCHEMA = (
+    "asset_id BIGINT, kind STRING, n_bytes BIGINT, sha256 STRING, "
+    "width INT, height INT, n_channels INT"
+)
+
+FRAME_SCHEMA = "asset_id BIGINT, frame_idx INT, frame_sha256 STRING, n_bytes BIGINT"
+
+
+def _try_real_image_decode(content: bytes) -> tuple[int, int, int] | None:
+    """Real decode path, gated on Pillow being installed."""
+    try:
+        from PIL import Image  # noqa: PLC0415
+        import io  # noqa: PLC0415
+    except ImportError:
+        return None
+    img = Image.open(io.BytesIO(content))
+    return img.width, img.height, len(img.getbands())
+
+
+def decode_image(content: bytes) -> tuple[int, int, int]:
+    """(width, height, channels). DETERMINISTIC FAKE when Pillow is absent:
+    dimensions derived from the content digest — stable, content-addressed,
+    clearly not a real decode."""
+    real = _try_real_image_decode(content)
+    if real is not None:
+        return real
+    d = hashlib.sha256(content).digest()
+    return 16 + d[0] % 240, 16 + d[1] % 240, 1 + d[2] % 3
+
+
+def decode_audio(content: bytes) -> Any:
+    """Real audio decode requires a codec library not present here."""
+    raise NotImplementedError(
+        "audio decode needs soundfile/librosa; plumbing is ready — plug the "
+        "decoder into extract_features' kernel"
+    )
+
+
+def extract_features(assets: DataFrame, batch_size: int = 256) -> DataFrame:
+    """Per-asset features via Arrow-batched mapInPandas.
+
+    The kernel is fully self-contained (local imports, no references to this
+    module) so cloudpickle ships it BY VALUE: executors never need the
+    engine package on their PYTHONPATH — required for remote clusters where
+    only the driver has the repo checkout.
+    """
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib  # local: keep the closure self-contained
+
+        def fake_decode(content: bytes) -> tuple[int, int, int]:
+            try:
+                from PIL import Image
+                import io
+
+                img = Image.open(io.BytesIO(content))
+                return img.width, img.height, len(img.getbands())
+            except ImportError:
+                d = hashlib.sha256(content).digest()
+                return 16 + d[0] % 240, 16 + d[1] % 240, 1 + d[2] % 3
+
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                content = bytes(row.content)
+                w, h, c = fake_decode(content) if row.kind == "image" else (0, 0, 0)
+                out.append(
+                    (
+                        row.asset_id,
+                        row.kind,
+                        len(content),
+                        hashlib.sha256(content).hexdigest(),
+                        w,
+                        h,
+                        c,
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "asset_id",
+                    "kind",
+                    "n_bytes",
+                    "sha256",
+                    "width",
+                    "height",
+                    "n_channels",
+                ],
+            )
+
+    conf = {"spark.sql.execution.arrow.maxRecordsPerBatch": str(batch_size)}
+    spark = assets.sparkSession
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
+    for k, v in conf.items():
+        spark.conf.set(k, v)
+    try:
+        return assets.mapInPandas(kernel, FEATURE_SCHEMA)
+    finally:
+        if old is not None:
+            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+
+def sample_frames(assets: DataFrame, every_n_bytes: int = 64) -> DataFrame:
+    """'Video' frame sampling: one output row per sampled chunk — the
+    row-explosion shape of real frame extraction, with a byte-slice standing
+    in for codec-decoded frames."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib  # local: keep the closure self-contained
+
+        for pdf in batches:
+            rows = []
+            for row in pdf.itertuples(index=False):
+                content = bytes(row.content)
+                for i, off in enumerate(range(0, len(content), every_n_bytes)):
+                    chunk = content[off : off + every_n_bytes]
+                    rows.append(
+                        (row.asset_id, i, hashlib.sha256(chunk).hexdigest(), len(chunk))
+                    )
+            yield pd.DataFrame(
+                rows, columns=["asset_id", "frame_idx", "frame_sha256", "n_bytes"]
+            )
+
+    return assets.where(F.col("kind") == "video").mapInPandas(kernel, FRAME_SCHEMA)
