@@ -35,6 +35,7 @@ from compute_histogram_spark.functions.texthash import (
     word_shingles,
 )
 from compute_histogram_spark.functions import vectors as V
+from compute_histogram_spark.sources.tables import ensure_parallelism
 
 DEFAULT_NUM_HASHES = 8
 DEFAULT_ROWS_PER_BAND = 2
@@ -51,13 +52,20 @@ def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     )
 
 
-def shingle_table(docs: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
-    """(doc_id, s) — distinct word n-gram shingles per document."""
-    return (
-        docs.select("doc_id", tokens(text_col).alias("toks"))
-        .select("doc_id", F.explode(word_shingles("toks", n)).alias("s"))
-        .distinct()
+def shingle_table(
+    docs: DataFrame, text_col: str = "text", n: int = 3, distinct: bool = True
+) -> DataFrame:
+    """(doc_id, s) — word n-gram shingles per document.
+
+    ``distinct=False`` skips the dedup shuffle — correct whenever the
+    consumer is idempotent under duplicates (min() in MinHash); Jaccard
+    counting needs ``distinct=True``.
+    """
+    docs = ensure_parallelism(docs)
+    sh = docs.select("doc_id", tokens(text_col).alias("toks")).select(
+        "doc_id", F.explode(word_shingles("toks", n)).alias("s")
     )
+    return sh.distinct() if distinct else sh
 
 
 def minhash_signatures(
@@ -74,7 +82,7 @@ def minhash_candidates(
     n: int = 3,
 ) -> DataFrame:
     """LSH candidate pairs (doc_id_1 < doc_id_2) sharing >= 1 band bucket."""
-    sig = minhash_signatures(shingle_table(docs, n=n), num_hashes)
+    sig = minhash_signatures(shingle_table(docs, n=n, distinct=False), num_hashes)
     bands = sig.select("doc_id", *band_hashes(num_hashes, rows_per_band))
     n_bands = num_hashes // rows_per_band
     stack_args = ", ".join(f"{b}, band{b}" for b in range(n_bands))
@@ -148,6 +156,7 @@ def simhash(docs: DataFrame, bits: int = 16) -> DataFrame:
     by token count; the signature is the sign pattern of the 16 sums. Ties
     (sum == 0) resolve to bit 1 — deterministic in every engine.
     """
+    docs = ensure_parallelism(docs)
     tok = docs.select("doc_id", F.explode(tokens("text")).alias("t"))
     cnt = tok.groupBy("doc_id", "t").agg(F.count(F.lit(1)).alias("c"))
     h = cnt.withColumn("h", F.md5("t"))

@@ -44,3 +44,17 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load(spark, sf_dir, t) for t in TABLES}
+
+
+def ensure_parallelism(df: DataFrame, min_parts: int | None = None) -> DataFrame:
+    """Repartition ONLY if the scan yields fewer partitions than cores.
+
+    Single-file small tables (the local test fixtures) scan as one input
+    split, serializing CPU-heavy projections onto one core. At cluster scale
+    inputs arrive in thousands of splits and this is a no-op — the guard
+    means we never pay a gratuitous shuffle on big data.
+    """
+    target = min_parts or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
