@@ -31,6 +31,9 @@ HEADLINE = [
     "region_revenue",
     "windowed_histogram",
     "sessionize",
+    "asof_join",
+    "range_band_join",
+    "rollup_revenue",
     "dedup_exact",
     "dedup_minhash",
     "dedup_ngram_jaccard",

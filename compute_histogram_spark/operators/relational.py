@@ -110,3 +110,131 @@ def top_n_per_group(
         df.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= n)
     )
+
+
+def rollup_revenue(
+    region: DataFrame, nation: DataFrame, customer: DataFrame, orders: DataFrame
+) -> DataFrame:
+    """Region/nation revenue with ROLLUP subtotals + grand total.
+
+    One aggregation pass computes all three grouping levels (Spark expands
+    the rollup before the shuffle — still a single Exchange). Group labels
+    are coalesced to 'ALL' so every engine sorts/compares the subtotal rows
+    identically (NULL ordering differs across engines).
+    """
+    j = (
+        orders.join(F.broadcast(customer), orders["o_custkey"] == customer["c_custkey"])
+        .join(F.broadcast(nation), customer["c_nationkey"] == nation["n_nationkey"])
+        .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
+    )
+    return (
+        j.rollup("r_name", "n_name")
+        .agg(
+            (F.sum(cents("o_totalprice")) / 100.0).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .select(
+            F.coalesce("r_name", F.lit("ALL")).alias("r_name"),
+            F.coalesce("n_name", F.lit("ALL")).alias("n_name"),
+            "revenue",
+            "n_orders",
+        )
+        .orderBy("r_name", "n_name")
+    )
+
+
+ORDER_PRIORITIES = ("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+
+
+def orders_pivot(orders: DataFrame) -> DataFrame:
+    """Order counts per year x priority — pivot with a PINNED value list.
+
+    Always pass explicit pivot values at scale: without them Spark runs an
+    extra distinct job over the fact table just to discover the columns.
+    Absent combinations surface as 0, matching the oracle's FILTER counts.
+    """
+    p = (
+        orders.groupBy(F.year("o_orderdate").alias("order_year"))
+        .pivot("o_orderpriority", list(ORDER_PRIORITIES))
+        .agg(F.count(F.lit(1)))
+    )
+    return p.select(
+        "order_year",
+        *[
+            F.coalesce(F.col(f"`{v}`"), F.lit(0)).cast("bigint").alias(v)
+            for v in ORDER_PRIORITIES
+        ],
+    ).orderBy("order_year")
+
+
+def monthly_orders(orders: DataFrame) -> DataFrame:
+    """Per-month order volume/revenue — date-part functions + group agg."""
+    return (
+        orders.groupBy(
+            F.year("o_orderdate").alias("order_year"),
+            F.month("o_orderdate").alias("order_month"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            (F.sum(cents("o_totalprice")) / 100.0).alias("revenue"),
+        )
+        .orderBy("order_year", "order_month")
+    )
+
+
+def users_in_both(events: DataFrame, type_a: str, type_b: str) -> DataFrame:
+    """INTERSECT: users who emitted both event types (set semantics)."""
+    a = events.where(F.col("event_type") == type_a).select("user_id")
+    b = events.where(F.col("event_type") == type_b).select("user_id")
+    return a.intersect(b).orderBy("user_id")
+
+
+def users_only_in(events: DataFrame, type_a: str, type_b: str) -> DataFrame:
+    """EXCEPT: users with event type A but never type B (set semantics)."""
+    a = events.where(F.col("event_type") == type_a).select("user_id")
+    b = events.where(F.col("event_type") == type_b).select("user_id")
+    return a.subtract(b).orderBy("user_id")  # EXCEPT (distinct) semantics
+
+
+def lapsed_customers(customer: DataFrame, orders: DataFrame, since: str) -> DataFrame:
+    """Anti join: customers with NO order at/after ``since``.
+
+    left_anti against a broadcast-able filtered fact projection — at scale
+    the filtered keys are far smaller than the fact, so the dimension never
+    shuffles. (The semi-join dual is ``left_semi`` on the same predicate.)
+    """
+    recent = orders.where(
+        F.col("o_orderdate") >= F.lit(since).cast("timestamp")
+    ).select(F.col("o_custkey").alias("c_custkey"))
+    return (
+        customer.join(recent, "c_custkey", "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    salt: int = 16,
+) -> DataFrame:
+    """Skew-resistant equi-join: salt the fact key, explode the dim side.
+
+    For when the dim is too big to broadcast AND the fact key is skewed:
+    fact rows get a random salt in [0, salt); each dim row is replicated
+    ``salt`` times; the join key becomes (key, salt), splitting a hot key
+    across ``salt`` reducers. AQE's skew-join handles most cases now — this
+    is the explicit fallback when runtime stats miss (e.g. skew appears
+    after a filter AQE can't see through). Salting uses a hash of the fact
+    row (not rand()) so the plan stays deterministic and retry-safe.
+    """
+    f = fact.withColumn(
+        "__salt", F.pmod(F.xxhash64(*fact.columns), F.lit(salt)).cast("int")
+    )
+    d = dim.withColumn("__salt", F.explode(F.array(*[F.lit(i) for i in range(salt)])))
+    out = f.join(
+        d, (f[fact_key] == d[dim_key]) & (f["__salt"] == d["__salt"]), "inner"
+    )
+    return out.drop("__salt")

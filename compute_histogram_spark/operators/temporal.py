@@ -1,0 +1,192 @@
+"""Temporal joins Spark lacks as built-ins: as-of join and range join.
+
+Reference scope note: wri/compute_histogram has no joins beyond the decile
+SQL's cross join (compute_histogram.sql:2); these are north-star extensions
+(SURVEY §2.4) for event-stream enrichment at 100 TB.
+
+**As-of join** (:func:`asof_join`) — "for each left row, the most recent
+right row at or before its timestamp, per key". The naive formulation is a
+range join (``l.key = r.key AND r.ts <= l.ts`` + argmax) whose pair space
+explodes with history length. The scalable formulation used here is the
+union-and-carry-forward plan:
+
+1. tag both sides and union into one (key, ts, tag, payload...) relation
+2. one window per key ordered by (ts, tag, tiebreak):
+   ``last(payload, ignoreNulls) ROWS UNBOUNDED PRECEDING..CURRENT ROW``
+   carries the latest right payload forward onto every left row
+3. keep left rows
+
+Cost: ONE shuffle on the key (the window sort), zero join fan-out, O(1)
+running state per row — the standard mapping of KDB/Flink-style as-of onto
+a shuffle engine. A skewed key serializes inside its window partition; if
+one key dominates, pre-split it by coarse time bucket and stitch the bucket
+boundaries (not needed at any tested SF).
+
+**Range join** (:func:`range_band_join`) — enrich a fact with a small set
+of [lo, hi) bands. Non-equi predicates can't hash-partition, so Spark plans
+this as BroadcastNestedLoopJoin — the right physical plan when the band
+table is tiny (bands are human-defined tiers). We broadcast explicitly so
+the fact side never shuffles. For a *large* range dim the scale path is
+interval bucketing: quantize both sides to a coarse bucket key, equi-join
+on the bucket, post-filter the exact predicate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+
+def ntz_micros(col: str) -> Column:
+    """Epoch micros from a TIMESTAMP_NTZ, timezone-independent.
+
+    ``unix_micros`` only takes TIMESTAMP (LTZ), and an NTZ->LTZ cast shifts
+    by the session timezone — a silent correctness bug when the driver's
+    session isn't UTC. ``timestampdiff`` against an NTZ epoch literal stays
+    entirely in wall-clock space, matching DuckDB's ``epoch_us``.
+    """
+    return F.expr(
+        f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', {col})"
+    )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    left_ts: Column,
+    right_ts: Column,
+    right_payload: dict[str, Column],
+    tiebreak: Column,
+) -> DataFrame:
+    """Most-recent ``right`` row at-or-before each ``left`` row's time.
+
+    ``left_ts``/``right_ts`` must be the same numeric time unit. Each entry
+    of ``right_payload`` (output name -> right column) is carried forward by
+    ``last(ignoreNulls)`` over one shared window spec — Spark evaluates all
+    of them in a single window pass. ``tiebreak`` orders simultaneous right
+    rows; the LAST one wins (pass the key column for "highest key wins").
+    Left rows with no prior right row keep NULL payload.
+    """
+    r_proj = right.select(
+        F.col(right_key).alias("__k"),
+        right_ts.cast("bigint").alias("__ts"),
+        F.lit(0).alias("__tag"),
+        tiebreak.cast("bigint").alias("__tie"),
+        *[c.alias(f"__p_{n}") for n, c in right_payload.items()],
+    )
+    payload_types = {
+        f.name: f.dataType for f in r_proj.schema.fields if f.name.startswith("__p_")
+    }
+    left_types = {f.name: f.dataType for f in left.schema.fields}
+
+    l_proj = left.select(
+        F.col(left_key).alias("__k"),
+        left_ts.cast("bigint").alias("__ts"),
+        F.lit(1).alias("__tag"),
+        F.lit(None).cast("bigint").alias("__tie"),
+        *[F.lit(None).cast(dt).alias(n) for n, dt in payload_types.items()],
+        *left.columns,
+    )
+    r_full = r_proj.select(
+        "__k",
+        "__ts",
+        "__tag",
+        "__tie",
+        *payload_types,
+        *[F.lit(None).cast(dt).alias(n) for n, dt in left_types.items()],
+    )
+    w = (
+        Window.partitionBy("__k")
+        .orderBy(
+            F.col("__ts").asc(), F.col("__tag").asc(), F.col("__tie").asc_nulls_first()
+        )
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = l_proj.unionByName(r_full).select(
+        "*",
+        *[
+            F.last(n, ignorenulls=True).over(w).alias(f"__c{n}")
+            for n in payload_types
+        ],
+    )
+    out_names = [n[len("__p_"):] for n in payload_types]
+    return carried.where(F.col("__tag") == 1).select(
+        *left.columns,
+        *[F.col(f"__c__p_{n}").alias(n) for n in out_names],
+    )
+
+
+def asof_enrich_events(events: DataFrame, orders: DataFrame) -> DataFrame:
+    """Each event joined to the user's most recent order at-or-before the
+    event time (events.ts is epoch-nanos BIGINT — see sources/tables.py —
+    orders.o_orderdate is TIMESTAMP; both compared at micros). Ties on
+    order time break to the highest o_orderkey, matching the oracle.
+    """
+    ev = events.select(
+        "event_id", "user_id", (F.col("ts") / 1000).cast("bigint").alias("tsu")
+    )
+    out = asof_join(
+        ev,
+        orders,
+        left_key="user_id",
+        right_key="o_custkey",
+        left_ts=F.col("tsu"),
+        right_ts=ntz_micros("o_orderdate"),
+        right_payload={
+            "asof_orderkey": F.col("o_orderkey"),
+            "asof_order_us": ntz_micros("o_orderdate"),
+            "asof_totalprice": F.col("o_totalprice"),
+        },
+        tiebreak=F.col("o_orderkey"),
+    )
+    return out.select(
+        "event_id", "user_id", "asof_orderkey", "asof_order_us", "asof_totalprice"
+    ).orderBy("event_id")
+
+
+def range_band_join(
+    fact: DataFrame,
+    bands: DataFrame,
+    value_col: str,
+    lo_col: str = "lo",
+    hi_col: str = "hi",
+) -> DataFrame:
+    """Tag each fact row with the band where ``lo <= value < hi``.
+
+    ``bands`` is broadcast (BroadcastNestedLoopJoin — no fact shuffle).
+    Overlapping bands duplicate rows, by join semantics; keep bands disjoint.
+    """
+    v = F.col(value_col)
+    return fact.join(
+        F.broadcast(bands), (v >= F.col(lo_col)) & (v < F.col(hi_col)), "inner"
+    )
+
+
+VALUE_BANDS = [
+    ("low", 0.0, 50.0),
+    ("mid", 50.0, 150.0),
+    ("high", 150.0, 300.0),
+    ("extreme", 300.0, 1_000_000.0),
+]
+
+
+def events_by_band(events: DataFrame) -> DataFrame:
+    """Event counts + value sums per human-defined value tier (range join +
+    group agg; money summed in integer cents for cross-engine exactness)."""
+    spark = events.sparkSession
+    bands = spark.createDataFrame(VALUE_BANDS, "band STRING, lo DOUBLE, hi DOUBLE")
+    tagged = range_band_join(
+        events.where(F.col("value").isNotNull() & ~F.isnan("value")), bands, "value"
+    )
+    return (
+        tagged.groupBy("band", "lo")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum(F.round(F.col("value") * 100).cast("bigint")) / 100.0).alias(
+                "sum_value"
+            ),
+        )
+        .orderBy("lo")
+        .select("band", "n_events", "sum_value")
+    )

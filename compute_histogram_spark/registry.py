@@ -330,6 +330,193 @@ def q_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# grouping sets / pivot / date parts / set ops / anti join (operators/
+# relational.py extensions)
+# ---------------------------------------------------------------------------
+
+@register(
+    "rollup_revenue",
+    """
+    SELECT coalesce(r.r_name, 'ALL') AS r_name,
+           coalesce(n.n_name, 'ALL') AS n_name,
+           CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) / 100.0
+               AS revenue,
+           count(*) AS n_orders
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP (r.r_name, n.n_name)
+    ORDER BY r_name, n_name
+    """,
+)
+def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.rollup_revenue(
+        load(spark, sf_dir, "region"),
+        load(spark, sf_dir, "nation"),
+        load(spark, sf_dir, "customer"),
+        load(spark, sf_dir, "orders"),
+    )
+
+
+@register(
+    "orders_pivot",
+    """
+    SELECT CAST(year(o_orderdate) AS INT) AS order_year,
+           count(*) FILTER (o_orderpriority = '1-URGENT') AS "1-URGENT",
+           count(*) FILTER (o_orderpriority = '2-HIGH') AS "2-HIGH",
+           count(*) FILTER (o_orderpriority = '3-MEDIUM') AS "3-MEDIUM",
+           count(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS "4-NOT SPECIFIED",
+           count(*) FILTER (o_orderpriority = '5-LOW') AS "5-LOW"
+    FROM orders GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_orders_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.orders_pivot(load(spark, sf_dir, "orders"))
+
+
+@register(
+    "monthly_orders",
+    """
+    SELECT CAST(year(o_orderdate) AS INT) AS order_year,
+           CAST(month(o_orderdate) AS INT) AS order_month,
+           count(*) AS n_orders,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) / 100.0
+               AS revenue
+    FROM orders GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def q_monthly_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.monthly_orders(load(spark, sf_dir, "orders"))
+
+
+@register(
+    "users_in_both",
+    """
+    SELECT user_id FROM events WHERE event_type = 'purchase'
+    INTERSECT
+    SELECT user_id FROM events WHERE event_type = 'click'
+    ORDER BY user_id
+    """,
+)
+def q_users_in_both(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.users_in_both(load(spark, sf_dir, "events"), "purchase", "click")
+
+
+@register(
+    "users_only_in",
+    """
+    SELECT user_id FROM events WHERE event_type = 'error'
+    EXCEPT
+    SELECT user_id FROM events WHERE event_type = 'purchase'
+    ORDER BY user_id
+    """,
+)
+def q_users_only_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.users_only_in(load(spark, sf_dir, "events"), "error", "purchase")
+
+
+@register(
+    "lapsed_customers",
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+          AND o.o_orderdate >= TIMESTAMP '2001-01-01 00:00:00'
+    )
+    ORDER BY c_custkey
+    """,
+)
+def q_lapsed_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.lapsed_customers(
+        load(spark, sf_dir, "customer"), load(spark, sf_dir, "orders"), "2001-01-01"
+    )
+
+
+# ---------------------------------------------------------------------------
+# temporal joins (operators/temporal.py): as-of join + range band join
+# ---------------------------------------------------------------------------
+
+from compute_histogram_spark.operators import temporal as T  # noqa: E402
+
+
+@register(
+    "asof_join",
+    """
+    WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS tsu FROM events),
+    o AS (
+        SELECT o_orderkey, o_custkey, epoch_us(o_orderdate) AS odu, o_totalprice
+        FROM orders
+    ),
+    j AS (
+        SELECT e.event_id, e.user_id, o.o_orderkey, o.odu, o.o_totalprice,
+               row_number() OVER (
+                   PARTITION BY e.event_id
+                   ORDER BY o.odu DESC, o.o_orderkey DESC
+               ) AS rn
+        FROM e JOIN o ON o.o_custkey = e.user_id AND o.odu <= e.tsu
+    )
+    SELECT event_id, user_id,
+           o_orderkey AS asof_orderkey,
+           odu AS asof_order_us,
+           o_totalprice AS asof_totalprice
+    FROM j WHERE rn = 1 ORDER BY event_id
+    """,
+)
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Spark plan is union+carry-forward (ONE shuffle, no range fan-out); the
+    # oracle is the O(pairs) range-join argmax — same semantics, different
+    # physical strategy, which is the point.
+    return T.asof_enrich_events(
+        load(spark, sf_dir, "events"), load(spark, sf_dir, "orders")
+    )
+
+
+@register(
+    "range_band_join",
+    f"""
+    WITH bands(band, lo, hi) AS (
+        VALUES {", ".join(f"('{b}', {lo}, {hi})" for b, lo, hi in T.VALUE_BANDS)}
+    )
+    SELECT band, count(*) AS n_events,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) / 100.0
+               AS sum_value
+    FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
+    WHERE value IS NOT NULL AND NOT isnan(value)
+    GROUP BY band, b.lo ORDER BY b.lo
+    """,
+)
+def q_range_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.events_by_band(load(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
+# approximate sketches (SURVEY §2.4) — rows-only driver check by design:
+# HLL++/KLL estimates are engine-specific, so no value-exact oracle exists.
+# tests/test_deciles.py pins them against exact answers with tolerance.
+# ---------------------------------------------------------------------------
+
+@register("approx_distinct_users")
+def q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", rsd=0.01).alias("n_users_approx"))
+        .orderBy("event_type")
+    )
+
+
+@register("approx_quantiles")
+def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    v = F.col("value")
+    return D.approx_quantiles(
+        ev.where(v.isNotNull() & ~F.isnan(v)), "value", _PROBS
+    )
+
+
+# ---------------------------------------------------------------------------
 # time windows + sessionization (batch twins of the streaming operators).
 # ts is epoch-nanos BIGINT in Spark; both engines agree at micros precision.
 # ---------------------------------------------------------------------------

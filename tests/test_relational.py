@@ -1,0 +1,69 @@
+"""Relational operator semantics: rollup levels, pivot zero-fill, set ops,
+anti join, and the salted join's equivalence to the plain join."""
+
+from pyspark.sql import Row, functions as F
+
+from compute_histogram_spark.operators import relational as R
+from compute_histogram_spark.sources.tables import load
+
+
+def test_rollup_has_three_levels(spark, sf_dir):
+    out = R.rollup_revenue(
+        load(spark, sf_dir, "region"),
+        load(spark, sf_dir, "nation"),
+        load(spark, sf_dir, "customer"),
+        load(spark, sf_dir, "orders"),
+    ).collect()
+    grand = [r for r in out if r["r_name"] == "ALL" and r["n_name"] == "ALL"]
+    region_sub = [r for r in out if r["r_name"] != "ALL" and r["n_name"] == "ALL"]
+    leaf = [r for r in out if r["r_name"] != "ALL" and r["n_name"] != "ALL"]
+    assert len(grand) == 1
+    assert len(region_sub) >= 1
+    # subtotals reconcile exactly (cents-integer sums are associative)
+    assert grand[0]["n_orders"] == sum(r["n_orders"] for r in leaf)
+    assert abs(grand[0]["revenue"] - sum(r["revenue"] for r in leaf)) < 1e-6
+
+
+def test_pivot_zero_fill_and_row_sums(spark, sf_dir):
+    orders = load(spark, sf_dir, "orders")
+    out = R.orders_pivot(orders).collect()
+    total = sum(sum(r[p] for p in R.ORDER_PRIORITIES) for r in out)
+    assert total == orders.count()
+    assert all(r[p] >= 0 for r in out for p in R.ORDER_PRIORITIES)
+
+
+def test_set_ops_disjoint_and_intersect(spark):
+    ev = spark.createDataFrame(
+        [
+            Row(user_id=1, event_type="purchase"),
+            Row(user_id=1, event_type="click"),
+            Row(user_id=2, event_type="purchase"),
+            Row(user_id=3, event_type="click"),
+            Row(user_id=3, event_type="click"),
+        ]
+    )
+    both = [r["user_id"] for r in R.users_in_both(ev, "purchase", "click").collect()]
+    only = [r["user_id"] for r in R.users_only_in(ev, "click", "purchase").collect()]
+    assert both == [1]
+    assert only == [3]  # user 1 clicked but also purchased -> excluded
+
+
+def test_lapsed_customers_anti_join(spark):
+    cust = spark.createDataFrame(
+        [Row(c_custkey=1, c_name="a"), Row(c_custkey=2, c_name="b")]
+    )
+    orders = spark.createDataFrame(
+        [Row(o_custkey=1, o_orderdate="2001-06-01")]
+    ).withColumn("o_orderdate", F.col("o_orderdate").cast("timestamp"))
+    out = R.lapsed_customers(cust, orders, "2001-01-01").collect()
+    assert [r["c_custkey"] for r in out] == [2]
+
+
+def test_salted_join_matches_plain_join(spark, sf_dir):
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    plain = orders.join(
+        customer, orders["o_custkey"] == customer["c_custkey"]
+    ).count()
+    salted = R.salted_join(orders, customer, "o_custkey", "c_custkey", salt=4).count()
+    assert salted == plain

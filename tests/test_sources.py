@@ -1,0 +1,59 @@
+"""Catalog source (S1/S2) and CSV sink (S6) — reference parity checks:
+GeoJSON FeatureCollection -> uri table (main.py:60-74), s3 uri split
+(main.py:77-79), and the "%1.2f, %d" histogram.csv line format
+(main.py:124)."""
+
+import glob
+import json
+import os
+
+from compute_histogram_spark.operators import histogram as H
+from compute_histogram_spark.sources import catalog as C
+from compute_histogram_spark.sources import sinks as S
+from compute_histogram_spark.sources.tables import load
+
+
+def _write_geojson(tmp_path):
+    fc = {
+        "type": "FeatureCollection",
+        "features": [
+            {
+                "type": "Feature",
+                "properties": {"name": f"s3://bkt/10/40000/index/tile_{i}.tif"},
+                "geometry": None,
+            }
+            for i in range(3)
+        ],
+    }
+    p = os.path.join(str(tmp_path), "index.geojson")
+    with open(p, "w") as f:
+        json.dump(fc, f)
+    return p
+
+
+def test_read_tile_catalog(spark, tmp_path):
+    path = _write_geojson(tmp_path)
+    out = C.read_tile_catalog(spark, path).orderBy("tile_id").collect()
+    assert [r["uri"] for r in out] == [
+        f"s3://bkt/10/40000/index/tile_{i}.tif" for i in range(3)
+    ]
+
+
+def test_parse_s3_uri(spark, tmp_path):
+    path = _write_geojson(tmp_path)
+    out = C.parse_s3_uri(C.read_tile_catalog(spark, path)).first()
+    assert out["bucket"] == "bkt"
+    assert out["key"] == "10/40000/index/tile_0.tif"
+
+
+def test_histogram_csv_format(spark, sf_dir, tmp_path):
+    histo = H.histogram(load(spark, sf_dir, "events"), "value", "linear")
+    out_dir = os.path.join(str(tmp_path), "histo_csv")
+    S.write_histogram_csv(histo, out_dir)
+    parts = glob.glob(os.path.join(out_dir, "part-*"))
+    assert len(parts) == 1  # single_file=True -> one shard
+    lines = open(parts[0]).read().splitlines()
+    first = histo.orderBy("bin").first()
+    # reference line format: "%1.2f, %d" (main.py:124)
+    assert lines[0] == "%1.2f, %d" % (first["value"], first["pixel_count"])
+    assert len(lines) == histo.count()

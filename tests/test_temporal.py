@@ -1,0 +1,107 @@
+"""asof_join / range_band_join semantics on hand-built frames with known
+answers, including the edge cases the oracle data can't isolate: exact-tie
+timestamps, no-prior-row lefts, and tiebreak order."""
+
+from pyspark.sql import Row, functions as F
+
+from compute_histogram_spark.operators import temporal as T
+
+
+def test_asof_basic_and_no_prior(spark):
+    left = spark.createDataFrame(
+        [
+            Row(k=1, t=100, lid=1),
+            Row(k=1, t=50, lid=2),   # before every right row -> NULL payload
+            Row(k=2, t=100, lid=3),  # key with no right rows at all
+        ]
+    )
+    right = spark.createDataFrame(
+        [
+            Row(k=1, rt=60, rid=10, price=1.5),
+            Row(k=1, rt=90, rid=11, price=2.5),
+            Row(k=1, rt=101, rid=12, price=9.9),  # after t=100: excluded
+        ]
+    )
+    out = {
+        r["lid"]: (r["rid"], r["price"])
+        for r in T.asof_join(
+            left,
+            right,
+            left_key="k",
+            right_key="k",
+            left_ts=F.col("t"),
+            right_ts=F.col("rt"),
+            right_payload={"rid": F.col("rid"), "price": F.col("price")},
+            tiebreak=F.col("rid"),
+        ).collect()
+    }
+    assert out[1] == (11, 2.5)       # latest at-or-before 100 is rt=90
+    assert out[2] == (None, None)    # nothing at-or-before 50
+    assert out[3] == (None, None)    # key never seen on the right
+
+
+def test_asof_tie_at_equal_ts_takes_right_and_highest_tiebreak(spark):
+    left = spark.createDataFrame([Row(k=1, t=100, lid=1)])
+    right = spark.createDataFrame(
+        [Row(k=1, rt=100, rid=7), Row(k=1, rt=100, rid=9), Row(k=1, rt=40, rid=1)]
+    )
+    out = T.asof_join(
+        left,
+        right,
+        left_key="k",
+        right_key="k",
+        left_ts=F.col("t"),
+        right_ts=F.col("rt"),
+        right_payload={"rid": F.col("rid")},
+        tiebreak=F.col("rid"),
+    ).collect()
+    # rt == t qualifies (at-or-before), and among the two rt=100 rows the
+    # highest tiebreak (rid=9) wins.
+    assert out[0]["rid"] == 9
+
+
+def test_asof_join_single_shuffle_plan(spark):
+    left = spark.createDataFrame([Row(k=1, t=1, lid=1)])
+    right = spark.createDataFrame([Row(k=1, rt=1, rid=1)])
+    plan = (
+        T.asof_join(
+            left,
+            right,
+            left_key="k",
+            right_key="k",
+            left_ts=F.col("t"),
+            right_ts=F.col("rt"),
+            right_payload={"rid": F.col("rid")},
+            tiebreak=F.col("rid"),
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # union + window: exactly one Exchange (the window shuffle), no join node
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
+
+
+def test_range_band_join_boundaries(spark):
+    fact = spark.createDataFrame(
+        [Row(v=0.0), Row(v=49.99), Row(v=50.0), Row(v=299.99), Row(v=300.0)]
+    )
+    bands = spark.createDataFrame(T.VALUE_BANDS, "band STRING, lo DOUBLE, hi DOUBLE")
+    out = [
+        r["band"]
+        for r in T.range_band_join(fact, bands, "v").orderBy("v").collect()
+    ]
+    # [lo, hi): 50.0 belongs to mid, 300.0 to extreme
+    assert out == ["low", "low", "mid", "high", "extreme"]
+
+
+def test_events_by_band_covers_all_events(spark, sf_dir):
+    from compute_histogram_spark.sources.tables import load
+
+    ev = load(spark, sf_dir, "events")
+    n_valid = ev.where(
+        F.col("value").isNotNull() & ~F.isnan("value") & (F.col("value") >= 0)
+    ).count()
+    out = T.events_by_band(ev)
+    assert out.agg(F.sum("n_events")).first()[0] == n_valid
