@@ -104,6 +104,96 @@ def streaming_sessionize(
     )
 
 
+USER_STATS_STATE = StructType(
+    [
+        StructField("n", LongType()),
+        StructField("sum_cents", LongType()),
+        StructField("min_v", DoubleType()),
+        StructField("max_v", DoubleType()),
+    ]
+)
+
+USER_STATS_OUTPUT = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("sum_value", DoubleType()),
+        StructField("min_value", DoubleType()),
+        StructField("max_value", DoubleType()),
+    ]
+)
+
+
+def streaming_user_stats(stream: DataFrame, timeout_s: int | None = None) -> DataFrame:
+    """Custom stateful operator: running per-user value stats via
+    ``applyInPandasWithState`` — the escape hatch for aggregation semantics
+    the built-in windowed aggs can't express (here: unbounded running
+    min/max/sum with explicit state lifecycle + optional idle timeout).
+
+    State is one fixed-size tuple per user — O(keys) store size, no
+    per-event history. The value sum accumulates in integer cents so state
+    merge order (micro-batch arrival order) can never change the result.
+    Each micro-batch emits the users it touched with their updated totals
+    (update semantics). With ``timeout_s`` set, users idle longer than the
+    processing-time timeout are finalized and evicted — the state-bound
+    knob for high-churn key spaces.
+    """
+    import pandas as pd  # noqa: PLC0415 — worker-side import
+
+    timeout = "ProcessingTimeTimeout" if timeout_s else "NoTimeout"
+
+    def update(key, pdf_iter, state):
+        (user_id,) = key
+        if state.hasTimedOut:
+            n, s, mn, mx = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "n_events": [n],
+                    "sum_value": [s / 100.0],
+                    "min_value": [mn],
+                    "max_value": [mx],
+                }
+            )
+            return
+        n, s, mn, mx = state.get if state.exists else (0, 0, None, None)
+        for pdf in pdf_iter:
+            v = pdf["value"].dropna()
+            v = v[~v.isna()]
+            if len(v) == 0:
+                continue
+            n += int(len(v))
+            s += int(round(float(v.sum()) * 100))
+            bmn, bmx = float(v.min()), float(v.max())
+            mn = bmn if mn is None else min(mn, bmn)
+            mx = bmx if mx is None else max(mx, bmx)
+        state.update((n, s, mn, mx))
+        if timeout_s:
+            state.setTimeoutDuration(timeout_s * 1000)
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "n_events": [n],
+                "sum_value": [s / 100.0],
+                "min_value": [mn],
+                "max_value": [mx],
+            }
+        )
+
+    return (
+        stream.select("user_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=USER_STATS_OUTPUT,
+            stateStructType=USER_STATS_STATE,
+            outputMode="update",
+            timeoutConf=timeout,
+        )
+    )
+
+
 def run_to_completion(
     result: DataFrame, query_name: str, mode: str = "complete"
 ) -> DataFrame:

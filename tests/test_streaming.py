@@ -49,3 +49,52 @@ def test_streaming_sessionize_matches_batch_totals(spark, sf_dir, stream_dir):
         return d
 
     assert per_user(out) == per_user(batch)
+
+
+def test_streaming_user_stats_matches_batch(spark, sf_dir, stream_dir):
+    from pyspark.sql import functions as F
+    from compute_histogram_spark.streaming.stream_ops import streaming_user_stats
+
+    # foreachBatch keeps only the LAST update per user — the converged state
+    # after the finite stream drains, regardless of micro-batch count.
+    final = {}
+
+    def sink(df, _epoch):
+        for r in df.collect():
+            final[r["user_id"]] = (
+                r["n_events"],
+                round(r["sum_value"], 2),
+                r["min_value"],
+                r["max_value"],
+            )
+
+    stream = read_events_stream(spark, stream_dir)
+    q = (
+        streaming_user_stats(stream)
+        .writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    v = F.col("value")
+    batch = {
+        r["user_id"]: (
+            r["n"],
+            round(r["s"] / 100.0, 2),
+            r["mn"],
+            r["mx"],
+        )
+        for r in load(spark, sf_dir, "events")
+        .where(v.isNotNull() & ~F.isnan(v))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(v * 100).cast("bigint")).alias("s"),
+            F.min(v).alias("mn"),
+            F.max(v).alias("mx"),
+        )
+        .collect()
+    }
+    assert final == batch
