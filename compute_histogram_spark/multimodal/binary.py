@@ -38,6 +38,20 @@ FEATURE_SCHEMA = (
 FRAME_SCHEMA = "asset_id BIGINT, frame_idx INT, frame_sha256 STRING, n_bytes BIGINT"
 
 
+def assets_from_documents(docs: DataFrame) -> DataFrame:
+    """Deterministic asset table derived from ``documents``: the UTF-8 bytes
+    of each text as an opaque 'image' payload. Stands in for a real
+    (asset_id, kind, content, source) landing table so the multimodal path
+    has a driver-checkable query; schema/plumbing identical to real assets.
+    """
+    return docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.lit("image").alias("kind"),
+        F.encode("text", "UTF-8").alias("content"),
+        F.col("source"),
+    )
+
+
 def _try_real_image_decode(content: bytes) -> tuple[int, int, int] | None:
     """Real decode path, gated on Pillow being installed."""
     try:

@@ -113,20 +113,32 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact Jaccard >= threshold via inverted-index self-join.
 
+    Shingle strings are collapsed to ``xxhash64`` longs BEFORE any shuffle:
+    every downstream exchange and join compares 8-byte keys instead of
+    ~20-40-byte strings (the distinct, the self-join, and the pair count all
+    shuffle, so this cuts total shuffle bytes several-fold at scale).
+    Jaccard over hashed shingles equals Jaccard over strings absent a
+    64-bit collision inside one document pair's shingle sets — odds are
+    ~m^2/2^64 for m shingles/doc, i.e. negligible even at 100 TB.
+
     ``max_df`` drops shingles appearing in more than that many docs (hub
     shingles contribute pairs quadratically but little signal) — the lever
     that keeps this exact method viable at scale.
     """
-    sh = shingle_table(docs, n=n)
+    sh = (
+        shingle_table(docs, n=n, distinct=False)
+        .select("doc_id", F.xxhash64("s").alias("h"))
+        .distinct()
+    )
     if max_df is not None:
-        rare = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df")).where(
+        rare = sh.groupBy("h").agg(F.count(F.lit(1)).alias("df")).where(
             F.col("df") <= max_df
         )
-        sh = sh.join(F.broadcast(rare.select("s")), "s")
+        sh = sh.join(F.broadcast(rare.select("h")), "h")
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("doc_id_1"), F.col("b.doc_id").alias("doc_id_2"))
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )

@@ -899,6 +899,40 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.doc_fingerprint(load(spark, sf_dir, "documents"))
 
 
+# ---------------------------------------------------------------------------
+# multimodal (multimodal/binary.py): Arrow-batched mapInPandas feature
+# extraction over binary payloads. The stub decoder is deterministic
+# (sha256-derived dims), so even the Python-kernel path gets a value-exact
+# DuckDB oracle — the strongest check available without real codecs.
+# ---------------------------------------------------------------------------
+
+from compute_histogram_spark.multimodal import binary as MM  # noqa: E402
+
+
+def _mm_nib(i: int) -> str:
+    return f"(instr('0123456789abcdef', substr(h, {i}, 1)) - 1)"
+
+
+@register(
+    "multimodal_features",
+    f"""
+    WITH a AS (
+        SELECT doc_id AS asset_id, 'image' AS kind, text FROM documents
+    ),
+    f AS (SELECT asset_id, kind, octet_length(encode(text)) AS n_bytes,
+                 sha256(text) AS h FROM a)
+    SELECT asset_id, kind, n_bytes, h AS sha256,
+           CAST(16 + ({_mm_nib(1)} * 16 + {_mm_nib(2)}) % 240 AS INT) AS width,
+           CAST(16 + ({_mm_nib(3)} * 16 + {_mm_nib(4)}) % 240 AS INT) AS height,
+           CAST(1 + ({_mm_nib(5)} * 16 + {_mm_nib(6)}) % 3 AS INT) AS n_channels
+    FROM f ORDER BY asset_id
+    """,
+)
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    assets = MM.assets_from_documents(load(spark, sf_dir, "documents"))
+    return MM.extract_features(assets).orderBy("asset_id")
+
+
 @register(
     "top_tokens",
     """
