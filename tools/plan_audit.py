@@ -1,0 +1,108 @@
+"""Physical-plan audit: the scale-shape gate.
+
+For every registry query, materialize the executed plan string and check
+the properties that decide 100 TB behavior:
+
+- parquet scans carry PushedFilters / a pruned ReadSchema when the query
+  filters/projects (pushdown reached the source)
+- dimension joins are broadcast (no fact-side shuffle for dims)
+- no CartesianProduct ever (BroadcastNestedLoopJoin is allowed only for
+  the deliberate range-band join)
+- hash aggregations are partial->final (map-side combine before shuffle)
+
+Usage: python tools/plan_audit.py [sf_dir] [name ...]
+Prints one line per query: PASS/WARN + flags; exits 1 on hard failures.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from compute_histogram_spark.session import get_session
+import __spark_entry__ as entrymod
+
+# queries where a nested-loop join is the intended physical strategy:
+# - range_band_join: non-equi band predicate over a broadcast 4-row dim
+# - histogram_deciles / deciles_window: scalar-total cross join, the
+#   reference's own query shape (compute_histogram.sql:2 "FROM histo, s");
+#   the broadcast side is ONE row
+# - similarity_topk: deliberate brute-force baseline — broadcast the tiny
+#   query set against every vector (the IVF variant is the scale path and
+#   equi-joins on the centroid label)
+NLJ_ALLOWED = {"range_band_join", "histogram_deciles", "deciles_window", "similarity_topk"}
+# pure-Python kernel paths: no codegen span expected
+PY_KERNEL = {"multimodal_features"}
+
+
+def audit(name: str, df) -> tuple[bool, list[str]]:
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    flags: list[str] = []
+    hard_fail = False
+
+    if "CartesianProduct" in plan:
+        flags.append("CARTESIAN")
+        hard_fail = True
+    if "BroadcastNestedLoopJoin" in plan and name not in NLJ_ALLOWED:
+        flags.append("NLJ")
+        hard_fail = True
+    if "SortMergeJoin" in plan:
+        # not wrong per se, but every SMJ here should be a conscious choice
+        flags.append("SMJ")
+
+    scans = plan.count("FileScan parquet")
+    if scans:
+        # every scan should prune columns: ReadSchema never lists all cols
+        # of the widest table (lineitem: 11 cols) unless the query needs them
+        reads = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+        widths = [len(r.split(",")) for r in reads if r]
+        flags.append(f"scan_cols={widths}")
+    if "PushedFilters: [" in plan:
+        pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+        if any(p.strip() for p in pushed):
+            flags.append("pushdown")
+
+    has_agg = "HashAggregate" in plan or "SortAggregate" in plan
+    if has_agg and "partial" not in plan.lower():
+        # ObjectHashAggregate prints keys differently; only warn
+        flags.append("no_partial_agg?")
+    if (
+        "WholeStageCodegen" not in plan
+        and "AdaptiveSparkPlan" not in plan  # AQE prints codegen only in the final plan
+        and name not in PY_KERNEL
+    ):
+        flags.append("NO_CODEGEN")
+    return hard_fail, flags
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    spark = get_session("plan_audit")
+    queries = entrymod.queries()
+    failures = []
+    for name, fn in queries.items():
+        if only and name not in only:
+            continue
+        try:
+            hard, flags = audit(name, fn(spark, sf_dir))
+        except Exception as e:  # noqa: BLE001
+            print(f"ERROR {name}: {e}")
+            failures.append(name)
+            continue
+        tag = "FAIL" if hard else "pass"
+        if hard:
+            failures.append(name)
+        print(f"{tag:5} {name}: {' '.join(flags)}")
+    if failures:
+        print(f"{len(failures)} hard failures: {failures}")
+        return 1
+    print("all plans pass")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
