@@ -104,6 +104,30 @@ def streaming_sessionize(
     )
 
 
+def streaming_exact_dedup(
+    stream: DataFrame,
+    content_col: str = "value",
+    id_cols: tuple[str, ...] = ("event_id",),
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup: emit only the first occurrence of each content
+    hash, with state bounded by the watermark.
+
+    ``dropDuplicatesWithinWatermark`` keeps one state entry per distinct key
+    and evicts entries older than the watermark — the streaming twin of the
+    batch ``dedup_exact`` (operators/dedup.py), and the standard ingestion
+    guard for at-least-once upstream delivery. The dedup key is a digest of
+    the content (never the content itself) so the state store holds 32-byte
+    keys regardless of payload size.
+    """
+    keyed = _event_time(stream).withColumn(
+        "content_hash", F.sha2(F.col(content_col).cast("string"), 256)
+    )
+    return keyed.withWatermark("event_time", watermark).dropDuplicatesWithinWatermark(
+        ["content_hash"]
+    ).select(*id_cols, "content_hash", "event_time")
+
+
 USER_STATS_STATE = StructType(
     [
         StructField("n", LongType()),

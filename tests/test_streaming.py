@@ -98,3 +98,21 @@ def test_streaming_user_stats_matches_batch(spark, sf_dir, stream_dir):
         .collect()
     }
     assert final == batch
+
+
+def test_streaming_exact_dedup_first_occurrence_only(spark, sf_dir, stream_dir):
+    from pyspark.sql import functions as F
+    from compute_histogram_spark.streaming.stream_ops import streaming_exact_dedup
+
+    stream = read_events_stream(spark, stream_dir)
+    out = run_to_completion(
+        streaming_exact_dedup(stream), "s_dedup", mode="append"
+    ).collect()
+    batch_distinct = (
+        load(spark, sf_dir, "events")
+        .select(F.sha2(F.col("value").cast("string"), 256).alias("h"))
+        .distinct()
+        .count()
+    )
+    assert len(out) == batch_distinct
+    assert len({r["content_hash"] for r in out}) == len(out)
