@@ -4,8 +4,8 @@ Prints ONE JSON line:
     {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
 Per query: one cold run to materialize (noop sink — full execution, no
-driver transfer), then two warm runs; the min warm time is reported
-(steady-state throughput; min-of-2 damps AQE/scheduler jitter, which is
+driver transfer), then three warm runs; the min warm time is reported
+(steady-state throughput; min-of-3 damps AQE/scheduler/GC jitter, which is
 large relative to sub-second queries at this scale). `value` is the sum.
 """
 
@@ -59,7 +59,7 @@ def main() -> None:
         fn = registry.QUERIES[name]
         materialize(fn(spark, sf_dir))  # cold / warm-up
         warm = []
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.time()
             materialize(fn(spark, sf_dir))
             warm.append(time.time() - t0)

@@ -434,6 +434,29 @@ def q_lapsed_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "json_props_stats",
+    """
+    SELECT event_type,
+           CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(count(json_extract(props, '$.k')) AS BIGINT) AS n_k
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q_json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # JSON path extraction in the scan projection — the function class behind
+    # the reference's GeoJSON catalog read (S1, main.py:60-74), here applied
+    # per-row. get_json_object is JVM-side (Jackson), no Python boundary.
+    ev = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(F.sum("k").alias("sum_k"), F.count("k").alias("n_k"))
+        .orderBy("event_type")
+    )
+
+
 # ---------------------------------------------------------------------------
 # temporal joins (operators/temporal.py): as-of join + range band join
 # ---------------------------------------------------------------------------
