@@ -1,0 +1,116 @@
+"""Property-based invariants (SURVEY §5c): the Spark histogram pipeline must
+agree with np.histogram (the reference's kernel, main.py:248-249) on ANY
+input, and structural invariants must hold regardless of data.
+
+Spark round-trips are ~0.5 s each, so examples are capped; the point is
+breadth of shapes (negatives, constants, tiny spans, NaN mix), not volume.
+"""
+
+import math
+
+import numpy as np
+from hypothesis import HealthCheck, assume, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import Row, functions as F
+
+from compute_histogram_spark.operators import histogram as H
+from compute_histogram_spark.plans.bin_scheme import BinScheme
+
+_spark = None
+
+
+def _df(values):
+    rows = [Row(value=float(v)) for v in values]
+    return _spark.createDataFrame(rows, "value double")
+
+
+floats = st.floats(
+    min_value=-300.0, max_value=300.0, allow_nan=False, allow_infinity=False
+)
+value_lists = st.lists(floats, min_size=1, max_size=50)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(values=value_lists)
+def test_linear_histogram_matches_numpy(spark, values):
+    global _spark
+    _spark = spark
+    out = H.histogram(_df(values), "value", "linear").collect()
+    s = BinScheme.from_min_max(min(values), max(values), "linear")
+    keys = np.trunc(np.asarray(values, dtype=np.float64) * 100).astype(np.int64)
+    golden = np.histogram(keys, s.bins, (s.lo, s.hi))[0]
+    assert [r["pixel_count"] for r in out] == golden.tolist()
+    # dense spine: bins are contiguous and labels = bin/100
+    bins = [r["bin"] for r in out]
+    assert bins == list(range(s.lo, s.hi))
+    assert all(math.isclose(r["value"], r["bin"] / 100.0) for r in out)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(values=value_lists)
+def test_total_count_conservation_with_nans(spark, values):
+    global _spark
+    _spark = spark
+    # interleave NaNs: they must be dropped, never binned (main.py:241)
+    mixed = []
+    for v in values:
+        mixed.append(v)
+        mixed.append(float("nan"))
+    out = H.histogram(_df(mixed), "value", "linear").collect()
+    total = sum(r["pixel_count"] for r in out)
+    # np.histogram drops out-of-range values; with the scheme derived from
+    # the data's own min/max plus margin, every valid value is in range
+    assert total == len(values)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(values=st.lists(st.floats(min_value=0.5, max_value=300.0), min_size=1, max_size=30))
+def test_linear_log_total_agreement(spark, values):
+    global _spark
+    _spark = spark
+    # the log scheme has NO ±margin (unlike linear, main.py:161-172), so a
+    # narrow value spread yields 0 log bins and drops everything — reference
+    # behavior (np.histogram with bins=0 even raises there). The totals
+    # property only holds for non-degenerate log schemes.
+    log_scheme = BinScheme.from_min_max(min(values), max(values), "log")
+    assume(log_scheme.bins > 0)
+    lin = H.histogram(_df(values), "value", "linear").collect()
+    log = H.histogram(_df(values), "value", "log").collect()
+    n_lin = sum(r["pixel_count"] for r in lin)
+    n_log = sum(r["pixel_count"] for r in log)
+    # log's missing margin can also drop the extreme values themselves when
+    # they truncate onto the (closed) boundary keys; allow only that loss.
+    assert n_log <= n_lin
+    assert n_lin == len(values)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    a=st.lists(st.integers(min_value=0, max_value=8), min_size=1, max_size=20),
+    b=st.lists(st.integers(min_value=0, max_value=8), min_size=1, max_size=20),
+)
+def test_merge_commutative(spark, a, b):
+    global _spark
+    _spark = spark
+    ha = _spark.createDataFrame([Row(bin=i, pixel_count=c) for i, c in enumerate(a)])
+    hb = _spark.createDataFrame([Row(bin=i, pixel_count=c) for i, c in enumerate(b)])
+    ab = {r["bin"]: r["pixel_count"] for r in H.merge_histograms(ha, hb).collect()}
+    ba = {r["bin"]: r["pixel_count"] for r in H.merge_histograms(hb, ha).collect()}
+    assert ab == ba
+    assert sum(ab.values()) == sum(a) + sum(b)
