@@ -82,13 +82,18 @@ def decode_audio(content: bytes) -> Any:
     )
 
 
-def extract_features(assets: DataFrame, batch_size: int = 256) -> DataFrame:
+def extract_features(assets: DataFrame) -> DataFrame:
     """Per-asset features via Arrow-batched mapInPandas.
 
     The kernel is fully self-contained (local imports, no references to this
     module) so cloudpickle ships it BY VALUE: executors never need the
     engine package on their PYTHONPATH — required for remote clusters where
     only the driver has the repo checkout.
+
+    Arrow batch sizing comes from the session conf
+    ``spark.sql.execution.arrow.maxRecordsPerBatch`` — it is read at JOB
+    time, so setting it here and restoring before returning the (lazy)
+    DataFrame would be a no-op; size it where the job runs.
     """
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -134,16 +139,7 @@ def extract_features(assets: DataFrame, batch_size: int = 256) -> DataFrame:
                 ],
             )
 
-    conf = {"spark.sql.execution.arrow.maxRecordsPerBatch": str(batch_size)}
-    spark = assets.sparkSession
-    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
-    for k, v in conf.items():
-        spark.conf.set(k, v)
-    try:
-        return assets.mapInPandas(kernel, FEATURE_SCHEMA)
-    finally:
-        if old is not None:
-            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    return assets.mapInPandas(kernel, FEATURE_SCHEMA)
 
 
 def sample_frames(assets: DataFrame, every_n_bytes: int = 64) -> DataFrame:

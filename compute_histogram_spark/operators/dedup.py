@@ -131,10 +131,14 @@ def ngram_jaccard_pairs(
         .distinct()
     )
     if max_df is not None:
-        rare = sh.groupBy("h").agg(F.count(F.lit(1)).alias("df")).where(
-            F.col("df") <= max_df
+        # broadcast the HUB set (shingles in > max_df docs) and anti-join:
+        # hubs are few by construction (heavy-hitter tail), while the rare
+        # set is corpus-sized — broadcasting it would OOM exactly at the
+        # scale where max_df matters.
+        hubs = sh.groupBy("h").agg(F.count(F.lit(1)).alias("df")).where(
+            F.col("df") > max_df
         )
-        sh = sh.join(F.broadcast(rare.select("h")), "h")
+        sh = sh.join(F.broadcast(hubs.select("h")), "h", "left_anti")
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (

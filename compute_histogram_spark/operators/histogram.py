@@ -125,6 +125,16 @@ def histogram(
             min_value = mn if min_value is None else min_value
             max_value = mx if max_value is None else max_value
         scheme = BinScheme.from_min_max(min_value, max_value, method, ref_compat)
+    if scheme.bins <= 0:
+        # log mode has no ±margin (main.py:166-172), so a constant/near-
+        # constant column yields lo == hi. np.histogram(bins=0) raises in
+        # the reference; silently returning an empty histogram would LOSE
+        # every row, so fail loudly here too.
+        raise ValueError(
+            f"degenerate bin scheme ({scheme.method}: lo={scheme.lo} >= "
+            f"hi={scheme.hi}); the value spread is too narrow for this "
+            "method — supply explicit min_value/max_value or use linear"
+        )
 
     c = F.col(col)
     keys = df.where(_valid(c)).select(scheme.bin_key_expr(c).alias("k"))

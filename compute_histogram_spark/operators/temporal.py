@@ -61,23 +61,23 @@ def asof_join(
 ) -> DataFrame:
     """Most-recent ``right`` row at-or-before each ``left`` row's time.
 
-    ``left_ts``/``right_ts`` must be the same numeric time unit. Each entry
-    of ``right_payload`` (output name -> right column) is carried forward by
-    ``last(ignoreNulls)`` over one shared window spec — Spark evaluates all
-    of them in a single window pass. ``tiebreak`` orders simultaneous right
-    rows; the LAST one wins (pass the key column for "highest key wins").
-    Left rows with no prior right row keep NULL payload.
+    ``left_ts``/``right_ts`` must be the same numeric time unit. The whole
+    ``right_payload`` (output name -> right column) travels as ONE struct
+    carried by a single ``last(ignoreNulls)`` — atomic per right row, so a
+    NULL in one payload field can never mix with another row's fields (the
+    struct itself is non-null for every right row even when its fields are
+    null). ``tiebreak`` orders simultaneous right rows; the LAST one wins
+    (pass the key column for "highest key wins"). Left rows with no prior
+    right row keep NULL payload.
     """
     r_proj = right.select(
         F.col(right_key).alias("__k"),
         right_ts.cast("bigint").alias("__ts"),
         F.lit(0).alias("__tag"),
         tiebreak.cast("bigint").alias("__tie"),
-        *[c.alias(f"__p_{n}") for n, c in right_payload.items()],
+        F.struct(*[c.alias(n) for n, c in right_payload.items()]).alias("__p"),
     )
-    payload_types = {
-        f.name: f.dataType for f in r_proj.schema.fields if f.name.startswith("__p_")
-    }
+    payload_type = r_proj.schema["__p"].dataType
     left_types = {f.name: f.dataType for f in left.schema.fields}
 
     l_proj = left.select(
@@ -85,7 +85,7 @@ def asof_join(
         left_ts.cast("bigint").alias("__ts"),
         F.lit(1).alias("__tag"),
         F.lit(None).cast("bigint").alias("__tie"),
-        *[F.lit(None).cast(dt).alias(n) for n, dt in payload_types.items()],
+        F.lit(None).cast(payload_type).alias("__p"),
         *left.columns,
     )
     r_full = r_proj.select(
@@ -93,7 +93,7 @@ def asof_join(
         "__ts",
         "__tag",
         "__tie",
-        *payload_types,
+        "__p",
         *[F.lit(None).cast(dt).alias(n) for n, dt in left_types.items()],
     )
     w = (
@@ -104,16 +104,11 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = l_proj.unionByName(r_full).select(
-        "*",
-        *[
-            F.last(n, ignorenulls=True).over(w).alias(f"__c{n}")
-            for n in payload_types
-        ],
+        "*", F.last("__p", ignorenulls=True).over(w).alias("__c")
     )
-    out_names = [n[len("__p_"):] for n in payload_types]
     return carried.where(F.col("__tag") == 1).select(
         *left.columns,
-        *[F.col(f"__c__p_{n}").alias(n) for n in out_names],
+        *[F.col(f"__c.{n}").alias(n) for n in right_payload],
     )
 
 
@@ -123,8 +118,11 @@ def asof_enrich_events(events: DataFrame, orders: DataFrame) -> DataFrame:
     orders.o_orderdate is TIMESTAMP; both compared at micros). Ties on
     order time break to the highest o_orderkey, matching the oracle.
     """
+    # integer `div`, never float division: 2024-era nanos (~1.7e18) exceed
+    # double's 53-bit mantissa, so ts/1000 rounds ~1.5% of values off by
+    # 1 us — enough to flip at-or-before ties against the oracle's epoch_us.
     ev = events.select(
-        "event_id", "user_id", (F.col("ts") / 1000).cast("bigint").alias("tsu")
+        "event_id", "user_id", F.expr("ts div 1000").alias("tsu")
     )
     out = asof_join(
         ev,

@@ -41,8 +41,9 @@ def windowed_histogram(
     ``window_start_s`` is epoch seconds of the window's left edge.
     """
     win_us = window_s * US_PER_S
+    v = F.col("value")
     return (
-        events.select(
+        events.where(v.isNotNull() & ~F.isnan(v)).select(
             (F.expr(f"(ts div 1000) div {win_us}") * window_s).alias("window_start_s"),
             F.floor(F.col("value") / bin_width).cast("bigint").alias("bin"),
         )

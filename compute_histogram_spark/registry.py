@@ -473,12 +473,15 @@ from compute_histogram_spark.operators import temporal as T  # noqa: E402
         FROM orders
     ),
     j AS (
+        -- LEFT join: the operator keeps events with no prior order (NULL
+        -- payload); the fixtures happen to have none, but the semantics
+        -- must match regardless of data.
         SELECT e.event_id, e.user_id, o.o_orderkey, o.odu, o.o_totalprice,
                row_number() OVER (
                    PARTITION BY e.event_id
-                   ORDER BY o.odu DESC, o.o_orderkey DESC
+                   ORDER BY o.odu DESC NULLS LAST, o.o_orderkey DESC NULLS LAST
                ) AS rn
-        FROM e JOIN o ON o.o_custkey = e.user_id AND o.odu <= e.tsu
+        FROM e LEFT JOIN o ON o.o_custkey = e.user_id AND o.odu <= e.tsu
     )
     SELECT event_id, user_id,
            o_orderkey AS asof_orderkey,
@@ -552,6 +555,7 @@ def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(floor(value / 50.0) AS BIGINT) * 50.0 AS bin_value,
            count(*) AS n_events
     FROM events
+    WHERE value IS NOT NULL AND NOT isnan(value)
     GROUP BY 1, 2, 3 ORDER BY 1, 2
     """,
 )

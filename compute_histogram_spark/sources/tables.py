@@ -33,12 +33,15 @@ BROADCAST_DIMS = ("region", "nation", "customer", "supplier", "part")
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
-    if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS) which Spark's vectorized
-        # reader rejects; read it as raw epoch-nanos BIGINT instead. All
-        # time arithmetic downstream is integer math on nanos (exact, and
-        # byte-identical to DuckDB's epoch_ns()).
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Set UNCONDITIONALLY (not just for events): TIMESTAMP(NANOS) columns
+    # are rejected by the vectorized reader without it, and setting it only
+    # on some loads would make schemas depend on table read ORDER within a
+    # session. With it, any nanos column uniformly decodes as epoch-nanos
+    # BIGINT (events.ts is the one such column in the driver's testdata);
+    # downstream time arithmetic is integer math on nanos — exact, and
+    # byte-identical to DuckDB's epoch_ns(). Micros/millis columns are
+    # unaffected by this flag.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 

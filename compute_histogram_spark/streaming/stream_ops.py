@@ -184,11 +184,13 @@ def streaming_user_stats(stream: DataFrame, timeout_s: int | None = None) -> Dat
         n, s, mn, mx = state.get if state.exists else (0, 0, None, None)
         for pdf in pdf_iter:
             v = pdf["value"].dropna()
-            v = v[~v.isna()]
             if len(v) == 0:
                 continue
             n += int(len(v))
-            s += int(round(float(v.sum()) * 100))
+            # round each value to cents BEFORE summing: the state is then
+            # independent of micro-batch boundaries and float summation
+            # order (same cents-exact convention as the batch operators)
+            s += int((v * 100).round().astype("int64").sum())
             bmn, bmx = float(v.min()), float(v.max())
             mn = bmn if mn is None else min(mn, bmn)
             mx = bmx if mx is None else max(mx, bmx)

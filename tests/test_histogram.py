@@ -171,3 +171,9 @@ def test_merge_associative_property(spark):
     left = merge_histograms(merge_histograms(dfs[0], dfs[1]), dfs[2])
     right = merge_histograms(dfs[0], merge_histograms(dfs[1], dfs[2]))
     assert counts_list(left) == counts_list(right)
+
+
+def test_log_histogram_constant_column_fails_loudly(spark):
+    df = spark.createDataFrame([Row(value=5.0)] * 4)
+    with pytest.raises(ValueError, match="degenerate bin scheme"):
+        histogram(df, "value", "log")

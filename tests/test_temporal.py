@@ -105,3 +105,25 @@ def test_events_by_band_covers_all_events(spark, sf_dir):
     ).count()
     out = T.events_by_band(ev)
     assert out.agg(F.sum("n_events")).first()[0] == n_valid
+
+
+def test_asof_payload_is_atomic_per_right_row(spark):
+    # a NULL field in the newest right row must NOT inherit the value from
+    # an older right row — the payload travels as one struct
+    left = spark.createDataFrame([Row(k=1, t=10, lid=1)])
+    right = spark.createDataFrame(
+        [Row(k=1, rt=1, rid=1, price=10.0), Row(k=1, rt=2, rid=2, price=None)],
+        "k bigint, rt bigint, rid bigint, price double",
+    )
+    out = T.asof_join(
+        left,
+        right,
+        left_key="k",
+        right_key="k",
+        left_ts=F.col("t"),
+        right_ts=F.col("rt"),
+        right_payload={"rid": F.col("rid"), "price": F.col("price")},
+        tiebreak=F.col("rid"),
+    ).collect()[0]
+    assert out["rid"] == 2
+    assert out["price"] is None  # not 10.0 leaked from rid=1
