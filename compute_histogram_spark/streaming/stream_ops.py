@@ -13,6 +13,13 @@ Scale/semantics notes:
 - ``withWatermark`` bounds state: bins/windows older than the watermark are
   finalized and evicted — without it, state grows with the key space
   forever. Late rows beyond the watermark are dropped (documented, tested).
+  Operational subtlety (empirically verified, pinned in
+  tests/test_streaming.py::test_watermark_drops_late_data): the stateful
+  operator applies the watermark with ONE micro-batch of lag relative to
+  what StreamingQueryProgress reports — a late row arriving in the batch
+  immediately after the one that advanced the watermark is still admitted;
+  from the following batch on it is dropped. Plan state-size estimates and
+  replay tests around that extra batch of admission.
 - tumbling ``window()`` aggregation is incremental partial aggregation per
   micro-batch + state-store merge: the streaming analog of the partial/final
   histogram merge (main.py:244-249).
@@ -45,13 +52,18 @@ EVENTS_STREAM_SCHEMA = StructType(
 )
 
 
-def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
+def read_events_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int = 8
+) -> DataFrame:
     """File-source stream over an events parquet directory. New files are
-    discovered per micro-batch — the standard landing-zone pattern."""
+    discovered per micro-batch — the standard landing-zone pattern.
+    ``max_files_per_trigger`` bounds batch size (and, with 1, forces one
+    file per micro-batch — used by tests to control watermark advancement).
+    """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return (
         spark.readStream.schema(EVENTS_STREAM_SCHEMA)
-        .option("maxFilesPerTrigger", 8)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(path)
     )
 

@@ -116,3 +116,57 @@ def test_streaming_exact_dedup_first_occurrence_only(spark, sf_dir, stream_dir):
     )
     assert len(out) == batch_distinct
     assert len({r["content_hash"] for r in out}) == len(out)
+
+
+def test_watermark_drops_late_data(spark, sf_dir, tmp_path):
+    """Late rows beyond the watermark must be DROPPED from windowed state —
+    the state-bound guarantee the docstrings promise (stream_ops.py)."""
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "late_stream"
+    d.mkdir()
+    hour_ns = 3_600 * 10**9
+    base = 1_700_000_000 * 10**9  # recent event time
+
+    def write(path, rows):
+        ids, tss = zip(*rows)
+        pq.write_table(
+            pa.table(
+                {
+                    "event_id": pa.array(ids, pa.int64()),
+                    "ts": pa.array(tss, pa.int64()),
+                    "user_id": pa.array([1] * len(ids), pa.int64()),
+                    "event_type": pa.array(["click"] * len(ids)),
+                    "value": pa.array([1.0] * len(ids)),
+                    "props": pa.array(["{}"] * len(ids)),
+                }
+            ),
+            path,
+        )
+
+    # file A: two recent events; drives the watermark to base+2h - 10min.
+    # file B: an on-time spacer batch — the stateful operator applies the
+    # watermark with ONE BATCH of lag (verified empirically: a late row in
+    # batch 1 is admitted, the same row in batch 2 is dropped), so the late
+    # file must arrive in the third micro-batch to test the drop.
+    # file C: an event 10 hours BEFORE the watermark -> must be dropped.
+    write(str(d / "a.parquet"), [(1, base), (2, base + 2 * hour_ns)])
+    time.sleep(1.1)  # file-source batches order by modification time
+    write(str(d / "b.parquet"), [(4, base + 2 * hour_ns + 60 * 10**9)])
+    time.sleep(1.1)
+    write(str(d / "c.parquet"), [(3, base - 10 * hour_ns)])
+
+    stream = read_events_stream(spark, str(d), max_files_per_trigger=1)
+    out = run_to_completion(
+        streaming_windowed_histogram(stream, watermark="10 minutes"),
+        "s_late",
+        mode="update",
+    ).collect()
+    starts = {r["window_start_s"] for r in out}
+    late_window_start = (base - 10 * hour_ns) // 10**9 // 600 * 600
+    on_time_start = base // 10**9 // 600 * 600
+    assert on_time_start in starts          # on-time rows aggregated
+    assert late_window_start not in starts  # late row silently dropped

@@ -80,7 +80,10 @@ def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
-    spark = get_session("check_oracle")
+    # mirror the DRIVER's session, not the engine's tuned one: ANSI ON is
+    # the default in Spark 4 and is what the real gate runs with — any
+    # wrapping/overflowing cast must fail HERE, not at the driver.
+    spark = get_session("check_oracle", extra_conf={"spark.sql.ansi.enabled": "true"})
     con = duck_connection(sf_dir)
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
