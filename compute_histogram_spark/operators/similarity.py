@@ -98,3 +98,118 @@ def cosine_topk_ivf(
         )
     )
     return _ranked(pairs, k)
+
+
+# ---------------------------------------------------------------------------
+# Random-hyperplane LSH — the scale path that needs NO precomputed partition
+# label: bucket = sign pattern of dot products against fixed hyperplanes.
+# ---------------------------------------------------------------------------
+
+QUANT = 1_000_000  # fixed-point scale for exact cross-engine sign decisions
+
+
+def hyperplanes(dim: int, n_planes: int, table: int = 0) -> list[list[int]]:
+    """Deterministic ±1 hyperplanes from md5(table:j:g) nibble parity — the
+    same constants are embeddable as literals in any engine (no RNG, no
+    seed state), so bucket assignments agree everywhere by construction."""
+    import hashlib
+
+    return [
+        [
+            1
+            if int(hashlib.md5(f"{table}:{j}:{g}".encode()).hexdigest()[0], 16) % 2
+            else -1
+            for g in range(dim)
+        ]
+        for j in range(n_planes)
+    ]
+
+
+def lsh_bucket_expr(vcol: F.Column, planes: list[list[int]]) -> F.Column:
+    """Bucket id from sign bits of quantized dot products.
+
+    Components are quantized to integers (round(x * 1e6)) BEFORE the dot:
+    an integer sum is associative, so the sign — and therefore the bucket —
+    is bit-identical regardless of engine or summation order. A float dot
+    would flip signs near zero on ulp-level noise between engines.
+    """
+    q = F.transform(vcol, lambda x: F.round(x * QUANT).cast("bigint"))
+    bucket = F.lit(0)
+    for j, plane in enumerate(planes):
+        arr = F.array(*[F.lit(c) for c in plane])
+        s = F.aggregate(
+            F.zip_with(q, arr, lambda a, b: a * b),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket + F.when(s >= 0, F.lit(2**j)).otherwise(F.lit(0))
+    return bucket.cast("bigint")
+
+
+def cosine_topk_lsh(
+    emb: DataFrame,
+    k: int = 5,
+    query_filter: str = "vec_id < 10",
+    n_planes: int = 4,
+    n_tables: int = 8,
+) -> DataFrame:
+    """Approximate top-k via multi-table sign-LSH (OR-construction).
+
+    Single-table sign-LSH has recall (1 - theta/pi)^n_planes — too low even
+    for true neighbors — so, as in every production LSH index, we hash into
+    ``n_tables`` independent tables and union the candidates: a pair is a
+    candidate if it collides in ANY table (recall 1-(1-p^J)^L), then exact
+    cosine reranks. All joins are equi-joins on (table, bucket) — Spark
+    co-partitions both sides; no crossJoin, scan ~n_tables * corpus/2^J.
+
+    Defaults (J=4, L=8) give ~0.6 recall@5 on the driver's synthetic
+    embeddings (weakly clustered — hard for LSH). Tuning: raise J as the
+    corpus grows (smaller buckets; rerank cost ~L*n/2^J per query) and
+    raise L to buy recall back (candidate recall = 1-(1-p^J)^L with
+    p = 1 - theta/pi).
+    """
+    dim = len(emb.select("embedding").first()[0])
+    e = _with_norms(emb)
+    buckets = F.array(
+        *[
+            lsh_bucket_expr(F.col("v"), hyperplanes(dim, n_planes, t))
+            for t in range(n_tables)
+        ]
+    )
+    eb = e.withColumn("bs", buckets).select(
+        "vec_id", "v", "nrm", F.posexplode("bs").alias("t", "bucket")
+    )
+    q = eb.where(query_filter).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("t").alias("qt"),
+        F.col("bucket").alias("qbucket"),
+    )
+    cand = (
+        F.broadcast(q)
+        .join(
+            eb.select("vec_id", "t", "bucket"),
+            (F.col("qt") == F.col("t"))
+            & (F.col("qbucket") == F.col("bucket"))
+            & (F.col("query_id") != F.col("vec_id")),
+        )
+        .select("query_id", "vec_id")
+        .distinct()
+    )
+    sides = _with_norms(emb)
+    qv = sides.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    pairs = (
+        cand.join(F.broadcast(qv), "query_id")
+        .join(sides.select("vec_id", "v", "nrm"), "vec_id")
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(
+                V.cosine(F.col("qv"), F.col("v"), F.col("qn"), F.col("nrm")), 6
+            ).alias("cosine"),
+        )
+    )
+    return _ranked(pairs, k)

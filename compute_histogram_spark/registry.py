@@ -833,6 +833,66 @@ def q_similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.cosine_topk_ivf(load(spark, sf_dir, "embeddings"))
 
 
+def _lsh_oracle(dim: int = 64, n_planes: int = 4, n_tables: int = 8) -> str:
+    # identical ±1 plane constants on both sides (md5-derived, no RNG);
+    # integer-quantized dots make the sign — hence the bucket — exact.
+    vals = ", ".join(
+        f"({t}, {j}, {g + 1}, {SIM.hyperplanes(dim, n_planes, t)[j][g]})"
+        for t in range(n_tables)
+        for j in range(n_planes)
+        for g in range(dim)
+    )
+    return f"""
+    WITH {_EMB_CTES},
+    planes(t, j, g, c) AS (VALUES {vals}),
+    qx AS (SELECT vec_id, g, CAST(round(x * {SIM.QUANT}) AS BIGINT) AS qx FROM u),
+    sj AS (
+        SELECT qx.vec_id, p.t, p.j, sum(qx.qx * p.c) AS s
+        FROM qx JOIN planes p ON p.g = qx.g GROUP BY 1, 2, 3
+    ),
+    b AS (
+        SELECT vec_id, t,
+               CAST(sum(CASE WHEN s >= 0 THEN (1 << j) ELSE 0 END) AS BIGINT)
+                   AS bucket
+        FROM sj GROUP BY vec_id, t
+    ),
+    cand AS (
+        SELECT DISTINCT bq.vec_id AS query_id, bc.vec_id AS vec_id
+        FROM b bq
+        JOIN b bc ON bc.t = bq.t AND bc.bucket = bq.bucket
+                 AND bc.vec_id != bq.vec_id
+        WHERE bq.vec_id < 10
+    ),
+    d AS (
+        SELECT cand.query_id, cand.vec_id, sum(q.x * c.x) AS dot
+        FROM cand
+        JOIN u q ON q.vec_id = cand.query_id
+        JOIN u c ON c.vec_id = cand.vec_id AND c.g = q.g
+        GROUP BY 1, 2
+    ),
+    cs AS (
+        SELECT query_id, d.vec_id AS vec_id,
+               round(dot / (nq.nrm * nc.nrm), 6) AS cosine
+        FROM d
+        JOIN n nq ON nq.vec_id = d.query_id
+        JOIN n nc ON nc.vec_id = d.vec_id
+    ),
+    r AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, vec_id
+        ) AS rnk
+        FROM cs
+    )
+    SELECT query_id, rnk, vec_id, cosine FROM r WHERE rnk <= 5
+    ORDER BY query_id, rnk
+    """
+
+
+@register("similarity_topk_lsh", _lsh_oracle())
+def q_similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return SIM.cosine_topk_lsh(load(spark, sf_dir, "embeddings"))
+
+
 # ---------------------------------------------------------------------------
 # text analysis (operators/text.py) — documents table
 # ---------------------------------------------------------------------------

@@ -29,3 +29,38 @@ def test_ivf_restricts_to_partition(spark):
     out = SIM.cosine_topk_ivf(emb_df(spark), k=4, query_filter="vec_id = 0").collect()
     # label-0 block: only vec 1 and 4 are candidates
     assert {r["vec_id"] for r in out} == {1, 4}
+
+
+def test_lsh_topk_subset_of_bruteforce_space_and_recall(spark, sf_dir):
+    from compute_histogram_spark.operators import similarity as SIM
+    from compute_histogram_spark.sources.tables import load
+
+    emb = load(spark, sf_dir, "embeddings")
+    brute = SIM.cosine_topk(emb, k=5)
+    lsh = SIM.cosine_topk_lsh(emb, k=5)
+    b = {(r["query_id"], r["vec_id"]) for r in brute.collect()}
+    l = {(r["query_id"], r["vec_id"]) for r in lsh.collect()}
+    assert l  # buckets are non-trivial
+    # hyperplane LSH groups high-cosine vectors: recall vs exact top-5
+    # should be far above the random-bucket floor (~1/2^n_planes)
+    recall = len(b & l) / len(b)
+    assert recall >= 0.4, f"LSH recall collapsed: {recall}"
+
+
+def test_lsh_bucket_deterministic(spark, sf_dir):
+    from pyspark.sql import functions as F
+    from compute_histogram_spark.operators import similarity as SIM
+    from compute_histogram_spark.sources.tables import load
+
+    emb = load(spark, sf_dir, "embeddings")
+    planes = SIM.hyperplanes(64, 4)
+    e = emb.select(
+        "vec_id",
+        SIM.lsh_bucket_expr(
+            F.transform("embedding", lambda x: x.cast("double")), planes
+        ).alias("bucket"),
+    )
+    a = {r["vec_id"]: r["bucket"] for r in e.collect()}
+    b = {r["vec_id"]: r["bucket"] for r in e.collect()}
+    assert a == b
+    assert all(0 <= v < 16 for v in a.values())
