@@ -1,0 +1,59 @@
+"""Physical layout helpers: bucketed tables and partitioned writes.
+
+These are the two storage-side levers that remove whole shuffles at 100 TB:
+
+- **Bucketing** (:func:`write_bucketed`): pre-shuffle a fact table ONCE at
+  write time into N buckets on the join/agg key. Any later equi-join or
+  groupBy on that key between tables bucketed the same way runs with NO
+  Exchange — the join is per-bucket, map-side. This is the right call for
+  fact-to-fact joins (orders ⋈ lineitem) that repeat across many queries;
+  the write-time shuffle amortizes over every downstream read.
+  (Bucketed tables must go through the catalog — ``saveAsTable`` — because
+  bucket metadata lives in the metastore, not the parquet footer.)
+
+- **Partitioned layout** (:func:`write_partitioned` +
+  :func:`read_pruned`): directory partitioning on a low-cardinality filter
+  column (date, event_type, region). Predicates on the partition column
+  prune entire directories at planning time — the scan never lists, opens,
+  or reads excluded partitions. Verified in tests by asserting the pushed
+  PartitionFilters in the physical plan.
+
+Guidance: partition on columns queries FILTER by (low cardinality, stable);
+bucket on columns queries JOIN/GROUP by (high cardinality keys). Don't
+partition on high-cardinality keys — millions of tiny directories kill the
+listing step and the small-files problem eats the gain.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    key: str,
+    buckets: int = 16,
+    sort_by: str | None = None,
+) -> None:
+    """Persist ``df`` as a bucketed (and optionally sorted) catalog table."""
+    w = df.write.mode("overwrite").bucketBy(buckets, key)
+    if sort_by:
+        w = w.sortBy(sort_by)
+    w.saveAsTable(table)
+
+
+def bucketed_join(spark: SparkSession, left_table: str, right_table: str, key_l: str, key_r: str) -> DataFrame:
+    """Equi-join two same-bucketed tables — plans with zero Exchange."""
+    lt, rt = spark.table(left_table), spark.table(right_table)
+    return lt.join(rt, lt[key_l] == rt[key_r])
+
+
+def write_partitioned(df: DataFrame, path: str, partition_by: list[str]) -> None:
+    df.write.mode("overwrite").partitionBy(*partition_by).parquet(path)
+
+
+def read_pruned(spark: SparkSession, path: str) -> DataFrame:
+    """Plain read; apply partition-column filters and Spark prunes
+    directories at planning time (see tests for the plan assertion)."""
+    return spark.read.parquet(path)
