@@ -38,6 +38,7 @@ HEADLINE = [
     "dedup_minhash",
     "dedup_ngram_jaccard",
     "similarity_topk",
+    "similarity_topk_lsh",
     "text_stats",
     "doc_fingerprint",
 ]

@@ -213,3 +213,51 @@ def cosine_topk_lsh(
         )
     )
     return _ranked(pairs, k)
+
+
+def cosine_topk_gemm(
+    emb: DataFrame,
+    k: int = 5,
+    query_filter: str = "vec_id < 10",
+) -> DataFrame:
+    """Brute-force top-k with an Arrow-batched blocked-GEMM kernel.
+
+    Same semantics as :func:`cosine_topk`; different physical strategy for
+    HIGH DIMS: instead of a per-row `aggregate(zip_with(...))` fold in
+    codegen, each Arrow batch of candidates becomes a [batch x dim] numpy
+    matrix multiplied against the broadcast [q x dim] query matrix — one
+    BLAS call per batch, ~dim x fewer interpreter transitions. The query
+    matrix rides inside the closure (driver-side collect of the SMALL query
+    set only; candidates never leave executors). Output rows are per
+    (candidate, query) partial top-k is then reduced by the same window
+    rank as the exact operator.
+    """
+    import numpy as np
+    import pandas as pd
+
+    e = _with_norms(emb)
+    q_rows = e.where(query_filter).select("vec_id", "v", "nrm").collect()
+    q_ids = np.array([r["vec_id"] for r in q_rows], dtype=np.int64)
+    qm = np.array([r["v"] for r in q_rows], dtype=np.float64)  # [q, dim]
+    qn = np.array([r["nrm"] for r in q_rows], dtype=np.float64)
+
+    def kernel(batches):
+        for pdf in batches:
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            cm = np.stack(pdf["v"].to_numpy())  # [batch, dim]
+            cn = pdf["nrm"].to_numpy(dtype=np.float64)
+            sims = (cm @ qm.T) / np.outer(cn, qn)  # [batch, q]
+            b, qcount = sims.shape
+            out = pd.DataFrame(
+                {
+                    "query_id": np.tile(q_ids, b),
+                    "vec_id": np.repeat(ids, qcount),
+                    "cosine": np.round(sims.ravel(), 6),
+                }
+            )
+            yield out[out["query_id"] != out["vec_id"]]
+
+    pairs = e.select("vec_id", "v", "nrm").mapInPandas(
+        kernel, "query_id bigint, vec_id bigint, cosine double"
+    )
+    return _ranked(pairs, k)

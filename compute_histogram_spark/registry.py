@@ -833,6 +833,14 @@ def q_similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.cosine_topk_ivf(load(spark, sf_dir, "embeddings"))
 
 
+@register("similarity_topk_gemm", ORACLES["similarity_topk"])
+def q_similarity_topk_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # same semantics as similarity_topk (shared oracle); the physical
+    # strategy is the Arrow-batched blocked-GEMM Pandas kernel — the
+    # high-dim escape hatch, value-identical on 6-decimal-rounded cosine.
+    return SIM.cosine_topk_gemm(load(spark, sf_dir, "embeddings"))
+
+
 def _lsh_oracle(dim: int = 64, n_planes: int = 4, n_tables: int = 8) -> str:
     # identical ±1 plane constants on both sides (md5-derived, no RNG);
     # integer-quantized dots make the sign — hence the bucket — exact.

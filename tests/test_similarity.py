@@ -64,3 +64,13 @@ def test_lsh_bucket_deterministic(spark, sf_dir):
     b = {r["vec_id"]: r["bucket"] for r in e.collect()}
     assert a == b
     assert all(0 <= v < 16 for v in a.values())
+
+
+def test_gemm_topk_equals_exact_topk(spark, sf_dir):
+    from compute_histogram_spark.operators import similarity as SIM
+    from compute_histogram_spark.sources.tables import load
+
+    emb = load(spark, sf_dir, "embeddings")
+    exact = [tuple(r) for r in SIM.cosine_topk(emb, k=5).collect()]
+    gemm = [tuple(r) for r in SIM.cosine_topk_gemm(emb, k=5).collect()]
+    assert gemm == exact  # same rounded cosine -> identical ranking

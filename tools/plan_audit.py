@@ -35,7 +35,7 @@ import __spark_entry__ as entrymod
 #   equi-joins on the centroid label)
 NLJ_ALLOWED = {"range_band_join", "histogram_deciles", "deciles_window", "similarity_topk"}
 # pure-Python kernel paths: no codegen span expected
-PY_KERNEL = {"multimodal_features"}
+PY_KERNEL = {"multimodal_features", "similarity_topk_gemm"}
 
 
 def audit(name: str, df) -> tuple[bool, list[str]]:
