@@ -59,6 +59,52 @@ def windowed_histogram(
     )
 
 
+def click_attribution(
+    events: DataFrame,
+    from_type: str = "click",
+    to_type: str = "purchase",
+    horizon_s: int = 1800,
+) -> DataFrame:
+    """Interval self-join: each ``from_type`` event paired with every
+    ``to_type`` event by the same user within ``horizon_s`` after it.
+
+    The join predicate is an equi-join on user_id PLUS a bounded time range
+    — Spark hash-partitions on the equi key and applies the range as a
+    post-join filter, so the pair space is per-user, never global. The
+    bounded horizon is also exactly what makes the STREAMING twin's state
+    finite (stream_ops.streaming_click_attribution).
+    """
+    us = ts_micros()
+    a = events.where(F.col("event_type") == from_type).select(
+        F.col("user_id").alias("user_id"),
+        F.col("event_id").alias("click_id"),
+        us.alias("click_us"),
+    )
+    b = events.where(F.col("event_type") == to_type).select(
+        F.col("user_id").alias("b_user_id"),
+        F.col("event_id").alias("purchase_id"),
+        us.alias("purchase_us"),
+    )
+    horizon_us = horizon_s * US_PER_S
+    return (
+        a.join(
+            b,
+            (F.col("user_id") == F.col("b_user_id"))
+            & (F.col("purchase_us") > F.col("click_us"))
+            & (F.col("purchase_us") <= F.col("click_us") + horizon_us),
+        )
+        .select(
+            "user_id",
+            "click_id",
+            "purchase_id",
+            ((F.col("purchase_us") - F.col("click_us")) / 1_000_000.0).alias(
+                "delay_s"
+            ),
+        )
+        .orderBy("user_id", "click_id", "purchase_id")
+    )
+
+
 def sessionize(events: DataFrame, gap_s: int = 1800) -> DataFrame:
     """Gap-based sessionization: a new session starts when the inter-event
     gap within a user exceeds ``gap_s``. Output one row per session.

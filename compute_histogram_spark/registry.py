@@ -564,6 +564,29 @@ def q_windowed_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "click_attribution",
+    """
+    WITH a AS (
+        SELECT user_id, event_id AS click_id, epoch_us(ts) AS click_us
+        FROM events WHERE event_type = 'click'
+    ),
+    b AS (
+        SELECT user_id, event_id AS purchase_id, epoch_us(ts) AS purchase_us
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT a.user_id, a.click_id, b.purchase_id,
+           (b.purchase_us - a.click_us) / 1000000.0 AS delay_s
+    FROM a JOIN b ON b.user_id = a.user_id
+                 AND b.purchase_us > a.click_us
+                 AND b.purchase_us <= a.click_us + 1800000000
+    ORDER BY a.user_id, a.click_id, b.purchase_id
+    """,
+)
+def q_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return W.click_attribution(load(spark, sf_dir, "events"))
+
+
+@register(
     "sessionize",
     """
     WITH t AS (SELECT user_id, event_id, epoch_us(ts) AS tsu FROM events),

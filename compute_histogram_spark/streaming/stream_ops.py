@@ -116,6 +116,51 @@ def streaming_sessionize(
     )
 
 
+def streaming_click_attribution(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    horizon_s: int = 1800,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream interval join: purchases attributed to prior clicks by
+    the same user within ``horizon_s``.
+
+    Both sides carry watermarks and the join condition bounds event-time
+    distance — together that lets Spark EVICT click state older than
+    (watermark - horizon) and purchase state older than the watermark, so
+    state is finite for unbounded streams. Without the time bound in the
+    JOIN CONDITION (not just watermarks) the state would grow forever.
+    """
+    c = _event_time(clicks).select(
+        F.col("user_id"),
+        F.col("event_id").alias("click_id"),
+        F.col("event_time").alias("click_time"),
+    ).withWatermark("click_time", watermark)
+    p = _event_time(purchases).select(
+        F.col("user_id").alias("p_user_id"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("event_time").alias("purchase_time"),
+    ).withWatermark("purchase_time", watermark)
+    joined = c.join(
+        p,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_time") > F.col("click_time"))
+        & (
+            F.col("purchase_time")
+            <= F.col("click_time") + F.expr(f"INTERVAL {horizon_s} SECONDS")
+        ),
+    )
+    return joined.select(
+        "user_id",
+        "click_id",
+        "purchase_id",
+        (
+            (F.unix_micros("purchase_time") - F.unix_micros("click_time"))
+            / 1_000_000.0
+        ).alias("delay_s"),
+    )
+
+
 def streaming_exact_dedup(
     stream: DataFrame,
     content_col: str = "value",

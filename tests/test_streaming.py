@@ -170,3 +170,26 @@ def test_watermark_drops_late_data(spark, sf_dir, tmp_path):
     on_time_start = base // 10**9 // 600 * 600
     assert on_time_start in starts          # on-time rows aggregated
     assert late_window_start not in starts  # late row silently dropped
+
+
+def test_streaming_click_attribution_matches_batch(spark, sf_dir, stream_dir):
+    from pyspark.sql import functions as F
+
+    from compute_histogram_spark.operators.windows import click_attribution
+    from compute_histogram_spark.streaming.stream_ops import (
+        streaming_click_attribution,
+    )
+
+    clicks = read_events_stream(spark, stream_dir).where(
+        F.col("event_type") == "click"
+    )
+    purchases = read_events_stream(spark, stream_dir).where(
+        F.col("event_type") == "purchase"
+    )
+    out = run_to_completion(
+        streaming_click_attribution(clicks, purchases), "s_attr", mode="append"
+    ).collect()
+    batch = click_attribution(load(spark, sf_dir, "events")).collect()
+    key = lambda r: (r["user_id"], r["click_id"], r["purchase_id"])
+    assert sorted(map(key, out)) == sorted(map(key, batch))
+    assert len(out) > 0
