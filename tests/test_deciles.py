@@ -48,3 +48,50 @@ def test_quantiles_exact(spark):
     df = spark.createDataFrame([Row(v=float(i)) for i in range(101)])
     out = {r["p"]: r["q"] for r in quantiles(df, "v", [0.0, 0.5, 1.0]).collect()}
     assert out == {0.0: 0.0, 0.5: 50.0, 1.0: 100.0}
+
+
+def test_approx_quantiles_within_accuracy(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from compute_histogram_spark.operators import deciles as D
+    from compute_histogram_spark.sources.tables import load
+
+    ev = load(spark, sf_dir, "events")
+    v = F.col("value")
+    clean = ev.where(v.isNotNull() & ~F.isnan(v))
+    probs = [0.1, 0.5, 0.9]
+    exact = {r["p"]: r["q"] for r in D.quantiles(clean, "value", probs).collect()}
+    approx = {
+        r["p"]: r["q"] for r in D.approx_quantiles(clean, "value", probs).collect()
+    }
+    lo, hi = clean.agg(F.min(v), F.max(v)).first()
+    span = hi - lo
+    for p in probs:
+        # KLL-style accuracy bound: rank error <= 1/accuracy; translate to a
+        # loose value tolerance via the value span (distribution ~uniform)
+        assert abs(approx[p] - exact[p]) <= 0.05 * span, (p, approx[p], exact[p])
+
+
+def test_approx_count_distinct_within_rsd(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from compute_histogram_spark.sources.tables import load
+
+    ev = load(spark, sf_dir, "events")
+    exact = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    approx = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", rsd=0.01).alias("n"))
+        .collect()
+    }
+    for k in exact:
+        # rsd 1% with ~5 sigma headroom
+        assert abs(approx[k] - exact[k]) <= max(0.05 * exact[k], 2), (
+            k, approx[k], exact[k],
+        )
