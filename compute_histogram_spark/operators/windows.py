@@ -59,6 +59,57 @@ def windowed_histogram(
     )
 
 
+def sliding_histogram(
+    events: DataFrame,
+    window_s: int = 600,
+    slide_s: int = 300,
+    bin_width: float = 50.0,
+) -> DataFrame:
+    """Sliding-window value histogram: each event contributes to every
+    window of length ``window_s`` whose start is a multiple of ``slide_s``
+    covering it (window_s/slide_s overlapping windows per event).
+
+    Integer formulation (the batch twin of streaming ``F.window(...,
+    slideDuration)``): explode per-event over the window_s/slide_s offsets,
+    derive each window start with integer div — the fan-out factor is the
+    overlap count, fixed and small, applied BEFORE the aggregation so the
+    shuffle carries pre-counted partials.
+    """
+    if window_s % slide_s != 0:
+        raise ValueError("window_s must be a multiple of slide_s")
+    n_over = window_s // slide_s
+    win_us = window_s * US_PER_S
+    slide_us = slide_s * US_PER_S
+    v = F.col("value")
+    base = events.where(v.isNotNull() & ~F.isnan(v)).select(
+        ts_micros().alias("tsu"),
+        F.floor(v / bin_width).cast("bigint").alias("bin"),
+    )
+    off = F.explode(F.array(*[F.lit(i) for i in range(n_over)])).alias("off")
+    exploded = base.select("tsu", "bin", off).select(
+        ((F.expr("tsu div {s}".format(s=slide_us)) - F.col("off")) * slide_s).alias(
+            "window_start_s"
+        ),
+        "tsu",
+        "bin",
+    )
+    return (
+        exploded.where(
+            (F.col("tsu") >= F.col("window_start_s") * US_PER_S)
+            & (F.col("tsu") < F.col("window_start_s") * US_PER_S + win_us)
+        )
+        .groupBy("window_start_s", "bin")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "window_start_s",
+            "bin",
+            (F.col("bin") * bin_width).alias("bin_value"),
+            "n_events",
+        )
+        .orderBy("window_start_s", "bin")
+    )
+
+
 def click_attribution(
     events: DataFrame,
     from_type: str = "click",

@@ -564,6 +564,30 @@ def q_windowed_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sliding_histogram",
+    """
+    WITH base AS (
+        SELECT epoch_us(ts) AS tsu,
+               CAST(floor(value / 50.0) AS BIGINT) AS bin
+        FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+    ),
+    exploded AS (
+        SELECT ((tsu // 300000000) - off) * 300 AS window_start_s, tsu, bin
+        FROM base CROSS JOIN (SELECT unnest(generate_series(0, 1)) AS off)
+    )
+    SELECT window_start_s, bin, bin * 50.0 AS bin_value,
+           count(*) AS n_events
+    FROM exploded
+    WHERE tsu >= window_start_s * 1000000
+      AND tsu < window_start_s * 1000000 + 600000000
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def q_sliding_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return W.sliding_histogram(load(spark, sf_dir, "events"))
+
+
+@register(
     "click_attribution",
     """
     WITH a AS (

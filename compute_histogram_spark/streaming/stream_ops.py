@@ -77,13 +77,20 @@ def streaming_windowed_histogram(
     window_s: int = 600,
     bin_width: float = 50.0,
     watermark: str = "1 hour",
+    slide_s: int | None = None,
 ) -> DataFrame:
-    """Tumbling-window value histogram over a stream."""
+    """Tumbling (default) or sliding (``slide_s``) window value histogram
+    over a stream — F.window's slideDuration; batch twin:
+    operators/windows.py:sliding_histogram."""
     return (
         _event_time(stream)
         .withWatermark("event_time", watermark)
         .groupBy(
-            F.window("event_time", f"{window_s} seconds").alias("win"),
+            F.window(
+                "event_time",
+                f"{window_s} seconds",
+                f"{slide_s or window_s} seconds",
+            ).alias("win"),
             F.floor(F.col("value") / bin_width).cast("bigint").alias("bin"),
         )
         .agg(F.count(F.lit(1)).alias("n_events"))

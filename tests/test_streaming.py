@@ -193,3 +193,18 @@ def test_streaming_click_attribution_matches_batch(spark, sf_dir, stream_dir):
     key = lambda r: (r["user_id"], r["click_id"], r["purchase_id"])
     assert sorted(map(key, out)) == sorted(map(key, batch))
     assert len(out) > 0
+
+
+def test_streaming_sliding_histogram_equals_batch(spark, sf_dir, stream_dir):
+    from compute_histogram_spark.operators.windows import sliding_histogram
+    from compute_histogram_spark.streaming.stream_ops import (
+        streaming_windowed_histogram,
+    )
+
+    stream = read_events_stream(spark, stream_dir)
+    out = run_to_completion(
+        streaming_windowed_histogram(stream, slide_s=300), "s_slide"
+    ).collect()
+    batch = sliding_histogram(load(spark, sf_dir, "events")).collect()
+    key = lambda r: (r["window_start_s"], r["bin"], r["n_events"])
+    assert sorted(map(key, out)) == sorted(map(key, batch))
