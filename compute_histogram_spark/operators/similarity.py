@@ -146,6 +146,49 @@ def lsh_bucket_expr(vcol: F.Column, planes: list[list[int]]) -> F.Column:
     return bucket.cast("bigint")
 
 
+def lsh_buckets_kernel(n_planes: int, n_tables: int):
+    """Arrow-vectorized bucket assignment: one [batch x dim] @ [dim x J*L]
+    GEMM per batch instead of J*L folded codegen expressions per row (the
+    expression form compiles minutes of generated Java at J*L=32).
+
+    Bit-identical to :func:`lsh_bucket_expr`: quantization replicates
+    Spark/DuckDB ``round`` (HALF_UP, away from zero) — NOT np.round
+    (half-even) — then all-integer dot products, so the sign decisions
+    match the SQL oracle exactly.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    weights = np.array([1 << j for j in range(n_planes)], dtype=np.int64)
+    pm_cache = {}
+
+    def _planes(dim):
+        # built lazily from the observed dim — avoids a driver-side probe job
+        if dim not in pm_cache:
+            hp = [hyperplanes(dim, n_planes, t) for t in range(n_tables)]
+            pm_cache[dim] = np.array(
+                [
+                    [hp[t][j][g] for t in range(n_tables) for j in range(n_planes)]
+                    for g in range(dim)
+                ],
+                dtype=np.int64,
+            )
+        return pm_cache[dim]
+
+    def _kernel(vs):
+        m = np.stack(vs.to_numpy()) * QUANT  # [batch, dim] float64
+        pm = _planes(m.shape[1])
+        q = np.where(m >= 0, np.floor(m + 0.5), np.ceil(m - 0.5)).astype(np.int64)
+        signs = (q @ pm) >= 0  # [batch, J*L]
+        b = signs.reshape(len(q), n_tables, n_planes) @ weights  # [batch, L]
+        return pd.Series(list(b))
+
+    # explicit form: `from __future__ import annotations` stringifies hints,
+    # which pandas_udf's signature inspection rejects
+    return pandas_udf(_kernel, "array<bigint>")
+
+
 def cosine_topk_lsh(
     emb: DataFrame,
     k: int = 5,
@@ -168,42 +211,29 @@ def cosine_topk_lsh(
     raise L to buy recall back (candidate recall = 1-(1-p^J)^L with
     p = 1 - theta/pi).
     """
-    dim = len(emb.select("embedding").first()[0])
     e = _with_norms(emb)
-    buckets = F.array(
-        *[
-            lsh_bucket_expr(F.col("v"), hyperplanes(dim, n_planes, t))
-            for t in range(n_tables)
-        ]
-    )
-    eb = e.withColumn("bs", buckets).select(
-        "vec_id", "v", "nrm", F.posexplode("bs").alias("t", "bucket")
-    )
+    eb = e.withColumn(
+        "bs", lsh_buckets_kernel(n_planes, n_tables)(F.col("v"))
+    ).select("vec_id", "v", "nrm", F.posexplode("bs").alias("t", "bucket"))
+    # queries carry their vector through the bucket join: the rerank then
+    # needs NO further joins — the cosine is computable on the joined row,
+    # and duplicate pairs (collisions in several tables) collapse in one
+    # distinct (the rounded cosine is identical on every duplicate).
     q = eb.where(query_filter).select(
         F.col("vec_id").alias("query_id"),
         F.col("t").alias("qt"),
         F.col("bucket").alias("qbucket"),
-    )
-    cand = (
-        F.broadcast(q)
-        .join(
-            eb.select("vec_id", "t", "bucket"),
-            (F.col("qt") == F.col("t"))
-            & (F.col("qbucket") == F.col("bucket"))
-            & (F.col("query_id") != F.col("vec_id")),
-        )
-        .select("query_id", "vec_id")
-        .distinct()
-    )
-    sides = _with_norms(emb)
-    qv = sides.select(
-        F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
         F.col("nrm").alias("qn"),
     )
     pairs = (
-        cand.join(F.broadcast(qv), "query_id")
-        .join(sides.select("vec_id", "v", "nrm"), "vec_id")
+        F.broadcast(q)
+        .join(
+            eb,
+            (F.col("qt") == F.col("t"))
+            & (F.col("qbucket") == F.col("bucket"))
+            & (F.col("query_id") != F.col("vec_id")),
+        )
         .select(
             "query_id",
             "vec_id",
@@ -211,6 +241,7 @@ def cosine_topk_lsh(
                 V.cosine(F.col("qv"), F.col("v"), F.col("qn"), F.col("nrm")), 6
             ).alias("cosine"),
         )
+        .distinct()
     )
     return _ranked(pairs, k)
 
