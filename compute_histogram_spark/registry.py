@@ -330,6 +330,115 @@ def q_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# window-function coverage beyond the decile cumsum: ntile bucketing and
+# running totals with explicit frames (ROWS UNBOUNDED PRECEDING)
+# ---------------------------------------------------------------------------
+
+@register(
+    "customer_spend_quartiles",
+    """
+    WITH s AS (
+        SELECT o_custkey,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS spend_c
+        FROM orders GROUP BY o_custkey
+    )
+    SELECT o_custkey, spend_c / 100.0 AS total_spent,
+           CAST(ntile(4) OVER (ORDER BY spend_c DESC, o_custkey) AS INT)
+               AS quartile
+    FROM s ORDER BY o_custkey
+    """,
+)
+def q_customer_spend_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ntile needs a TOTAL order — an unpartitioned window serializes into
+    # one task. Acceptable here because the input is post-aggregation (one
+    # row per customer); for billions of keys the scale form is ntile-from-
+    # approx_percentile bounds (bucket by comparing to the quantile cuts).
+    from pyspark.sql import Window
+
+    orders = load(spark, sf_dir, "orders")
+    s = orders.groupBy("o_custkey").agg(
+        F.sum(R.cents("o_totalprice")).alias("spend_c")
+    )
+    w = Window.orderBy(F.desc("spend_c"), F.asc("o_custkey"))
+    return (
+        s.select(
+            "o_custkey",
+            (F.col("spend_c") / 100.0).alias("total_spent"),
+            F.ntile(4).over(w).alias("quartile"),
+        )
+        .orderBy("o_custkey")
+    )
+
+
+@register(
+    "running_monthly_revenue",
+    """
+    WITH m AS (
+        SELECT CAST(year(o_orderdate) AS INT) AS order_year,
+               CAST(month(o_orderdate) AS INT) AS order_month,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS rev_c
+        FROM orders GROUP BY 1, 2
+    )
+    SELECT order_year, order_month, rev_c / 100.0 AS revenue,
+           CAST(sum(rev_c) OVER (
+               PARTITION BY order_year ORDER BY order_month
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) / 100.0 AS ytd_revenue
+    FROM m ORDER BY order_year, order_month
+    """,
+)
+def q_running_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load(spark, sf_dir, "orders")
+    m = orders.groupBy(
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+    ).agg(F.sum(R.cents("o_totalprice")).alias("rev_c"))
+    w = (
+        Window.partitionBy("order_year")
+        .orderBy("order_month")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        m.select(
+            "order_year",
+            "order_month",
+            (F.col("rev_c") / 100.0).alias("revenue"),
+            (F.sum("rev_c").over(w) / 100.0).alias("ytd_revenue"),
+        )
+        .orderBy("order_year", "order_month")
+    )
+
+
+@register(
+    "cube_orders",
+    """
+    SELECT coalesce(o_orderstatus, 'ALL') AS o_orderstatus,
+           coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
+           count(*) AS n_orders
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    ORDER BY o_orderstatus, o_orderpriority
+    """,
+)
+def q_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("o_orderstatus"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("o_orderpriority"),
+            "n_orders",
+        )
+        .orderBy("o_orderstatus", "o_orderpriority")
+    )
+
+
+# ---------------------------------------------------------------------------
 # grouping sets / pivot / date parts / set ops / anti join (operators/
 # relational.py extensions)
 # ---------------------------------------------------------------------------
