@@ -40,6 +40,7 @@ HEADLINE = [
     "similarity_topk",
     "similarity_topk_lsh",
     "text_stats",
+    "corpus_pipeline",
     "doc_fingerprint",
 ]
 

@@ -1185,6 +1185,86 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "corpus_pipeline",
+    """
+    WITH kept AS (
+        -- exact dedup: keep the lowest doc_id per distinct text
+        SELECT min(doc_id) AS doc_id, text, lang,
+               count(*) AS n_copies
+        FROM documents GROUP BY text, lang
+    ),
+    toks AS (
+        SELECT doc_id, lang, n_copies, string_split(text, ' ') AS t,
+               length(text) AS n_chars
+        FROM kept
+    ),
+    q AS (
+        SELECT doc_id, lang, n_copies, n_chars, len(t) AS n_tokens,
+               round(len(list_filter(t,
+                     x -> x IN ('the','a','of','and','in','to'))) * 1.0
+                     / len(t), 6) AS stopword_ratio
+        FROM toks
+    ),
+    f AS (
+        SELECT * FROM q
+        WHERE n_tokens >= 5 AND stopword_ratio <= 0.5
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_copies) - count(*) AS BIGINT) AS n_dupes_removed,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM f GROUP BY lang ORDER BY lang
+    """,
+)
+def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end training-data shape: dedup -> quality gate -> corpus
+    stats, chained as ONE lazy plan (Catalyst fuses the stages; the dedup
+    shuffle is the only wide dependency before the final per-lang agg)."""
+    docs = load(spark, sf_dir, "documents")
+    kept = (
+        docs.groupBy(F.sha2("text", 256).alias("h"), "lang")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.first("text").alias("text"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+    toks = kept.select(
+        "doc_id",
+        "lang",
+        "n_copies",
+        F.split("text", " ").alias("t"),
+        F.length("text").alias("n_chars"),
+    )
+    stop = F.array([F.lit(w) for w in ("the", "a", "of", "and", "in", "to")])
+    q = toks.select(
+        "doc_id",
+        "lang",
+        "n_copies",
+        "n_chars",
+        F.size("t").alias("n_tokens"),
+        F.round(
+            F.size(F.filter("t", lambda x: F.array_contains(stop, x)))
+            * 1.0
+            / F.size("t"),
+            6,
+        ).alias("stopword_ratio"),
+    )
+    f = q.where((F.col("n_tokens") >= 5) & (F.col("stopword_ratio") <= 0.5))
+    return (
+        f.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            (F.sum("n_copies") - F.count(F.lit(1))).alias("n_dupes_removed"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
     "top_tokens",
     """
     SELECT token, count(*) AS n
