@@ -814,6 +814,27 @@ def _minhash_oracle(num_hashes: int = 8, rows_per_band: int = 2) -> str:
     """
 
 
+@register(
+    "dedup_normalized",
+    """
+    WITH n AS (
+        SELECT doc_id,
+               trim(regexp_replace(
+                   regexp_replace(lower(text), '[^a-z0-9一-鿿 ]', ' ', 'g'),
+                   ' +', ' ', 'g')) AS norm_text
+        FROM documents
+    )
+    SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+    FROM n GROUP BY norm_text ORDER BY doc_id
+    """,
+)
+def q_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # dedup on NORMALIZED content: catches case/punctuation/whitespace
+    # variants exact dedup misses; same digest-as-shuffle-key plan.
+    normed = TX.normalize_text(load(spark, sf_dir, "documents"))
+    return DD.exact_dedup(normed, text_col="norm_text")
+
+
 @register("dedup_minhash", _minhash_oracle())
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.minhash_candidates(load(spark, sf_dir, "documents"))

@@ -67,3 +67,24 @@ def test_salted_join_matches_plain_join(spark, sf_dir):
     ).count()
     salted = R.salted_join(orders, customer, "o_custkey", "c_custkey", salt=4).count()
     assert salted == plain
+
+
+def test_top_n_per_group(spark):
+    df = spark.createDataFrame(
+        [(g, i, g * 10 + i) for g in (1, 2) for i in range(5)],
+        "grp int, id int, score int",
+    )
+    out = R.top_n_per_group(df, ["grp"], [F.desc("score"), F.asc("id")], 2)
+    got = {(r["grp"], r["id"], r["rank"]) for r in out.collect()}
+    assert got == {(1, 4, 1), (1, 3, 2), (2, 4, 1), (2, 3, 2)}
+
+
+def test_write_parquet_partitioned_roundtrip(spark, sf_dir, tmp_path):
+    from compute_histogram_spark.sources.sinks import write_parquet
+
+    orders = load(spark, sf_dir, "orders")
+    path = str(tmp_path / "orders_by_status")
+    write_parquet(orders, path, partition_by=["o_orderstatus"])
+    back = spark.read.parquet(path)
+    assert back.count() == orders.count()
+    assert set(back.columns) == set(orders.columns)

@@ -47,3 +47,17 @@ def test_doc_fingerprint_deterministic(spark):
 def test_top_tokens(spark):
     out = TX.top_tokens(docs_df(spark), k=2).collect()
     assert out[0]["token"] == "the" and out[0]["n"] == 2
+
+
+def test_normalize_text(spark):
+    from pyspark.sql import Row
+
+    from compute_histogram_spark.operators.text import normalize_text
+
+    df = spark.createDataFrame(
+        [Row(doc_id=0, text="Hello,   WORLD!! 42 的 --- ok")]
+    )
+    out = normalize_text(df).first()
+    assert out["norm_text"] == "hello world 42 的 ok"
+    assert out["norm_len"] == len("hello world 42 的 ok")
+    assert out["text"].startswith("Hello")  # original untouched
