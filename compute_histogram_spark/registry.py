@@ -237,6 +237,36 @@ def q_quantiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "quantiles_by_group",
+    f"""
+    SELECT event_type,
+           round(quantile_cont(value, 0.25), 6) AS p25,
+           round(quantile_cont(value, 0.5), 6) AS p50,
+           round(quantile_cont(value, 0.75), 6) AS p75
+    FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q_quantiles_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # exact interpolated percentiles PER GROUP — Spark `percentile` and
+    # DuckDB `quantile_cont` share the linear-interpolation definition, so
+    # values agree to rounding. At scale swap for approx_percentile (same
+    # call shape, sketch-merged instead of sort-based).
+    ev = load(spark, sf_dir, "events")
+    v = F.col("value")
+    return (
+        ev.where(v.isNotNull() & ~F.isnan(v))
+        .groupBy("event_type")
+        .agg(
+            F.round(F.percentile(v, F.lit(0.25)), 6).alias("p25"),
+            F.round(F.percentile(v, F.lit(0.5)), 6).alias("p50"),
+            F.round(F.percentile(v, F.lit(0.75)), 6).alias("p75"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
     "distinct_users",
     """
     SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
