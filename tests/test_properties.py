@@ -114,3 +114,54 @@ def test_merge_commutative(spark, a, b):
     ba = {r["bin"]: r["pixel_count"] for r in H.merge_histograms(hb, ha).collect()}
     assert ab == ba
     assert sum(ab.values()) == sum(a) + sum(b)
+
+
+words = st.sampled_from("the quick brown fox spark shuffle join hash".split())
+docs_strategy = st.lists(
+    st.lists(words, min_size=3, max_size=12).map(" ".join),
+    min_size=1,
+    max_size=12,
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(texts=docs_strategy)
+def test_exact_dedup_conserves_counts(spark, texts):
+    from compute_histogram_spark.operators import dedup as DD
+
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(texts)]
+    )
+    out = DD.exact_dedup(df).collect()
+    # copies sum to input size; one keeper per distinct text; keeper is the
+    # minimal doc_id of its group
+    assert sum(r["n_copies"] for r in out) == len(texts)
+    assert len(out) == len(set(texts))
+    first_idx = {}
+    for i, t in enumerate(texts):
+        first_idx.setdefault(t, i)
+    assert {r["doc_id"] for r in out} == set(first_idx.values())
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(texts=docs_strategy)
+def test_simhash_identical_texts_collide(spark, texts):
+    from compute_histogram_spark.operators import dedup as DD
+
+    # duplicate every text: identical content MUST get identical signatures
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(texts + texts)]
+    )
+    sig = {r["doc_id"]: r["simhash"] for r in DD.simhash(df).collect()}
+    n = len(texts)
+    for i in range(n):
+        assert sig[i] == sig[i + n]
+        assert 0 <= sig[i] < 2**16
