@@ -1,0 +1,193 @@
+"""DataFrame-native k-means (Lloyd's) and a learned-IVF similarity search.
+
+The coarse quantizer that operators/similarity.py's IVF path assumes
+pre-computed (the ``label`` column) is LEARNED here from the data itself:
+
+- **assignment** is an Arrow-batched Pandas UDF: each [batch x dim] block of
+  vectors is one GEMM against the (tiny, closure-broadcast) [k x dim]
+  centroid matrix — ``argmin ||x-c||^2`` via the expansion
+  ``|x|^2 - 2 x.c + |c|^2``. No shuffle: a map-only pass over the corpus.
+- **update** is a plain distributed aggregation: ``posexplode(v)`` ->
+  ``groupBy(cluster, pos).avg`` — map-side partial averages mean the shuffle
+  moves O(input_partitions x k x dim) rows, independent of corpus size.
+  Only the k x dim final means ever reach the driver.
+- **init** is deterministic (the k lowest ``vec_id`` vectors), and centroid
+  components are rounded each round, so independent runs over the same data
+  converge identically; distances round before argmin (ties -> lowest
+  cluster id) so assignment is reproducible across batch layouts.
+
+At 100 TB the standard refinement applies unchanged: fit centroids on a
+``df.sample(fraction)`` (pass ``sample_fraction``), then one full
+assignment pass — the iteration cost scales with the sample, the index
+quality with k.
+
+This is genuinely iterative (driver-controlled loop re-submitting jobs
+against a cached input), which is exactly how MLlib's own KMeans drives
+Lloyd's; there is no single-SQL equivalent, so the registry exposes the
+end query rows-only (SURVEY §2.4).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyspark.sql import DataFrame, functions as F
+
+from compute_histogram_spark.functions import vectors as V
+from compute_histogram_spark.operators.similarity import _ranked
+
+# Rounding (decimal places) applied to centroid components after each update
+# and to squared distances before argmin: collapses float summation-order
+# noise so cluster assignments are stable across partition layouts and
+# engines. 6 decimals is far below any real inter-centroid distance and far
+# above double ulp noise (~1e-13 at these magnitudes).
+DEC = 6
+
+
+def assign_udf(centroids: np.ndarray):
+    """Vectorized nearest-centroid assignment: argmin_k ||x - c_k||^2.
+
+    One GEMM per Arrow batch; ``np.argmin`` breaks distance ties toward the
+    LOWEST cluster id, matching the driver-side twin in tests.
+    """
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    c = np.ascontiguousarray(np.asarray(centroids, dtype=np.float64))
+    c_sq = (c * c).sum(axis=1)  # [k]
+
+    # no annotations on the kernel: `from __future__ import annotations`
+    # stringifies them, which pandas_udf's signature inspection rejects
+    def _kernel(vs):
+        m = np.stack(vs.to_numpy())  # [batch, dim] float64
+        d = (m * m).sum(axis=1)[:, None] - 2.0 * (m @ c.T) + c_sq[None, :]
+        return pd.Series(np.argmin(np.round(d, DEC), axis=1).astype(np.int32))
+
+    # explicit call form: stringified annotations break pandas_udf inspection
+    return pandas_udf(_kernel, "int")
+
+
+def _vectors(emb: DataFrame, vec_col: str, id_col: str) -> DataFrame:
+    return emb.select(
+        F.col(id_col).alias("vec_id"), V.to_double_array(vec_col).alias("v")
+    )
+
+
+def kmeans(
+    emb: DataFrame,
+    n_clusters: int = 10,
+    iters: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    sample_fraction: float | None = None,
+) -> np.ndarray:
+    """Lloyd's iterations -> [n_clusters x dim] centroid matrix.
+
+    Each round is two Spark jobs over the (cached) training set: a map-only
+    assignment and one aggregation whose shuffle is bounded by
+    O(partitions x k x dim). Empty clusters keep their previous centroid.
+    """
+    e = _vectors(emb, vec_col, id_col)
+    if sample_fraction is not None:
+        e = e.sample(fraction=sample_fraction, seed=0)
+    init = e.orderBy("vec_id").limit(n_clusters).collect()
+    if len(init) < n_clusters:
+        raise ValueError(
+            f"need >= {n_clusters} vectors to seed k-means, got {len(init)}"
+        )
+    centroids = np.round(np.array([r["v"] for r in init], dtype=np.float64), DEC)
+
+    e = e.cache()
+    try:
+        for _ in range(iters):
+            assigned = e.select(
+                assign_udf(centroids)(F.col("v")).alias("cid"),
+                F.posexplode("v").alias("pos", "x"),
+            )
+            rows = (
+                assigned.groupBy("cid", "pos")
+                .agg(F.avg("x").alias("m"))
+                .collect()
+            )
+            new_c = centroids.copy()  # empty cluster -> keep old centroid
+            by_cid: dict[int, dict[int, float]] = {}
+            for r in rows:
+                by_cid.setdefault(r["cid"], {})[r["pos"]] = r["m"]
+            for cid, comp in by_cid.items():
+                new_c[cid] = [comp[p] for p in range(len(comp))]
+            centroids = np.round(new_c, DEC)
+    finally:
+        e.unpersist()
+    return centroids
+
+
+def assign_clusters(
+    emb: DataFrame,
+    centroids: np.ndarray,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """-> (vec_id, v, nrm, cid): the learned-IVF index layout. Writing this
+    out ``partitionBy('cid')`` gives planning-time partition pruning for
+    single-probe lookups; here it stays a lazy plan."""
+    e = _vectors(emb, vec_col, id_col).withColumn("nrm", V.norm(F.col("v")))
+    return e.withColumn("cid", assign_udf(centroids)(F.col("v")))
+
+
+def cosine_topk_kmeans(
+    emb: DataFrame,
+    k: int = 5,
+    query_filter: str = "vec_id < 10",
+    n_clusters: int = 10,
+    iters: int = 3,
+    nprobe: int = 2,
+) -> DataFrame:
+    """Approximate top-k via a LEARNED coarse index (IVF-nprobe).
+
+    Train centroids (Lloyd's, above), assign every corpus vector its nearest
+    centroid, then each query probes its ``nprobe`` nearest centroids and
+    exact-reranks only those buckets: an *equi*-join on ``cid`` — Spark
+    co-partitions both sides; scan cost ~ nprobe/n_clusters of the corpus
+    instead of a crossJoin. The query probe list is computed driver-side on
+    the (small, already-collected) query set; a (query, candidate) pair can
+    match at most once because every candidate lives in exactly one cluster,
+    so no dedup pass is needed (unlike multi-table LSH).
+    """
+    centroids = kmeans(emb, n_clusters=n_clusters, iters=iters)
+    cand = assign_clusters(emb, centroids)
+
+    q_rows = cand.where(query_filter).select("vec_id", "v", "nrm").collect()
+    if not q_rows:
+        raise ValueError(f"query filter {query_filter!r} matched no vectors")
+    qm = np.array([r["v"] for r in q_rows], dtype=np.float64)
+    d = (
+        (qm * qm).sum(axis=1)[:, None]
+        - 2.0 * (qm @ centroids.T)
+        + (centroids * centroids).sum(axis=1)[None, :]
+    )
+    probe = np.argsort(np.round(d, DEC), axis=1, kind="stable")[:, :nprobe]
+
+    spark = emb.sparkSession
+    q = spark.createDataFrame(
+        [
+            (int(r["vec_id"]), int(cid), list(r["v"]), float(r["nrm"]))
+            for r, probes in zip(q_rows, probe)
+            for cid in probes
+        ],
+        "query_id bigint, cid int, qv array<double>, qn double",
+    )
+    pairs = (
+        F.broadcast(q)
+        .join(
+            cand,
+            (q["cid"] == cand["cid"]) & (F.col("query_id") != F.col("vec_id")),
+        )
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(
+                V.cosine(F.col("qv"), F.col("v"), F.col("qn"), F.col("nrm")), 6
+            ).alias("cosine"),
+        )
+    )
+    return _ranked(pairs, k)

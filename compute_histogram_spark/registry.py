@@ -174,6 +174,25 @@ def q_histogram_log(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("value", F.round("value", 2))
 
 
+@register("histogram_incremental", _histo_linear_sql("events"))
+def q_histogram_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Delta-maintained histogram (operators/incremental.py): the corpus is
+    # processed as two independent deltas whose sparse partial states are
+    # merged and labeled — value-identical to the one-shot pipeline, which
+    # is exactly what the (shared) full-recompute oracle asserts.
+    from compute_histogram_spark.operators import incremental as INC
+    from compute_histogram_spark.plans.bin_scheme import BinScheme
+
+    ev = load(spark, sf_dir, "events")
+    mn, mx = H.compute_min_max(ev, "value")
+    scheme = BinScheme.from_min_max(mn, mx, "linear")
+    deltas = [
+        INC.delta_counts(ev.where(F.col("event_id") % 2 == i), "value", scheme)
+        for i in range(2)
+    ]
+    return INC.finalize(INC.merge_states(*deltas), scheme)
+
+
 # ---------------------------------------------------------------------------
 # §2.3: decile summary over the histogram (compute_histogram.sql:1-3)
 # ---------------------------------------------------------------------------
@@ -1106,6 +1125,18 @@ def _lsh_oracle(dim: int = 64, n_planes: int = 4, n_tables: int = 8) -> str:
 @register("similarity_topk_lsh", _lsh_oracle())
 def q_similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.cosine_topk_lsh(load(spark, sf_dir, "embeddings"))
+
+
+@register("similarity_topk_kmeans")  # rows-only: learned index is iterative
+def q_similarity_topk_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Learned-IVF: Lloyd's k-means coarse quantizer + nprobe=2 bucket probe
+    # + exact rerank. No SQL oracle by nature (driver-controlled iteration,
+    # SURVEY §2.4); value correctness is pinned in tests/test_clustering.py
+    # against a NumPy twin of the same deterministic algorithm, plus a
+    # recall floor vs the exact operator.
+    from compute_histogram_spark.operators import clustering as CL
+
+    return CL.cosine_topk_kmeans(load(spark, sf_dir, "embeddings"))
 
 
 # ---------------------------------------------------------------------------

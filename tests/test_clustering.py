@@ -1,0 +1,104 @@
+"""Learned-IVF (k-means) correctness: NumPy twin parity + recall floor.
+
+The kmeans query has no SQL oracle (iterative, SURVEY §2.4), so this file IS
+its correctness gate: the distributed Lloyd's implementation must reproduce a
+driver-side NumPy implementation of the *same deterministic algorithm*
+(same init, same rounding, same tie-breaks), and the end-to-end ANN query
+must hit a recall floor against the exact operator.
+"""
+
+import numpy as np
+import pytest
+
+from compute_histogram_spark.operators import clustering as CL
+from compute_histogram_spark.operators import similarity as SIM
+from compute_histogram_spark.sources.tables import load
+
+
+def _numpy_kmeans(vectors_by_id, n_clusters, iters):
+    """Driver-side twin of CL.kmeans: identical init/rounding/tie-breaks."""
+    ids = sorted(vectors_by_id)
+    m = np.array([vectors_by_id[i] for i in ids], dtype=np.float64)
+    c = np.round(m[:n_clusters].copy(), CL.DEC)
+    for _ in range(iters):
+        d = (m * m).sum(1)[:, None] - 2.0 * (m @ c.T) + (c * c).sum(1)[None, :]
+        assign = np.argmin(np.round(d, CL.DEC), axis=1)
+        for cid in range(n_clusters):
+            members = m[assign == cid]
+            if len(members):
+                c[cid] = members.mean(axis=0)
+        c = np.round(c, CL.DEC)
+    return c
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return load(spark, sf_dir, "embeddings")
+
+
+@pytest.fixture(scope="module")
+def vecs(emb):
+    rows = emb.select("vec_id", "embedding").collect()
+    return {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in rows}
+
+
+def test_kmeans_matches_numpy_twin(emb, vecs):
+    # Spark's groupBy-avg sums in shuffle order vs NumPy's index order, so
+    # centroids agree to summation noise (<<1e-6), not bit-exactly.
+    got = CL.kmeans(emb, n_clusters=10, iters=3)
+    want = _numpy_kmeans(vecs, n_clusters=10, iters=3)
+    assert got.shape == want.shape == (10, 64)
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_assignment_is_nearest_centroid(emb, vecs):
+    # Given FIXED centroids, assignment is deterministic (rounded distances,
+    # lowest-cid ties) — the distributed kernel must match exactly.
+    c = _numpy_kmeans(vecs, n_clusters=10, iters=2)
+    assigned = {
+        r["vec_id"]: r["cid"]
+        for r in CL.assign_clusters(emb, c).select("vec_id", "cid").collect()
+    }
+    for vid, v in vecs.items():
+        d = np.round(((c - v) ** 2).sum(axis=1), CL.DEC)
+        assert assigned[vid] == int(np.argmin(d)), vid
+    # every cluster id in range, index covers the whole corpus
+    assert set(assigned) == set(vecs)
+    assert all(0 <= cid < 10 for cid in assigned.values())
+
+
+def test_kmeans_topk_recall_and_shape(emb):
+    k = 5
+    exact = SIM.cosine_topk(emb, k=k).collect()
+    approx = CL.cosine_topk_kmeans(emb, k=k, n_clusters=10, iters=2, nprobe=2)
+    rows = approx.collect()
+    assert approx.columns == ["query_id", "rnk", "vec_id", "cosine"]
+
+    true_nbrs = {}
+    for r in exact:
+        true_nbrs.setdefault(r["query_id"], set()).add(r["vec_id"])
+    got_nbrs = {}
+    for r in rows:
+        assert 1 <= r["rnk"] <= k
+        assert r["query_id"] != r["vec_id"]
+        got_nbrs.setdefault(r["query_id"], set()).add(r["vec_id"])
+
+    assert set(got_nbrs) == set(true_nbrs)  # every query answered
+    hits = sum(len(true_nbrs[q] & got_nbrs[q]) for q in true_nbrs)
+    recall = hits / sum(len(v) for v in true_nbrs.values())
+    # learned coarse index with nprobe=2 of 10 clusters; the synthetic
+    # embeddings are label-clustered so true neighbors mostly share a cell
+    assert recall >= 0.6, recall
+
+
+def test_kmeans_probes_rank_by_true_cosine(emb):
+    # within the probed candidate set, ranking must equal exact cosine
+    # ordering: rnk strictly increases as cosine (rounded) decreases
+    rows = CL.cosine_topk_kmeans(emb, k=5, n_clusters=10, iters=2).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append((r["rnk"], r["cosine"], r["vec_id"]))
+    for q, rs in by_q.items():
+        rs.sort()
+        cosines = [c for _, c, _ in rs]
+        assert cosines == sorted(cosines, reverse=True), q
