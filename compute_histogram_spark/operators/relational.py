@@ -238,3 +238,94 @@ def salted_join(
         d, (f[fact_key] == d[dim_key]) & (f["__salt"] == d["__salt"]), "inner"
     )
     return out.drop("__salt")
+
+
+def shipping_priority(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    segment: str = "BUILDING",
+    cutoff: str = "1998-01-01",
+    k: int = 10,
+) -> DataFrame:
+    """TPC-H Q3 shape: top unshipped-revenue orders for one market segment.
+
+    Join strategy for scale: ``customer`` (dim, pre-filtered to one segment)
+    broadcasts into ``orders`` — the orders fact never shuffles for that
+    join; the surviving (filtered) orders then equi-join ``lineitem`` on
+    ``l_orderkey``. That fact-to-fact join is the one real shuffle; with
+    both tables bucketed by orderkey (sources/bucketing.py) it too becomes
+    exchange-free. Revenue sums in integer cents*1e2 (pc * (100-dc)) so the
+    result is bit-identical across engines and partitionings; top-k is
+    TakeOrdered (no global sort).
+    """
+    cust = customer.where(F.col("c_mktsegment") == segment).select("c_custkey")
+    ords = orders.where(F.col("o_orderdate") < F.lit(cutoff).cast("timestamp"))
+    li = lineitem.where(F.col("l_shipdate") > F.lit(cutoff).cast("timestamp"))
+    disc_pc = cents("l_extendedprice") * (100 - cents("l_discount"))
+    j = ords.join(F.broadcast(cust), ords["o_custkey"] == cust["c_custkey"]).join(
+        li, ords["o_orderkey"] == li["l_orderkey"]
+    )
+    return (
+        j.groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg((F.sum(disc_pc) / 10000.0).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(k)
+    )
+
+
+def returned_item_customers(
+    customer: DataFrame,
+    nation: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    start: str = "1997-01-01",
+    end: str = "1998-01-01",
+    k: int = 20,
+) -> DataFrame:
+    """TPC-H Q10 shape: customers who returned the most revenue in a window.
+
+    lineitem is pre-filtered to returns ('R') and orders to the date window
+    BEFORE the fact-to-fact join — predicate pushdown keeps the shuffle to
+    the small filtered slices. customer and nation broadcast.
+    """
+    ords = orders.where(
+        (F.col("o_orderdate") >= F.lit(start).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(end).cast("timestamp"))
+    )
+    li = lineitem.where(F.col("l_returnflag") == "R")
+    disc_pc = cents("l_extendedprice") * (100 - cents("l_discount"))
+    j = (
+        li.join(ords, li["l_orderkey"] == ords["o_orderkey"])
+        .join(F.broadcast(customer), ords["o_custkey"] == customer["c_custkey"])
+        .join(F.broadcast(nation), customer["c_nationkey"] == nation["n_nationkey"])
+    )
+    return (
+        j.groupBy("c_custkey", "c_name", "n_name")
+        .agg((F.sum(disc_pc) / 10000.0).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(k)
+    )
+
+
+def late_order_priority(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q4 shape: per-priority count of orders with a late shipment
+    (EXISTS lineitem with l_shipdate > o_orderdate).
+
+    Instead of a correlated EXISTS (fact-to-fact semi-join shuffling all of
+    lineitem), pre-aggregate lineitem to ONE row per order — max(l_shipdate)
+    — map-side partials shrink the shuffle to distinct orderkeys, and the
+    correlated predicate collapses to ``max_ship > o_orderdate`` after a
+    plain equi-join. Same semantics: a late line exists iff the latest line
+    is late.
+    """
+    last_ship = lineitem.groupBy("l_orderkey").agg(
+        F.max("l_shipdate").alias("max_ship")
+    )
+    j = orders.join(last_ship, orders["o_orderkey"] == last_ship["l_orderkey"])
+    return (
+        j.where(F.col("max_ship") > F.col("o_orderdate"))
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )

@@ -378,6 +378,81 @@ def q_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "shipping_priority",
+    """
+    SELECT l.l_orderkey, o.o_orderdate, o.o_orderpriority,
+           CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+                AS BIGINT) / 10000.0 AS revenue
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01'
+      AND l.l_shipdate > TIMESTAMP '1998-01-01'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, l.l_orderkey
+    LIMIT 10
+    """,
+)
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.shipping_priority(
+        load(spark, sf_dir, "customer"),
+        load(spark, sf_dir, "orders"),
+        load(spark, sf_dir, "lineitem"),
+    )
+
+
+@register(
+    "returned_item_customers",
+    """
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+                AS BIGINT) / 10000.0 AS revenue
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1998-01-01'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY revenue DESC, c.c_custkey
+    LIMIT 20
+    """,
+)
+def q_returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.returned_item_customers(
+        load(spark, sf_dir, "customer"),
+        load(spark, sf_dir, "nation"),
+        load(spark, sf_dir, "orders"),
+        load(spark, sf_dir, "lineitem"),
+    )
+
+
+@register(
+    "late_order_priority",
+    """
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders o
+    WHERE EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate
+    )
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def q_late_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Spark plan is the agg-then-join REWRITE of this EXISTS (see
+    # relational.late_order_priority) — same semantics, smaller shuffle.
+    return R.late_order_priority(
+        load(spark, sf_dir, "orders"), load(spark, sf_dir, "lineitem")
+    )
+
+
 # ---------------------------------------------------------------------------
 # window-function coverage beyond the decile cumsum: ntile bucketing and
 # running totals with explicit frames (ROWS UNBOUNDED PRECEDING)

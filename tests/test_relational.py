@@ -88,3 +88,51 @@ def test_write_parquet_partitioned_roundtrip(spark, sf_dir, tmp_path):
     back = spark.read.parquet(path)
     assert back.count() == orders.count()
     assert set(back.columns) == set(orders.columns)
+
+
+def test_late_order_priority_rewrite_equals_exists_semi_join(spark, sf_dir):
+    # the agg-then-join rewrite must be observationally identical to the
+    # direct correlated-EXISTS plan (left_semi with the non-equi predicate)
+    orders = load(spark, sf_dir, "orders")
+    lineitem = load(spark, sf_dir, "lineitem")
+    rewritten = {
+        (r["o_orderpriority"], r["order_count"])
+        for r in R.late_order_priority(orders, lineitem).collect()
+    }
+    semi = (
+        orders.join(
+            lineitem,
+            (orders["o_orderkey"] == lineitem["l_orderkey"])
+            & (lineitem["l_shipdate"] > orders["o_orderdate"]),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .collect()
+    )
+    assert rewritten == {(r["o_orderpriority"], r["order_count"]) for r in semi}
+
+
+def test_shipping_priority_broadcasts_customer(spark, sf_dir):
+    plan = R.shipping_priority(
+        load(spark, sf_dir, "customer"),
+        load(spark, sf_dir, "orders"),
+        load(spark, sf_dir, "lineitem"),
+    )._jdf.queryExecution().executedPlan().toString()
+    # the segment-filtered customer dim must come in as a broadcast, and the
+    # only sort-merge/shuffle join allowed is the orders-lineitem equi-join
+    assert "BroadcastHashJoin" in plan
+
+
+def test_returned_item_customers_values(spark, sf_dir):
+    out = R.returned_item_customers(
+        load(spark, sf_dir, "customer"),
+        load(spark, sf_dir, "nation"),
+        load(spark, sf_dir, "orders"),
+        load(spark, sf_dir, "lineitem"),
+        k=5,
+    ).collect()
+    assert len(out) == 5
+    revs = [r["revenue"] for r in out]
+    assert revs == sorted(revs, reverse=True)
+    assert all(r["n_name"] for r in out)
