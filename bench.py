@@ -29,6 +29,9 @@ HEADLINE = [
     "pricing_summary",
     "top_customers",
     "region_revenue",
+    "shipping_priority",
+    "late_order_priority",
+    "histogram_incremental",
     "windowed_histogram",
     "sessionize",
     "asof_join",

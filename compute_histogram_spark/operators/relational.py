@@ -329,3 +329,35 @@ def late_order_priority(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("order_count"))
         .orderBy("o_orderpriority")
     )
+
+
+def priority_year_grouping_sets(orders: DataFrame) -> DataFrame:
+    """Explicit GROUPING SETS — {(year, priority), (priority), ()} — the
+    non-hierarchical shape neither ROLLUP nor CUBE expresses (rollup's
+    middle level would be (year), not (priority)).
+
+    Same single-Exchange property as rollup/cube: Spark expands the sets
+    before the shuffle, so all three levels aggregate in one pass. Labels
+    coalesce to 'ALL' (cross-engine NULL-ordering hazard, as in rollup).
+    """
+    o = orders.withColumn("order_year", F.year("o_orderdate"))
+    return (
+        o.groupingSets(
+            [["order_year", "o_orderpriority"], ["o_orderpriority"], []],
+            "order_year",
+            "o_orderpriority",
+        )
+        .agg(
+            (F.sum(cents("o_totalprice")) / 100.0).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .select(
+            F.coalesce(F.col("order_year").cast("string"), F.lit("ALL")).alias(
+                "order_year"
+            ),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("o_orderpriority"),
+            "revenue",
+            "n_orders",
+        )
+        .orderBy("order_year", "o_orderpriority")
+    )

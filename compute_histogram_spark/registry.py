@@ -433,6 +433,24 @@ def q_returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "priority_year_grouping_sets",
+    """
+    SELECT coalesce(CAST(order_year AS VARCHAR), 'ALL') AS order_year,
+           coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) / 100.0
+               AS revenue,
+           count(*) AS n_orders
+    FROM (SELECT year(o_orderdate) AS order_year, o_orderpriority, o_totalprice
+          FROM orders)
+    GROUP BY GROUPING SETS ((order_year, o_orderpriority), (o_orderpriority), ())
+    ORDER BY order_year, o_orderpriority
+    """,
+)
+def q_priority_year_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.priority_year_grouping_sets(load(spark, sf_dir, "orders"))
+
+
+@register(
     "late_order_priority",
     """
     SELECT o_orderpriority, count(*) AS order_count

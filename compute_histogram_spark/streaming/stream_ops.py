@@ -284,6 +284,57 @@ def streaming_user_stats(stream: DataFrame, timeout_s: int | None = None) -> Dat
     )
 
 
+def streaming_incremental_histogram(
+    stream: DataFrame,
+    col: str,
+    scheme,
+    state_path: str,
+    checkpoint_path: str,
+):
+    """Continuously-maintained histogram: a foreachBatch sink that turns
+    each micro-batch into a sparse partial state (operators/incremental.py)
+    and appends it to a log-structured state directory.
+
+    Exactly-once without read-modify-write: every micro-batch writes ONLY
+    its own ``batch_id=N`` partition using dynamic partition overwrite — a
+    replayed batch (failure/restart) overwrites its own partition
+    idempotently and never touches earlier state. Readers never race the
+    writer because existing partitions are immutable. The merged view is
+    recovered on demand by :func:`read_histogram_state` — an O(batches x
+    occupied_bins) fold, independent of how many raw rows each batch
+    summarized (the same merge-cost bound as the batch incremental path).
+
+    The bin scheme must be fixed up front (states binned under different
+    schemes don't merge) — the streaming analog of the reference's
+    ``--min_value/--max_value`` one-pass mode (main.py:53-54).
+    """
+    from compute_histogram_spark.operators.incremental import delta_counts
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            delta_counts(batch_df, col, scheme)
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(state_path)
+        )
+
+    return (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_histogram_state(spark: SparkSession, state_path: str, scheme) -> DataFrame:
+    """Merge the persisted per-batch states into the labeled histogram."""
+    from compute_histogram_spark.operators.incremental import finalize, merge_states
+
+    return finalize(merge_states(spark.read.parquet(state_path)), scheme)
+
+
 def run_to_completion(
     result: DataFrame, query_name: str, mode: str = "complete"
 ) -> DataFrame:

@@ -208,3 +208,41 @@ def test_streaming_sliding_histogram_equals_batch(spark, sf_dir, stream_dir):
     batch = sliding_histogram(load(spark, sf_dir, "events")).collect()
     key = lambda r: (r["window_start_s"], r["bin"], r["n_events"])
     assert sorted(map(key, out)) == sorted(map(key, batch))
+
+
+def test_streaming_incremental_histogram_equals_batch(spark, sf_dir, tmp_path):
+    # split events into 3 files -> 3 micro-batches (maxFilesPerTrigger=1),
+    # each appending its own batch_id partition of sparse state; the merged
+    # state must equal the one-shot batch histogram
+    from compute_histogram_spark.operators import histogram as H
+    from compute_histogram_spark.plans.bin_scheme import BinScheme
+    from compute_histogram_spark.streaming.stream_ops import (
+        read_histogram_state,
+        streaming_incremental_histogram,
+    )
+
+    events = load(spark, sf_dir, "events")
+    mn, mx = H.compute_min_max(events, "value")
+    scheme = BinScheme.from_min_max(mn, mx, "linear")
+
+    src = tmp_path / "src"
+    events.repartition(3).write.parquet(str(src))
+    state, ckpt = str(tmp_path / "state"), str(tmp_path / "ckpt")
+
+    stream = read_events_stream(spark, str(src), max_files_per_trigger=1)
+    q = streaming_incremental_histogram(stream, "value", scheme, state, ckpt)
+    q.awaitTermination()
+
+    # several batch_id partitions exist (log-structured, no rewrites)
+    batches = {r["batch_id"] for r in spark.read.parquet(state).select("batch_id").distinct().collect()}
+    assert len(batches) >= 2
+
+    got = {
+        r["bin"]: (r["value"], r["pixel_count"])
+        for r in read_histogram_state(spark, state, scheme).collect()
+    }
+    want = {
+        r["bin"]: (r["value"], r["pixel_count"])
+        for r in H.histogram(events, "value", "linear").collect()
+    }
+    assert got == want
