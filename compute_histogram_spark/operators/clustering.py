@@ -134,28 +134,25 @@ def assign_clusters(
     return e.withColumn("cid", assign_udf(centroids)(F.col("v")))
 
 
-def cosine_topk_kmeans(
-    emb: DataFrame,
+def probe_rerank(
+    cand: DataFrame,
+    centroids: np.ndarray,
     k: int = 5,
     query_filter: str = "vec_id < 10",
-    n_clusters: int = 10,
-    iters: int = 3,
     nprobe: int = 2,
 ) -> DataFrame:
-    """Approximate top-k via a LEARNED coarse index (IVF-nprobe).
+    """IVF probe + exact rerank over an assigned index ``(vec_id, v, nrm,
+    cid)`` — the query side of the learned index, shared by the in-memory
+    and the persisted (partitionBy('cid')) layouts.
 
-    Train centroids (Lloyd's, above), assign every corpus vector its nearest
-    centroid, then each query probes its ``nprobe`` nearest centroids and
-    exact-reranks only those buckets: an *equi*-join on ``cid`` — Spark
-    co-partitions both sides; scan cost ~ nprobe/n_clusters of the corpus
-    instead of a crossJoin. The query probe list is computed driver-side on
-    the (small, already-collected) query set; a (query, candidate) pair can
-    match at most once because every candidate lives in exactly one cluster,
-    so no dedup pass is needed (unlike multi-table LSH).
+    Each query probes its ``nprobe`` nearest centroids and exact-reranks
+    only those buckets: an *equi*-join on ``cid`` — Spark co-partitions both
+    sides; scan cost ~ nprobe/n_clusters of the corpus instead of a
+    crossJoin. The probe list is computed driver-side on the (small,
+    already-collected) query set; a (query, candidate) pair can match at
+    most once because every candidate lives in exactly one cluster, so no
+    dedup pass is needed (unlike multi-table LSH).
     """
-    centroids = kmeans(emb, n_clusters=n_clusters, iters=iters)
-    cand = assign_clusters(emb, centroids)
-
     q_rows = cand.where(query_filter).select("vec_id", "v", "nrm").collect()
     if not q_rows:
         raise ValueError(f"query filter {query_filter!r} matched no vectors")
@@ -167,7 +164,14 @@ def cosine_topk_kmeans(
     )
     probe = np.argsort(np.round(d, DEC), axis=1, kind="stable")[:, :nprobe]
 
-    spark = emb.sparkSession
+    # static probed-cluster filter: the probe set is known driver-side, so
+    # push it as a literal isin — on a partitionBy('cid') layout this prunes
+    # directories at PLANNING time (PartitionFilters), which a join-side
+    # broadcast alone would only achieve via runtime DPP
+    probed = sorted({int(c) for row in probe for c in row})
+    cand = cand.where(F.col("cid").isin(probed))
+
+    spark = cand.sparkSession
     q = spark.createDataFrame(
         [
             (int(r["vec_id"]), int(cid), list(r["v"]), float(r["nrm"]))
@@ -191,3 +195,53 @@ def cosine_topk_kmeans(
         )
     )
     return _ranked(pairs, k)
+
+
+def cosine_topk_kmeans(
+    emb: DataFrame,
+    k: int = 5,
+    query_filter: str = "vec_id < 10",
+    n_clusters: int = 10,
+    iters: int = 3,
+    nprobe: int = 2,
+) -> DataFrame:
+    """Approximate top-k via a LEARNED coarse index (IVF-nprobe), end to
+    end: train centroids (Lloyd's), assign the corpus, probe + rerank."""
+    centroids = kmeans(emb, n_clusters=n_clusters, iters=iters)
+    cand = assign_clusters(emb, centroids)
+    return probe_rerank(cand, centroids, k=k, query_filter=query_filter, nprobe=nprobe)
+
+
+def write_ivf_index(
+    emb: DataFrame,
+    centroids: np.ndarray,
+    path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """Persist the assigned index partitioned BY CLUSTER: queries that probe
+    ``nprobe`` clusters then touch only those directories — planning-time
+    partition pruning (PartitionFilters), no listing or IO for the rest of
+    the corpus. This is how the learned index pays off at 100 TB: the
+    train/assign cost is one-off at write time, per-query cost scales with
+    nprobe x bucket size."""
+    assign_clusters(emb, centroids, vec_col=vec_col, id_col=id_col).write.mode(
+        "overwrite"
+    ).partitionBy("cid").parquet(path)
+
+
+def cosine_topk_ivf_index(
+    spark,
+    path: str,
+    centroids: np.ndarray,
+    k: int = 5,
+    query_filter: str = "vec_id < 10",
+    nprobe: int = 2,
+) -> DataFrame:
+    """Top-k over a PERSISTED IVF index (see :func:`write_ivf_index`).
+
+    The probe's ``cid`` equi-join pushes down onto the partition column, so
+    only probed directories are scanned (asserted on the physical plan in
+    tests/test_clustering.py)."""
+    cand = spark.read.parquet(path)
+    return probe_rerank(cand, centroids, k=k, query_filter=query_filter, nprobe=nprobe)

@@ -102,3 +102,21 @@ def test_kmeans_probes_rank_by_true_cosine(emb):
         rs.sort()
         cosines = [c for _, c, _ in rs]
         assert cosines == sorted(cosines, reverse=True), q
+
+
+def test_persisted_ivf_index_prunes_partitions_and_matches(emb, vecs, spark, tmp_path):
+    c = _numpy_kmeans(vecs, n_clusters=10, iters=2)
+    path = str(tmp_path / "ivf_index")
+    CL.write_ivf_index(emb, c, path)
+
+    persisted = CL.cosine_topk_ivf_index(spark, path, c, k=5, nprobe=2)
+    # planning-time directory pruning: the probed-cid isin must land in
+    # PartitionFilters of the index scan, not a post-scan data filter
+    plan = persisted._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "cid" in plan.split("PartitionFilters")[1][:200]
+
+    in_memory = CL.probe_rerank(CL.assign_clusters(emb, c), c, k=5, nprobe=2)
+    assert sorted(map(tuple, persisted.collect())) == sorted(
+        map(tuple, in_memory.collect())
+    )
