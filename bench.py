@@ -34,6 +34,8 @@ HEADLINE = [
     "histogram_incremental",
     "windowed_histogram",
     "sessionize",
+    "conversion_funnel",
+    "cohort_retention",
     "asof_join",
     "range_band_join",
     "rollup_revenue",

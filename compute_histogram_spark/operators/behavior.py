@@ -1,0 +1,103 @@
+"""User-behavior analytics over the events table: ordered conversion
+funnels and monthly cohort retention.
+
+Both reuse the engine's transform -> bucket -> count shape (SURVEY §2.2
+A5-A9) with the user as the bucketing key:
+
+- **funnel**: one groupBy(user) computing per-stage first-touch times as
+  conditional MINs (map-side partial aggregation — the shuffle carries one
+  row per user, not per event), then a single scalar aggregation counts
+  users whose stage times are strictly increasing. Two shuffles total, the
+  second over ONE row.
+- **cohort retention**: activity is reduced to distinct (user, week) pairs
+  first (the cheapest possible projection of 100 TB of events), the
+  cohort week is a per-user MIN, and the join back is user-keyed — both
+  sides of that join are outputs of shuffles on user_id, so they arrive
+  co-partitioned; no extra Exchange.
+
+Cross-engine determinism: event times compare as INTEGER epoch-micros
+(``ts div 1000`` — DuckDB's TIMESTAMP is micros, so both engines compare
+identically even for same-microsecond events), and cohort buckets are
+epoch-week integers (``us div day_us div 7``) — no calendar, no session-
+timezone dependence anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+DEFAULT_STAGES = ("view", "click", "purchase")
+
+
+def _ts_us() -> F.Column:
+    # integer div, never float: 1.7e18 nanos exceeds double's 53-bit mantissa
+    return F.expr("ts div 1000")
+
+
+US_PER_DAY = 86_400_000_000
+
+
+def _week_key() -> F.Column:
+    """Monotone epoch-week index — pure integer arithmetic (no calendar, no
+    timezone): identical in every engine and session configuration."""
+    return F.expr(f"(ts div 1000) div {US_PER_DAY} div 7").alias("wk")
+
+
+def conversion_funnel(
+    events: DataFrame, stages: tuple[str, ...] = DEFAULT_STAGES
+) -> DataFrame:
+    """Ordered funnel: users reach stage i if their FIRST stage-i event is
+    strictly after their first stage-(i-1) event, cumulatively.
+
+    -> (stage_idx INT, stage STRING, n_users BIGINT, conversion DOUBLE)
+    with conversion relative to stage 0.
+    """
+    firsts = [
+        F.min(F.when(F.col("event_type") == s, _ts_us())).alias(f"t{i}")
+        for i, s in enumerate(stages)
+    ]
+    per_user = events.groupBy("user_id").agg(*firsts)
+
+    reached = F.col("t0").isNotNull()
+    counts = []
+    for i in range(len(stages)):
+        if i > 0:
+            reached = reached & (F.col(f"t{i}") > F.col(f"t{i - 1}"))
+        counts.append(F.count(F.when(reached, F.lit(1))).alias(f"n{i}"))
+    row = per_user.agg(*counts)
+
+    cells = ", ".join(
+        f"{i}, '{s}', n{i}, cast(n{i} as double) / n0" for i, s in enumerate(stages)
+    )
+    return (
+        row.select(
+            F.expr(
+                f"stack({len(stages)}, {cells}) AS "
+                "(stage_idx, stage, n_users, conversion)"
+            )
+        )
+        .withColumn("stage_idx", F.col("stage_idx").cast("int"))
+        .orderBy("stage_idx")
+    )
+
+
+def cohort_retention(events: DataFrame) -> DataFrame:
+    """Weekly cohort retention: users grouped by first-active epoch-week;
+    for each cohort and week-offset, how many were active.
+
+    -> (cohort_week_start_s BIGINT, week_offset INT, n_users BIGINT);
+    ``cohort_week_start_s`` is epoch seconds of the cohort week's start.
+    """
+    am = events.select("user_id", _week_key()).distinct()
+    first = am.groupBy("user_id").agg(F.min("wk").alias("cwk"))
+    j = am.join(first, "user_id")
+    return (
+        j.groupBy("cwk", "wk")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .select(
+            (F.col("cwk") * 7 * 86_400).alias("cohort_week_start_s"),
+            (F.col("wk") - F.col("cwk")).cast("int").alias("week_offset"),
+            "n_users",
+        )
+        .orderBy("cohort_week_start_s", "week_offset")
+    )

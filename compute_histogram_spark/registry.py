@@ -1215,6 +1215,58 @@ def _lsh_oracle(dim: int = 64, n_planes: int = 4, n_tables: int = 8) -> str:
     """
 
 
+@register(
+    "conversion_funnel",
+    """
+    WITH per_user AS (
+        SELECT user_id,
+               min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS t0,
+               min(CASE WHEN event_type = 'click' THEN epoch_us(ts) END) AS t1,
+               min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS t2
+        FROM events GROUP BY user_id
+    ),
+    c AS (
+        SELECT
+            count(CASE WHEN t0 IS NOT NULL THEN 1 END) AS n0,
+            count(CASE WHEN t0 IS NOT NULL AND t1 > t0 THEN 1 END) AS n1,
+            count(CASE WHEN t0 IS NOT NULL AND t1 > t0 AND t2 > t1 THEN 1 END) AS n2
+        FROM per_user
+    )
+    SELECT CAST(0 AS INT) AS stage_idx, 'view' AS stage, n0 AS n_users,
+           CAST(n0 AS DOUBLE) / n0 AS conversion FROM c
+    UNION ALL SELECT 1, 'click', n1, CAST(n1 AS DOUBLE) / n0 FROM c
+    UNION ALL SELECT 2, 'purchase', n2, CAST(n2 AS DOUBLE) / n0 FROM c
+    ORDER BY stage_idx
+    """,
+)
+def q_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from compute_histogram_spark.operators import behavior as BH
+
+    return BH.conversion_funnel(load(spark, sf_dir, "events"))
+
+
+@register(
+    "cohort_retention",
+    """
+    WITH am AS (
+        SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 // 7 AS wk
+        FROM events
+    ),
+    f AS (SELECT user_id, min(wk) AS cwk FROM am GROUP BY user_id)
+    SELECT cwk * 7 * 86400 AS cohort_week_start_s,
+           CAST(wk - cwk AS INT) AS week_offset,
+           count(DISTINCT a.user_id) AS n_users
+    FROM am a JOIN f USING (user_id)
+    GROUP BY cwk, wk
+    ORDER BY cohort_week_start_s, week_offset
+    """,
+)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from compute_histogram_spark.operators import behavior as BH
+
+    return BH.cohort_retention(load(spark, sf_dir, "events"))
+
+
 @register("similarity_topk_lsh", _lsh_oracle())
 def q_similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.cosine_topk_lsh(load(spark, sf_dir, "embeddings"))

@@ -1,0 +1,67 @@
+"""Funnel ordering semantics and weekly cohort retention on tiny synthetic
+events (ts in epoch-nanos BIGINT, matching the nanosAsLong events schema)."""
+
+from pyspark.sql import Row
+
+from compute_histogram_spark.operators import behavior as BH
+
+NS_PER_DAY = 86_400 * 10**9
+
+
+def _ev(uid, etype, day):
+    return Row(user_id=uid, event_type=etype, ts=day * NS_PER_DAY)
+
+
+def test_funnel_requires_strict_stage_order(spark):
+    rows = [
+        # u1: full ordered funnel
+        _ev(1, "view", 1), _ev(1, "click", 2), _ev(1, "purchase", 3),
+        # u2: click BEFORE first view -> reaches only 'view'
+        _ev(2, "click", 1), _ev(2, "view", 2), _ev(2, "purchase", 3),
+        # u3: view only
+        _ev(3, "view", 5),
+        # u4: purchase without view -> reaches nothing
+        _ev(4, "purchase", 1),
+        # u5: view then click, purchase missing
+        _ev(5, "view", 1), _ev(5, "click", 4),
+    ]
+    out = BH.conversion_funnel(spark.createDataFrame(rows)).collect()
+    got = {r["stage"]: (r["n_users"], r["conversion"]) for r in out}
+    assert got["view"] == (4, 1.0)
+    assert got["click"] == (2, 0.5)
+    assert got["purchase"] == (1, 0.25)
+    assert [r["stage_idx"] for r in out] == [0, 1, 2]
+
+
+def test_funnel_uses_first_occurrence_per_stage(spark):
+    # u1's FIRST click (day 1) precedes the first view (day 2); a later
+    # click (day 3) must NOT resurrect the funnel — first-touch semantics
+    rows = [
+        _ev(1, "click", 1), _ev(1, "view", 2), _ev(1, "click", 3),
+        _ev(1, "purchase", 4),
+    ]
+    out = BH.conversion_funnel(spark.createDataFrame(rows)).collect()
+    got = {r["stage"]: r["n_users"] for r in out}
+    assert got == {"view": 1, "click": 0, "purchase": 0}
+
+
+def test_cohort_retention_weekly(spark):
+    rows = [
+        # u1 first active week 0, returns week 1 and 3
+        _ev(1, "view", 1), _ev(1, "click", 8), _ev(1, "view", 22),
+        # u2 first active week 0 only
+        _ev(2, "view", 2),
+        # u3 first active week 1, returns week 2
+        _ev(3, "view", 8), _ev(3, "view", 15),
+    ]
+    out = BH.cohort_retention(spark.createDataFrame(rows)).collect()
+    w0 = 0
+    w1 = 7 * 86_400
+    got = {(r["cohort_week_start_s"], r["week_offset"]): r["n_users"] for r in out}
+    assert got == {
+        (w0, 0): 2,
+        (w0, 1): 1,
+        (w0, 3): 1,
+        (w1, 0): 1,
+        (w1, 1): 1,
+    }
