@@ -1216,6 +1216,90 @@ def _lsh_oracle(dim: int = 64, n_planes: int = 4, n_tables: int = 8) -> str:
 
 
 @register(
+    "split_counts",
+    """
+    WITH s AS (
+        SELECT n_chars,
+               ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                   % 100 AS b
+        FROM documents
+    )
+    SELECT CASE WHEN b < 80 THEN 'train'
+                WHEN b < 90 THEN 'valid'
+                ELSE 'test' END AS split,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars
+    FROM s GROUP BY 1 ORDER BY split
+    """,
+)
+def q_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Deterministic md5-bucket split (operators/pipeline.py): identical
+    # assignment in every engine/run — the anti-leakage property itself is
+    # what the oracle verifies (same docs land in the same split).
+    from compute_histogram_spark.operators import pipeline as PL
+
+    return (
+        PL.split_assign(load(spark, sf_dir, "documents"))
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        )
+        .orderBy("split")
+    )
+
+
+@register(
+    "lang_capped_sample",
+    """
+    WITH r AS (
+        SELECT doc_id, lang,
+               row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+        FROM documents
+    )
+    SELECT doc_id, lang FROM r WHERE rn <= 30 ORDER BY doc_id
+    """,
+)
+def q_lang_capped_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from compute_histogram_spark.operators import pipeline as PL
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    return PL.cap_per_group(docs, "lang", cap=30).orderBy("doc_id")
+
+
+@register(
+    "doc_chunks",
+    """
+    WITH d AS (
+        SELECT doc_id, string_split(text, ' ') AS toks,
+               len(string_split(text, ' ')) AS n
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, toks, n,
+               unnest(generate_series(
+                   0, greatest(1, ceil((n - 64) / 48.0)::INT + 1) - 1
+               )) AS chunk_id
+        FROM d
+    )
+    SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+           CAST(chunk_id * 48 AS INT) AS start_tok,
+           CAST(least(64, n - chunk_id * 48) AS INT) AS n_chunk_tokens,
+           array_to_string(
+               list_slice(toks, chunk_id * 48 + 1, chunk_id * 48 + 64), ' '
+           ) AS chunk_text
+    FROM c ORDER BY doc_id, chunk_id
+    """,
+)
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from compute_histogram_spark.operators import pipeline as PL
+
+    return PL.chunk_documents(load(spark, sf_dir, "documents")).orderBy(
+        "doc_id", "chunk_id"
+    )
+
+
+@register(
     "conversion_funnel",
     """
     WITH per_user AS (

@@ -1,0 +1,77 @@
+"""Training-data pipeline primitives: split determinism, cap semantics,
+chunk boundary math."""
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from compute_histogram_spark.operators import pipeline as PL
+from compute_histogram_spark.sources.tables import load
+
+
+def test_split_assign_is_deterministic_and_partitioned(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    a = {r["doc_id"]: r["split"] for r in PL.split_assign(docs).collect()}
+    b = {r["doc_id"]: r["split"] for r in PL.split_assign(docs).collect()}
+    assert a == b  # rerun-stable: a doc can never migrate across splits
+    assert set(a.values()) <= {"train", "valid", "test"}
+    n = len(a)
+    train = sum(1 for v in a.values() if v == "train")
+    # md5 buckets are uniform; 80% +- generous slack for 500 docs
+    assert 0.7 * n <= train <= 0.9 * n
+
+
+def test_split_assign_survives_subsetting(spark, sf_dir):
+    # assignment is a pure function of doc_id: filtering the corpus first
+    # must not change any surviving doc's split (no leakage on re-curation)
+    docs = load(spark, sf_dir, "documents")
+    full = {r["doc_id"]: r["split"] for r in PL.split_assign(docs).collect()}
+    sub = {
+        r["doc_id"]: r["split"]
+        for r in PL.split_assign(docs.where("doc_id % 3 = 0")).collect()
+    }
+    assert all(full[k] == v for k, v in sub.items())
+
+
+def test_cap_per_group_keeps_first_n(spark):
+    rows = [Row(doc_id=i, lang="en" if i < 7 else "fr") for i in range(10)]
+    out = PL.cap_per_group(spark.createDataFrame(rows), "lang", cap=3).collect()
+    by_lang = {}
+    for r in out:
+        by_lang.setdefault(r["lang"], []).append(r["doc_id"])
+    assert sorted(by_lang["en"]) == [0, 1, 2]  # first 3 by doc_id
+    assert sorted(by_lang["fr"]) == [7, 8, 9]  # group smaller than cap -> all
+
+
+@pytest.mark.parametrize(
+    "n_toks,expect_chunks",
+    [(1, 1), (64, 1), (65, 2), (112, 2), (113, 3)],
+)
+def test_chunk_count_boundaries(spark, n_toks, expect_chunks):
+    text = " ".join(f"t{i}" for i in range(n_toks))
+    df = spark.createDataFrame([Row(doc_id=1, text=text)])
+    out = PL.chunk_documents(df, chunk_tokens=64, overlap=16).collect()
+    assert len(out) == expect_chunks
+    # full coverage: last chunk reaches the final token
+    last = max(out, key=lambda r: r["chunk_id"])
+    assert last["start_tok"] + last["n_chunk_tokens"] == n_toks
+
+
+def test_chunks_overlap_and_reconstruct(spark):
+    toks = [f"w{i}" for i in range(150)]
+    df = spark.createDataFrame([Row(doc_id=1, text=" ".join(toks))])
+    out = sorted(
+        PL.chunk_documents(df, chunk_tokens=64, overlap=16).collect(),
+        key=lambda r: r["chunk_id"],
+    )
+    for r in out:
+        got = r["chunk_text"].split(" ")
+        assert got == toks[r["start_tok"] : r["start_tok"] + r["n_chunk_tokens"]]
+    # consecutive chunks share exactly `overlap` tokens (except a short tail)
+    for a, b in zip(out, out[1:]):
+        assert b["start_tok"] == a["start_tok"] + 48
+
+
+def test_chunk_documents_rejects_bad_overlap(spark):
+    df = spark.createDataFrame([Row(doc_id=1, text="a b c")])
+    with pytest.raises(ValueError):
+        PL.chunk_documents(df, chunk_tokens=32, overlap=32)
