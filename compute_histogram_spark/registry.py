@@ -1351,6 +1351,37 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return BH.cohort_retention(load(spark, sf_dir, "events"))
 
 
+@register(
+    "cluster_doc_stats",
+    """
+    SELECT e.label,
+           count(*) AS n_docs,
+           count(DISTINCT d.lang) AS n_langs,
+           CAST(sum(d.n_chars) AS BIGINT) AS sum_chars,
+           min(d.doc_id) AS min_doc_id
+    FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+    GROUP BY e.label ORDER BY e.label
+    """,
+)
+def q_cluster_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # cross-modal equi-join: the embedding table's cluster label against the
+    # text table's quality columns. Both sides prune to 2-3 columns at scan;
+    # the join shuffles only (vec_id, label) vs (doc_id, lang, n_chars).
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "label")
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    return (
+        emb.join(docs, emb["vec_id"] == docs["doc_id"])
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("lang").alias("n_langs"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+            F.min("doc_id").alias("min_doc_id"),
+        )
+        .orderBy("label")
+    )
+
+
 @register("similarity_topk_lsh", _lsh_oracle())
 def q_similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.cosine_topk_lsh(load(spark, sf_dir, "embeddings"))
