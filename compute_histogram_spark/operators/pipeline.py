@@ -114,3 +114,72 @@ def chunk_documents(
             " ", F.slice("toks", start + 1, F.lit(chunk_tokens))
         ).alias("chunk_text"),
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus hygiene: eval-set decontamination and PII scrubbing
+# ---------------------------------------------------------------------------
+
+# portable regexes: kept inside the syntax subset Java regex (Spark) and
+# RE2 (DuckDB) interpret identically — character classes, +/{m,}, no
+# backrefs, no lookaround
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+LONG_NUMBER_RE = r"[0-9]{9,}"
+
+
+def contamination_report(docs: DataFrame, n: int = 3) -> DataFrame:
+    """Train->test contamination: for each TEST document, how many of its
+    word n-gram shingles also occur in any TRAIN document (and in how many).
+
+    The membership test is an equi-join on md5(shingle) — digests, not
+    shingle strings, are the shuffle key (32-byte keys regardless of
+    shingle length), and both sides arrive hash-partitioned on the digest,
+    so the join is the only data-sized shuffle. Split assignment reuses
+    :func:`split_bucket` — a pure function of doc_id, so the report is
+    consistent with :func:`split_assign` by construction ('valid' docs are
+    in neither side).
+
+    -> (test_doc_id, n_shared_shingles, n_train_docs)
+    """
+    from compute_histogram_spark.operators.dedup import shingle_table
+
+    sh = shingle_table(docs, n=n, distinct=True).select(
+        "doc_id", F.md5("s").alias("h"), split_bucket("doc_id").alias("bk")
+    )
+    train = sh.where(F.col("bk") < 80).select(F.col("doc_id").alias("train_doc"), "h")
+    test = sh.where(F.col("bk") >= 90).select(F.col("doc_id").alias("test_doc_id"), "h")
+    return (
+        test.join(train, "h")
+        .groupBy("test_doc_id")
+        .agg(
+            F.countDistinct("h").alias("n_shared_shingles"),
+            F.countDistinct("train_doc").alias("n_train_docs"),
+        )
+        .orderBy("test_doc_id")
+    )
+
+
+def scrub_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Redact emails and long digit runs; report per-doc match counts.
+
+    Pure JVM-side regexp expressions (whole-stage codegen, no Python) —
+    emails first, then digit runs (the '<EMAIL>' token contains no digits,
+    so the passes are order-independent on the redacted text).
+
+    -> (doc_id, n_emails, n_long_numbers, clean_md5) — the digest stands in
+    for the cleaned text so downstream equality checks stay 32 bytes/row.
+    """
+    t = F.col(text_col)
+    clean = F.regexp_replace(
+        F.regexp_replace(t, EMAIL_RE, "<EMAIL>"), LONG_NUMBER_RE, "<NUM>"
+    )
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(text_col, F.lit(EMAIL_RE), F.lit(0))).alias(
+            "n_emails"
+        ),
+        F.size(
+            F.regexp_extract_all(text_col, F.lit(LONG_NUMBER_RE), F.lit(0))
+        ).alias("n_long_numbers"),
+        F.md5(clean).alias("clean_md5"),
+    ).orderBy("doc_id")

@@ -1300,6 +1300,54 @@ def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "contamination_report",
+    f"""
+    WITH {{shingles}},
+    bk AS (
+        SELECT doc_id,
+               ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                   % 100 AS b
+        FROM documents
+    ),
+    tr AS (SELECT s.doc_id, md5(s.s) AS h FROM sh s
+           JOIN bk ON s.doc_id = bk.doc_id WHERE bk.b < 80),
+    te AS (SELECT s.doc_id, md5(s.s) AS h FROM sh s
+           JOIN bk ON s.doc_id = bk.doc_id WHERE bk.b >= 90)
+    SELECT te.doc_id AS test_doc_id,
+           count(DISTINCT te.h) AS n_shared_shingles,
+           count(DISTINCT tr.doc_id) AS n_train_docs
+    FROM te JOIN tr ON te.h = tr.h
+    GROUP BY te.doc_id ORDER BY test_doc_id
+    """.format(shingles=_SHINGLE_CTES.strip().rstrip()),
+)
+def q_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from compute_histogram_spark.operators import pipeline as PL
+
+    return PL.contamination_report(load(spark, sf_dir, "documents"))
+
+
+@register(
+    "pii_scrub",
+    """
+    SELECT doc_id,
+           len(regexp_extract_all(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_emails,
+           len(regexp_extract_all(text, '[0-9]{9,}')) AS n_long_numbers,
+           md5(regexp_replace(
+               regexp_replace(text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                   '<EMAIL>', 'g'),
+               '[0-9]{9,}', '<NUM>', 'g')) AS clean_md5
+    FROM documents ORDER BY doc_id
+    """,
+)
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from compute_histogram_spark.operators import pipeline as PL
+
+    return PL.scrub_pii(load(spark, sf_dir, "documents"))
+
+
+@register(
     "conversion_funnel",
     """
     WITH per_user AS (

@@ -75,3 +75,54 @@ def test_chunk_documents_rejects_bad_overlap(spark):
     df = spark.createDataFrame([Row(doc_id=1, text="a b c")])
     with pytest.raises(ValueError):
         PL.chunk_documents(df, chunk_tokens=32, overlap=32)
+
+
+def test_scrub_pii_redacts_and_counts(spark):
+    rows = [
+        Row(doc_id=1, text="mail me at jo.doe+x@site.co.uk or 123456789012"),
+        Row(doc_id=2, text="no pii here, just 1234 and a-b@c"),  # too short
+        Row(doc_id=3, text="two mails a@b.io c@d.org"),
+    ]
+    out = {r["doc_id"]: r for r in PL.scrub_pii(spark.createDataFrame(rows)).collect()}
+    assert (out[1]["n_emails"], out[1]["n_long_numbers"]) == (1, 1)
+    assert (out[2]["n_emails"], out[2]["n_long_numbers"]) == (0, 0)
+    assert (out[3]["n_emails"], out[3]["n_long_numbers"]) == (2, 0)
+    # redaction actually changed doc 1 and 3, left doc 2 untouched
+    import hashlib
+
+    assert out[2]["clean_md5"] == hashlib.md5(rows[1].text.encode()).hexdigest()
+    assert out[1]["clean_md5"] == hashlib.md5(
+        b"mail me at <EMAIL> or <NUM>"
+    ).hexdigest()
+
+
+def test_contamination_report_counts_shared_shingles(spark):
+    # engineer ids landing in train (<80) and test (>=90) buckets, with a
+    # known 3-gram overlap between one train/test pair
+    buckets = {}
+    i = 0
+    while len(buckets) < 2 or not (
+        any(b < 80 for b in buckets.values())
+        and any(b >= 90 for b in buckets.values())
+    ):
+        r = (
+            spark.range(i, i + 1)
+            .select(PL.split_bucket("id").alias("b"))
+            .first()
+        )
+        buckets[i] = r["b"]
+        i += 1
+    train_id = next(k for k, v in buckets.items() if v < 80)
+    test_id = next(k for k, v in buckets.items() if v >= 90)
+
+    shared = "alpha beta gamma"
+    rows = [
+        Row(doc_id=train_id, text=f"{shared} delta epsilon"),
+        Row(doc_id=test_id, text=f"intro {shared} outro tail"),
+    ]
+    out = PL.contamination_report(spark.createDataFrame(rows)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["test_doc_id"] == test_id
+    assert r["n_shared_shingles"] == 1  # exactly the engineered 3-gram
+    assert r["n_train_docs"] == 1
