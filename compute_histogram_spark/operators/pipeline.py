@@ -183,3 +183,41 @@ def scrub_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
         ).alias("n_long_numbers"),
         F.md5(clean).alias("clean_md5"),
     ).orderBy("doc_id")
+
+
+def mix_corpus(
+    docs: DataFrame,
+    rates: dict[str, float],
+    default_rate: float = 1.0,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic corpus mixing: per-source sampling rates, including
+    UPSAMPLING (rate > 1 emits floor(rate) copies plus a hash-selected
+    fractional copy — the epoch-weighting scheme of LLM data mixtures).
+
+    Mechanics: every doc gets ``floor(rate)`` guaranteed copies; one extra
+    copy is granted iff the doc's md5 bucket (0-99, same family as
+    :func:`split_bucket`) falls under the fractional part. Copies
+    materialize through ``posexplode(sequence(...))`` — a map-only explode,
+    no shuffle, no rand(): reruns/retries emit the identical mixture.
+    Output carries ``copy_id`` so downstream shuffles can decorrelate
+    repeated documents.
+    """
+    b = split_bucket(id_col)
+    n_copies = F.lit(0)
+    matched = F.lit(False)
+    for src, rate in sorted(rates.items()):
+        whole, frac = int(rate), round((rate - int(rate)) * 100)
+        this = F.lit(whole) + F.when(b < frac, 1).otherwise(0)
+        n_copies = F.when(F.col(source_col) == src, this).otherwise(n_copies)
+        matched = matched | (F.col(source_col) == src)
+    dw, df_ = int(default_rate), round((default_rate - int(default_rate)) * 100)
+    default_copies = F.lit(dw) + F.when(b < df_, 1).otherwise(0)
+    n_copies = F.when(~matched, default_copies).otherwise(n_copies)
+
+    c = docs.withColumn("_n", n_copies).where(F.col("_n") > 0)
+    return c.select(
+        *[x for x in docs.columns],
+        F.posexplode(F.sequence(F.lit(1), F.col("_n"))).alias("_i", "copy_id"),
+    ).drop("_i")

@@ -1348,6 +1348,49 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "corpus_mix_counts",
+    """
+    WITH b AS (
+        SELECT doc_id, source,
+               ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                   % 100 AS bk
+        FROM documents
+    ),
+    n AS (
+        SELECT source,
+               CASE source
+                   WHEN 'src0' THEN 2 + CASE WHEN bk < 50 THEN 1 ELSE 0 END
+                   WHEN 'src1' THEN CASE WHEN bk < 30 THEN 1 ELSE 0 END
+                   WHEN 'src2' THEN 0
+                   ELSE 1
+               END AS nc
+        FROM b
+    )
+    SELECT source, CAST(sum(nc) AS BIGINT) AS n_rows, count(*) AS n_docs_kept
+    FROM n WHERE nc > 0
+    GROUP BY source ORDER BY source
+    """,
+)
+def q_corpus_mix_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # mixture: src0 upsampled 2.5x, src1 downsampled to 0.3, src2 dropped,
+    # everything else passes through at 1.0
+    from compute_histogram_spark.operators import pipeline as PL
+
+    mixed = PL.mix_corpus(
+        load(spark, sf_dir, "documents"),
+        rates={"src0": 2.5, "src1": 0.3, "src2": 0.0},
+    )
+    return (
+        mixed.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("doc_id").alias("n_docs_kept"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
     "conversion_funnel",
     """
     WITH per_user AS (

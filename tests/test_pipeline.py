@@ -126,3 +126,26 @@ def test_contamination_report_counts_shared_shingles(spark):
     assert r["test_doc_id"] == test_id
     assert r["n_shared_shingles"] == 1  # exactly the engineered 3-gram
     assert r["n_train_docs"] == 1
+
+
+def test_mix_corpus_upsamples_and_drops(spark):
+    rows = [Row(doc_id=i, source="a" if i < 4 else "b") for i in range(8)]
+    out = PL.mix_corpus(
+        spark.createDataFrame(rows), rates={"a": 3.0, "b": 0.0}
+    ).collect()
+    # a: exactly 3 copies each (integer rate -> no hash dependence); b: gone
+    assert all(r["source"] == "a" for r in out)
+    per_doc = {}
+    for r in out:
+        per_doc.setdefault(r["doc_id"], []).append(r["copy_id"])
+    assert set(per_doc) == {0, 1, 2, 3}
+    assert all(sorted(v) == [1, 2, 3] for v in per_doc.values())
+
+
+def test_mix_corpus_fractional_is_deterministic(spark):
+    rows = [Row(doc_id=i, source="a") for i in range(200)]
+    df = spark.createDataFrame(rows)
+    out1 = sorted(r["doc_id"] for r in PL.mix_corpus(df, rates={"a": 0.5}).collect())
+    out2 = sorted(r["doc_id"] for r in PL.mix_corpus(df, rates={"a": 0.5}).collect())
+    assert out1 == out2  # rerun-identical, never rand()
+    assert 0.35 * 200 <= len(out1) <= 0.65 * 200  # ~half, hash-uniform
