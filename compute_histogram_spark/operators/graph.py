@@ -1,0 +1,72 @@
+"""Connected components over candidate-pair graphs — the cluster-resolution
+step that turns dedup PAIRS (operators/dedup.py emits (doc_id_1, doc_id_2))
+into canonical groups: every document maps to the MIN doc id reachable
+through any chain of near-duplicate links, and keep-one-per-cluster follows.
+
+Algorithm: minimum-label propagation to fixpoint — each round every node
+takes the min of its own label and its neighbors' labels. This is the
+textbook Spark formulation (one equi-join + one groupBy-min per round, both
+shuffling on node id so consecutive rounds reuse the same hash
+partitioning); rounds needed = graph diameter, and near-dup clusters are
+shallow (a handful of rounds). Per round the labels frame is
+``localCheckpoint``-ed: without it the iterative plan nests joins
+exponentially and planning time, not data, becomes the bottleneck — the
+standard Spark-iteration idiom (MLlib does the same). For adversarial
+long-chain graphs the large-star/small-star variant halves rounds; not
+needed for dedup workloads, noted for parity with production CC.
+
+Driver involvement per round is ONE scalar (the changed-label count used
+as the convergence test); labels never leave the cluster.
+
+Non-SQL-expressible in one query (iterative), but DuckDB's recursive CTE
+computes the same min-reachable-label fixpoint for the oracle — so even
+this operator gets a value-exact cross-engine check (registry
+`dedup_clusters`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "doc_id_1",
+    dst: str = "doc_id_2",
+    max_iter: int = 25,
+) -> DataFrame:
+    """-> (node, component) for every node appearing in ``edges``;
+    ``component`` is the smallest node id reachable from ``node``."""
+    a = edges.select(F.col(src).cast("bigint").alias("a"), F.col(dst).cast("bigint").alias("b"))
+    sym = a.union(a.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
+
+    labels = (
+        sym.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("comp", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+
+    for _ in range(max_iter):
+        prop = sym.join(labels, sym["a"] == labels["node"]).select(
+            F.col("b").alias("node"), F.col("comp")
+        )
+        new_labels = (
+            labels.select("node", "comp")
+            .union(prop)
+            .groupBy("node")
+            .agg(F.min("comp").alias("comp"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.comp") != F.col("o.comp"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            return labels.select(
+                "node", F.col("comp").alias("component")
+            ).orderBy("node")
+    raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")

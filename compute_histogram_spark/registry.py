@@ -924,7 +924,9 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.exact_dedup(load(spark, sf_dir, "documents"))
 
 
-def _minhash_oracle(num_hashes: int = 8, rows_per_band: int = 2) -> str:
+def _minhash_pairs_ctes(num_hashes: int = 8, rows_per_band: int = 2) -> str:
+    """CTE chain ending in ``pairs(doc_id_1, doc_id_2)`` — shared by the
+    pair-emitting oracle and the recursive component-resolution oracle."""
     mins = ",\n           ".join(
         f"min(md5('{i}:' || s)) AS mh{i}" for i in range(num_hashes)
     )
@@ -938,8 +940,7 @@ def _minhash_oracle(num_hashes: int = 8, rows_per_band: int = 2) -> str:
             f"SELECT doc_id, {b} AS band_id, md5({members}) AS band_hash FROM mh"
         )
     bands = "\n    UNION ALL ".join(band_selects)
-    return f"""
-    WITH {_SHINGLE_CTES},
+    return f"""{_SHINGLE_CTES},
     mh AS (
         SELECT doc_id,
            {mins}
@@ -947,11 +948,19 @@ def _minhash_oracle(num_hashes: int = 8, rows_per_band: int = 2) -> str:
     ),
     bands AS (
     {bands}
-    )
-    SELECT DISTINCT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2
-    FROM bands a
-    JOIN bands b ON a.band_id = b.band_id AND a.band_hash = b.band_hash
-                AND a.doc_id < b.doc_id
+    ),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2
+        FROM bands a
+        JOIN bands b ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+                    AND a.doc_id < b.doc_id
+    )"""
+
+
+def _minhash_oracle(num_hashes: int = 8, rows_per_band: int = 2) -> str:
+    return f"""
+    WITH {_minhash_pairs_ctes(num_hashes, rows_per_band)}
+    SELECT doc_id_1, doc_id_2 FROM pairs
     ORDER BY doc_id_1, doc_id_2
     """
 
@@ -980,6 +989,34 @@ def q_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("dedup_minhash", _minhash_oracle())
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.minhash_candidates(load(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_clusters",
+    f"""
+    WITH RECURSIVE {_minhash_pairs_ctes()},
+    e AS (
+        SELECT doc_id_1 AS a, doc_id_2 AS b FROM pairs
+        UNION SELECT doc_id_2, doc_id_1 FROM pairs
+    ),
+    reach(node, r) AS (
+        SELECT a, a FROM e
+        UNION
+        SELECT e.b, reach.r FROM e JOIN reach ON e.a = reach.node
+    )
+    SELECT node, min(r) AS component FROM reach
+    GROUP BY node ORDER BY node
+    """,
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # pair -> cluster resolution (operators/graph.py): min-label propagation
+    # to fixpoint over the minhash candidate graph. The oracle computes the
+    # same min-reachable-label fixpoint with a recursive CTE — a value-exact
+    # cross-engine check for a genuinely iterative operator.
+    from compute_histogram_spark.operators import graph as G
+
+    pairs = DD.minhash_candidates(load(spark, sf_dir, "documents"))
+    return G.connected_components(pairs)
 
 
 @register(
