@@ -1,5 +1,5 @@
 """User-behavior analytics over the events table: ordered conversion
-funnels and monthly cohort retention.
+funnels and weekly cohort retention.
 
 Both reuse the engine's transform -> bucket -> count shape (SURVEY §2.2
 A5-A9) with the user as the bucketing key:
@@ -26,12 +26,9 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from compute_histogram_spark.operators.windows import ts_micros
+
 DEFAULT_STAGES = ("view", "click", "purchase")
-
-
-def _ts_us() -> F.Column:
-    # integer div, never float: 1.7e18 nanos exceeds double's 53-bit mantissa
-    return F.expr("ts div 1000")
 
 
 US_PER_DAY = 86_400_000_000
@@ -53,7 +50,7 @@ def conversion_funnel(
     with conversion relative to stage 0.
     """
     firsts = [
-        F.min(F.when(F.col("event_type") == s, _ts_us())).alias(f"t{i}")
+        F.min(F.when(F.col("event_type") == s, ts_micros())).alias(f"t{i}")
         for i, s in enumerate(stages)
     ]
     per_user = events.groupBy("user_id").agg(*firsts)
@@ -92,8 +89,12 @@ def cohort_retention(events: DataFrame) -> DataFrame:
     first = am.groupBy("user_id").agg(F.min("wk").alias("cwk"))
     j = am.join(first, "user_id")
     return (
+        # `am` is distinct on (user_id, wk) and cwk is a function of
+        # user_id, so each user appears exactly once per (cwk, wk) group —
+        # a plain count IS the distinct-user count, without the extra
+        # distinct-aggregation pass countDistinct would plan
         j.groupBy("cwk", "wk")
-        .agg(F.countDistinct("user_id").alias("n_users"))
+        .agg(F.count(F.lit(1)).alias("n_users"))
         .select(
             (F.col("cwk") * 7 * 86_400).alias("cohort_week_start_s"),
             (F.col("wk") - F.col("cwk")).cast("int").alias("week_offset"),

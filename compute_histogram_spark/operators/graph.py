@@ -38,7 +38,14 @@ def connected_components(
     """-> (node, component) for every node appearing in ``edges``;
     ``component`` is the smallest node id reachable from ``node``."""
     a = edges.select(F.col(src).cast("bigint").alias("a"), F.col(dst).cast("bigint").alias("b"))
-    sym = a.union(a.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
+    # materialize the symmetrized edge set ONCE: `edges` is typically an
+    # expensive lazy plan (minhash banding + self-join); without this every
+    # propagation round would re-execute that whole lineage
+    sym = (
+        a.union(a.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
 
     labels = (
         sym.select(F.col("a").alias("node"))

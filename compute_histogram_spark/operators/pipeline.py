@@ -30,14 +30,20 @@ from pyspark.sql import Column, DataFrame, Window, functions as F
 SPLITS = ("train", "valid", "test")
 
 
-def split_bucket(id_col: str = "doc_id", buckets: int = 100) -> Column:
-    """Deterministic [0, buckets) bucket from md5 of the id — the first 8
-    hex chars as an integer, mod buckets. Portable to any engine."""
-    return (
-        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
-        .cast("bigint")
-        % buckets
-    )
+def split_bucket(
+    id_col: str = "doc_id", buckets: int = 100, salt: str = ""
+) -> Column:
+    """Deterministic [0, buckets) bucket from md5 of (salt || id) — the
+    first 8 hex chars as an integer, mod buckets. Portable to any engine.
+
+    ``salt`` decorrelates independent decisions made from the same id:
+    every hash-gated pipeline step (split assignment, mix sampling, ...)
+    MUST use a distinct salt, otherwise the decisions are perfectly
+    correlated (e.g. a 0.5-rate mix with the unsalted split hash would keep
+    exactly the bucket<50 docs — all of them 'train', starving eval splits).
+    """
+    key = F.concat(F.lit(salt), F.col(id_col).cast("string"))
+    return F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("bigint") % buckets
 
 
 def split_assign(
@@ -163,23 +169,25 @@ def scrub_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Redact emails and long digit runs; report per-doc match counts.
 
     Pure JVM-side regexp expressions (whole-stage codegen, no Python) —
-    emails first, then digit runs (the '<EMAIL>' token contains no digits,
-    so the passes are order-independent on the redacted text).
+    emails first, then digit runs. ``n_long_numbers`` counts matches on the
+    EMAIL-REDACTED text (not the raw text) so the reported counts equal the
+    number of '<NUM>' substitutions actually applied — a digit run inside
+    an email address is consumed by the email pass, counted once as an
+    email, never double-reported.
 
     -> (doc_id, n_emails, n_long_numbers, clean_md5) — the digest stands in
     for the cleaned text so downstream equality checks stay 32 bytes/row.
     """
     t = F.col(text_col)
-    clean = F.regexp_replace(
-        F.regexp_replace(t, EMAIL_RE, "<EMAIL>"), LONG_NUMBER_RE, "<NUM>"
-    )
+    no_email = F.regexp_replace(t, EMAIL_RE, "<EMAIL>")
+    clean = F.regexp_replace(no_email, LONG_NUMBER_RE, "<NUM>")
     return docs.select(
         "doc_id",
         F.size(F.regexp_extract_all(text_col, F.lit(EMAIL_RE), F.lit(0))).alias(
             "n_emails"
         ),
         F.size(
-            F.regexp_extract_all(text_col, F.lit(LONG_NUMBER_RE), F.lit(0))
+            F.regexp_extract_all(no_email, F.lit(LONG_NUMBER_RE), F.lit(0))
         ).alias("n_long_numbers"),
         F.md5(clean).alias("clean_md5"),
     ).orderBy("doc_id")
@@ -202,9 +210,12 @@ def mix_corpus(
     materialize through ``posexplode(sequence(...))`` — a map-only explode,
     no shuffle, no rand(): reruns/retries emit the identical mixture.
     Output carries ``copy_id`` so downstream shuffles can decorrelate
-    repeated documents.
+    repeated documents. The fractional gate hashes with a 'mix:' salt so
+    sampling decisions are INDEPENDENT of train/valid/test assignment
+    (which uses the unsalted hash) — without the salt, any rate < 0.8 would
+    keep only bucket<80 ('train') docs and starve the eval splits.
     """
-    b = split_bucket(id_col)
+    b = split_bucket(id_col, salt="mix:")
     n_copies = F.lit(0)
     matched = F.lit(False)
     for src, rate in sorted(rates.items()):

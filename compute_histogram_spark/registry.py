@@ -1366,16 +1366,19 @@ def q_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "pii_scrub",
     """
+    WITH ne AS (
+        SELECT doc_id, text,
+               regexp_replace(text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                   '<EMAIL>', 'g') AS no_email
+        FROM documents
+    )
     SELECT doc_id,
            len(regexp_extract_all(text,
                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_emails,
-           len(regexp_extract_all(text, '[0-9]{9,}')) AS n_long_numbers,
-           md5(regexp_replace(
-               regexp_replace(text,
-                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
-                   '<EMAIL>', 'g'),
-               '[0-9]{9,}', '<NUM>', 'g')) AS clean_md5
-    FROM documents ORDER BY doc_id
+           len(regexp_extract_all(no_email, '[0-9]{9,}')) AS n_long_numbers,
+           md5(regexp_replace(no_email, '[0-9]{9,}', '<NUM>', 'g')) AS clean_md5
+    FROM ne ORDER BY doc_id
     """,
 )
 def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1389,8 +1392,8 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH b AS (
         SELECT doc_id, source,
-               ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
-                   % 100 AS bk
+               ('0x' || substring(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 8))
+                   ::BIGINT % 100 AS bk
         FROM documents
     ),
     n AS (

@@ -149,3 +149,28 @@ def test_mix_corpus_fractional_is_deterministic(spark):
     out2 = sorted(r["doc_id"] for r in PL.mix_corpus(df, rates={"a": 0.5}).collect())
     assert out1 == out2  # rerun-identical, never rand()
     assert 0.35 * 200 <= len(out1) <= 0.65 * 200  # ~half, hash-uniform
+
+
+def test_scrub_pii_email_digits_not_double_counted(spark):
+    rows = [Row(doc_id=1, text="reach 123456789012@corp.com today")]
+    out = PL.scrub_pii(spark.createDataFrame(rows)).collect()[0]
+    # the digit run is consumed by the email redaction: counted as an
+    # email, NOT also as a long number
+    assert (out["n_emails"], out["n_long_numbers"]) == (1, 0)
+    import hashlib
+
+    assert out["clean_md5"] == hashlib.md5(b"reach <EMAIL> today").hexdigest()
+
+
+def test_mix_sampling_independent_of_split(spark, sf_dir):
+    # the mix gate is salted: a 0.5-rate sample must still contain docs
+    # from every split, not just 'train' (regression: unsalted hash made
+    # mix-kept docs exactly the bucket<50 subset of 'train')
+    docs = load(spark, sf_dir, "documents")
+    src = docs.select("doc_id", F.col("lang").alias("source"), "text")
+    kept = PL.mix_corpus(src, rates={}, default_rate=0.5)
+    splits = {
+        r["split"]
+        for r in PL.split_assign(kept.select("doc_id")).select("split").collect()
+    }
+    assert splits == {"train", "valid", "test"}
