@@ -193,6 +193,35 @@ def scrub_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
     ).orderBy("doc_id")
 
 
+def corpus_checksum(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Order-insensitive corpus fingerprint: SUM over rows of an integer
+    derived from md5(id || ':' || content).
+
+    The workhorse of migration/replication validation at 100 TB: addition
+    is commutative/associative, so the checksum is identical under any
+    partitioning, row order, or engine — two copies of a corpus compare by
+    exchanging ONE row, no sort, no row-level diff. Partial aggregation
+    makes the shuffle one row per partition. (A 64-bit sum over md5-derived
+    32-bit values also catches duplicate-row drift, which XOR would cancel.)
+
+    -> (n_docs BIGINT, checksum BIGINT)
+    """
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col(id_col).cast("string"), F.lit(":"), F.col(text_col))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    return docs.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum(h).alias("checksum")
+    )
+
+
 def mix_corpus(
     docs: DataFrame,
     rates: dict[str, float],

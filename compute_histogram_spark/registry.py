@@ -1388,6 +1388,22 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "corpus_checksum",
+    """
+    SELECT count(*) AS n_docs,
+           CAST(sum(('0x' || substring(
+               md5(CAST(doc_id AS VARCHAR) || ':' || text), 1, 8))::BIGINT)
+             AS BIGINT) AS checksum
+    FROM documents
+    """,
+)
+def q_corpus_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from compute_histogram_spark.operators import pipeline as PL
+
+    return PL.corpus_checksum(load(spark, sf_dir, "documents"))
+
+
+@register(
     "corpus_mix_counts",
     """
     WITH b AS (

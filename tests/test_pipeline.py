@@ -174,3 +174,15 @@ def test_mix_sampling_independent_of_split(spark, sf_dir):
         for r in PL.split_assign(kept.select("doc_id")).select("split").collect()
     }
     assert splits == {"train", "valid", "test"}
+
+
+def test_corpus_checksum_order_and_partition_invariant(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    base = PL.corpus_checksum(docs).collect()[0]
+    shuffled = PL.corpus_checksum(docs.repartition(17).orderBy(F.desc("doc_id"))).collect()[0]
+    assert (base["n_docs"], base["checksum"]) == (shuffled["n_docs"], shuffled["checksum"])
+    # any single-row content change must move the checksum
+    tweaked = docs.withColumn(
+        "text", F.when(F.col("doc_id") == 0, F.concat(F.col("text"), F.lit("!"))).otherwise(F.col("text"))
+    )
+    assert PL.corpus_checksum(tweaked).collect()[0]["checksum"] != base["checksum"]
