@@ -107,3 +107,38 @@ def approx_quantiles(df: DataFrame, col: str, probs: list[float], accuracy: int 
         .select(F.col("pq.p").alias("p"), F.col("pq.q").cast("double").alias("q"))
         .orderBy("p")
     )
+
+
+def equi_depth_histogram(
+    df: DataFrame,
+    col: str,
+    id_col: str,
+    buckets: int = 10,
+) -> DataFrame:
+    """Equi-DEPTH histogram: buckets hold ~equal row counts; edges are data
+    quantiles — the complement of the reference's equi-width binning (A5).
+
+    ``ntile`` over (value, id) gives exact, deterministic bucket membership
+    (the id tie-break pins rows with equal values to the same bucket in
+    every engine). The global ordered window is a single-partition sort —
+    fine into the millions; the 100 TB path replaces the window with
+    ``approx_percentile`` cut points and a ``width_bucket``-style bucket
+    join, trading exactness for full parallelism (same output schema).
+
+    -> (bucket INT, n_rows BIGINT, min_value DOUBLE, max_value DOUBLE)
+    """
+    c = F.col(col)
+    w = Window.orderBy(F.asc(col), F.asc(id_col))
+    t = df.where(c.isNotNull() & ~F.isnan(c)).select(
+        c.alias("v"), F.ntile(buckets).over(w).alias("bucket")
+    )
+    return (
+        t.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("v").alias("min_value"),
+            F.max("v").alias("max_value"),
+        )
+        .select(F.col("bucket").cast("int").alias("bucket"), "n_rows", "min_value", "max_value")
+        .orderBy("bucket")
+    )

@@ -286,6 +286,25 @@ def q_quantiles_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "equi_depth_histogram",
+    """
+    WITH t AS (
+        SELECT value AS v,
+               ntile(10) OVER (ORDER BY value, event_id) AS bucket
+        FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+    )
+    SELECT CAST(bucket AS INT) AS bucket, count(*) AS n_rows,
+           min(v) AS min_value, max(v) AS max_value
+    FROM t GROUP BY bucket ORDER BY bucket
+    """,
+)
+def q_equi_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.equi_depth_histogram(
+        load(spark, sf_dir, "events"), "value", "event_id"
+    )
+
+
+@register(
     "distinct_users",
     """
     SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users

@@ -186,3 +186,27 @@ def test_corpus_checksum_order_and_partition_invariant(spark, sf_dir):
         "text", F.when(F.col("doc_id") == 0, F.concat(F.col("text"), F.lit("!"))).otherwise(F.col("text"))
     )
     assert PL.corpus_checksum(tweaked).collect()[0]["checksum"] != base["checksum"]
+
+
+def test_bloom_novelty_gate_properties(spark):
+    import pyspark.sql.functions as SF
+
+    seen = spark.range(0, 1000).select(
+        SF.sha2(SF.col("id").cast("string"), 256).alias("digest")
+    )
+    bloom = PL.build_bloom(seen, n_bits=1 << 17, k_hashes=5)
+    # partition layout must not change the filter (partial/final OR merge)
+    bloom7 = PL.build_bloom(seen.repartition(7), n_bits=1 << 17, k_hashes=5)
+    assert bloom == bloom7
+
+    # no false negatives: every seen digest flags maybe_seen
+    flagged = PL.novelty_gate(seen, bloom, n_bits=1 << 17, k_hashes=5)
+    assert flagged.where("NOT maybe_seen").count() == 0
+
+    # false-positive rate on 1000 genuinely-new digests stays near theory
+    # (~1% at 17 bits/item, k=5; generous 5% ceiling for flake-resistance)
+    fresh = spark.range(50_000, 51_000).select(
+        SF.sha2(SF.col("id").cast("string"), 256).alias("digest")
+    )
+    fp = PL.novelty_gate(fresh, bloom, n_bits=1 << 17, k_hashes=5)
+    assert fp.where("maybe_seen").count() <= 50
