@@ -77,3 +77,75 @@ def connected_components(
                 "node", F.col("comp").alias("component")
             ).orderBy("node")
     raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
+
+
+def connected_components_star(
+    edges: DataFrame,
+    src: str = "doc_id_1",
+    dst: str = "doc_id_2",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Alternating large-star/small-star connected components (Kiveris et
+    al., "Connected Components in MapReduce and Beyond", SoCC'14 — public
+    algorithm): converges in O(log diameter) rounds vs the propagation
+    operator's O(diameter), the variant to reach for on adversarial
+    long-chain graphs. Same contract as :func:`connected_components`.
+
+    - large-star: every node points its LARGER neighbors at the minimum of
+      its neighborhood (incl. itself) — hooks trees onto small labels
+      without creating cycles.
+    - small-star: every node and its smaller neighbors all re-point at the
+      neighborhood minimum — flattens chains into stars.
+
+    Each half-round is one groupBy(min) + one join, both hash-partitioned
+    on the node id. Fixpoint = the directed edge set stops changing (two
+    exceptAll counts — a few scalar jobs per round on the driver).
+    """
+    e = (
+        edges.select(
+            F.col(src).cast("bigint").alias("u"), F.col(dst).cast("bigint").alias("v")
+        )
+        .where(F.col("u") != F.col("v"))
+        .select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )  # orient large -> small
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    for _ in range(max_iter):
+        # large-star on the symmetrized graph
+        sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = sym.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+        large = (
+            sym.join(mins, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # small-star on the (large -> small) directed edges
+        mins2 = large.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            large.join(mins2, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(mins2.select(F.col("u"), F.col("m").alias("v")))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            small.exceptAll(e).limit(1).count() + e.exceptAll(small).limit(1).count()
+        )
+        e = small
+        if changed == 0:
+            comps = e.select(F.col("v").alias("node")).distinct().withColumn(
+                "component", F.col("node")
+            )
+            return (
+                e.select(F.col("u").alias("node"), F.col("v").alias("component"))
+                .union(comps)
+                .distinct()
+                .orderBy("node")
+            )
+    raise RuntimeError(f"star CC did not converge in {max_iter} rounds")

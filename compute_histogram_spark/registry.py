@@ -931,6 +931,37 @@ sh AS (
 
 
 @register(
+    "user_stats",
+    """
+    SELECT user_id, count(*) AS n_events,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) / 100.0
+               AS sum_value,
+           min(value) AS min_value, max(value) AS max_value
+    FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+    GROUP BY user_id ORDER BY user_id
+    """,
+)
+def q_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # batch twin of streaming/stream_ops.py:streaming_user_stats (same
+    # cents-exact accumulation); the streaming form is diffed against this
+    # result in tests/test_streaming.py — registering the batch side gives
+    # the pair a value-exact oracle too.
+    ev = load(spark, sf_dir, "events")
+    v = F.col("value")
+    return (
+        ev.where(v.isNotNull() & ~F.isnan(v))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum(R.cents("value")) / 100.0).alias("sum_value"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
     "dedup_exact",
     """
     SELECT min(doc_id) AS doc_id, count(*) AS n_copies

@@ -55,3 +55,26 @@ def test_cc_handles_high_degree_star(spark):
     got = _cc(spark, pairs)
     assert set(got.values()) == {0}
     assert len(got) == 51
+
+
+def test_star_cc_matches_simple_cc_and_union_find(spark):
+    import random
+
+    rng = random.Random(7)
+    nodes = list(range(0, 400, 3))
+    pairs = [tuple(sorted(rng.sample(nodes, 2))) for _ in range(150)]
+    pairs = [(a, b) for a, b in pairs if a != b]
+    df = spark.createDataFrame([Row(doc_id_1=a, doc_id_2=b) for a, b in pairs])
+    star = {r["node"]: r["component"] for r in G.connected_components_star(df).collect()}
+    assert star == _union_find(pairs)
+    assert star == _cc(spark, pairs)
+
+
+def test_star_cc_long_chain_converges_in_log_rounds(spark):
+    # a 300-link chain has diameter 300: min-label propagation would need
+    # ~300 rounds, far beyond max_iter=20 — star-contraction must finish
+    # within it (O(log d)) and still produce the exact components
+    pairs = [(i, i + 1) for i in range(300)]
+    df = spark.createDataFrame([Row(doc_id_1=a, doc_id_2=b) for a, b in pairs])
+    got = {r["node"]: r["component"] for r in G.connected_components_star(df, max_iter=20).collect()}
+    assert got == {i: 0 for i in range(301)}
