@@ -361,3 +361,70 @@ def priority_year_grouping_sets(orders: DataFrame) -> DataFrame:
         )
         .orderBy("order_year", "o_orderpriority")
     )
+
+
+def local_supplier_revenue(
+    region: DataFrame,
+    nation: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    region_name: str = "REGION0",
+) -> DataFrame:
+    """TPC-H Q5 shape: revenue from orders where customer and supplier sit
+    in the SAME nation, per nation of one region.
+
+    Six-table star: region/nation/customer/supplier all broadcast (each is
+    tiny next to the facts), so the only real shuffle is orders⋈lineitem on
+    orderkey. The customer-supplier co-nationality predicate rides ON the
+    join (c_nationkey = s_nationkey), not as a post-filter — Catalyst
+    pushes it into the broadcast hash join's stream side.
+    """
+    disc_pc = cents("l_extendedprice") * (100 - cents("l_discount"))
+    j = (
+        orders.join(lineitem, orders["o_orderkey"] == lineitem["l_orderkey"])
+        .join(F.broadcast(customer), orders["o_custkey"] == customer["c_custkey"])
+        .join(
+            F.broadcast(supplier),
+            (lineitem["l_suppkey"] == supplier["s_suppkey"])
+            & (customer["c_nationkey"] == supplier["s_nationkey"]),
+        )
+        .join(F.broadcast(nation), customer["c_nationkey"] == nation["n_nationkey"])
+        .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
+        .where(F.col("r_name") == region_name)
+    )
+    return (
+        j.groupBy("n_name")
+        .agg((F.sum(disc_pc) / 10000.0).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("n_name"))
+    )
+
+
+def promo_revenue_share(
+    part: DataFrame,
+    lineitem: DataFrame,
+    start: str = "1997-01-01",
+    end: str = "1997-04-01",
+) -> DataFrame:
+    """TPC-H Q14 shape: fraction of revenue from PROMO parts in a window.
+
+    One broadcast join (part is a dimension) + conditional aggregation —
+    numerator and denominator in a single pass, no second scan. The share
+    divides two exact integer cents*1e2 sums, so the double is identical
+    cross-engine.
+    """
+    li = lineitem.where(
+        (F.col("l_shipdate") >= F.lit(start).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(end).cast("timestamp"))
+    )
+    disc_pc = cents("l_extendedprice") * (100 - cents("l_discount"))
+    j = li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+    return j.agg(
+        (
+            F.sum(F.when(F.col("p_type") == "PROMO", disc_pc).otherwise(F.lit(0)))
+            * 100.0
+            / F.sum(disc_pc)
+        ).alias("promo_pct"),
+        (F.sum(disc_pc) / 10000.0).alias("total_revenue"),
+    )

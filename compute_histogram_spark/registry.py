@@ -452,6 +452,60 @@ def q_returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "local_supplier_revenue",
+    """
+    SELECT n.n_name,
+           CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+                AS BIGINT) / 10000.0 AS revenue
+    FROM orders o
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                   AND c.c_nationkey = s.s_nationkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+    GROUP BY n.n_name
+    ORDER BY revenue DESC, n.n_name
+    """,
+)
+def q_local_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.local_supplier_revenue(
+        load(spark, sf_dir, "region"),
+        load(spark, sf_dir, "nation"),
+        load(spark, sf_dir, "customer"),
+        load(spark, sf_dir, "supplier"),
+        load(spark, sf_dir, "orders"),
+        load(spark, sf_dir, "lineitem"),
+        region_name="ASIA",
+    )
+
+
+@register(
+    "promo_revenue_share",
+    """
+    WITH j AS (
+        SELECT CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                   * (100 - CAST(round(l.l_discount * 100) AS BIGINT)) AS pc,
+               p.p_type
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l.l_shipdate <  TIMESTAMP '1997-04-01'
+    )
+    SELECT CAST(sum(CASE WHEN p_type = 'PROMO' THEN pc ELSE 0 END) AS BIGINT)
+               * 100.0 / CAST(sum(pc) AS BIGINT) AS promo_pct,
+           CAST(sum(pc) AS BIGINT) / 10000.0 AS total_revenue
+    FROM j
+    """,
+)
+def q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.promo_revenue_share(
+        load(spark, sf_dir, "part"), load(spark, sf_dir, "lineitem")
+    )
+
+
+@register(
     "priority_year_grouping_sets",
     """
     SELECT coalesce(CAST(order_year AS VARCHAR), 'ALL') AS order_year,

@@ -165,3 +165,38 @@ def test_simhash_identical_texts_collide(spark, texts):
     for i in range(n):
         assert sig[i] == sig[i + n]
         assert 0 <= sig[i] < 2**16
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    n_toks=st.integers(min_value=1, max_value=300),
+    chunk=st.integers(min_value=2, max_value=64),
+    data=st.data(),
+)
+def test_chunking_covers_every_token_exactly(spark, n_toks, chunk, data):
+    from compute_histogram_spark.operators import pipeline as PL
+
+    overlap = data.draw(st.integers(min_value=0, max_value=chunk - 1))
+    toks = [f"t{i}" for i in range(n_toks)]
+    df = spark.createDataFrame([Row(doc_id=1, text=" ".join(toks))])
+    out = sorted(
+        PL.chunk_documents(df, chunk_tokens=chunk, overlap=overlap).collect(),
+        key=lambda r: r["chunk_id"],
+    )
+    stride = chunk - overlap
+    # starts form the exact arithmetic progression; windows tile [0, n)
+    assert [r["start_tok"] for r in out] == [i * stride for i in range(len(out))]
+    assert out[-1]["start_tok"] + out[-1]["n_chunk_tokens"] == n_toks
+    if len(out) > 1:
+        assert out[-2]["start_tok"] + chunk < n_toks + stride  # no phantom chunk
+    covered = set()
+    for r in out:
+        assert r["chunk_text"].split(" ") == toks[
+            r["start_tok"] : r["start_tok"] + r["n_chunk_tokens"]
+        ]
+        covered.update(range(r["start_tok"], r["start_tok"] + r["n_chunk_tokens"]))
+    assert covered == set(range(n_toks))
