@@ -29,6 +29,7 @@ HEADLINE = [
     "pricing_summary",
     "top_customers",
     "region_revenue",
+    "local_supplier_revenue",
     "shipping_priority",
     "late_order_priority",
     "histogram_incremental",

@@ -12,7 +12,7 @@ integer-derived arithmetic.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from compute_histogram_spark.functions.texthash import tokens
 from compute_histogram_spark.sources.tables import ensure_parallelism
@@ -153,4 +153,25 @@ def normalize_text(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
     return docs.withColumns(
         {"norm_text": norm, "norm_len": F.length(norm)}
+    )
+
+
+def top_tokens_per_lang(docs: DataFrame, k: int = 5) -> DataFrame:
+    """Per-language token frequency top-k: explode -> count per (lang,
+    token) -> row_number window per lang. The rank<=k filter is recognized
+    by Catalyst's WindowGroupLimit, so each shuffle partition keeps only
+    its local top-k before the window sorts — no full per-lang sort at scale.
+    """
+    docs = ensure_parallelism(docs)
+    counts = (
+        docs.select("lang", F.explode(tokens("text")).alias("token"))
+        .groupBy("lang", "token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("n"), F.asc("token"))
+    return (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("lang", F.col("rnk").cast("int").alias("rnk"), "token", "n")
+        .orderBy("lang", "rnk")
     )

@@ -1867,3 +1867,27 @@ def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.top_tokens(load(spark, sf_dir, "documents"))
+
+
+@register(
+    "top_tokens_per_lang",
+    """
+    WITH c AS (
+        SELECT lang, token, count(*) AS n
+        FROM (SELECT lang, unnest(string_split(text, ' ')) AS token
+              FROM documents)
+        GROUP BY lang, token
+    ),
+    r AS (
+        SELECT lang, token, n,
+               CAST(row_number() OVER (
+                   PARTITION BY lang ORDER BY n DESC, token
+               ) AS INT) AS rnk
+        FROM c
+    )
+    SELECT lang, rnk, token, n FROM r WHERE rnk <= 5
+    ORDER BY lang, rnk
+    """,
+)
+def q_top_tokens_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TX.top_tokens_per_lang(load(spark, sf_dir, "documents"))
