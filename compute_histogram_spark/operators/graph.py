@@ -101,11 +101,20 @@ def connected_components_star(
     on the node id. Fixpoint = the directed edge set stops changing (two
     exceptAll counts — a few scalar jobs per round on the driver).
     """
+    raw = edges.select(
+        F.col(src).cast("bigint").alias("u"), F.col(dst).cast("bigint").alias("v")
+    )
+    # nodes captured BEFORE dropping self-loops: a node whose only edge is
+    # (x, x) must still appear in the output (contract parity with
+    # connected_components, which keeps it via its symmetrize path)
+    nodes = (
+        raw.select(F.col("u").alias("node"))
+        .union(raw.select(F.col("v").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     e = (
-        edges.select(
-            F.col(src).cast("bigint").alias("u"), F.col(dst).cast("bigint").alias("v")
-        )
-        .where(F.col("u") != F.col("v"))
+        raw.where(F.col("u") != F.col("v"))
         .select(
             F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
         )  # orient large -> small
@@ -123,6 +132,8 @@ def connected_components_star(
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .where(F.col("u") != F.col("v"))
             .distinct()
+            # consumed twice (mins2 and the small join): materialize once
+            .localCheckpoint(eager=True)
         )
         # small-star on the (large -> small) directed edges
         mins2 = large.groupBy("u").agg(F.min("v").alias("m"))
@@ -139,13 +150,16 @@ def connected_components_star(
         )
         e = small
         if changed == 0:
-            comps = e.select(F.col("v").alias("node")).distinct().withColumn(
-                "component", F.col("node")
+            # every node: its star label if it has one, else itself
+            # (component minima and isolated/self-loop-only nodes)
+            labeled = e.select(
+                F.col("u").alias("node"), F.col("v").alias("component")
             )
             return (
-                e.select(F.col("u").alias("node"), F.col("v").alias("component"))
-                .union(comps)
-                .distinct()
+                nodes.join(labeled, "node", "left")
+                .select(
+                    "node", F.coalesce("component", F.col("node")).alias("component")
+                )
                 .orderBy("node")
             )
     raise RuntimeError(f"star CC did not converge in {max_iter} rounds")

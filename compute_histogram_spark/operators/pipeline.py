@@ -204,7 +204,12 @@ def corpus_checksum(
     partitioning, row order, or engine — two copies of a corpus compare by
     exchanging ONE row, no sort, no row-level diff. Partial aggregation
     makes the shuffle one row per partition. (A 64-bit sum over md5-derived
-    32-bit values also catches duplicate-row drift, which XOR would cancel.)
+    values also catches duplicate-row drift, which XOR would cancel.)
+
+    Overflow headroom: per-row values are reduced to 24 bits BEFORE the
+    sum, so an int64 accumulator is exact (no ANSI overflow, no wrap
+    divergence vs DuckDB's HUGEINT) up to 2^63/2^24 ~ 5.5e11 rows — two
+    orders of magnitude beyond a 100 TB document corpus.
 
     -> (n_docs BIGINT, checksum BIGINT)
     """
@@ -212,7 +217,7 @@ def corpus_checksum(
         F.substring(
             F.md5(F.concat(F.col(id_col).cast("string"), F.lit(":"), F.col(text_col))),
             1,
-            8,
+            6,  # 6 hex chars = 24 bits
         ),
         16,
         10,
@@ -250,8 +255,11 @@ def mix_corpus(
     for src, rate in sorted(rates.items()):
         whole, frac = int(rate), round((rate - int(rate)) * 100)
         this = F.lit(whole) + F.when(b < frac, 1).otherwise(0)
-        n_copies = F.when(F.col(source_col) == src, this).otherwise(n_copies)
-        matched = matched | (F.col(source_col) == src)
+        # eqNullSafe: a NULL source must fall through to default_rate, not
+        # poison `matched` into NULL (which would silently DROP the row —
+        # plain == yields NULL, ~NULL is NULL, when(NULL) skips the branch)
+        n_copies = F.when(F.col(source_col).eqNullSafe(src), this).otherwise(n_copies)
+        matched = matched | F.col(source_col).eqNullSafe(src)
     dw, df_ = int(default_rate), round((default_rate - int(default_rate)) * 100)
     default_copies = F.lit(dw) + F.when(b < df_, 1).otherwise(0)
     n_copies = F.when(~matched, default_copies).otherwise(n_copies)
@@ -268,17 +276,19 @@ def mix_corpus(
 # ---------------------------------------------------------------------------
 
 
-def _bloom_probes(k_hashes: int, n_bits: int):
-    import hashlib
-
-    def probes(digest: str):
-        for i in range(k_hashes):
-            yield (
-                int(hashlib.md5(f"{i}:{digest}".encode()).hexdigest()[:15], 16)
-                % n_bits
+def _bloom_positions(digest_col: str, k_hashes: int, n_bits: int) -> Column:
+    """k probe positions as an ARRAY<BIGINT> column — computed JVM-side
+    (xxhash64 with k salts, codegen) so the Python kernels below only do
+    numpy scatter/gather, never per-row hashing."""
+    return F.array(
+        *[
+            F.pmod(
+                F.xxhash64(F.concat(F.lit(f"{i}:"), F.col(digest_col))),
+                F.lit(n_bits),
             )
-
-    return probes
+            for i in range(k_hashes)
+        ]
+    )
 
 
 def build_bloom(
@@ -289,29 +299,28 @@ def build_bloom(
 ) -> bytes:
     """Build a bloom bitmap over a digest column, distributed:
 
-    each partition packs its own bitmap (`mapInPandas`, numpy bit ops) and
-    ships ONE n_bits/8-byte row; the driver ORs the partials — the exact
-    partial/final shape of Spark's own ``stat.bloomFilter``, reimplemented
-    because the JVM object can't be probed from Python executors. Size the
-    filter as ~10 bits/item for ~1% FP at k=5 (n_bits=1<<20 ~ 128 KiB per
-    100k items); the bitmap broadcasts to the probe side inside a closure.
+    probe positions are JVM-computed columns (:func:`_bloom_positions`);
+    each partition scatters its positions into a local bitmap with ONE
+    vectorized numpy assignment and ships a single n_bits/8-byte row; the
+    driver ORs the partials — the exact partial/final shape of Spark's own
+    ``stat.bloomFilter``, reimplemented because the JVM object can't be
+    probed from Python executors. Size the filter at ~10 bits/item for ~1%
+    FP at k=5 (n_bits=1<<20 ~ 128 KiB per 100k items).
     """
     import numpy as np
     import pandas as pd
 
-    probes = _bloom_probes(k_hashes, n_bits)
+    pos = seen.select(
+        F.explode(_bloom_positions(digest_col, k_hashes, n_bits)).alias("p")
+    )
 
     def pack(batches):
         bits = np.zeros(n_bits, dtype=bool)
         for pdf in batches:
-            for d in pdf[digest_col]:
-                for p in probes(d):
-                    bits[p] = True
+            bits[pdf["p"].to_numpy()] = True  # vectorized scatter
         yield pd.DataFrame({"bm": [np.packbits(bits).tobytes()]})
 
-    partials = seen.select(digest_col).mapInPandas(pack, "bm binary").collect()
-    import numpy as np  # noqa: F811 — driver side
-
+    partials = pos.mapInPandas(pack, "bm binary").collect()
     acc = np.zeros(n_bits // 8, dtype=np.uint8)
     for r in partials:
         acc |= np.frombuffer(r["bm"], dtype=np.uint8)
@@ -327,7 +336,8 @@ def novelty_gate(
 ) -> DataFrame:
     """Flag each incoming doc as ``maybe_seen`` by probing the broadcast
     bloom bitmap — NO join, no shuffle: the 100 TB corpus is represented by
-    a KB-MB bitmap riding in the UDF closure. Guarantee: a digest that WAS
+    a KB-MB bitmap riding in the UDF closure, and the probe is a vectorized
+    numpy gather over JVM-computed positions. Guarantee: a digest that WAS
     in the seen set always flags True (no false negatives — dedup can't
     miss); a fresh digest flags True with ~FP-rate probability, so the gate
     is a cheap prefilter in front of the exact (anti-join) check, which
@@ -337,15 +347,15 @@ def novelty_gate(
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
-    bm = np.frombuffer(bloom, dtype=np.uint8)
-    probes = _bloom_probes(k_hashes, n_bits)
+    bits = np.unpackbits(np.frombuffer(bloom, dtype=np.uint8)).astype(bool)
 
-    def _kernel(ds):
-        out = []
-        for d in ds:
-            out.append(all(bm[p >> 3] & (0x80 >> (p & 7)) for p in probes(d)))
-        return pd.Series(out)
+    def _kernel(ps):
+        m = np.stack(ps.to_numpy())  # [batch, k] int64
+        return pd.Series(bits[m].all(axis=1))
 
     return new_docs.withColumn(
-        "maybe_seen", pandas_udf(_kernel, "boolean")(F.col(digest_col))
+        "maybe_seen",
+        pandas_udf(_kernel, "boolean")(
+            _bloom_positions(digest_col, k_hashes, n_bits)
+        ),
     )

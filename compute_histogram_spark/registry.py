@@ -1442,8 +1442,8 @@ def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "contamination_report",
-    f"""
-    WITH {{shingles}},
+    """
+    WITH {shingles},
     bk AS (
         SELECT doc_id,
                ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
@@ -1459,7 +1459,7 @@ def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(DISTINCT tr.doc_id) AS n_train_docs
     FROM te JOIN tr ON te.h = tr.h
     GROUP BY te.doc_id ORDER BY test_doc_id
-    """.format(shingles=_SHINGLE_CTES.strip().rstrip()),
+    """.format(shingles=_SHINGLE_CTES.strip()),
 )
 def q_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from compute_histogram_spark.operators import pipeline as PL
@@ -1496,7 +1496,7 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT count(*) AS n_docs,
            CAST(sum(('0x' || substring(
-               md5(CAST(doc_id AS VARCHAR) || ':' || text), 1, 8))::BIGINT)
+               md5(CAST(doc_id AS VARCHAR) || ':' || text), 1, 6))::BIGINT)
              AS BIGINT) AS checksum
     FROM documents
     """,

@@ -78,3 +78,14 @@ def test_star_cc_long_chain_converges_in_log_rounds(spark):
     df = spark.createDataFrame([Row(doc_id_1=a, doc_id_2=b) for a, b in pairs])
     got = {r["node"]: r["component"] for r in G.connected_components_star(df, max_iter=20).collect()}
     assert got == {i: 0 for i in range(301)}
+
+
+def test_star_cc_keeps_self_loop_only_nodes(spark):
+    pairs = [(1, 2), (7, 7)]
+    df = spark.createDataFrame([Row(doc_id_1=a, doc_id_2=b) for a, b in pairs])
+    got = {r["node"]: r["component"] for r in G.connected_components_star(df).collect()}
+    assert got == {1: 1, 2: 1, 7: 7}
+    # contract parity with the propagation operator
+    assert got == {
+        r["node"]: r["component"] for r in G.connected_components(df).collect()
+    }

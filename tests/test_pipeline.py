@@ -210,3 +210,19 @@ def test_bloom_novelty_gate_properties(spark):
     )
     fp = PL.novelty_gate(fresh, bloom, n_bits=1 << 17, k_hashes=5)
     assert fp.where("maybe_seen").count() <= 50
+
+
+def test_mix_corpus_null_source_gets_default_rate(spark):
+    rows = [
+        Row(doc_id=1, source="a"),
+        Row(doc_id=2, source=None),
+        Row(doc_id=3, source=None),
+    ]
+    out = PL.mix_corpus(
+        spark.createDataFrame(rows), rates={"a": 2.0}, default_rate=1.0
+    ).collect()
+    got = {}
+    for r in out:
+        got[r["doc_id"]] = got.get(r["doc_id"], 0) + 1
+    # NULL source rows must pass through at default_rate, never vanish
+    assert got == {1: 2, 2: 1, 3: 1}
