@@ -102,3 +102,31 @@ def cohort_retention(events: DataFrame) -> DataFrame:
         )
         .orderBy("cohort_week_start_s", "week_offset")
     )
+
+
+def event_transitions(events: DataFrame) -> DataFrame:
+    """Event-type transition matrix: for each user's time-ordered stream,
+    count (event_type -> next event_type) steps — the Markov-chain view of
+    user behavior.
+
+    ``lead`` over (user, time) is a per-user window: Spark sorts within
+    each user partition only (no global sort), and the downstream count is
+    an ordinary partial->final aggregation on a tiny key space
+    (|types|^2). Ties in ts are broken by event_id so the successor is
+    deterministic in every engine.
+
+    -> (from_type, to_type, n_transitions)
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(ts_micros().asc(), F.col("event_id").asc())
+    t = events.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    )
+    return (
+        t.where(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+        .orderBy("from_type", "to_type")
+    )

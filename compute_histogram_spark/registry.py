@@ -1551,6 +1551,27 @@ def q_corpus_mix_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "event_transitions",
+    """
+    WITH t AS (
+        SELECT event_type AS from_type,
+               lead(event_type) OVER (
+                   PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+               ) AS to_type
+        FROM events
+    )
+    SELECT from_type, to_type, count(*) AS n_transitions
+    FROM t WHERE to_type IS NOT NULL
+    GROUP BY from_type, to_type ORDER BY from_type, to_type
+    """,
+)
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from compute_histogram_spark.operators import behavior as BH
+
+    return BH.event_transitions(load(spark, sf_dir, "events"))
+
+
+@register(
     "conversion_funnel",
     """
     WITH per_user AS (
