@@ -37,6 +37,7 @@ HEADLINE = [
     "sessionize",
     "conversion_funnel",
     "cohort_retention",
+    "event_transitions",
     "asof_join",
     "range_band_join",
     "rollup_revenue",

@@ -61,3 +61,15 @@ def ensure_parallelism(df: DataFrame, min_parts: int | None = None) -> DataFrame
     if df.rdd.getNumPartitions() >= target:
         return df
     return df.repartition(target)
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every star-schema table as a temp view, making the whole
+    engine drivable from plain ``spark.sql(...)`` — the reference's
+    out-of-band SQL workflow (load table, run SQL file; SURVEY §3 EP3)
+    generalized to the full schema. Views are lazy scans: no data moves
+    until a query runs, and Catalyst sees straight through them (pushdown,
+    pruning, broadcast all apply as if the DataFrame were inlined).
+    """
+    for t in TABLES:
+        load(spark, sf_dir, t).createOrReplaceTempView(t)

@@ -57,3 +57,20 @@ def test_histogram_csv_format(spark, sf_dir, tmp_path):
     # reference line format: "%1.2f, %d" (main.py:124)
     assert lines[0] == "%1.2f, %d" % (first["value"], first["pixel_count"])
     assert len(lines) == histo.count()
+
+
+def test_register_views_enables_plain_sql(spark, sf_dir):
+    from compute_histogram_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    out = spark.sql(
+        """
+        SELECT r.r_name, count(*) AS n
+        FROM customer c
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name ORDER BY r.r_name
+        """
+    ).collect()
+    assert len(out) == 5  # all five regions reachable through pure SQL
+    assert sum(r["n"] for r in out) == spark.table("customer").count()
