@@ -428,3 +428,48 @@ def promo_revenue_share(
         ).alias("promo_pct"),
         (F.sum(disc_pc) / 10000.0).alias("total_revenue"),
     )
+
+
+def fuzzy_name_pairs(
+    part: DataFrame,
+    max_distance: int = 2,
+    name_col: str = "p_name",
+    id_col: str = "p_partkey",
+) -> DataFrame:
+    """Entity-resolution style fuzzy self-match: pairs of parts whose names
+    are within ``max_distance`` edits (Levenshtein, JVM built-in).
+
+    Edit distance can't be hash-joined, so the crucial part is BLOCKING:
+    candidates must share the FIRST CHARACTER and have lengths within
+    ``max_distance`` of each other — both are necessary conditions only
+    pruned, never adding misses beyond the documented first-char heuristic
+    (strings whose first characters differ are declared non-candidates, the
+    standard blocking trade-off). The join is then an equi-join on the
+    block key with a small non-equi residual, instead of an O(n^2)
+    crossJoin; at corpus scale the block key keeps bucket sizes ~n/sigma
+    and the quadratic cost applies per-block only.
+    """
+    sel = part.select(
+        F.col(id_col).alias("id"),
+        F.col(name_col).alias("nm"),
+        F.substring(name_col, 1, 1).alias("blk"),
+        F.length(name_col).alias("ln"),
+    )
+    a, b = sel.alias("a"), sel.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.id") < F.col("b.id"))
+            & (F.abs(F.col("a.ln") - F.col("b.ln")) <= max_distance),
+        )
+        .where(F.levenshtein(F.col("a.nm"), F.col("b.nm")) <= max_distance)
+        .select(
+            F.col("a.id").alias("id_1"),
+            F.col("b.id").alias("id_2"),
+            F.col("a.nm").alias("name_1"),
+            F.col("b.nm").alias("name_2"),
+            F.levenshtein(F.col("a.nm"), F.col("b.nm")).cast("int").alias("distance"),
+        )
+        .orderBy("id_1", "id_2")
+    )

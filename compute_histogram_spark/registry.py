@@ -506,6 +506,26 @@ def q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "fuzzy_name_pairs",
+    """
+    WITH s AS (
+        SELECT p_partkey AS id, p_name AS nm,
+               substring(p_name, 1, 1) AS blk, length(p_name) AS ln
+        FROM part
+    )
+    SELECT a.id AS id_1, b.id AS id_2, a.nm AS name_1, b.nm AS name_2,
+           CAST(levenshtein(a.nm, b.nm) AS INT) AS distance
+    FROM s a JOIN s b
+      ON a.blk = b.blk AND a.id < b.id AND abs(a.ln - b.ln) <= 2
+    WHERE levenshtein(a.nm, b.nm) <= 2
+    ORDER BY id_1, id_2
+    """,
+)
+def q_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.fuzzy_name_pairs(load(spark, sf_dir, "part"))
+
+
+@register(
     "priority_year_grouping_sets",
     """
     SELECT coalesce(CAST(order_year AS VARCHAR), 'ALL') AS order_year,

@@ -89,3 +89,13 @@ def test_star_cc_keeps_self_loop_only_nodes(spark):
     assert got == {
         r["node"]: r["component"] for r in G.connected_components(df).collect()
     }
+
+
+def test_cc_empty_edges(spark):
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    empty = spark.createDataFrame(
+        [], StructType([StructField("doc_id_1", LongType()), StructField("doc_id_2", LongType())])
+    )
+    assert G.connected_components(empty).count() == 0
+    assert G.connected_components_star(empty).count() == 0

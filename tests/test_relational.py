@@ -136,3 +136,16 @@ def test_returned_item_customers_values(spark, sf_dir):
     revs = [r["revenue"] for r in out]
     assert revs == sorted(revs, reverse=True)
     assert all(r["n_name"] for r in out)
+
+
+def test_fuzzy_name_pairs_semantics(spark):
+    df = spark.createDataFrame(
+        [
+            Row(p_partkey=1, p_name="blue bolt"),
+            Row(p_partkey=2, p_name="blue bolts"),   # distance 1, same block
+            Row(p_partkey=3, p_name="glue bolt"),    # distance 1 but block 'g'
+            Row(p_partkey=4, p_name="blue widget"),  # too far
+        ]
+    )
+    out = R.fuzzy_name_pairs(df).collect()
+    assert [(r["id_1"], r["id_2"], r["distance"]) for r in out] == [(1, 2, 1)]
