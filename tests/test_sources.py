@@ -74,3 +74,31 @@ def test_register_views_enables_plain_sql(spark, sf_dir):
     ).collect()
     assert len(out) == 5  # all five regions reachable through pure SQL
     assert sum(r["n"] for r in out) == spark.table("customer").count()
+
+
+def test_tilecatalog_python_datasource(spark, tmp_path):
+    import json
+
+    from compute_histogram_spark.sources.catalog import (
+        TileCatalogDataSource,
+        read_tile_catalog,
+    )
+
+    fc = {
+        "type": "FeatureCollection",
+        "features": [
+            {"type": "Feature", "properties": {"name": f"s3://b/tiles/t{i}.tif"}}
+            for i in range(11)
+        ],
+    }
+    p = tmp_path / "catalog.geojson"
+    p.write_text(json.dumps(fc))
+
+    spark.dataSource.register(TileCatalogDataSource)
+    via_source = spark.read.format("tilecatalog").option("path", str(p)).load()
+    assert via_source.rdd.getNumPartitions() == 4  # planned partitions
+    got = {(r["tile_id"], r["uri"]) for r in via_source.collect()}
+    want = {
+        (r["tile_id"], r["uri"]) for r in read_tile_catalog(spark, str(p)).collect()
+    }
+    assert got == want and len(got) == 11
