@@ -24,7 +24,7 @@ timezone dependence anywhere.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from compute_histogram_spark.operators.windows import ts_micros
 
@@ -117,8 +117,6 @@ def event_transitions(events: DataFrame) -> DataFrame:
 
     -> (from_type, to_type, n_transitions)
     """
-    from pyspark.sql import Window
-
     w = Window.partitionBy("user_id").orderBy(ts_micros().asc(), F.col("event_id").asc())
     t = events.select(
         F.col("event_type").alias("from_type"),

@@ -456,6 +456,12 @@ def fuzzy_name_pairs(
         F.length(name_col).alias("ln"),
     )
     a, b = sel.alias("a"), sel.alias("b")
+    # THRESHOLDED levenshtein (3-arg, Spark 3.5+): the DP early-exits as
+    # soon as the bound is exceeded — on the dominant non-matching pairs
+    # this is the bulk of the query's CPU — and returns -1 past the bound,
+    # so the surviving value IS the distance (computed once, no re-run on
+    # the projection).
+    d = F.levenshtein(F.col("a.nm"), F.col("b.nm"), max_distance)
     return (
         a.join(
             b,
@@ -463,13 +469,13 @@ def fuzzy_name_pairs(
             & (F.col("a.id") < F.col("b.id"))
             & (F.abs(F.col("a.ln") - F.col("b.ln")) <= max_distance),
         )
-        .where(F.levenshtein(F.col("a.nm"), F.col("b.nm")) <= max_distance)
         .select(
             F.col("a.id").alias("id_1"),
             F.col("b.id").alias("id_2"),
             F.col("a.nm").alias("name_1"),
             F.col("b.nm").alias("name_2"),
-            F.levenshtein(F.col("a.nm"), F.col("b.nm")).cast("int").alias("distance"),
+            d.cast("int").alias("distance"),
         )
+        .where(F.col("distance") >= 0)
         .orderBy("id_1", "id_2")
     )

@@ -92,4 +92,6 @@ class _TileCatalogReader(DataSourceReader):
         with open(self._path) as f:
             features = json.load(f).get("features", [])
         for i in range(partition.value, len(features), self._n_parts):
-            yield (i, features[i]["properties"]["name"])
+            # missing properties.name -> NULL uri, matching the
+            # read_tile_catalog (spark.read.json) path on imperfect input
+            yield (i, (features[i].get("properties") or {}).get("name"))

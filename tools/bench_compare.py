@@ -17,18 +17,14 @@ import re
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-
-import duckdb
+_HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, os.path.dirname(_HERE))  # repo root: bench.py, package
+sys.path.insert(0, _HERE)  # sibling tool modules: check_oracle
 
 from bench import HEADLINE, materialize
+from check_oracle import duck_connection
 from compute_histogram_spark import registry
 from compute_histogram_spark.session import get_session
-
-TABLES = (
-    "region nation customer supplier part orders lineitem events "
-    "documents embeddings"
-).split()
 
 
 def main() -> None:
@@ -41,12 +37,8 @@ def main() -> None:
     spark = get_session("bench_compare")
     spark.sparkContext.setLogLevel("ERROR")
 
-    con = duckdb.connect()
-    con.execute(f"SET threads TO {os.cpu_count() or 8}")
-    for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
-        )
+    # same view setup (and missing-file tolerance) as the oracle gate
+    con = duck_connection(sf_dir)
 
     rows = []
     for name in HEADLINE:
@@ -74,9 +66,15 @@ def main() -> None:
     print("|---|---|---|")
     for name, s, d in rows:
         print(f"| {name} | {s:.2f} | {'—' if d is None else f'{d:.3f}'} |")
-    s_total = round(sum(s for _, s, _ in rows), 3)
-    d_total = round(sum(d for _, _, d in rows if d is not None), 3)
-    print(f"| **total** | **{s_total}** | **{d_total}** |")
+    # totals compare the SAME query set: only oracle-backed queries count on
+    # both sides, so an oracle-less headline entry can't skew the ratio
+    both = [(s, d) for _, s, d in rows if d is not None]
+    s_total = round(sum(s for s, _ in both), 3)
+    d_total = round(sum(d for _, d in both), 3)
+    print(
+        f"| **total ({len(both)} oracle-backed of {len(rows)})** "
+        f"| **{s_total}** | **{d_total}** |"
+    )
     print(
         json.dumps(
             {
