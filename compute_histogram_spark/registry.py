@@ -1591,6 +1591,51 @@ def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return BH.event_transitions(load(spark, sf_dir, "events"))
 
 
+_PROFILE_COLS = ("event_id", "event_type", "props", "user_id", "value")
+# ts is profiled Spark-side only: its nanos->micros truncation in DuckDB
+# can merge distinct values, so cross-engine distinct counts would lie.
+
+
+def _null_profile_oracle() -> str:
+    parts = []
+    for c in _PROFILE_COLS:
+        nan = (
+            "count(CASE WHEN isnan(value) THEN 1 END)"
+            if c == "value"
+            else "CAST(0 AS BIGINT)"
+        )
+        parts.append(
+            f"SELECT '{c}' AS \"column\", count(*) AS n_rows, "
+            f"count(CASE WHEN {c} IS NULL THEN 1 END) AS n_null, "
+            f"{nan} AS n_nan, count(DISTINCT {c}) AS n_distinct FROM events"
+        )
+    return "\nUNION ALL ".join(parts) + '\nORDER BY "column"'
+
+
+@register("events_null_profile", _null_profile_oracle())
+def q_events_null_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from compute_histogram_spark.operators import profile as PR
+
+    return PR.null_profile(load(spark, sf_dir, "events"), list(_PROFILE_COLS))
+
+
+@register(
+    "histogram_2d",
+    """
+    SELECT CAST(epoch_us(ts) // 3600000000 % 24 AS INT) AS hour,
+           CAST(floor(value / 50.0) AS BIGINT) AS bin,
+           floor(value / 50.0) * 50.0 AS bin_value,
+           count(*) AS n_events
+    FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+    GROUP BY 1, 2, 3 ORDER BY hour, bin
+    """,
+)
+def q_histogram_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from compute_histogram_spark.operators import profile as PR
+
+    return PR.histogram_2d(load(spark, sf_dir, "events"))
+
+
 @register(
     "conversion_funnel",
     """
