@@ -52,21 +52,160 @@ def assets_from_documents(docs: DataFrame) -> DataFrame:
     )
 
 
+PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+# channels per PNG color type: gray, RGB, palette, gray+alpha, RGBA
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+# magic prefixes worth handing to Pillow if it happens to be installed
+_PIL_MAGIC = (b"\xff\xd8\xff", b"GIF87a", b"GIF89a", b"BM")
+
+
+def png_info(content: bytes) -> tuple[int, int, int]:
+    """(width, height, channels) from the IHDR chunk — a REAL stdlib-only
+    decode of PNG metadata (signature + first chunk), no codec library."""
+    import struct
+
+    if not content.startswith(PNG_MAGIC):
+        raise ValueError("not a PNG")
+    length, ctype = struct.unpack(">I4s", content[8:16])
+    if ctype != b"IHDR" or length != 13:
+        raise ValueError("malformed PNG: IHDR not first")
+    w, h, _depth, color_type = struct.unpack(">IIBB", content[16:26])
+    return w, h, _PNG_CHANNELS[color_type]
+
+
+def decode_png(content: bytes):
+    """Full PNG pixel decode (stdlib zlib + numpy unfiltering) ->
+    ``np.ndarray[h, w, channels]`` uint8. Supports the mainstream subset:
+    bit depth 8, color types 0/2/4/6, non-interlaced — exactly what
+    :func:`encode_png` writes. Filters 0-4 (None/Sub/Up/Average/Paeth) are
+    undone per scanline; the scanline loop is O(height) Python with all
+    per-pixel work vectorized in numpy."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if not content.startswith(PNG_MAGIC):
+        raise ValueError("not a PNG")
+    pos, idat, meta = 8, [], None
+    while pos < len(content):
+        length, ctype = struct.unpack(">I4s", content[pos : pos + 8])
+        data = content[pos + 8 : pos + 8 + length]
+        if ctype == b"IHDR":
+            w, h, depth, color_type, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if depth != 8 or interlace != 0 or color_type == 3:
+                raise ValueError("unsupported PNG variant (need 8-bit, "
+                                 "non-interlaced, non-palette)")
+            meta = (w, h, _PNG_CHANNELS[color_type])
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length  # len + type + data + crc
+    if meta is None or not idat:
+        raise ValueError("malformed PNG: missing IHDR/IDAT")
+    w, h, c = meta
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * c
+    if len(raw) != h * (stride + 1):
+        raise ValueError("malformed PNG: bad IDAT length")
+    rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
+    filters, scan = rows[:, 0], rows[:, 1:].astype(np.int32)
+    out = np.zeros((h, stride), dtype=np.uint8)
+    for y in range(h):
+        cur = scan[y].copy()
+        up = out[y - 1].astype(np.int32) if y else np.zeros(stride, np.int32)
+        f = filters[y]
+        if f == 0:
+            line = cur
+        elif f == 2:  # Up
+            line = (cur + up) & 0xFF
+        elif f in (1, 3, 4):  # Sub / Average / Paeth need a left-to-right pass
+            line = np.zeros(stride, np.int32)
+            for x in range(stride):
+                left = line[x - c] if x >= c else 0
+                if f == 1:
+                    p = left
+                elif f == 3:
+                    p = (left + up[x]) // 2
+                else:
+                    ul = up[x - c] if x >= c else 0
+                    pa, pb, pc = abs(up[x] - ul), abs(left - ul), abs(
+                        left + up[x] - 2 * ul
+                    )
+                    p = left if pa <= pb and pa <= pc else (up[x] if pb <= pc else ul)
+                line[x] = (cur[x] + p) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter {f}")
+        out[y] = line.astype(np.uint8)
+    return out.reshape(h, w, c)
+
+
+def encode_png(arr) -> bytes:
+    """Minimal stdlib PNG writer (filter 0, one IDAT) for ``uint8``
+    ``[h, w]`` or ``[h, w, channels]`` arrays — fixture generator for the
+    real-decode tests and the round-trip proof for :func:`decode_png`."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim == 2:
+        a = a[:, :, None]
+    h, w, c = a.shape
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    scanlines = b"".join(b"\x00" + a[y].tobytes() for y in range(h))
+    return (
+        PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(scanlines, 6))
+        + chunk(b"IEND", b"")
+    )
+
+
 def _try_real_image_decode(content: bytes) -> tuple[int, int, int] | None:
-    """Real decode path, gated on Pillow being installed."""
-    try:
-        from PIL import Image  # noqa: PLC0415
-        import io  # noqa: PLC0415
-    except ImportError:
-        return None
-    img = Image.open(io.BytesIO(content))
-    return img.width, img.height, len(img.getbands())
+    """Real decode path: stdlib PNG header parse for PNG payloads; Pillow
+    (if installed) for other known image magics. Returns None — never
+    raises — when the payload isn't decodable, so callers fall through to
+    the deterministic fake (ADVICE r01: an exception here must not poison
+    the whole Arrow batch)."""
+    if content.startswith(PNG_MAGIC):
+        try:
+            return png_info(content)
+        except Exception:
+            return None
+    if content.startswith(_PIL_MAGIC):
+        try:
+            from PIL import Image  # noqa: PLC0415
+            import io  # noqa: PLC0415
+
+            img = Image.open(io.BytesIO(content))
+            return img.width, img.height, len(img.getbands())
+        except Exception:  # ImportError, UnidentifiedImageError, truncation
+            return None
+    return None
 
 
 def decode_image(content: bytes) -> tuple[int, int, int]:
-    """(width, height, channels). DETERMINISTIC FAKE when Pillow is absent:
+    """(width, height, channels). REAL for PNG (stdlib header decode) and,
+    with Pillow installed, for JPEG/GIF/BMP; DETERMINISTIC FAKE otherwise:
     dimensions derived from the content digest — stable, content-addressed,
-    clearly not a real decode."""
+    clearly not a real decode. Magic-byte gating means synthetic (text)
+    payloads always take the fake path, keeping the driver oracle exact
+    regardless of which decoders are installed."""
     real = _try_real_image_decode(content)
     if real is not None:
         return real
@@ -98,23 +237,33 @@ def extract_features(assets: DataFrame) -> DataFrame:
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib  # local: keep the closure self-contained
+        import struct
 
-        def fake_decode(content: bytes) -> tuple[int, int, int]:
+        def decode(content: bytes) -> tuple[int, int, int]:
+            # real path ONLY behind magic-byte gates (PNG via stdlib IHDR
+            # parse, others via Pillow when present); ANY decode failure
+            # falls through to the deterministic sha256 fake — a bad byte
+            # must not poison the Arrow batch (ADVICE r01)
             try:
-                from PIL import Image
-                import io
+                if content.startswith(b"\x89PNG\r\n\x1a\n"):
+                    w, h, _d, ct = struct.unpack(">IIBB", content[16:26])
+                    return w, h, {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ct]
+                if content.startswith((b"\xff\xd8\xff", b"GIF87a", b"GIF89a", b"BM")):
+                    from PIL import Image
+                    import io
 
-                img = Image.open(io.BytesIO(content))
-                return img.width, img.height, len(img.getbands())
-            except ImportError:
-                d = hashlib.sha256(content).digest()
-                return 16 + d[0] % 240, 16 + d[1] % 240, 1 + d[2] % 3
+                    img = Image.open(io.BytesIO(content))
+                    return img.width, img.height, len(img.getbands())
+            except Exception:
+                pass
+            d = hashlib.sha256(content).digest()
+            return 16 + d[0] % 240, 16 + d[1] % 240, 1 + d[2] % 3
 
         for pdf in batches:
             out = []
             for row in pdf.itertuples(index=False):
                 content = bytes(row.content)
-                w, h, c = fake_decode(content) if row.kind == "image" else (0, 0, 0)
+                w, h, c = decode(content) if row.kind == "image" else (0, 0, 0)
                 out.append(
                     (
                         row.asset_id,

@@ -142,3 +142,49 @@ def equi_depth_histogram(
         .select(F.col("bucket").cast("int").alias("bucket"), "n_rows", "min_value", "max_value")
         .orderBy("bucket")
     )
+
+
+def equi_depth_histogram_approx(
+    df: DataFrame,
+    col: str,
+    buckets: int = 10,
+    accuracy: int = 10000,
+) -> DataFrame:
+    """The 100 TB equi-depth path: ``approx_percentile`` cut points + a
+    broadcast bucket join — NO global ordered window, no single-partition
+    sort anywhere (plan-asserted in tests/test_deciles.py).
+
+    Two parallel scans: (1) a mergeable sketch aggregate produces the
+    ``buckets - 1`` interior cut points as ONE row; (2) that row is
+    broadcast and each value finds its bucket with a vectorized
+    array-predicate count (``size(filter(cuts, c -> v > c)) + 1`` —
+    equivalent to ``width_bucket`` against data-derived edges), then the
+    usual partial/final count/min/max aggregate. Values equal to a cut
+    land in the LOWER bucket — deterministic, engine-independent.
+
+    Same output schema as :func:`equi_depth_histogram`; bucket populations
+    are approximate within the sketch's rank-error (tolerance-pinned in
+    tests against the exact operator).
+    """
+    c = F.col(col)
+    src = df.where(c.isNotNull() & ~F.isnan(c)).select(c.alias("v"))
+    probs = F.array(*[F.lit(i / buckets) for i in range(1, buckets)])
+    cuts = src.agg(F.approx_percentile("v", probs, F.lit(accuracy)).alias("cuts"))
+    bucket = F.size(F.filter("cuts", lambda x: F.col("v") > x)) + 1
+    return (
+        src.join(F.broadcast(cuts))
+        .select("v", bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("v").alias("min_value"),
+            F.max("v").alias("max_value"),
+        )
+        .select(
+            F.col("bucket").cast("int").alias("bucket"),
+            "n_rows",
+            "min_value",
+            "max_value",
+        )
+        .orderBy("bucket")
+    )

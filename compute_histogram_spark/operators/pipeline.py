@@ -297,34 +297,49 @@ def build_bloom(
     n_bits: int = 1 << 20,
     k_hashes: int = 5,
 ) -> bytes:
-    """Build a bloom bitmap over a digest column, distributed:
+    """Build a bloom bitmap over a digest column, fully distributed:
 
     probe positions are JVM-computed columns (:func:`_bloom_positions`);
-    each partition scatters its positions into a local bitmap with ONE
-    vectorized numpy assignment and ships a single n_bits/8-byte row; the
-    driver ORs the partials — the exact partial/final shape of Spark's own
-    ``stat.bloomFilter``, reimplemented because the JVM object can't be
-    probed from Python executors. Size the filter at ~10 bits/item for ~1%
-    FP at k=5 (n_bits=1<<20 ~ 128 KiB per 100k items).
+    each position becomes (word = p div 64, mask = 1 << (p mod 64)) and the
+    bitmap is a ``bit_or`` aggregate over words — Catalyst runs the partial
+    OR map-side, so the shuffle and the driver transfer carry at most
+    n_bits/64 8-byte rows (16 K rows for the default 128 KiB filter)
+    REGARDLESS of data size or partition count. (The previous shape
+    collected one n_bits/8-byte bitmap per partition and OR'd on the
+    driver: O(partitions x 128 KiB) — tens of GB of driver traffic at
+    100 TB scale. This form is the partial/final shape of Spark's own
+    ``stat.bloomFilter``, kept in DataFrame land so the bitmap can be
+    probed from Python executors.) Size the filter at ~10 bits/item for
+    ~1% FP at k=5 (n_bits=1<<20 ~ 128 KiB per 100k items).
     """
     import numpy as np
-    import pandas as pd
 
     pos = seen.select(
         F.explode(_bloom_positions(digest_col, k_hashes, n_bits)).alias("p")
     )
-
-    def pack(batches):
-        bits = np.zeros(n_bits, dtype=bool)
-        for pdf in batches:
-            bits[pdf["p"].to_numpy()] = True  # vectorized scatter
-        yield pd.DataFrame({"bm": [np.packbits(bits).tobytes()]})
-
-    partials = pos.mapInPandas(pack, "bm binary").collect()
-    acc = np.zeros(n_bits // 8, dtype=np.uint8)
-    for r in partials:
-        acc |= np.frombuffer(r["bm"], dtype=np.uint8)
-    return acc.tobytes()
+    words = (
+        pos.select(
+            (F.col("p") / 64).cast("bigint").alias("w"),
+            # DataFrame-API shiftleft needs a literal shift; the SQL form
+            # takes an expression for both operands
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))").alias("m"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("m").alias("bits"))
+        .collect()
+    )
+    dense = np.zeros(n_bits, dtype=bool)
+    if words:
+        w = np.array([r["w"] for r in words], dtype=np.int64)
+        b = np.array([r["bits"] for r in words], dtype=np.int64).view(np.uint64)
+        shifts = np.arange(64, dtype=np.uint64)
+        mat = (b[:, None] >> shifts[None, :]) & np.uint64(1)  # [n_words, 64]
+        idx = (w[:, None] * 64 + np.arange(64)[None, :]).ravel()
+        keep = idx < n_bits
+        dense[idx[keep]] = mat.ravel()[keep].astype(bool)
+    # same packbits layout (MSB-first per byte) as the per-partition form,
+    # so existing bitmaps and the probe kernel are byte-compatible
+    return np.packbits(dense).tobytes()
 
 
 def novelty_gate(

@@ -439,23 +439,35 @@ def fuzzy_name_pairs(
     """Entity-resolution style fuzzy self-match: pairs of parts whose names
     are within ``max_distance`` edits (Levenshtein, JVM built-in).
 
-    Edit distance can't be hash-joined, so the crucial part is BLOCKING:
-    candidates must share the FIRST CHARACTER and have lengths within
-    ``max_distance`` of each other — both are necessary conditions only
-    pruned, never adding misses beyond the documented first-char heuristic
-    (strings whose first characters differ are declared non-candidates, the
-    standard blocking trade-off). The join is then an equi-join on the
-    block key with a small non-equi residual, instead of an O(n^2)
-    crossJoin; at corpus scale the block key keeps bucket sizes ~n/sigma
-    and the quadratic cost applies per-block only.
+    Edit distance can't be hash-joined, so the crucial part is BLOCKING.
+    The candidate SEMANTICS are: share the first character and have lengths
+    within ``max_distance`` (necessary-condition pruning; strings whose
+    first characters differ are declared non-candidates — the standard
+    blocking trade-off, documented and oracle-matched). The PHYSICAL key is
+    finer than the semantics: ``(first_char, length div (max_distance+1))``
+    with the probe side exploded to the 3 adjacent length bands. Any pair
+    within the length tolerance differs by at most one band, so it meets
+    EXACTLY ONCE (at the build side's band — no distinct needed) and no
+    candidate is ever lost: results are value-identical to first-char
+    blocking while per-block cardinality drops from n/sigma to
+    n/(sigma x L/(d+1)) and the number of blocks grows with the observed
+    length spread instead of saturating at the alphabet size. (The next
+    escalation for web-scale names is k-deletion prefix neighborhoods —
+    FastSS-style candidate union — which multiplies block count by the
+    prefix vocabulary; not needed at this corpus's block sizes.)
     """
+    width = max_distance + 1
     sel = part.select(
         F.col(id_col).alias("id"),
         F.col(name_col).alias("nm"),
         F.substring(name_col, 1, 1).alias("blk"),
         F.length(name_col).alias("ln"),
+        (F.length(name_col) / width).cast("bigint").alias("lb"),
     )
-    a, b = sel.alias("a"), sel.alias("b")
+    a = sel.select(
+        "*", F.explode(F.array(F.col("lb") - 1, F.col("lb"), F.col("lb") + 1)).alias("pb")
+    ).alias("a")
+    b = sel.alias("b")
     # THRESHOLDED levenshtein (3-arg, Spark 3.5+): the DP early-exits as
     # soon as the bound is exceeded — on the dominant non-matching pairs
     # this is the bulk of the query's CPU — and returns -1 past the bound,
@@ -466,6 +478,7 @@ def fuzzy_name_pairs(
         a.join(
             b,
             (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.pb") == F.col("b.lb"))
             & (F.col("a.id") < F.col("b.id"))
             & (F.abs(F.col("a.ln") - F.col("b.ln")) <= max_distance),
         )

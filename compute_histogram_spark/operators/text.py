@@ -58,19 +58,9 @@ def text_stats(docs: DataFrame) -> DataFrame:
     return stats.withColumn("quality_score", quality).orderBy("doc_id")
 
 
-def lang_id(docs: DataFrame) -> DataFrame:
-    """Marker-word language scores + argmax prediction (fixed priority
+def _lang_pred_from_scores() -> Column:
+    """Argmax prediction over ``s_<code>`` score columns (fixed priority
     en > de > fr > es > zh on ties — deterministic)."""
-    docs = ensure_parallelism(docs)
-    t = docs.select("doc_id", "lang", tokens("text").alias("toks"))
-    scores = t.select(
-        "doc_id",
-        "lang",
-        *[
-            _count_in(F.col("toks"), words).alias(f"s_{code}")
-            for code, words in LANG_MARKERS.items()
-        ],
-    )
     codes = list(LANG_MARKERS)
     pred = None
     for code in codes:
@@ -82,8 +72,64 @@ def lang_id(docs: DataFrame) -> DataFrame:
             cond = c if cond is None else (cond & c)
         branch = F.when(cond, F.lit(code))
         pred = branch if pred is None else pred.when(cond, F.lit(code))
-    pred = pred.otherwise(F.lit(codes[-1]))
-    return scores.withColumn("lang_pred", pred).orderBy("doc_id")
+    return pred.otherwise(F.lit(codes[-1]))
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """Marker-word language scores + argmax prediction."""
+    docs = ensure_parallelism(docs)
+    t = docs.select("doc_id", "lang", tokens("text").alias("toks"))
+    scores = t.select(
+        "doc_id",
+        "lang",
+        *[
+            _count_in(F.col("toks"), words).alias(f"s_{code}")
+            for code, words in LANG_MARKERS.items()
+        ],
+    )
+    return scores.withColumn("lang_pred", _lang_pred_from_scores()).orderBy("doc_id")
+
+
+def text_profile(docs: DataFrame) -> DataFrame:
+    """:func:`text_stats` + :func:`token_counts` + :func:`lang_id` fused
+    into ONE narrow projection (no joins, no shuffles): per-doc quality
+    stats, whitespace AND BPE-ish token counts, and the language-ID
+    argmax. The fusion matters at 100 TB — three corpus passes become one
+    scan whose only cost over :func:`text_stats` is the extra expressions,
+    all JVM-side/codegen (``regexp_count`` avoids materializing the BPE
+    match array just to take its size)."""
+    docs = ensure_parallelism(docs)
+    t = docs.select("doc_id", F.col("text"), tokens("text").alias("toks"))
+    n_tokens = F.size("toks")
+    n_nonspace = F.length(F.regexp_replace("text", " ", ""))
+    stop_hits = _count_in(F.col("toks"), STOPWORDS)
+    scored = t.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        F.round(n_nonspace * 1.0 / n_tokens, 6).alias("avg_token_len"),
+        F.round(stop_hits * 1.0 / n_tokens, 6).alias("stopword_ratio"),
+        F.regexp_count("text", F.lit(BPE_PATTERN)).cast("bigint").alias("n_bpe_tokens"),
+        *[
+            _count_in(F.col("toks"), words).alias(f"s_{code}")
+            for code, words in LANG_MARKERS.items()
+        ],
+    )
+    quality = F.round(
+        F.least(F.lit(1.0), F.col("n_tokens") / 100.0)
+        * (1.0 - 0.5 * F.col("stopword_ratio")),
+        6,
+    )
+    return scored.select(
+        "doc_id",
+        "n_chars",
+        "n_tokens",
+        "avg_token_len",
+        "stopword_ratio",
+        quality.alias("quality_score"),
+        "n_bpe_tokens",
+        _lang_pred_from_scores().alias("lang_pred"),
+    ).orderBy("doc_id")
 
 
 def token_counts(docs: DataFrame) -> DataFrame:

@@ -193,3 +193,47 @@ def sessionize(events: DataFrame, gap_s: int = 1800) -> DataFrame:
         .withColumn("duration_s", ((F.col("end_us") - F.col("start_us")) / US_PER_S))
         .orderBy("user_id", "session_id")
     )
+
+
+def windowed_quantiles(
+    events: DataFrame,
+    window_s: int = 600,
+    probs: tuple[float, ...] = (0.5, 0.9, 0.99),
+    accuracy: int = 10000,
+) -> DataFrame:
+    """Per-tumbling-window approx percentiles of ``value`` — the sketch
+    twin of :func:`windowed_histogram` (SURVEY §2.4 windowed sketches).
+
+    ``approx_percentile`` is a mergeable KLL-style sketch aggregate, so the
+    plan is the same partial->shuffle->final hash aggregation as a count:
+    one sketch per (window) group rides the shuffle, never the values —
+    the shape that holds at 100 TB where an exact per-window percentile
+    would sort every window's population. Tolerance vs the exact per-window
+    percentile is pinned in tests/test_deciles.py.
+
+    -> (window_start_s BIGINT, p DOUBLE, q DOUBLE)
+    """
+    win_us = window_s * US_PER_S
+    v = F.col("value")
+    parr = F.array(*[F.lit(p) for p in probs])
+    agg = (
+        events.where(v.isNotNull() & ~F.isnan(v))
+        .select(
+            (F.expr(f"(ts div 1000) div {win_us}") * window_s).alias(
+                "window_start_s"
+            ),
+            "value",
+        )
+        .groupBy("window_start_s")
+        .agg(F.approx_percentile("value", parr, F.lit(accuracy)).alias("qs"))
+    )
+    pairs = F.arrays_zip(parr.alias("p"), F.col("qs").alias("q"))
+    return (
+        agg.select("window_start_s", F.explode(pairs).alias("pq"))
+        .select(
+            "window_start_s",
+            F.col("pq.p").alias("p"),
+            F.col("pq.q").cast("double").alias("q"),
+        )
+        .orderBy("window_start_s", "p")
+    )

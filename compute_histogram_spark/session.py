@@ -51,6 +51,10 @@ def get_session(
         # Spark's task retry + corrupt-file tolerance is the built-in
         # equivalent (SURVEY §2.1 S5).
         .config("spark.sql.files.ignoreCorruptFiles", "false")
+        # NOTE: takes effect only for the FIRST session in a process —
+        # getOrCreate() on an already-running JVM silently ignores builder
+        # memory configs. For an existing process use spark-submit /
+        # SPARK_SUBMIT_OPTS instead (ADVICE r01).
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
     for k, v in (extra_conf or {}).items():

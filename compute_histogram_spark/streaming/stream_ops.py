@@ -226,6 +226,7 @@ def streaming_user_stats(stream: DataFrame, timeout_s: int | None = None) -> Dat
     processing-time timeout are finalized and evicted — the state-bound
     knob for high-churn key spaces.
     """
+    import numpy as np  # noqa: PLC0415 — worker-side import
     import pandas as pd  # noqa: PLC0415 — worker-side import
 
     timeout = "ProcessingTimeTimeout" if timeout_s else "NoTimeout"
@@ -253,8 +254,15 @@ def streaming_user_stats(stream: DataFrame, timeout_s: int | None = None) -> Dat
             n += int(len(v))
             # round each value to cents BEFORE summing: the state is then
             # independent of micro-batch boundaries and float summation
-            # order (same cents-exact convention as the batch operators)
-            s += int((v * 100).round().astype("int64").sum())
+            # order. Explicit HALF_UP (not pandas' half-even .round()) so
+            # exact half-cents agree with the batch twin / oracle's
+            # F.round semantics (ADVICE r01).
+            arr = v.to_numpy(dtype="float64") * 100
+            s += int(
+                np.where(arr >= 0, np.floor(arr + 0.5), np.ceil(arr - 0.5))
+                .astype("int64")
+                .sum()
+            )
             bmn, bmx = float(v.min()), float(v.max())
             mn = bmn if mn is None else min(mn, bmn)
             mx = bmx if mx is None else max(mx, bmx)

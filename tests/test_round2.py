@@ -1,0 +1,318 @@
+"""Round-2 additions: equi-depth approx path, distributed bloom merge,
+finer fuzzy blocking (value-identical), ngram-jaccard max_df lever, fused
+text profile, windowed sketches, real stdlib PNG decode, streaming HALF_UP
+cents parity."""
+
+import numpy as np
+import pytest
+from pyspark.sql import Row, functions as F
+
+from compute_histogram_spark.operators import deciles as D
+from compute_histogram_spark.operators import dedup as DD
+from compute_histogram_spark.operators import pipeline as PL
+from compute_histogram_spark.operators import text as TX
+from compute_histogram_spark.operators.relational import fuzzy_name_pairs
+from compute_histogram_spark.operators.windows import windowed_quantiles
+from compute_histogram_spark.multimodal import binary as MM
+from compute_histogram_spark.sources.tables import load
+
+
+# ---------------------------------------------------------------------------
+# equi-depth: approx path (no global sort) vs exact ntile path
+# ---------------------------------------------------------------------------
+
+
+def test_equi_depth_approx_matches_exact_within_tolerance(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    exact = D.equi_depth_histogram(ev, "value", "event_id", buckets=10).collect()
+    approx = D.equi_depth_histogram_approx(ev, "value", buckets=10).collect()
+    n = sum(r["n_rows"] for r in exact)
+    assert sum(r["n_rows"] for r in approx) == n  # partition of the data
+    assert [r["bucket"] for r in approx] == list(range(1, 11))
+    # sketch rank error: every bucket within 20% of the ideal depth at the
+    # default accuracy (loose enough for any seed, tight enough to prove
+    # the cut points are real quantiles)
+    for r in approx:
+        assert abs(r["n_rows"] - n / 10) < 0.2 * n / 10
+    # bucket ranges must tile the value domain monotonically
+    for lo, hi in zip(approx, approx[1:]):
+        assert lo["max_value"] <= hi["min_value"]
+
+
+def test_equi_depth_approx_plan_has_no_global_sort(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    plan = D.equi_depth_histogram_approx(ev, "value")._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan and " ntile(" not in plan
+    # the only Sort allowed is the final <=buckets-row output ordering; no
+    # sort may feed the aggregation
+    agg_part = plan.split("HashAggregate")[-1]
+    assert "Sort" not in agg_part
+
+
+# ---------------------------------------------------------------------------
+# bloom: executor-side bit_or merge must produce the identical bitmap to a
+# single-process numpy reference, at any partitioning
+# ---------------------------------------------------------------------------
+
+
+def test_bloom_distributed_merge_matches_numpy_reference(spark):
+    n_bits, k = 1 << 12, 3
+    digests = [f"doc-{i}" for i in range(500)]
+    df = spark.createDataFrame([(d,) for d in digests], "digest string")
+    bm = PL.build_bloom(df.repartition(7), n_bits=n_bits, k_hashes=k)
+    # reference: same JVM hash positions, scattered in one numpy process
+    pos = df.select(
+        F.explode(PL._bloom_positions("digest", k, n_bits)).alias("p")
+    ).collect()
+    ref = np.zeros(n_bits, dtype=bool)
+    ref[[r["p"] for r in pos]] = True
+    assert bm == np.packbits(ref).tobytes()
+    # and partitioning must not change a byte
+    assert bm == PL.build_bloom(df.repartition(1), n_bits=n_bits, k_hashes=k)
+
+
+# ---------------------------------------------------------------------------
+# fuzzy blocking: the finer (first_char, length-band) physical key must be
+# value-identical to the documented first-char semantics
+# ---------------------------------------------------------------------------
+
+
+def test_fuzzy_blocking_refinement_is_lossless(spark, sf_dir):
+    part = load(spark, sf_dir, "part").limit(400)
+    got = fuzzy_name_pairs(part, max_distance=2).collect()
+    # brute-force reference: full pair space, first-char + length-band +
+    # thresholded levenshtein semantics
+    sel = part.select(
+        F.col("p_partkey").alias("id"), F.col("p_name").alias("nm")
+    )
+    a, b = sel.alias("a"), sel.alias("b")
+    ref = (
+        a.crossJoin(b)
+        .where(
+            (F.col("a.id") < F.col("b.id"))
+            & (F.substring("a.nm", 1, 1) == F.substring("b.nm", 1, 1))
+            & (F.abs(F.length("a.nm") - F.length("b.nm")) <= 2)
+            & (F.levenshtein(F.col("a.nm"), F.col("b.nm")) <= 2)
+        )
+        .select(F.col("a.id").alias("id_1"), F.col("b.id").alias("id_2"))
+        .collect()
+    )
+    assert sorted((r["id_1"], r["id_2"]) for r in got) == sorted(
+        (r["id_1"], r["id_2"]) for r in ref
+    )
+
+
+# ---------------------------------------------------------------------------
+# ngram jaccard: the max_df hub-shingle cap behaves predictably
+# ---------------------------------------------------------------------------
+
+
+def test_ngram_jaccard_max_df_caps_hub_shingles(spark):
+    # 6 docs share one hub shingle ("the same boilerplate"); two real
+    # near-dup pairs overlap on rare shingles too
+    hub = "common header line"
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=f"{hub} alpha beta gamma delta"),
+            Row(doc_id=2, text=f"{hub} alpha beta gamma epsilon"),
+            Row(doc_id=3, text=f"{hub} zeta eta theta iota"),
+            Row(doc_id=4, text=f"{hub} zeta eta theta kappa"),
+            Row(doc_id=5, text=f"{hub} unrelated words entirely here"),
+            Row(doc_id=6, text=f"{hub} different content altogether now"),
+        ]
+    )
+    unlimited = DD.ngram_jaccard_pairs(docs, threshold=0.05, max_df=None).collect()
+    capped = DD.ngram_jaccard_pairs(docs, threshold=0.05, max_df=4).collect()
+    cap_pairs = {(r["doc_id_1"], r["doc_id_2"]) for r in capped}
+    unl_pairs = {(r["doc_id_1"], r["doc_id_2"]) for r in unlimited}
+    # every one of the 15 doc pairs shares the hub shingle, so the
+    # uncapped inverted index generates the FULL quadratic pair space
+    assert len(unl_pairs) == 15
+    # hub shingle (df=6 > 4) dropped: only pairs overlapping on RARE
+    # shingles survive — boilerplate co-occurrence creates no candidates
+    assert cap_pairs == {(1, 2), (3, 4)}
+    # and the surviving scores shift exactly as the set algebra says:
+    # (1,2) share 4/6 shingles with the hub, 3/5 without it
+    unl = {(r["doc_id_1"], r["doc_id_2"]): r["jaccard"] for r in unlimited}
+    cap = {(r["doc_id_1"], r["doc_id_2"]): r["jaccard"] for r in capped}
+    assert unl[(1, 2)] == pytest.approx(4 / 6, abs=1e-6)
+    assert cap[(1, 2)] == pytest.approx(3 / 5, abs=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# fused text profile == its three parents, column for column
+# ---------------------------------------------------------------------------
+
+
+def test_text_profile_equals_component_operators(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    prof = {r["doc_id"]: r for r in TX.text_profile(docs).collect()}
+    stats = {r["doc_id"]: r for r in TX.text_stats(docs).collect()}
+    toks = {r["doc_id"]: r for r in TX.token_counts(docs).collect()}
+    lang = {r["doc_id"]: r for r in TX.lang_id(docs).collect()}
+    assert set(prof) == set(stats)
+    for d, p in prof.items():
+        for c in ("n_chars", "n_tokens", "avg_token_len", "stopword_ratio",
+                  "quality_score"):
+            assert p[c] == stats[d][c], (d, c)
+        assert p["n_bpe_tokens"] == toks[d]["n_bpe_tokens"]
+        assert p["lang_pred"] == lang[d]["lang_pred"]
+
+
+# ---------------------------------------------------------------------------
+# windowed approx quantiles: tolerance vs exact per-window percentiles
+# ---------------------------------------------------------------------------
+
+
+def test_windowed_quantiles_within_rank_error_of_exact(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    approx = windowed_quantiles(ev, window_s=3600, probs=(0.5, 0.9)).collect()
+    v = F.col("value")
+    vals = (
+        ev.where(v.isNotNull() & ~F.isnan(v))
+        .select(
+            (F.expr("(ts div 1000) div 3600000000") * 3600).alias("window_start_s"),
+            "value",
+        )
+        .collect()
+    )
+    per_win = {}
+    for r in vals:
+        per_win.setdefault(r["window_start_s"], []).append(r["value"])
+    assert len(approx) == 2 * len(per_win)
+    # the sketch guarantee is RANK error: the returned element's rank is
+    # within eps*n of p*n (discrete — no interpolation), so check the value
+    # sits between the (p-eps) and (p+eps) order statistics
+    eps = 0.02
+    for r in approx:
+        s = sorted(per_win[r["window_start_s"]])
+        n, p = len(s), r["p"]
+        lo = s[max(0, int(np.floor((p - eps) * n)) - 1)]
+        hi = s[min(n - 1, int(np.ceil((p + eps) * n)))]
+        assert lo <= r["q"] <= hi, (r, lo, hi)
+
+
+# ---------------------------------------------------------------------------
+# PNG: real stdlib decode — round-trip, header parse, and the gated kernel
+# ---------------------------------------------------------------------------
+
+
+def test_png_roundtrip_all_channel_counts():
+    rng = np.random.default_rng(7)
+    for c in (1, 2, 3, 4):
+        arr = rng.integers(0, 256, size=(13, 9, c), dtype=np.uint8)
+        blob = MM.encode_png(arr)
+        assert MM.png_info(blob) == (9, 13, c)
+        out = MM.decode_png(blob)
+        assert out.shape == (13, 9, c)
+        assert (out == arr).all()
+
+
+def test_png_decode_handles_all_filters():
+    # exercise filters 1/2/3/4 by rewriting scanline filters manually
+    import struct
+    import zlib
+
+    rng = np.random.default_rng(11)
+    arr = rng.integers(0, 256, size=(6, 5, 3), dtype=np.uint8)
+    ref = MM.decode_png(MM.encode_png(arr))
+    # re-encode with per-row filters: None,Sub,Up,Average,Paeth,Up — the
+    # filtered bytes are computed from the reference decoder's own inverse
+    h, w, c = arr.shape
+    a = arr.astype(np.int32).reshape(h, w * c)
+    lines = []
+    for y, f in enumerate([0, 1, 2, 3, 4, 2]):
+        cur, up = a[y], (a[y - 1] if y else np.zeros(w * c, np.int32))
+        if f == 0:
+            enc = cur
+        elif f == 1:
+            left = np.concatenate([np.zeros(c, np.int32), cur[:-c]])
+            enc = (cur - left) % 256
+        elif f == 2:
+            enc = (cur - up) % 256
+        elif f == 3:
+            left = np.concatenate([np.zeros(c, np.int32), cur[:-c]])
+            enc = (cur - (left + up) // 2) % 256
+        else:
+            left = np.concatenate([np.zeros(c, np.int32), cur[:-c]])
+            ul = np.concatenate([np.zeros(c, np.int32), up[:-c]])
+            pa, pb, pc = np.abs(up - ul), np.abs(left - ul), np.abs(left + up - 2 * ul)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, up, ul)
+            )
+            enc = (cur - pred) % 256
+        lines.append(bytes([f]) + enc.astype(np.uint8).tobytes())
+
+    def chunk(ctype, data):
+        return struct.pack(">I", len(data)) + ctype + data + struct.pack(
+            ">I", zlib.crc32(ctype + data)
+        )
+
+    blob = (
+        MM.PNG_MAGIC
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(b"".join(lines)))
+        + chunk(b"IEND", b"")
+    )
+    assert (MM.decode_png(blob) == ref).all()
+
+
+def test_decode_image_real_for_png_fake_for_text():
+    png = MM.encode_png(np.zeros((20, 30, 3), dtype=np.uint8))
+    assert MM.decode_image(png) == (30, 20, 3)
+    # non-image bytes -> deterministic content-addressed fake
+    fake = MM.decode_image(b"just some text payload")
+    assert fake == MM.decode_image(b"just some text payload")
+    d = __import__("hashlib").sha256(b"just some text payload").digest()
+    assert fake == (16 + d[0] % 240, 16 + d[1] % 240, 1 + d[2] % 3)
+
+
+def test_extract_features_real_png_asset(spark):
+    png = MM.encode_png(np.ones((8, 12, 4), dtype=np.uint8))
+    assets = spark.createDataFrame(
+        [(1, "image", bytearray(png), "fixture"),
+         (2, "image", bytearray(b"not an image"), "fixture")],
+        MM.ASSET_SCHEMA,
+    )
+    rows = {r["asset_id"]: r for r in MM.extract_features(assets).collect()}
+    assert (rows[1]["width"], rows[1]["height"], rows[1]["n_channels"]) == (12, 8, 4)
+    d = __import__("hashlib").sha256(b"not an image").digest()
+    assert (rows[2]["width"], rows[2]["height"], rows[2]["n_channels"]) == (
+        16 + d[0] % 240, 16 + d[1] % 240, 1 + d[2] % 3
+    )
+
+
+# ---------------------------------------------------------------------------
+# streaming cents: exact half-cents must round HALF_UP like the batch twin
+# ---------------------------------------------------------------------------
+
+
+def test_streaming_user_stats_half_cent_rounding(spark, tmp_path):
+    from compute_histogram_spark.streaming.stream_ops import (
+        read_events_stream,
+        streaming_user_stats,
+    )
+
+    # 2.125 * 100 = 212.5: HALF_UP -> 213 (pandas .round half-even -> 212)
+    rows = [
+        Row(event_id=1, ts=1_000_000_000, user_id=1, event_type="x",
+            value=2.125, props="{}"),
+        Row(event_id=2, ts=2_000_000_000, user_id=1, event_type="x",
+            value=1.0, props="{}"),
+    ]
+    src = str(tmp_path / "half_cent_stream")
+    spark.createDataFrame(rows).coalesce(1).write.parquet(src)
+    stream = read_events_stream(spark, src)
+    q = (
+        streaming_user_stats(stream)
+        .writeStream.format("memory")
+        .queryName("half_cent")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql(
+        "SELECT * FROM half_cent ORDER BY n_events DESC LIMIT 1"
+    ).collect()[0]
+    assert out["sum_value"] == pytest.approx((213 + 100) / 100.0)
