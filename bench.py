@@ -21,6 +21,86 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from compute_histogram_spark.session import get_session
 from compute_histogram_spark import registry
+from compute_histogram_spark.operators import relational as R
+from compute_histogram_spark.sources.tables import load
+
+
+# Benched-but-not-registered queries: the registry is capped at 50 entries
+# (the driver checks exactly that many), so these four r01 headline queries
+# now live only here — same operator calls as their r01 registry entries,
+# keeping BENCH_r01 -> r02 per-query comparability. Their semantics stay
+# pytest-covered (tests/test_relational.py).
+LOCAL_QUERIES = {
+    "top_customers": lambda spark, d: R.top_customers(
+        load(spark, d, "customer"), load(spark, d, "orders")
+    ),
+    "region_revenue": lambda spark, d: R.region_revenue(
+        load(spark, d, "region"),
+        load(spark, d, "nation"),
+        load(spark, d, "customer"),
+        load(spark, d, "orders"),
+    ),
+    "late_order_priority": lambda spark, d: R.late_order_priority(
+        load(spark, d, "orders"), load(spark, d, "lineitem")
+    ),
+    "rollup_revenue": lambda spark, d: R.rollup_revenue(
+        load(spark, d, "region"),
+        load(spark, d, "nation"),
+        load(spark, d, "customer"),
+        load(spark, d, "orders"),
+    ),
+}
+
+# DuckDB twins of the four local queries (the r01 registry oracle SQL,
+# verbatim) so tools/bench_compare.py can still time all 26 headline
+# queries on both engines.
+LOCAL_ORACLES = {
+    "top_customers": """
+    SELECT c.c_custkey, c.c_name,
+           CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) / 100.0
+               AS total_spent,
+           count(*) AS n_orders
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey, c.c_name
+    ORDER BY total_spent DESC, c.c_custkey
+    LIMIT 10
+    """,
+    "region_revenue": """
+    SELECT r.r_name, n.n_name,
+           CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) / 100.0
+               AS revenue,
+           count(*) AS n_orders
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name, n.n_name
+    ORDER BY r.r_name, n.n_name
+    """,
+    "late_order_priority": """
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders o
+    WHERE EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate
+    )
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    "rollup_revenue": """
+    SELECT coalesce(r.r_name, 'ALL') AS r_name,
+           coalesce(n.n_name, 'ALL') AS n_name,
+           CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) / 100.0
+               AS revenue,
+           count(*) AS n_orders
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP (r.r_name, n.n_name)
+    ORDER BY r_name, n_name
+    """,
+}
 
 HEADLINE = [
     "histogram_linear",
@@ -65,7 +145,7 @@ def main() -> None:
 
     times: dict[str, float] = {}
     for name in HEADLINE:
-        fn = registry.QUERIES[name]
+        fn = registry.QUERIES.get(name) or LOCAL_QUERIES[name]
         materialize(fn(spark, sf_dir))  # cold / warm-up
         warm = []
         for _ in range(3):

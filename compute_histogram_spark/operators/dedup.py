@@ -110,6 +110,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     n: int = 3,
     max_df: int | None = None,
+    hub_prefilter: bool = False,
 ) -> DataFrame:
     """Exact Jaccard >= threshold via inverted-index self-join.
 
@@ -125,25 +126,48 @@ def ngram_jaccard_pairs(
     shingles contribute pairs quadratically but little signal) — the lever
     that keeps this exact method viable at scale.
     """
-    sh = (
-        shingle_table(docs, n=n, distinct=False)
-        .select("doc_id", F.xxhash64("s").alias("h"))
-        .distinct()
+    sh = shingle_table(docs, n=n, distinct=False).select(
+        "doc_id", F.xxhash64("s").alias("h")
     )
-    if max_df is not None:
-        # broadcast the HUB set (shingles in > max_df docs) and anti-join:
-        # hubs are few by construction (heavy-hitter tail), while the rare
-        # set is corpus-sized — broadcasting it would OOM exactly at the
-        # scale where max_df matters.
+    if max_df is not None and hub_prefilter:
+        # two-phase hub removal for HUB-HEAVY corpora: count df first (a
+        # partial-agg-friendly shuffle of (8-byte key, count) rows),
+        # broadcast the hub set (few by construction — the heavy-hitter
+        # tail) and anti-join it away BEFORE postings are collected, so no
+        # reducer ever materializes a hub's full posting list. Costs one
+        # extra scan + one small shuffle — pay it when boilerplate df x 8
+        # bytes approaches executor memory; below that the single-pass
+        # post-collect cap (default) wins.
         hubs = sh.groupBy("h").agg(F.count(F.lit(1)).alias("df")).where(
             F.col("df") > max_df
         )
         sh = sh.join(F.broadcast(hubs.select("h")), "h", "left_anti")
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a, b = sh.alias("a"), sh.alias("b")
+    # postings-list plan: ONE groupBy builds the per-shingle doc set
+    # (collect_set dedups in-place — no separate distinct shuffle), then
+    # every co-occurring ordered pair is generated MAP-SIDE from the sorted
+    # array and only (doc_1, doc_2) partial counts shuffle. Work is
+    # sum-over-shingles C(df, 2) — identical to the self-join's output, but
+    # the join's full probe-side shuffle and pairwise hash probing are gone.
+    posts = sh.groupBy("h").agg(F.array_sort(F.collect_set("doc_id")).alias("ds"))
+    if max_df is not None and not hub_prefilter:
+        # single-pass df cap: hubs are dropped AFTER their posting set is
+        # grouped — value-identical to the prefilter (pinned in tests),
+        # one shuffle cheaper, viable until a single hub's postings strain
+        # one reducer (then flip hub_prefilter=True).
+        posts = posts.where(F.size("ds") <= max_df)
+    sizes = (
+        posts.select(F.explode("ds").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_sh"))
+    )
+    pair_expr = F.expr(
+        "flatten(transform(ds, (x, i) -> "
+        "transform(slice(ds, i + 2, size(ds)), y -> struct(x AS d1, y AS d2))))"
+    )
     inter = (
-        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_id_1"), F.col("b.doc_id").alias("doc_id_2"))
+        posts.where(F.size("ds") >= 2)
+        .select(F.explode(pair_expr).alias("p"))
+        .groupBy(F.col("p.d1").alias("doc_id_1"), F.col("p.d2").alias("doc_id_2"))
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
     s1 = sizes.withColumnsRenamed({"doc_id": "doc_id_1", "n_sh": "n1"})

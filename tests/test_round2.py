@@ -316,3 +316,13 @@ def test_streaming_user_stats_half_cent_rounding(spark, tmp_path):
         "SELECT * FROM half_cent ORDER BY n_events DESC LIMIT 1"
     ).collect()[0]
     assert out["sum_value"] == pytest.approx((213 + 100) / 100.0)
+
+
+def test_ngram_jaccard_hub_prefilter_paths_identical(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    one_pass = DD.ngram_jaccard_pairs(docs, threshold=0.3, max_df=20).collect()
+    two_phase = DD.ngram_jaccard_pairs(
+        docs, threshold=0.3, max_df=20, hub_prefilter=True
+    ).collect()
+    assert sorted(map(tuple, one_pass)) == sorted(map(tuple, two_phase))
+    assert len(one_pass) > 0

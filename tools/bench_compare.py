@@ -21,7 +21,7 @@ _HERE = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, os.path.dirname(_HERE))  # repo root: bench.py, package
 sys.path.insert(0, _HERE)  # sibling tool modules: check_oracle
 
-from bench import HEADLINE, materialize
+from bench import HEADLINE, LOCAL_ORACLES, LOCAL_QUERIES, materialize
 from check_oracle import duck_connection
 from compute_histogram_spark import registry
 from compute_histogram_spark.session import get_session
@@ -42,7 +42,7 @@ def main() -> None:
 
     rows = []
     for name in HEADLINE:
-        fn = registry.QUERIES[name]
+        fn = registry.QUERIES.get(name) or LOCAL_QUERIES[name]
         materialize(fn(spark, sf_dir))  # warm-up
         s_times = []
         for _ in range(3):
@@ -51,7 +51,7 @@ def main() -> None:
             s_times.append(time.time() - t0)
 
         d_best = None
-        sql = registry.ORACLES.get(name)
+        sql = registry.ORACLES.get(name) or LOCAL_ORACLES.get(name)
         if sql is not None:
             con.execute(sql).fetchall()  # warm-up
             d_times = []
