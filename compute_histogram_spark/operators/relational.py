@@ -11,10 +11,14 @@ integers. Overflow headroom: int64 holds ~9.2e18 — cents-scale sums are safe
 beyond SF 10k; the charge product (cents x 100 x 100) is safe through ~SF100,
 beyond which the same pattern moves to DECIMAL(38,x).
 
-Scale notes: dimension tables (region/nation/customer/supplier/part) are
-broadcast — no shuffle of the fact table for the join; only the final
-aggregations shuffle, post map-side partial aggregation. AQE handles skewed
-group keys.
+Scale notes: only BOUNDED dimensions (region/nation/band lists/query
+sets) are force-broadcast. Tables that grow with the data (customer,
+supplier, part) are joined plainly and left to cost-based/AQE planning:
+Spark broadcasts them while their runtime size fits the threshold and
+switches to a shuffle join beyond it — forcing `F.broadcast` on a
+data-scaled table is exactly the plan that dies at 100x (measured: a
+forced customer broadcast made the sf1 Q5 join 3.4x slower). AQE handles
+skewed group keys.
 """
 
 from __future__ import annotations
@@ -61,10 +65,11 @@ def pricing_summary(lineitem: DataFrame, cutoff: str = "1998-09-02") -> DataFram
 
 
 def top_customers(customer: DataFrame, orders: DataFrame, k: int = 10) -> DataFrame:
-    """Highest-spend customers: broadcast-joined dim, exact cents sum,
-    deterministic tie-break, TakeOrdered top-k (no global sort shuffle)."""
+    """Highest-spend customers: exact cents sum, deterministic
+    tie-break, TakeOrdered top-k (no global sort shuffle). customer is
+    data-scaled — join strategy left to AQE (see module docstring)."""
     joined = orders.join(
-        F.broadcast(customer), orders["o_custkey"] == customer["c_custkey"]
+        customer, orders["o_custkey"] == customer["c_custkey"]
     )
     return (
         joined.groupBy("c_custkey", "c_name")
@@ -80,10 +85,11 @@ def top_customers(customer: DataFrame, orders: DataFrame, k: int = 10) -> DataFr
 def region_revenue(
     region: DataFrame, nation: DataFrame, customer: DataFrame, orders: DataFrame
 ) -> DataFrame:
-    """Revenue by region/nation through a 4-way join; every dimension side is
-    broadcast so the orders fact never shuffles before aggregation."""
+    """Revenue by region/nation through a 4-way join; bounded dims
+    (nation/region) broadcast, data-scaled customer joins via AQE's
+    stats-based choice."""
     j = (
-        orders.join(F.broadcast(customer), orders["o_custkey"] == customer["c_custkey"])
+        orders.join(customer, orders["o_custkey"] == customer["c_custkey"])
         .join(F.broadcast(nation), customer["c_nationkey"] == nation["n_nationkey"])
         .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
     )
@@ -123,7 +129,7 @@ def rollup_revenue(
     identically (NULL ordering differs across engines).
     """
     j = (
-        orders.join(F.broadcast(customer), orders["o_custkey"] == customer["c_custkey"])
+        orders.join(customer, orders["o_custkey"] == customer["c_custkey"])
         .join(F.broadcast(nation), customer["c_nationkey"] == nation["n_nationkey"])
         .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
     )
@@ -263,7 +269,7 @@ def shipping_priority(
     ords = orders.where(F.col("o_orderdate") < F.lit(cutoff).cast("timestamp"))
     li = lineitem.where(F.col("l_shipdate") > F.lit(cutoff).cast("timestamp"))
     disc_pc = cents("l_extendedprice") * (100 - cents("l_discount"))
-    j = ords.join(F.broadcast(cust), ords["o_custkey"] == cust["c_custkey"]).join(
+    j = ords.join(cust, ords["o_custkey"] == cust["c_custkey"]).join(
         li, ords["o_orderkey"] == li["l_orderkey"]
     )
     return (
@@ -297,7 +303,7 @@ def returned_item_customers(
     disc_pc = cents("l_extendedprice") * (100 - cents("l_discount"))
     j = (
         li.join(ords, li["l_orderkey"] == ords["o_orderkey"])
-        .join(F.broadcast(customer), ords["o_custkey"] == customer["c_custkey"])
+        .join(customer, ords["o_custkey"] == customer["c_custkey"])
         .join(F.broadcast(nation), customer["c_nationkey"] == nation["n_nationkey"])
     )
     return (
@@ -375,18 +381,20 @@ def local_supplier_revenue(
     """TPC-H Q5 shape: revenue from orders where customer and supplier sit
     in the SAME nation, per nation of one region.
 
-    Six-table star: region/nation/customer/supplier all broadcast (each is
-    tiny next to the facts), so the only real shuffle is orders⋈lineitem on
-    orderkey. The customer-supplier co-nationality predicate rides ON the
-    join (c_nationkey = s_nationkey), not as a post-filter — Catalyst
-    pushes it into the broadcast hash join's stream side.
+    Six-table star: bounded dims (region/nation) broadcast; customer and
+    supplier are data-scaled, so their join strategy is AQE's stats-based
+    choice (broadcast while small, shuffle beyond — forcing broadcast here
+    cost 3.4x at sf1). The orders⋈lineitem equi-join on orderkey is the one
+    guaranteed fact-to-fact shuffle. The customer-supplier co-nationality
+    predicate rides ON the supplier join (c_nationkey = s_nationkey), not
+    as a post-filter.
     """
     disc_pc = cents("l_extendedprice") * (100 - cents("l_discount"))
     j = (
         orders.join(lineitem, orders["o_orderkey"] == lineitem["l_orderkey"])
-        .join(F.broadcast(customer), orders["o_custkey"] == customer["c_custkey"])
+        .join(customer, orders["o_custkey"] == customer["c_custkey"])
         .join(
-            F.broadcast(supplier),
+            supplier,
             (lineitem["l_suppkey"] == supplier["s_suppkey"])
             & (customer["c_nationkey"] == supplier["s_nationkey"]),
         )

@@ -326,3 +326,22 @@ def test_ngram_jaccard_hub_prefilter_paths_identical(spark, sf_dir):
     ).collect()
     assert sorted(map(tuple, one_pass)) == sorted(map(tuple, two_phase))
     assert len(one_pass) > 0
+
+
+def test_extract_pixel_stats_real_decode(spark):
+    rng = np.random.default_rng(3)
+    arr = rng.integers(0, 256, size=(10, 6, 3), dtype=np.uint8)
+    assets = spark.createDataFrame(
+        [(1, "image", bytearray(MM.encode_png(arr)), "fx"),
+         (2, "image", bytearray(b"opaque bytes"), "fx"),
+         (3, "audio", bytearray(b"x"), "fx")],
+        MM.ASSET_SCHEMA,
+    )
+    rows = {r["asset_id"]: r for r in MM.extract_pixel_stats(assets).collect()}
+    assert set(rows) == {1, 2}  # non-image kinds filtered out
+    r1 = rows[1]
+    luma = (0.299 * arr[:, :, 0] + 0.587 * arr[:, :, 1] + 0.114 * arr[:, :, 2])
+    assert r1["decoded"] and (r1["width"], r1["height"]) == (6, 10)
+    assert r1["mean_luma"] == pytest.approx(float(luma.mean()))
+    assert (r1["min_px"], r1["max_px"]) == (int(arr.min()), int(arr.max()))
+    assert rows[2]["decoded"] is False and rows[2]["mean_luma"] is None
