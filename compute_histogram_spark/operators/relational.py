@@ -459,10 +459,10 @@ def fuzzy_name_pairs(
     candidate is ever lost: results are value-identical to first-char
     blocking while per-block cardinality drops from n/sigma to
     n/(sigma x L/(d+1)) and the number of blocks grows with the observed
-    length spread instead of saturating at the alphabet size. (The next
+    length spread instead of saturating at the alphabet size. (The
     escalation for web-scale names is k-deletion prefix neighborhoods —
-    FastSS-style candidate union — which multiplies block count by the
-    prefix vocabulary; not needed at this corpus's block sizes.)
+    :func:`fuzzy_name_pairs_fastss` below, value-identical by test — whose
+    key space grows with the prefix vocabulary instead of the alphabet.)
     """
     width = max_distance + 1
     sel = part.select(
@@ -497,6 +497,80 @@ def fuzzy_name_pairs(
             F.col("b.nm").alias("name_2"),
             d.cast("int").alias("distance"),
         )
+        .where(F.col("distance") >= 0)
+        .orderBy("id_1", "id_2")
+    )
+
+
+def fuzzy_name_pairs_fastss(
+    part: DataFrame,
+    max_distance: int = 2,
+    name_col: str = "p_name",
+    id_col: str = "p_partkey",
+    prefix_len: int = 4,
+) -> DataFrame:
+    """FastSS-style candidate blocking for the same fuzzy-match semantics
+    as :func:`fuzzy_name_pairs` (value-identical, pinned in tests).
+
+    Block keys are the DELETION NEIGHBORHOOD of the name's ``prefix_len``
+    prefix: every variant obtainable by deleting up to ``max_distance``
+    characters. Two strings within ``max_distance`` edits always share at
+    least one variant (a substitution costs one deletion on each side, an
+    insertion/deletion costs one on the longer side), so recall is total;
+    precision comes from the unchanged residual predicate (first char,
+    length band, thresholded levenshtein). Key space is the prefix
+    vocabulary x deletion masks — it grows with the DATA's prefix
+    diversity, not the alphabet, which is the web-scale answer to
+    first-char blocking's 26-block ceiling. Candidates can meet through
+    several shared variants, so pairs are distinct-ed BEFORE the
+    levenshtein residual runs (each pair scored once).
+    """
+    from itertools import combinations
+
+    # all retained-position masks for <= max_distance deletions of a
+    # prefix_len-char string, as concat() column factories
+    def variant(px, keep):  # px: Column of the prefix
+        return F.concat_ws(
+            "", *[F.substring(px, i + 1, 1) for i in keep]
+        )
+
+    sel = part.select(
+        F.col(id_col).alias("id"),
+        F.col(name_col).alias("nm"),
+        F.substring(name_col, 1, 1).alias("c1"),
+        F.length(name_col).alias("ln"),
+        F.substring(name_col, 1, prefix_len).alias("px"),
+    )
+    keeps = []
+    for d in range(max_distance + 1):
+        keeps += [
+            [i for i in range(prefix_len) if i not in cut]
+            for cut in combinations(range(prefix_len), d)
+        ]
+    keyed = sel.select(
+        "id", "nm", "c1", "ln",
+        F.explode(
+            F.array_distinct(F.array(*[variant(F.col("px"), k) for k in keeps]))
+        ).alias("bk"),
+    )
+    a, b = keyed.alias("a"), keyed.alias("b")
+    cand = (
+        a.join(b, (F.col("a.bk") == F.col("b.bk")) & (F.col("a.id") < F.col("b.id")))
+        .where(
+            (F.col("a.c1") == F.col("b.c1"))
+            & (F.abs(F.col("a.ln") - F.col("b.ln")) <= max_distance)
+        )
+        .select(
+            F.col("a.id").alias("id_1"),
+            F.col("b.id").alias("id_2"),
+            F.col("a.nm").alias("name_1"),
+            F.col("b.nm").alias("name_2"),
+        )
+        .distinct()
+    )
+    d = F.levenshtein(F.col("name_1"), F.col("name_2"), max_distance)
+    return (
+        cand.select("id_1", "id_2", "name_1", "name_2", d.cast("int").alias("distance"))
         .where(F.col("distance") >= 0)
         .orderBy("id_1", "id_2")
     )

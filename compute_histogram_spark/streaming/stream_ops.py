@@ -343,6 +343,43 @@ def read_histogram_state(spark: SparkSession, state_path: str, scheme) -> DataFr
     return finalize(merge_states(spark.read.parquet(state_path)), scheme)
 
 
+def streaming_windowed_quantiles(
+    stream: DataFrame,
+    window_s: int = 600,
+    probs: tuple[float, ...] = (0.5, 0.9, 0.99),
+    accuracy: int = 10000,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Per-tumbling-window approx percentiles over a stream — the
+    Structured Streaming twin of ``operators/windows.py:windowed_quantiles``
+    (SURVEY §2.4 windowed sketches).
+
+    ``approx_percentile`` is a MERGEABLE sketch aggregate, so streaming
+    state per open window is one sketch, merged incrementally across
+    micro-batches exactly like the batch partial/final split; the
+    watermark bounds how long windows stay open. Same rank-error guarantee
+    as the batch form (equality on finite drained input is pinned in
+    tests/test_streaming.py).
+    """
+    v = F.col("value")
+    parr = F.array(*[F.lit(p) for p in probs])
+    agg = (
+        _event_time(stream.where(v.isNotNull() & ~F.isnan(v)))
+        .withWatermark("event_time", watermark)
+        .groupBy(F.window("event_time", f"{window_s} seconds").alias("win"))
+        .agg(F.approx_percentile("value", parr, F.lit(accuracy)).alias("qs"))
+    )
+    pairs = F.arrays_zip(parr.alias("p"), F.col("qs").alias("q"))
+    return agg.select(
+        F.col("win.start").cast("long").alias("window_start_s"),
+        F.explode(pairs).alias("pq"),
+    ).select(
+        "window_start_s",
+        F.col("pq.p").alias("p"),
+        F.col("pq.q").cast("double").alias("q"),
+    )
+
+
 def run_to_completion(
     result: DataFrame, query_name: str, mode: str = "complete"
 ) -> DataFrame:

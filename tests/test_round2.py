@@ -345,3 +345,32 @@ def test_extract_pixel_stats_real_decode(spark):
     assert r1["mean_luma"] == pytest.approx(float(luma.mean()))
     assert (r1["min_px"], r1["max_px"]) == (int(arr.min()), int(arr.max()))
     assert rows[2]["decoded"] is False and rows[2]["mean_luma"] is None
+
+
+def test_fuzzy_fastss_equals_banded_blocking(spark, sf_dir):
+    from compute_histogram_spark.operators.relational import fuzzy_name_pairs_fastss
+
+    part = load(spark, sf_dir, "part").limit(400)
+    banded = fuzzy_name_pairs(part, max_distance=2).collect()
+    fastss = fuzzy_name_pairs_fastss(part, max_distance=2).collect()
+    assert sorted(map(tuple, banded)) == sorted(map(tuple, fastss))
+
+
+def test_fuzzy_fastss_adversarial_early_edits(spark):
+    # edits in the first two characters — the cases 2-char-prefix blocking
+    # would lose; deletion neighborhoods must keep them
+    from compute_histogram_spark.operators.relational import fuzzy_name_pairs_fastss
+
+    rows = [
+        (1, "sandwich"), (2, "sbndwich"),       # sub at pos 2
+        (3, "tomato"), (4, "tmato"),            # del at pos 2
+        (5, "pepper"), (6, "pxepper"),          # ins at pos 2
+        (7, "orange"), (8, "oarnge"),           # transposition = 2 edits
+        (9, "melon"), (10, "xelon"),            # first-char sub: excluded by semantics
+    ]
+    df = spark.createDataFrame(rows, "p_partkey long, p_name string")
+    got = {
+        (r["id_1"], r["id_2"]) for r in fuzzy_name_pairs_fastss(df).collect()
+    }
+    assert {(1, 2), (3, 4), (5, 6), (7, 8)} <= got
+    assert (9, 10) not in got  # first chars differ -> non-candidate by contract

@@ -246,3 +246,27 @@ def test_streaming_incremental_histogram_equals_batch(spark, sf_dir, tmp_path):
         for r in H.histogram(events, "value", "linear").collect()
     }
     assert got == want
+
+
+def test_streaming_windowed_quantiles_equals_batch(spark, sf_dir, stream_dir):
+    from compute_histogram_spark.operators.windows import windowed_quantiles
+    from compute_histogram_spark.streaming.stream_ops import (
+        read_events_stream,
+        streaming_windowed_quantiles,
+    )
+
+    stream = read_events_stream(spark, stream_dir)
+    out = run_to_completion(
+        streaming_windowed_quantiles(stream, window_s=3600, probs=(0.5, 0.9)),
+        "s_wq",
+    ).collect()
+    batch = windowed_quantiles(
+        load(spark, sf_dir, "events"), window_s=3600, probs=(0.5, 0.9)
+    ).collect()
+    # identical sketch aggregate over identical finite input -> identical
+    # estimates (approx_percentile is deterministic for a given input set)
+    key = lambda r: (r["window_start_s"], r["p"])
+    assert sorted(((key(r), r["q"]) for r in out)) == sorted(
+        ((key(r), r["q"]) for r in batch)
+    )
+    assert len(out) > 0

@@ -27,13 +27,19 @@ import __spark_entry__ as entrymod
 
 # queries where a nested-loop join is the intended physical strategy:
 # - range_band_join: non-equi band predicate over a broadcast 4-row dim
-# - histogram_deciles / deciles_window: scalar-total cross join, the
-#   reference's own query shape (compute_histogram.sql:2 "FROM histo, s");
-#   the broadcast side is ONE row
+# - histogram_deciles: scalar-total cross join, the reference's own query
+#   shape (compute_histogram.sql:2 "FROM histo, s"); broadcast side is ONE row
 # - similarity_topk: deliberate brute-force baseline — broadcast the tiny
 #   query set against every vector (the IVF variant is the scale path and
 #   equi-joins on the centroid label)
-NLJ_ALLOWED = {"range_band_join", "histogram_deciles", "deciles_window", "similarity_topk"}
+# - equi_depth_histogram_approx: broadcast of the ONE-row approx_percentile
+#   cut-point aggregate against the scan (the no-global-sort design)
+NLJ_ALLOWED = {
+    "range_band_join",
+    "histogram_deciles",
+    "similarity_topk",
+    "equi_depth_histogram_approx",
+}
 # pure-Python kernel paths: no codegen span expected
 PY_KERNEL = {"multimodal_features", "similarity_topk_gemm"}
 
