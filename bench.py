@@ -4,8 +4,8 @@ Prints ONE JSON line:
     {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
 Per query: one cold run to materialize (noop sink — full execution, no
-driver transfer), then three warm runs; the min warm time is reported
-(steady-state throughput; min-of-3 damps AQE/scheduler/GC jitter, which is
+driver transfer), then five warm runs; the min warm time is reported
+(steady-state throughput; min-of-5 damps AQE/scheduler/GC jitter, which is
 large relative to sub-second queries at this scale). `value` is the sum.
 """
 
@@ -148,7 +148,9 @@ def main() -> None:
         fn = registry.QUERIES.get(name) or LOCAL_QUERIES[name]
         materialize(fn(spark, sf_dir))  # cold / warm-up
         warm = []
-        for _ in range(3):
+        # min-of-5: same-box run-to-run noise measured at 1.5-2x in round 2
+        # (GC/scheduler), so 3 samples under-damped it
+        for _ in range(5):
             t0 = time.time()
             materialize(fn(spark, sf_dir))
             warm.append(time.time() - t0)
