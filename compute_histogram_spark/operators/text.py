@@ -14,7 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
-from compute_histogram_spark.functions.texthash import tokens
+from compute_histogram_spark.functions.texthash import tokens, word_shingles
 from compute_histogram_spark.sources.tables import ensure_parallelism
 
 STOPWORDS = ("the", "a", "of", "and", "in", "to")
@@ -200,6 +200,79 @@ def normalize_text(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return docs.withColumns(
         {"norm_text": norm, "norm_len": F.length(norm)}
     )
+
+
+def quality_signals(docs: DataFrame) -> DataFrame:
+    """Gopher-style per-document quality + repetition signals
+    (Rae et al. 2021, "Scaling Language Models: ... Gopher", §A1.1),
+    entirely JVM-side per-row expressions — one narrow map stage, no
+    Python, no shuffle except the final presentational ``orderBy``. At
+    100 TB the filter decision (``gopher_pass``) computes in the same
+    stage as the scan; drop the sort and filter on it directly.
+
+    Signals (word = single-space token, mirroring :func:`tokens`):
+
+    - ``n_words``, ``mean_word_len``
+    - ``frac_alpha_words`` — words containing at least one ASCII letter
+    - ``dup_word_frac`` — 1 - distinct/total words (word-level repetition)
+    - ``top_bigram_frac`` — count of the modal word 2-gram / total 2-grams
+    - ``dup_trigram_frac`` — fraction of word 3-grams that are duplicates
+    - ``gopher_pass`` — the standard band filter over the above
+
+    The modal-gram count is computed per-row by sorting the gram array and
+    folding a (prev, run, best) accumulator over it — no explode, no
+    groupBy (see the naive-shape cost note in :func:`doc_fingerprint`).
+    """
+    docs = ensure_parallelism(docs)
+    t = docs.select("doc_id", tokens("text").alias("toks"))
+    t = t.withColumn("g2", word_shingles("toks", 2)).withColumn(
+        "g3", word_shingles("toks", 3)
+    )
+    max_run = F.expr(
+        """
+        CASE WHEN size(g2) = 0 THEN 0L ELSE
+        aggregate(
+            array_sort(g2),
+            named_struct('prev', CAST(NULL AS STRING), 'run', 0L, 'best', 0L),
+            (acc, x) -> named_struct(
+                'prev', x,
+                'run',  IF(acc.prev IS NOT NULL AND x = acc.prev, acc.run + 1, 1L),
+                'best', greatest(
+                    acc.best,
+                    IF(acc.prev IS NOT NULL AND x = acc.prev, acc.run + 1, 1L))),
+            acc -> acc.best)
+        END
+        """
+    )
+    n_words = F.size("toks")
+    sum_len = F.aggregate(
+        "toks", F.lit(0).cast("bigint"), lambda acc, x: acc + F.length(x)
+    )
+    n_alpha = F.size(F.filter("toks", lambda x: x.rlike("[A-Za-z]")))
+    n_dup_w = n_words - F.size(F.array_distinct("toks"))
+    n_dup_g3 = F.size("g3") - F.size(F.array_distinct("g3"))
+    sig = t.select(
+        "doc_id",
+        n_words.cast("bigint").alias("n_words"),
+        F.round(sum_len * 1.0 / n_words, 6).alias("mean_word_len"),
+        F.round(n_alpha * 1.0 / n_words, 6).alias("frac_alpha_words"),
+        F.round(n_dup_w * 1.0 / n_words, 6).alias("dup_word_frac"),
+        F.when(F.size("g2") > 0, F.round(max_run * 1.0 / F.size("g2"), 6))
+        .otherwise(F.lit(0.0))
+        .alias("top_bigram_frac"),
+        F.when(F.size("g3") > 0, F.round(n_dup_g3 * 1.0 / F.size("g3"), 6))
+        .otherwise(F.lit(0.0))
+        .alias("dup_trigram_frac"),
+    )
+    gopher = (
+        (F.col("n_words") >= 10)
+        & (F.col("n_words") <= 100000)
+        & (F.col("mean_word_len") >= 2.0)
+        & (F.col("mean_word_len") <= 10.0)
+        & (F.col("frac_alpha_words") >= 0.8)
+        & (F.col("top_bigram_frac") <= 0.2)
+    )
+    return sig.withColumn("gopher_pass", gopher).orderBy("doc_id")
 
 
 def top_tokens_per_lang(docs: DataFrame, k: int = 5) -> DataFrame:

@@ -61,3 +61,94 @@ def test_normalize_text(spark):
     assert out["norm_text"] == "hello world 42 的 ok"
     assert out["norm_len"] == len("hello world 42 的 ok")
     assert out["text"].startswith("Hello")  # original untouched
+
+
+QUALITY_ORACLE = """
+WITH base AS (
+    SELECT doc_id,
+           string_split(text, ' ') AS toks,
+           len(string_split(text, ' ')) AS n_words,
+           list_transform(generate_series(1, len(string_split(text, ' ')) - 1),
+                          i -> string_split(text, ' ')[i] || ' ' ||
+                               string_split(text, ' ')[i+1]) AS g2,
+           list_transform(generate_series(1, len(string_split(text, ' ')) - 2),
+                          i -> string_split(text, ' ')[i] || ' ' ||
+                               string_split(text, ' ')[i+1] || ' ' ||
+                               string_split(text, ' ')[i+2]) AS g3
+    FROM documents
+),
+bg AS (
+    SELECT doc_id, unnest(g2) AS gram FROM base
+),
+modal AS (
+    SELECT doc_id, max(c) AS max_run
+    FROM (SELECT doc_id, gram, count(*) AS c FROM bg GROUP BY 1, 2)
+    GROUP BY 1
+),
+sig AS (
+    SELECT b.doc_id,
+           CAST(b.n_words AS BIGINT) AS n_words,
+           round(list_sum(list_transform(b.toks, x -> length(x))) * 1.0
+                 / b.n_words, 6) AS mean_word_len,
+           round(len(list_filter(b.toks, x -> regexp_matches(x, '[A-Za-z]')))
+                 * 1.0 / b.n_words, 6) AS frac_alpha_words,
+           round((b.n_words - len(list_distinct(b.toks))) * 1.0 / b.n_words, 6)
+               AS dup_word_frac,
+           CASE WHEN len(b.g2) > 0
+                THEN round(coalesce(m.max_run, 0) * 1.0 / len(b.g2), 6)
+                ELSE 0.0 END AS top_bigram_frac,
+           CASE WHEN len(b.g3) > 0
+                THEN round((len(b.g3) - len(list_distinct(b.g3))) * 1.0
+                           / len(b.g3), 6)
+                ELSE 0.0 END AS dup_trigram_frac
+    FROM base b LEFT JOIN modal m USING (doc_id)
+)
+SELECT *,
+       (n_words >= 10 AND n_words <= 100000
+        AND mean_word_len >= 2.0 AND mean_word_len <= 10.0
+        AND frac_alpha_words >= 0.8
+        AND top_bigram_frac <= 0.2) AS gopher_pass
+FROM sig ORDER BY doc_id
+"""
+
+
+def test_quality_signals_small(spark):
+    rows = [
+        Row(doc_id=0, lang="en", text="a b a b a b a b a b"),  # modal bigram heavy
+        Row(doc_id=1, lang="en", text="one two three four five six"),
+        Row(doc_id=2, lang="en", text="x"),  # single word: no grams
+        Row(doc_id=3, lang="en", text="!! ?? !! ?? 12 34"),  # no alpha words
+    ]
+    out = {r["doc_id"]: r for r in TX.quality_signals(spark.createDataFrame(rows)).collect()}
+    # doc 0: 10 words, bigrams = 9, modal ("a b") appears 5x
+    assert out[0]["n_words"] == 10
+    assert out[0]["top_bigram_frac"] == round(5 / 9, 6)
+    assert out[0]["dup_word_frac"] == 0.8
+    assert out[0]["dup_trigram_frac"] == round(6 / 8, 6)
+    assert not out[0]["gopher_pass"]  # repetition trips the bigram band
+    # doc 1: all distinct
+    assert out[1]["dup_word_frac"] == 0.0 and out[1]["top_bigram_frac"] == 0.2
+    # doc 2: no grams -> zero fractions, short-doc fail
+    assert out[2]["top_bigram_frac"] == 0.0 and out[2]["dup_trigram_frac"] == 0.0
+    assert not out[2]["gopher_pass"]
+    # doc 3: zero alpha fraction
+    assert out[3]["frac_alpha_words"] == 0.0 and not out[3]["gopher_pass"]
+
+
+def test_quality_signals_vs_duckdb_oracle(spark, sf_dir):
+    """Value-exact DuckDB twin over the real documents table (the same
+    comparator the driver's gate uses; this query is outside the 50-entry
+    registry window, so its oracle evidence lives here)."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from check_oracle import compare, duck_connection
+
+    from compute_histogram_spark.sources.tables import load
+
+    sdf = TX.quality_signals(load(spark, sf_dir, "documents")).toPandas()
+    con = duck_connection(sf_dir)
+    odf = con.sql(QUALITY_ORACLE).df()
+    assert len(sdf) > 0
+    assert compare("quality_signals", sdf, odf) == []
