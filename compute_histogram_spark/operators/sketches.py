@@ -1,0 +1,145 @@
+"""Count-min sketch (Cormode & Muthukrishnan 2005) as a DataFrame.
+
+The sketch IS a DataFrame of ``(r, b, cnt)`` rows — one row per non-empty
+cell of the depth x width counter table. That representation makes every
+CMS property a relational operation:
+
+- **build** = explode tokens -> d bucket rows each -> groupBy(r, b).count().
+  One shuffle whose map-side partial aggregation caps any partition's
+  output at ``depth * width`` rows regardless of input size — the whole
+  point of a sketch: at 100 TB the shuffle moves at most
+  ``partitions * depth * width`` pre-aggregated cells, not tokens.
+- **merge** = union + re-aggregate (CMS linearity) — executor-side, no
+  driver round-trip, and exactly how per-day / per-shard sketches combine
+  in an incremental corpus pipeline.
+- **point query** = compute the candidate's d buckets, equi-join the
+  sketch, take ``min(cnt)`` — the classic CMS estimate, never below the
+  true count, above it only on all-d-rows collisions.
+
+Hashing is JVM-side ``xxhash64(seed_lit, token)``; Python never touches a
+token. Width/depth defaults give eps ~ 2e/width ~ 3e-4 overestimate of
+the stream length at ~1e-2 failure odds — tune per corpus size.
+
+No reference twin: the reference engine has no sketches; this extends the
+histogram family (SURVEY §2.4) with the canonical frequency sketch a
+training-data pipeline uses for vocabulary / heavy-hitter passes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from compute_histogram_spark.functions.texthash import tokens
+from compute_histogram_spark.sources.tables import ensure_parallelism
+
+DEPTH = 4
+WIDTH = 1 << 14
+
+
+def _bucket(col: Column, row: int, width: int) -> Column:
+    """Row-``row``'s bucket for a value: seeded xxhash64, folded to [0, width)."""
+    return F.pmod(F.xxhash64(F.lit(row), col), F.lit(width)).cast("int")
+
+
+def cms_build(
+    values: DataFrame,
+    value_col: str = "token",
+    depth: int = DEPTH,
+    width: int = WIDTH,
+) -> DataFrame:
+    """Sketch a value stream into ``(r, b, cnt)`` cells.
+
+    ``values`` is one row per occurrence (pre-exploded); weights are not
+    supported — this is the counting form.
+    """
+    cells = values.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("r"),
+                        _bucket(F.col(value_col), r, width).alias("b"),
+                    )
+                    for r in range(depth)
+                ]
+            )
+        ).alias("cell")
+    )
+    return cells.groupBy(F.col("cell.r").alias("r"), F.col("cell.b").alias("b")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+def cms_build_tokens(
+    docs: DataFrame, depth: int = DEPTH, width: int = WIDTH
+) -> DataFrame:
+    """Sketch the corpus token stream of ``documents.text``."""
+    docs = ensure_parallelism(docs)
+    toks = docs.select(F.explode(tokens("text")).alias("token"))
+    return cms_build(toks, "token", depth, width)
+
+
+def cms_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """CMS linearity: the sketch of a union stream is the cell-wise sum."""
+    return (
+        a.unionByName(b)
+        .groupBy("r", "b")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    candidates: DataFrame,
+    value_col: str = "token",
+    depth: int = DEPTH,
+    width: int = WIDTH,
+) -> DataFrame:
+    """Point-query estimates for a candidate set: min over the d cells.
+
+    The sketch side is at most ``depth * width`` rows — Spark's planner
+    broadcasts it, so estimation is a map-side join against candidates of
+    any cardinality. A bucket with no cell row means count 0 (coalesce).
+    """
+    probes = candidates.select(
+        value_col,
+        *[
+            _bucket(F.col(value_col), r, width).alias(f"b{r}")
+            for r in range(depth)
+        ],
+    )
+    out = probes
+    for r in range(depth):
+        cells_r = (
+            sketch.where(F.col("r") == r)
+            .select(F.col("b").alias(f"b{r}"), F.col("cnt").alias(f"cnt{r}"))
+        )
+        out = out.join(F.broadcast(cells_r), on=f"b{r}", how="left")
+    est = F.least(*[F.coalesce(F.col(f"cnt{r}"), F.lit(0)) for r in range(depth)])
+    return out.select(value_col, est.cast("bigint").alias("est"))
+
+
+def cms_heavy_hitters(
+    docs: DataFrame,
+    min_count: int = 50,
+    depth: int = DEPTH,
+    width: int = WIDTH,
+) -> DataFrame:
+    """Tokens whose estimated frequency is >= ``min_count``.
+
+    Candidates here are the distinct tokens (exact two-pass form). In a
+    100 TB deployment the candidate set comes from a per-partition local
+    top-k (``mapInPandas`` or a sampled scan) so the distinct-shuffle of
+    the full vocabulary is avoided; the estimate join is unchanged. CMS
+    guarantees no false negatives at this threshold (estimates never
+    undercount), only possible false positives from collisions.
+    """
+    docs = ensure_parallelism(docs)
+    toks = docs.select(F.explode(tokens("text")).alias("token"))
+    sketch = cms_build(toks, "token", depth, width)
+    cands = toks.distinct()
+    return (
+        cms_estimate(sketch, cands, "token", depth, width)
+        .where(F.col("est") >= min_count)
+        .orderBy(F.desc("est"), F.asc("token"))
+    )

@@ -1,0 +1,81 @@
+import pytest
+from pyspark.sql import Row, functions as F
+
+from compute_histogram_spark.operators import sketches as SK
+from compute_histogram_spark.operators import text as TX
+from compute_histogram_spark.sources.tables import load
+
+
+def _true_counts(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    return {
+        r["token"]: r["n"]
+        for r in docs.select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+
+
+def test_cms_never_undercounts(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    truth = _true_counts(spark, sf_dir)
+    n_stream = sum(truth.values())
+    sketch = SK.cms_build_tokens(docs)
+    cands = docs.select(F.explode(F.split("text", " ")).alias("token")).distinct()
+    est = {r["token"]: r["est"] for r in SK.cms_estimate(sketch, cands).collect()}
+    assert est.keys() == truth.keys()
+    eps_bound = (2.0 / SK.WIDTH) * n_stream  # CMS overestimate bound per query
+    for tok, true_n in truth.items():
+        assert est[tok] >= true_n, tok  # structural guarantee, always
+        assert est[tok] - true_n <= max(1, eps_bound), tok
+
+
+def test_cms_sketch_is_bounded(spark, sf_dir):
+    sketch = SK.cms_build_tokens(load(spark, sf_dir, "documents"))
+    assert sketch.count() <= SK.DEPTH * SK.WIDTH
+    # exactly DEPTH rows of buckets, each cell's count positive
+    rows = sketch.groupBy("r").agg(F.sum("cnt").alias("s")).collect()
+    stream = [r["s"] for r in rows]
+    assert len(stream) == SK.DEPTH
+    # each hash row sees the whole stream once
+    assert len(set(stream)) == 1
+
+
+def test_cms_merge_linearity(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    a = docs.where(F.col("doc_id") % 2 == 0)
+    b = docs.where(F.col("doc_id") % 2 == 1)
+    merged = SK.cms_merge(SK.cms_build_tokens(a), SK.cms_build_tokens(b))
+    full = SK.cms_build_tokens(docs)
+    # cell-wise identical sketches
+    diff = (
+        merged.withColumnRenamed("cnt", "m")
+        .join(full.withColumnRenamed("cnt", "f"), ["r", "b"], "full_outer")
+        .where(
+            ~F.col("m").eqNullSafe(F.col("f"))
+        )
+    )
+    assert diff.count() == 0
+
+
+def test_cms_heavy_hitters_match_exact_topk(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    truth = _true_counts(spark, sf_dir)
+    thresh = sorted(truth.values(), reverse=True)[min(10, len(truth)) - 1]
+    hh = SK.cms_heavy_hitters(docs, min_count=thresh)
+    got = {r["token"] for r in hh.collect()}
+    should = {t for t, n in truth.items() if n >= thresh}
+    # no false negatives, structurally; no false positives at this width
+    assert should <= got
+    extra = got - should
+    assert all(truth[t] >= thresh - (2.0 / SK.WIDTH) * sum(truth.values()) for t in extra)
+
+
+def test_cms_empty_candidate_bucket_is_zero(spark):
+    vals = spark.createDataFrame([Row(token="a")] * 5 + [Row(token="b")] * 3)
+    sketch = SK.cms_build(vals)
+    cands = spark.createDataFrame([Row(token="a"), Row(token="zzz-unseen")])
+    est = {r["token"]: r["est"] for r in SK.cms_estimate(sketch, cands).collect()}
+    assert est["a"] == 5
+    assert est["zzz-unseen"] == 0
