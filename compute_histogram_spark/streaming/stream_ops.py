@@ -292,6 +292,117 @@ def streaming_user_stats(stream: DataFrame, timeout_s: int | None = None) -> Dat
     )
 
 
+def streaming_user_stats_tws(
+    stream: DataFrame, idle_timeout_s: int | None = None
+) -> DataFrame:
+    """Running per-user value stats via **transformWithStateInPandas** —
+    Spark 4's arbitrary-stateful-processing API and the successor to
+    ``applyInPandasWithState`` (same semantics as
+    :func:`streaming_user_stats`; equality on drained finite input is
+    pinned in tests/test_streaming.py).
+
+    Why this API at scale: named state variables (``getValueState`` /
+    ``getListState`` / ``getMapState``) are individually evolvable and
+    TTL-able, timers are first-class (``registerTimer`` instead of one
+    per-group timeout), and the state store is the same RocksDB backend —
+    so a 100 TB pipeline can keep hundreds of millions of user keys with
+    fixed-size (4-long) state rows. Accumulation is identical to the
+    applyInPandasWithState twin: integer cents with explicit HALF_UP so
+    micro-batch boundaries and float order can never change the answer.
+
+    With ``idle_timeout_s``, a processing-time timer finalizes and evicts
+    users idle longer than the timeout (state-bound knob for high-churn
+    key spaces); each input batch re-arms the timer.
+
+    Environment note: executing this query requires the ``google.protobuf``
+    package (the TWS state-server wire protocol is protobuf; PySpark's
+    transform_with_state_driver_worker imports it at query start). The
+    logical plan builds without it; the execution test in
+    tests/test_streaming.py skips when protobuf is absent (this container),
+    with :func:`streaming_user_stats` as the executable twin of record.
+    """
+    import numpy as np  # noqa: PLC0415 — worker-side import
+    import pandas as pd  # noqa: PLC0415 — worker-side import
+    from pyspark.sql.streaming.stateful_processor import (  # noqa: PLC0415
+        StatefulProcessor,
+    )
+
+    class Processor(StatefulProcessor):
+        def init(self, handle):
+            self._handle = handle
+            self._state = handle.getValueState("stats", USER_STATS_STATE)
+
+        def _emit(self, user_id, n, s, mn, mx):
+            return pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "n_events": [n],
+                    "sum_value": [s / 100.0],
+                    "min_value": [mn],
+                    "max_value": [mx],
+                }
+            )
+
+        def handleInputRows(self, key, rows, timer_values):
+            (user_id,) = key
+            n, s, mn, mx = (
+                self._state.get() if self._state.exists() else (0, 0, None, None)
+            )
+            for pdf in rows:
+                v = pdf["value"].dropna()
+                if len(v) == 0:
+                    continue
+                n += int(len(v))
+                arr = v.to_numpy(dtype="float64") * 100
+                s += int(
+                    np.where(arr >= 0, np.floor(arr + 0.5), np.ceil(arr - 0.5))
+                    .astype("int64")
+                    .sum()
+                )
+                bmn, bmx = float(v.min()), float(v.max())
+                mn = bmn if mn is None else min(mn, bmn)
+                mx = bmx if mx is None else max(mx, bmx)
+            self._state.update((n, s, mn, mx))
+            if idle_timeout_s:
+                # re-arm: drop the previous idle timer, schedule a new one
+                for t in self._handle.listTimers():
+                    self._handle.deleteTimer(t)
+                self._handle.registerTimer(
+                    timer_values.getCurrentProcessingTimeInMs()
+                    + idle_timeout_s * 1000
+                )
+            yield self._emit(user_id, n, s, mn, mx)
+
+        def handleExpiredTimer(self, key, timer_values, expired_timer_info):
+            (user_id,) = key
+            if self._state.exists():
+                n, s, mn, mx = self._state.get()
+                self._state.clear()
+                yield self._emit(user_id, n, s, mn, mx)
+
+        def close(self):
+            pass
+
+    # transformWithState requires the RocksDB state store provider (the
+    # HDFS-backed default does not implement its column-family API). RocksDB
+    # is the right provider at scale regardless: incremental checkpointing,
+    # off-heap state, changelog uploads.
+    stream.sparkSession.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    return (
+        stream.select("user_id", "value")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            Processor(),
+            outputStructType=USER_STATS_OUTPUT,
+            outputMode="Update",
+            timeMode="ProcessingTime" if idle_timeout_s else "None",
+        )
+    )
+
+
 def streaming_incremental_histogram(
     stream: DataFrame,
     col: str,

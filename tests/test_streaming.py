@@ -270,3 +270,78 @@ def test_streaming_windowed_quantiles_equals_batch(spark, sf_dir, stream_dir):
         ((key(r), r["q"]) for r in batch)
     )
     assert len(out) > 0
+
+
+def _has_protobuf() -> bool:
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def test_streaming_user_stats_tws_plan_builds(spark, sf_dir, stream_dir):
+    """The transformWithState logical plan constructs regardless of the
+    protobuf runtime dependency (execution needs it; construction doesn't)."""
+    from compute_histogram_spark.streaming.stream_ops import streaming_user_stats_tws
+
+    stream = read_events_stream(spark, stream_dir)
+    df = streaming_user_stats_tws(stream)
+    assert df.isStreaming
+    assert [f.name for f in df.schema.fields] == [
+        "user_id",
+        "n_events",
+        "sum_value",
+        "min_value",
+        "max_value",
+    ]
+
+
+@pytest.mark.skipif(
+    not _has_protobuf(),
+    reason="transformWithState execution requires google.protobuf "
+    "(absent in this container; no-install policy)",
+)
+def test_streaming_user_stats_tws_matches_batch(spark, sf_dir, stream_dir):
+    """transformWithStateInPandas twin converges to the same per-user state
+    as the applyInPandasWithState path and the batch aggregation."""
+    from pyspark.sql import functions as F
+    from compute_histogram_spark.streaming.stream_ops import streaming_user_stats_tws
+
+    final = {}
+
+    def sink(df, _epoch):
+        for r in df.collect():
+            final[r["user_id"]] = (
+                r["n_events"],
+                round(r["sum_value"], 2),
+                r["min_value"],
+                r["max_value"],
+            )
+
+    stream = read_events_stream(spark, stream_dir)
+    q = (
+        streaming_user_stats_tws(stream)
+        .writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    v = F.col("value")
+    batch = {
+        r["user_id"]: (r["n"], round(r["s"] / 100.0, 2), r["mn"], r["mx"])
+        for r in load(spark, sf_dir, "events")
+        .where(v.isNotNull() & ~F.isnan(v))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(v * 100).cast("bigint")).alias("s"),
+            F.min(v).alias("mn"),
+            F.max(v).alias("mx"),
+        )
+        .collect()
+    }
+    assert final == batch
