@@ -105,6 +105,89 @@ def minhash_candidates(
     )
 
 
+def _band_long(sig: DataFrame, num_hashes: int, rows_per_band: int) -> DataFrame:
+    """Signatures -> long-format (doc_id, band_id, band_hash) rows."""
+    bands = sig.select("doc_id", *band_hashes(num_hashes, rows_per_band))
+    n_bands = num_hashes // rows_per_band
+    stack_args = ", ".join(f"{b}, band{b}" for b in range(n_bands))
+    return bands.selectExpr(
+        "doc_id", f"stack({n_bands}, {stack_args}) AS (band_id, band_hash)"
+    )
+
+
+def build_minhash_index(
+    docs: DataFrame,
+    path: str,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    n: int = 3,
+) -> None:
+    """Persist the corpus's MinHash signatures as a parquet index.
+
+    The index holds one fixed-width row per document (doc_id + k digests) —
+    ~n_docs x k x 32 bytes, orders of magnitude smaller than the corpus —
+    and is the only state incremental dedup needs: signatures are
+    per-document, so they never have to be recomputed when other documents
+    arrive.
+    """
+    sig = minhash_signatures(shingle_table(docs, n=n, distinct=False), num_hashes)
+    sig.write.mode("overwrite").parquet(path)
+
+
+def append_minhash_index(
+    new_docs: DataFrame,
+    path: str,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    n: int = 3,
+) -> None:
+    """Incremental maintenance: shingle + sign ONLY the new batch, append.
+
+    Cost is O(delta), independent of index size — the scan/shuffle that
+    builds signatures never touches the existing corpus. (Parquet append
+    creates new files only; with object-store semantics make each batch a
+    ``batch_id=N`` partition as streaming_incremental_histogram does for
+    idempotent replay.)
+    """
+    sig = minhash_signatures(shingle_table(new_docs, n=n, distinct=False), num_hashes)
+    sig.write.mode("append").parquet(path)
+
+
+def delta_candidates(
+    index_sigs: DataFrame,
+    new_doc_ids: DataFrame,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    rows_per_band: int = DEFAULT_ROWS_PER_BAND,
+) -> DataFrame:
+    """LSH candidate pairs that involve at least one NEW document.
+
+    The incremental-dedup join: new-batch band rows (small side, broadcast
+    when it fits) against the full index's band rows — an equi-join on
+    (band_id, band_hash), so only same-bucket docs meet, and old x old
+    pairs (already known from prior rounds) are never re-derived. Emitted
+    pairs are ordered doc_id_1 < doc_id_2; union with previously stored
+    pairs reconstructs exactly the full-recompute pair set (pinned in
+    tests/test_dedup.py).
+    """
+    all_bands = _band_long(index_sigs, num_hashes, rows_per_band)
+    new_bands = all_bands.join(
+        F.broadcast(new_doc_ids.select("doc_id")), "doc_id", "left_semi"
+    )
+    a, b = new_bands.alias("a"), all_bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .select(
+            F.least("a.doc_id", "b.doc_id").alias("doc_id_1"),
+            F.greatest("a.doc_id", "b.doc_id").alias("doc_id_2"),
+        )
+        .distinct()
+        .orderBy("doc_id_1", "doc_id_2")
+    )
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     threshold: float = 0.5,

@@ -64,3 +64,39 @@ def test_embedding_neardup_blocking(spark):
            for r in DD.embedding_neardup_pairs(df, threshold=0.9).collect()}
     assert list(out) == [(0, 1)]
     assert out[(0, 1)] > 0.999
+
+
+def test_incremental_minhash_index_equals_full_recompute(spark, sf_dir, tmp_path):
+    """Base index + appended delta + delta_candidates reconstructs exactly
+    the pairs a full recompute over the whole corpus finds."""
+    from pyspark.sql import functions as F
+    from compute_histogram_spark.operators.dedup import (
+        append_minhash_index,
+        build_minhash_index,
+        delta_candidates,
+        minhash_candidates,
+    )
+    from compute_histogram_spark.sources.tables import load
+
+    docs = load(spark, sf_dir, "documents")
+    base = docs.where(F.col("doc_id") % 5 != 0)
+    delta = docs.where(F.col("doc_id") % 5 == 0)
+    idx = str(tmp_path / "mh_index")
+
+    build_minhash_index(base, idx)
+    base_pairs = {(r[0], r[1]) for r in minhash_candidates(base).collect()}
+
+    append_minhash_index(delta, idx)
+    index_sigs = spark.read.parquet(idx)
+    # index holds every doc exactly once after the append
+    assert index_sigs.count() == docs.count()
+    new_pairs = {
+        (r[0], r[1])
+        for r in delta_candidates(index_sigs, delta.select("doc_id")).collect()
+    }
+    # delta pass only emits pairs touching a new doc
+    delta_ids = {r[0] for r in delta.select("doc_id").collect()}
+    assert all(a in delta_ids or b in delta_ids for a, b in new_pairs)
+
+    full_pairs = {(r[0], r[1]) for r in minhash_candidates(docs).collect()}
+    assert base_pairs | new_pairs == full_pairs
