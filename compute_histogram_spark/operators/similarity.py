@@ -249,6 +249,69 @@ def cosine_topk_lsh(
     return _ranked(pairs, k)
 
 
+def cosine_topk_lsh_multiprobe(
+    emb: DataFrame,
+    k: int = 5,
+    query_filter: str = "vec_id < 10",
+    n_planes: int = 4,
+    n_tables: int = 4,
+    probe_bits: int = 1,
+) -> DataFrame:
+    """Multi-probe sign-LSH (Lv et al., VLDB 2007): besides each query's own
+    bucket, probe the buckets whose sign pattern differs in up to
+    ``probe_bits`` hyperplanes — the buckets a true near neighbor most
+    likely fell into when one marginal dot product flipped sign.
+
+    Why at scale: recall bought by probing is ~free in *index* cost —
+    probing J extra buckets per table replaces DOUBLING n_tables, so the
+    stored index (and the candidate side of every join) stays half the
+    size for similar recall. Only the QUERY side fans out (J+1 probe rows
+    per table), and that side is the broadcast one. The probe set always
+    contains the exact bucket, so multi-probe candidates are a superset of
+    single-probe's at equal (J, L) — recall can only go up (pinned in
+    tests/test_similarity.py).
+
+    Probe generation is a bucket-id XOR against each single-bit mask — no
+    re-hashing, no second kernel pass.
+    """
+    if probe_bits != 1:
+        raise ValueError("only 1-bit probing implemented (J+1 probes/table)")
+    e = _with_norms(emb)
+    eb = e.withColumn(
+        "bs", lsh_buckets_kernel(n_planes, n_tables)(F.col("v"))
+    ).select("vec_id", "v", "nrm", F.posexplode("bs").alias("t", "bucket"))
+    probe_masks = F.array(F.lit(0), *[F.lit(1 << j) for j in range(n_planes)])
+    q = (
+        eb.where(query_filter)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("t").alias("qt"),
+            F.explode(F.transform(probe_masks, lambda m: F.col("bucket").bitwiseXOR(m)))
+            .alias("qbucket"),
+            F.col("v").alias("qv"),
+            F.col("nrm").alias("qn"),
+        )
+    )
+    pairs = (
+        F.broadcast(q)
+        .join(
+            eb,
+            (F.col("qt") == F.col("t"))
+            & (F.col("qbucket") == F.col("bucket"))
+            & (F.col("query_id") != F.col("vec_id")),
+        )
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(
+                V.cosine(F.col("qv"), F.col("v"), F.col("qn"), F.col("nrm")), 6
+            ).alias("cosine"),
+        )
+        .distinct()
+    )
+    return _ranked(pairs, k)
+
+
 def cosine_topk_gemm(
     emb: DataFrame,
     k: int = 5,

@@ -74,3 +74,29 @@ def test_gemm_topk_equals_exact_topk(spark, sf_dir):
     exact = [tuple(r) for r in SIM.cosine_topk(emb, k=5).collect()]
     gemm = [tuple(r) for r in SIM.cosine_topk_gemm(emb, k=5).collect()]
     assert gemm == exact  # same rounded cosine -> identical ranking
+
+
+def test_multiprobe_recall_dominates_single_probe_at_equal_tables(spark, sf_dir):
+    """At equal (J, L), the 1-bit probe set contains the exact bucket, so
+    multi-probe candidates — and therefore recall vs exact top-k — can only
+    be >= single-probe's. Checked at L=4 (half the default index)."""
+    from compute_histogram_spark.operators import similarity as SIM
+    from compute_histogram_spark.sources.tables import load
+
+    emb = load(spark, sf_dir, "embeddings")
+    brute = {
+        (r["query_id"], r["vec_id"]) for r in SIM.cosine_topk(emb, k=5).collect()
+    }
+    single = {
+        (r["query_id"], r["vec_id"])
+        for r in SIM.cosine_topk_lsh(emb, k=5, n_tables=4).collect()
+    }
+    multi = {
+        (r["query_id"], r["vec_id"])
+        for r in SIM.cosine_topk_lsh_multiprobe(emb, k=5, n_tables=4).collect()
+    }
+    r_single = len(brute & single) / len(brute)
+    r_multi = len(brute & multi) / len(brute)
+    assert r_multi >= r_single, (r_multi, r_single)
+    # probing must actually buy recall on this data, not just tie
+    assert r_multi >= 0.5, r_multi
