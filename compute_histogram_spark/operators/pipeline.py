@@ -122,6 +122,81 @@ def chunk_documents(
     )
 
 
+def pack_shards(
+    docs: DataFrame,
+    tokens_per_shard: int = 4096,
+    n_buckets: int = 32,
+    text_col: str = "text",
+) -> DataFrame:
+    """Sequence packing: assign every document to a fixed-token-budget
+    training shard via a GLOBAL running token total in deterministic hash
+    order (a doc belongs to the shard its first token lands in).
+
+    The running total is a distributed two-phase prefix sum — the textbook
+    scan algorithm, relationally:
+
+    1. **bucket** rows by the leading byte of the md5 order key. The key is
+       uniform, so the ``n_buckets`` fixed prefix ranges are balanced, and
+       bucket id is MONOTONE in key order — concatenating buckets in id
+       order is exactly the global order.
+    2. **local cumsum** per bucket: one window per bucket, all buckets in
+       parallel. This is the step that replaces the naive single-partition
+       global window (the scale-killer: ORDER BY over 100 TB on one task).
+    3. **offsets**: per-bucket totals — ``n_buckets`` rows — collect,
+       exclusive-scan on the driver (microseconds), broadcast-join back.
+
+    Only step 3 touches the driver, with O(n_buckets) rows. Raise
+    ``n_buckets`` with the cluster (it bounds per-window sort size at
+    ~n/n_buckets); the output is invariant to it (pinned in tests).
+
+    Every decision is integer math on md5 — rerun-stable, engine-portable,
+    and order-independent, like every other hash-gated step here (the
+    "pack:" salt decorrelates it from split/mix decisions per the
+    distinct-salt rule).
+    """
+    key = F.md5(F.concat(F.lit("pack:"), F.col("doc_id").cast("string")))
+    n_tok = F.size(F.split(F.col(text_col), " "))
+    base = docs.select(
+        "doc_id", key.alias("key"), n_tok.cast("bigint").alias("n_tok")
+    )
+    # leading 2 hex chars -> [0, 256); scale to n_buckets (monotone in key)
+    bucket = (
+        F.conv(F.substring("key", 1, 2), 16, 10).cast("int")
+        * n_buckets
+        / 256
+    ).cast("int")
+    base = base.withColumn("bkt", bucket)
+    w = (
+        Window.partitionBy("bkt")
+        .orderBy("key", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = base.withColumn("local_cum", F.sum("n_tok").over(w))
+    totals = {
+        r["bkt"]: r["t"]
+        for r in local.groupBy("bkt").agg(F.sum("n_tok").alias("t")).collect()
+    }
+    running, offsets = 0, {}
+    for b in sorted(totals):
+        offsets[b] = running
+        running += totals[b]
+    spark = docs.sparkSession
+    off_df = spark.createDataFrame(
+        [(b, o) for b, o in offsets.items()], "bkt int, offset bigint"
+    )
+    start = F.col("offset") + F.col("local_cum") - F.col("n_tok")
+    return (
+        local.join(F.broadcast(off_df), "bkt")
+        .select(
+            "doc_id",
+            "n_tok",
+            F.floor(start / tokens_per_shard).cast("bigint").alias("shard_id"),
+            start.cast("bigint").alias("start_offset"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # corpus hygiene: eval-set decontamination and PII scrubbing
 # ---------------------------------------------------------------------------

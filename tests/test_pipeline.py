@@ -226,3 +226,85 @@ def test_mix_corpus_null_source_gets_default_rate(spark):
         got[r["doc_id"]] = got.get(r["doc_id"], 0) + 1
     # NULL source rows must pass through at default_rate, never vanish
     assert got == {1: 2, 2: 1, 3: 1}
+
+
+PACK_ORACLE = """
+WITH t AS (
+    SELECT doc_id,
+           md5('pack:' || CAST(doc_id AS VARCHAR)) AS key,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+    FROM documents
+),
+c AS (
+    SELECT doc_id, n_tok,
+           sum(n_tok) OVER (
+               ORDER BY key, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) - n_tok AS start_offset
+    FROM t
+)
+SELECT doc_id, n_tok,
+       CAST(floor(start_offset * 1.0 / 4096) AS BIGINT) AS shard_id,
+       CAST(start_offset AS BIGINT) AS start_offset
+FROM c ORDER BY doc_id
+"""
+
+
+def test_pack_shards_matches_global_cumsum_oracle(spark, sf_dir):
+    """The two-phase distributed prefix sum equals DuckDB's single global
+    window cumsum, value-exact."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from check_oracle import compare, duck_connection
+
+    from compute_histogram_spark.operators.pipeline import pack_shards
+    from compute_histogram_spark.sources.tables import load
+
+    sdf = pack_shards(load(spark, sf_dir, "documents")).toPandas()
+    con = duck_connection(sf_dir)
+    odf = con.sql(PACK_ORACLE).df()
+    assert len(sdf) > 0
+    assert compare("pack_shards", sdf, odf) == []
+
+
+def test_pack_shards_invariant_to_bucket_count(spark, sf_dir):
+    """n_buckets is a parallelism knob, not a semantic one: 1 bucket (the
+    naive global window) and 32 buckets give identical assignments."""
+    from compute_histogram_spark.operators.pipeline import pack_shards
+    from compute_histogram_spark.sources.tables import load
+
+    docs = load(spark, sf_dir, "documents")
+    one = [tuple(r) for r in pack_shards(docs, n_buckets=1).collect()]
+    many = [tuple(r) for r in pack_shards(docs, n_buckets=32).collect()]
+    assert one == many
+
+
+def test_pack_shards_budget_respected(spark, sf_dir):
+    """Shards are contiguous, start at multiples of the budget, and every
+    shard's token total stays within budget + one document (a doc is never
+    split; it belongs to the shard where it starts)."""
+    from pyspark.sql import functions as F
+    from compute_histogram_spark.operators.pipeline import pack_shards
+    from compute_histogram_spark.sources.tables import load
+
+    budget = 4096
+    out = pack_shards(load(spark, sf_dir, "documents"), tokens_per_shard=budget)
+    stats = (
+        out.groupBy("shard_id")
+        .agg(
+            F.sum("n_tok").alias("tot"),
+            F.min("start_offset").alias("lo"),
+            F.max("start_offset").alias("hi"),
+        )
+        .collect()
+    )
+    max_doc = out.agg(F.max("n_tok")).first()[0]
+    shard_ids = sorted(r["shard_id"] for r in stats)
+    assert shard_ids == list(range(len(shard_ids)))  # contiguous ids
+    for r in stats:
+        assert r["lo"] >= r["shard_id"] * budget
+        assert r["lo"] < (r["shard_id"] + 1) * budget
+        if r["shard_id"] != shard_ids[-1]:
+            assert r["tot"] <= budget + max_doc - 1
