@@ -143,6 +143,78 @@ def asof_enrich_events(events: DataFrame, orders: DataFrame) -> DataFrame:
     ).orderBy("event_id")
 
 
+def scd2_intervals(
+    df: DataFrame,
+    key_col: str,
+    ts: Column,
+    state_cols: list[str],
+    tiebreak: Column,
+) -> DataFrame:
+    """Collapse a change stream into SCD2 (type-2 slowly-changing-dimension)
+    validity intervals: one row per (key, state-run) with
+    ``[valid_from, valid_to)`` in the units of ``ts`` and ``valid_to`` NULL
+    for the current (open) interval.
+
+    Reference scope note: the reference has no temporal modeling at all;
+    this is the north-star "hypertable rollup"-family extension — turning an
+    append-only event log into a point-in-time dimension, the input shape
+    every feature-store / training-snapshot join needs.
+
+    Plan shape (the gaps-and-islands idiom, one shuffle):
+
+    1. window per key ordered by (ts, tiebreak): a row opens a new run when
+       any state column ``IS DISTINCT FROM`` its ``lag()`` (null-safe, so
+       the first row per key always opens).
+    2. keep only run-opening rows (``valid_from = ts``).
+    3. ``lead(valid_from)`` over the same key order gives ``valid_to``.
+
+    Both windows and the filter keep the same hash partitioning on ``key``,
+    so Catalyst plans ONE Exchange; cost at 100 TB is one shuffle of the
+    change stream, state per row is O(1). Simultaneous changes (equal ts)
+    are ordered by ``tiebreak``; the later row wins the interval start and
+    the earlier one becomes a zero-width ``[t, t)`` interval, preserving
+    every state transition rather than silently dropping one.
+    """
+    state = [F.col(c) for c in state_cols]
+    proj = df.select(
+        F.col(key_col), ts.cast("bigint").alias("__ts"),
+        tiebreak.cast("bigint").alias("__tie"), *state,
+    )
+    w = Window.partitionBy(key_col).orderBy("__ts", "__tie")
+    opens = F.lit(False)
+    for c in state_cols:
+        # null-safe inequality vs previous row: NOT (a <=> b)
+        opens = opens | ~F.col(c).eqNullSafe(F.lag(c).over(w))
+    # lag() of the first row is NULL for every state col, so eqNullSafe is
+    # False (unless the state itself is NULL) — force the first row open.
+    first = F.lag("__ts").over(w).isNull()
+    runs = proj.withColumn("__open", opens | first).where(F.col("__open"))
+    w2 = Window.partitionBy(key_col).orderBy("__ts", "__tie")
+    return runs.select(
+        F.col(key_col),
+        *state_cols,
+        F.col("__ts").alias("valid_from"),
+        F.lead("__ts").over(w2).alias("valid_to"),
+    )
+
+
+def user_state_history(events: DataFrame) -> DataFrame:
+    """SCD2 history of each user's event_type "state" (epoch-micros bounds):
+    consecutive same-type events collapse into one interval; ties on ts
+    break by event_id. The concrete twin for :func:`scd2_intervals`."""
+    ev = events.select(
+        "user_id", "event_type", "event_id", F.expr("ts div 1000").alias("tsu")
+    )
+    out = scd2_intervals(
+        ev,
+        key_col="user_id",
+        ts=F.col("tsu"),
+        state_cols=["event_type"],
+        tiebreak=F.col("event_id"),
+    )
+    return out.orderBy("user_id", "valid_from")
+
+
 def range_band_join(
     fact: DataFrame,
     bands: DataFrame,
