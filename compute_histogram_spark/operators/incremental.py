@@ -24,7 +24,7 @@ from __future__ import annotations
 
 from functools import reduce
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 from pyspark.sql.functions import broadcast
 
 from compute_histogram_spark.operators.histogram import _valid, bin_counts
@@ -77,3 +77,79 @@ def finalize(state: DataFrame, scheme: BinScheme, dense: bool = True) -> DataFra
         scheme.label_expr(F.col("bin")).alias("value"),
         F.col("pixel_count").cast("bigint").alias("pixel_count"),
     ).orderBy("bin")
+
+
+def apply_changes(
+    snapshot: DataFrame,
+    changes: DataFrame,
+    key_col: str,
+    seq_col: str = "seq",
+    op_col: str = "op",
+) -> DataFrame:
+    """CDC MERGE: apply an upsert/delete change-set to a keyed snapshot.
+
+    The same incremental-maintenance idea as the histogram states, applied
+    to a *keyed table* instead of an aggregate: rather than rebuilding the
+    snapshot from the full history, fold in only the day's changes.
+    ``changes`` carries every snapshot column plus ``seq`` (monotone change
+    order) and ``op`` ('u' = upsert, 'd' = delete). Semantics (MERGE INTO):
+
+    - per key, the HIGHEST ``seq`` change wins; on a seq tie the delete
+      wins ('d' < 'u' in the tiebreak order — deterministic, and the safe
+      default for at-least-once change feeds);
+    - winning 'u' replaces (or inserts) the key's row;
+    - winning 'd' removes the key;
+    - keys with no change pass through untouched.
+
+    Plan shape, sized for "100 TB snapshot, small daily delta":
+
+    1. one window over CHANGES only (shuffle of the delta, never the
+       snapshot) picks the winner per key;
+    2. ``left_anti`` join snapshot -> winner keys: with a day-sized delta
+       AQE plans this as a broadcast anti join, so the snapshot is a pure
+       map-side scan — ZERO snapshot shuffle end to end;
+    3. union the winning upserts.
+
+    For deltas too big to broadcast, write both sides bucketed by the key
+    (sources/bucketing.py) and the anti join is a zero-Exchange sort-merge.
+    """
+    w = Window.partitionBy(key_col).orderBy(
+        F.col(seq_col).desc(), F.col(op_col).asc()
+    )
+    latest = (
+        changes.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    keep = snapshot.join(latest.select(key_col), key_col, "left_anti")
+    ups = latest.where(F.col(op_col) == "u").select(*snapshot.columns)
+    return keep.unionByName(ups)
+
+
+def orders_upsert_demo(orders: DataFrame) -> DataFrame:
+    """Concrete MERGE twin on the orders table, with a deterministic
+    synthetic change feed exercising every branch: keys ``%17 == 3`` get an
+    early upsert (seq 1) overridden by a delete (seq 2); keys ``%17 == 5``
+    get a delete (seq 1) overridden by a +1.00 repricing upsert (seq 2).
+    Returns the merged snapshot (orderkey, totalprice)."""
+    snap = orders.select("o_orderkey", "o_totalprice")
+    m = F.col("o_orderkey") % 17
+    base = orders.where(m.isin(3, 5)).select(
+        "o_orderkey", "o_totalprice", m.alias("__m")
+    )
+    c1 = base.select(
+        "o_orderkey",
+        F.when(F.col("__m") == 3, F.col("o_totalprice") + 5.0)
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+        F.lit(1).alias("seq"),
+        F.when(F.col("__m") == 3, F.lit("u")).otherwise(F.lit("d")).alias("op"),
+    )
+    c2 = base.select(
+        "o_orderkey",
+        (F.col("o_totalprice") + 1.0).alias("o_totalprice"),
+        F.lit(2).alias("seq"),
+        F.when(F.col("__m") == 3, F.lit("d")).otherwise(F.lit("u")).alias("op"),
+    )
+    out = apply_changes(snap, c1.unionByName(c2), key_col="o_orderkey")
+    return out.orderBy("o_orderkey")
