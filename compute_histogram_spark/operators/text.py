@@ -294,3 +294,85 @@ def top_tokens_per_lang(docs: DataFrame, k: int = 5) -> DataFrame:
         .select("lang", F.col("rnk").cast("int").alias("rnk"), "token", "n")
         .orderBy("lang", "rnk")
     )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: tuple[str, ...],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 relevance top-k over ``documents`` for a pinned term set —
+    the retrieval scoring a corpus-curation / eval-dedup pipeline runs to
+    find documents about a topic without an embedding model.
+
+    Uses the BM25+-style always-positive idf ``ln(1 + (N-df+.5)/(df+.5))``.
+    All score inputs (tf, dl, df, N, sum_dl) are integers aggregated
+    exactly; the only float ops are the final per-(doc,term) expression and
+    ``ln``, then one ``round(...,6)`` — cross-engine exact (see module
+    docstring).
+
+    Plan shape at 100 TB:
+
+    - tokens explode is map-side and filtered to the |q| query terms
+      BEFORE the shuffle, so the (doc,term) aggregation shuffles only
+      matching postings — O(hits), not O(corpus tokens);
+    - doc length rides along the explode (no second scan / self-join);
+    - df and the (N, sum_dl) scalars aggregate to |q|+1 rows and broadcast
+      back — the corpus-sized side never reshuffles;
+    - top-k is the WindowGroupLimit-eligible row_number pattern.
+    """
+    terms = list(dict.fromkeys(query_terms))
+    t = docs.select(
+        "doc_id", tokens("text").alias("toks")
+    ).select("doc_id", F.size("toks").alias("dl"), "toks")
+    t = ensure_parallelism(t)
+
+    # corpus scalars: exact integer sums, single tiny row, broadcast
+    scal = t.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
+    )
+
+    posting = (
+        t.select("doc_id", "dl", F.explode("toks").alias("term"))
+        .where(F.col("term").isin(terms))
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_t = posting.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+
+    scored = (
+        posting.join(F.broadcast(df_t), "term")
+        .crossJoin(F.broadcast(scal))
+        .select(
+            "doc_id",
+            (
+                F.log(
+                    1.0
+                    + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                )
+                * (F.col("tf") * (k1 + 1.0))
+                / (
+                    F.col("tf")
+                    + k1
+                    * (
+                        1.0
+                        - b
+                        + b
+                        * F.col("dl")
+                        / (F.col("sum_dl") / F.col("n_docs").cast("double"))
+                    )
+                )
+            ).alias("s"),
+        )
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("s"), 6).alias("bm25"))
+    )
+    w = Window.orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("doc_id", "bm25", "rank")
+        .orderBy("rank")
+    )

@@ -152,3 +152,74 @@ def test_quality_signals_vs_duckdb_oracle(spark, sf_dir):
     odf = con.sql(QUALITY_ORACLE).df()
     assert len(sdf) > 0
     assert compare("quality_signals", sdf, odf) == []
+
+
+BM25_ORACLE = """
+WITH tl AS (
+    SELECT doc_id, len(string_split(text, ' ')) AS dl,
+           string_split(text, ' ') AS toks
+    FROM documents
+),
+scal AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM tl),
+posting AS (
+    SELECT doc_id, dl, term, count(*) AS tf
+    FROM (SELECT doc_id, dl, unnest(toks) AS term FROM tl)
+    WHERE term IN ('spark', 'merge', 'window')
+    GROUP BY doc_id, dl, term
+),
+dft AS (SELECT term, count(*) AS df FROM posting GROUP BY term),
+scored AS (
+    SELECT doc_id, round(sum(
+        ln(1 + (n_docs - df + 0.5) / (df + 0.5)) * (tf * 2.2)
+        / (tf + 1.2 * (1 - 0.75 + 0.75 * dl
+                       / (sum_dl / CAST(n_docs AS DOUBLE))))
+    ), 6) AS bm25
+    FROM posting JOIN dft USING (term) CROSS JOIN scal
+    GROUP BY doc_id
+)
+SELECT doc_id, bm25, rank FROM (
+    SELECT doc_id, bm25,
+           row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rank
+    FROM scored)
+WHERE rank <= 10 ORDER BY rank
+"""
+
+
+def test_bm25_golden(spark):
+    """tf saturation + length normalization + idf on a tiny corpus."""
+    rows = [
+        Row(doc_id=0, text="spark spark spark spark"),      # high tf, short
+        Row(doc_id=1, text="spark merge"),                  # two query terms
+        Row(doc_id=2, text="merge " + "pad " * 50 + "end"), # long doc penalty
+        Row(doc_id=3, text="nothing relevant here"),        # no hit
+    ]
+    out = TX.bm25_topk(
+        spark.createDataFrame(rows), ("spark", "merge"), k=10
+    ).collect()
+    got = {r["doc_id"]: (r["bm25"], r["rank"]) for r in out}
+    assert 3 not in got                      # zero-hit docs don't appear
+    assert got[1][1] == 1                    # two distinct terms beat tf=4
+    # doc 0 (short, tf=4) outranks doc 2 (long, tf=1) on the shared idf
+    assert got[0][0] > got[2][0]
+    # tf saturation: tf=4 scores < 4x tf=1 of same term in a short doc
+    assert got[0][0] < 4 * got[1][0]
+
+
+def test_bm25_vs_duckdb_oracle(spark, sf_dir):
+    """Value-exact DuckDB twin on the real documents table (outside the
+    50-entry registry window; oracle evidence lives here)."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from check_oracle import compare, duck_connection
+
+    from compute_histogram_spark.sources.tables import load
+
+    sdf = TX.bm25_topk(
+        load(spark, sf_dir, "documents"), ("spark", "merge", "window"), k=10
+    ).toPandas()
+    con = duck_connection(sf_dir)
+    odf = con.sql(BM25_ORACLE).df()
+    assert len(sdf) == 10
+    assert compare("bm25_topk", sdf, odf) == []
