@@ -449,3 +449,37 @@ def novelty_gate(
             _bloom_positions(digest_col, k_hashes, n_bits)
         ),
     )
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict[str, float],
+    id_col: str = "doc_id",
+    salt: str = "strat:",
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Deterministic per-stratum sampling: keep each row iff its salted
+    md5 bucket (out of 1e6) falls under the stratum's fraction.
+
+    The Spark built-in (``df.sampleBy``) is seeded-random per partition
+    SPLIT — resilient to nothing: a repartition, a retry, or an input
+    reorder changes the sample. This version is a pure function of the row
+    id, so the sample is reproducible across reruns, engines (the DuckDB
+    oracle reproduces it bit-for-bit), and cluster layouts, and it
+    composes with the other hash-gated steps via distinct salts (see
+    :func:`split_bucket`). Map-only: no shuffle, no count pass; the
+    fraction is honored in expectation (binomial, like sampleBy), with
+    exactness over the fixed 1e6-bucket grid.
+
+    ``fractions`` maps stratum value -> keep fraction (use
+    ``default_fraction`` for unlisted strata). Fractions are quantized to
+    micro-units (1e-6) so the comparison is integer-vs-integer.
+    """
+    b = split_bucket(id_col, buckets=1_000_000, salt=salt)
+    expr = F.lit(int(default_fraction * 1_000_000))
+    for v, frac in sorted(fractions.items()):
+        expr = F.when(
+            F.col(strata_col) == v, F.lit(int(round(frac * 1_000_000)))
+        ).otherwise(expr)
+    return df.where(b < expr)

@@ -308,3 +308,65 @@ def test_pack_shards_budget_respected(spark, sf_dir):
         assert r["lo"] < (r["shard_id"] + 1) * budget
         if r["shard_id"] != shard_ids[-1]:
             assert r["tot"] <= budget + max_doc - 1
+
+
+STRAT_ORACLE = """
+WITH s AS (
+    SELECT lang, doc_id,
+           ('0x' || substring(md5('strat:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+               % 1000000 AS b
+    FROM documents
+)
+SELECT lang, count(*) AS n_docs FROM s
+WHERE b < CASE lang WHEN 'en' THEN 500000
+                    WHEN 'de' THEN 250000
+                    WHEN 'zh' THEN 1000000
+                    ELSE 100000 END
+GROUP BY lang ORDER BY lang
+"""
+
+
+def test_stratified_sample_deterministic_and_rate(spark, sf_dir):
+    from compute_histogram_spark.sources.tables import load
+
+    docs = load(spark, sf_dir, "documents")
+    fr = {"en": 0.5, "de": 0.25, "zh": 1.0}
+    s1 = PL.stratified_sample(docs, "lang", fr, default_fraction=0.1)
+    s2 = PL.stratified_sample(
+        docs.repartition(7), "lang", fr, default_fraction=0.1
+    )
+    # layout-independent: identical doc set regardless of partitioning
+    ids1 = sorted(r["doc_id"] for r in s1.select("doc_id").collect())
+    ids2 = sorted(r["doc_id"] for r in s2.select("doc_id").collect())
+    assert ids1 == ids2 and len(ids1) > 0
+    # full-rate stratum keeps everything
+    n_zh = docs.where("lang = 'zh'").count()
+    assert s1.where("lang = 'zh'").count() == n_zh
+    # sampling is a subset (no new rows materialize)
+    assert s1.count() < docs.count()
+
+
+def test_stratified_sample_vs_duckdb_oracle(spark, sf_dir):
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from check_oracle import compare, duck_connection
+
+    from compute_histogram_spark.sources.tables import load
+
+    docs = load(spark, sf_dir, "documents")
+    sdf = (
+        PL.stratified_sample(
+            docs, "lang", {"en": 0.5, "de": 0.25, "zh": 1.0},
+            default_fraction=0.1,
+        )
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("lang")
+        .toPandas()
+    )
+    con = duck_connection(sf_dir)
+    odf = con.sql(STRAT_ORACLE).df()
+    assert len(sdf) > 0
+    assert compare("stratified_sample", sdf, odf) == []
