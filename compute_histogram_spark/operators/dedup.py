@@ -26,7 +26,7 @@ the xxhash64 production swap).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from compute_histogram_spark.functions.texthash import (
     band_hashes,
@@ -333,3 +333,60 @@ def embedding_neardup_pairs(
         .where(F.col("cosine") >= threshold)
         .orderBy("vec_id_1", "vec_id_2")
     )
+
+
+def paragraph_dedup(
+    docs: DataFrame,
+    sep: str = "\n",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """C4-style global paragraph-level exact dedup: split each document on
+    ``sep``, keep only the corpus-wide FIRST occurrence of every distinct
+    paragraph (order = (doc_id, position) — deterministic, rerun-stable),
+    reassemble documents from their surviving paragraphs in original order.
+    Documents whose every paragraph was seen earlier vanish entirely.
+
+    Returns ``(doc_id, text, n_paras, n_kept)``.
+
+    Plan shape: posexplode (map-side) -> ONE shuffle partitioned by the
+    paragraph digest (first-occurrence decision via row_number, which
+    Catalyst executes as WindowGroupLimit: per-partition partial top-1
+    before the exchange, so the shuffle carries at most one surviving row
+    per (digest, input partition), not every duplicate) -> ONE shuffle
+    back on doc_id to reassemble. Both shuffles move paragraph text once
+    each — the floor for any reassembling dedup. The decision key is the
+    md5 digest, never raw text comparison on the sort key (equal digests
+    == equal text at md5 collision odds).
+    """
+    p = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "para"),
+    )
+    w = Window.partitionBy(F.md5(F.col("para"))).orderBy(id_col, "pos")
+    flagged = p.select(
+        id_col, "pos", "para",
+        (F.row_number().over(w) == 1).alias("keep"),
+    )
+    out = (
+        flagged.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_paras"),
+            F.sum(F.col("keep").cast("int")).cast("bigint").alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("keep"), F.struct("pos", "para")
+                            )
+                        )
+                    ),
+                    lambda s: s["para"],
+                ),
+                sep,
+            ).alias(text_col),
+        )
+        .where(F.col("n_kept") > 0)
+    )
+    return out.select(id_col, text_col, "n_paras", "n_kept").orderBy(id_col)

@@ -100,3 +100,67 @@ def test_incremental_minhash_index_equals_full_recompute(spark, sf_dir, tmp_path
 
     full_pairs = {(r[0], r[1]) for r in minhash_candidates(docs).collect()}
     assert base_pairs | new_pairs == full_pairs
+
+
+def test_paragraph_dedup_golden(spark):
+    """First global occurrence wins; docs reassemble in order; fully-
+    duplicated docs vanish; counts are per-doc."""
+    from pyspark.sql import Row
+
+    rows = [
+        Row(doc_id=1, text="alpha\nbeta\ngamma"),
+        Row(doc_id=2, text="beta\ndelta"),        # beta dropped, delta kept
+        Row(doc_id=3, text="alpha\nbeta"),        # everything seen -> gone
+        Row(doc_id=4, text="delta\nepsilon\nalpha"),
+    ]
+    out = {
+        r["doc_id"]: (r["text"], r["n_paras"], r["n_kept"])
+        for r in DD.paragraph_dedup(spark.createDataFrame(rows)).collect()
+    }
+    assert out[1] == ("alpha\nbeta\ngamma", 3, 3)
+    assert out[2] == ("delta", 2, 1)
+    assert 3 not in out
+    assert out[4] == ("epsilon", 3, 1)
+
+
+PARA_ORACLE = """
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+p AS (
+    SELECT doc_id, unnest(generate_series(1, len(toks))) AS pos, toks
+    FROM d
+),
+q AS (SELECT doc_id, pos, toks[pos] AS para FROM p),
+f AS (
+    SELECT doc_id, pos, para,
+           row_number() OVER (PARTITION BY para ORDER BY doc_id, pos) = 1
+               AS keep
+    FROM q
+)
+SELECT doc_id,
+       string_agg(CASE WHEN keep THEN para END, ' ' ORDER BY pos) AS text,
+       count(*) AS n_paras,
+       CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+FROM f GROUP BY doc_id HAVING n_kept > 0 ORDER BY doc_id
+"""
+
+
+def test_paragraph_dedup_vs_duckdb_oracle(spark, sf_dir):
+    """Value-exact DuckDB twin on the real documents table, with space as
+    the separator (the synthetic corpus has no newlines, so 'paragraphs'
+    degenerate to words — same machinery, maximal duplication stress).
+    Outside the 50-entry registry window; oracle evidence lives here."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from check_oracle import compare, duck_connection
+
+    from compute_histogram_spark.sources.tables import load
+
+    sdf = DD.paragraph_dedup(
+        load(spark, sf_dir, "documents"), sep=" "
+    ).toPandas()
+    con = duck_connection(sf_dir)
+    odf = con.sql(PARA_ORACLE).df()
+    assert 0 < len(sdf) < 500  # heavy word-level duplication shrinks corpus
+    assert compare("paragraph_dedup", sdf, odf) == []
