@@ -376,3 +376,48 @@ def bm25_topk(
         .select("doc_id", "bm25", "rank")
         .orderBy("rank")
     )
+
+
+def build_postings(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Positional inverted index as a DataFrame: ``(term, doc_id, pos)``.
+
+    One map-side posexplode — no shuffle to BUILD (the index is born
+    partitioned however the corpus is). To PERSIST for repeated querying,
+    write it bucketed by ``term`` (sources/bucketing.py): every later
+    term lookup is then a bucket-pruned scan and phrase joins co-locate.
+    """
+    return ensure_parallelism(docs).select(
+        F.col(id_col),
+        F.posexplode(tokens("text")).alias("pos", "term"),
+    )
+
+
+def phrase_match(
+    postings: DataFrame, phrase: str, id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact token-boundary phrase search over a positional index:
+    documents containing ``phrase`` as consecutive tokens.
+
+    Plan: one pre-filtered slice of the index per phrase term, each
+    re-based to the phrase start (``pos - i``), then |phrase|-way
+    equi-join on ``(doc_id, start)`` — a match is a start where every
+    term lines up. Each join side is a single term's postings (highly
+    selective), so at 100 TB this is |phrase| small shuffle joins, never
+    a corpus scan — the point of having the index. Output:
+    ``(doc_id, n_matches)`` with distinct start positions counted.
+    """
+    terms = phrase.split(" ")
+    sides = [
+        postings.where(F.col("term") == t).select(
+            id_col, (F.col("pos") - i).alias("start")
+        )
+        for i, t in enumerate(terms)
+    ]
+    hits = sides[0]
+    for s in sides[1:]:
+        hits = hits.join(s, [id_col, "start"])
+    return (
+        hits.groupBy(id_col)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_matches"))
+        .orderBy(id_col)
+    )

@@ -223,3 +223,43 @@ def test_bm25_vs_duckdb_oracle(spark, sf_dir):
     odf = con.sql(BM25_ORACLE).df()
     assert len(sdf) == 10
     assert compare("bm25_topk", sdf, odf) == []
+
+
+def test_phrase_match_golden(spark):
+    """Token-boundary semantics: substring-only hits don't match;
+    overlapping occurrences each count; repeated-word phrases work."""
+    rows = [
+        Row(doc_id=0, text="the sort merge join"),       # 1 match
+        Row(doc_id=1, text="sortx merge sort mergey"),   # substrings only: 0
+        Row(doc_id=2, text="sort merge sort merge"),     # 2 matches
+        Row(doc_id=3, text="merge sort"),                # wrong order: 0
+        Row(doc_id=4, text="a a a"),                     # overlapping "a a": 2
+    ]
+    idx = TX.build_postings(spark.createDataFrame(rows))
+    out = {r["doc_id"]: r["n_matches"] for r in TX.phrase_match(idx, "sort merge").collect()}
+    assert out == {0: 1, 2: 2}
+    rep = {r["doc_id"]: r["n_matches"] for r in TX.phrase_match(idx, "a a").collect()}
+    assert rep == {4: 2}
+
+
+def test_phrase_match_vs_duckdb_oracle(spark, sf_dir):
+    """Doc set equals DuckDB's independent boundary-padded substring
+    formulation on the real corpus, for a 2- and a 3-token phrase."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from check_oracle import compare, duck_connection
+
+    from compute_histogram_spark.sources.tables import load
+
+    idx = TX.build_postings(load(spark, sf_dir, "documents"))
+    con = duck_connection(sf_dir)
+    for phrase in ("sort merge", "the fast key"):
+        sdf = TX.phrase_match(idx, phrase).select("doc_id").toPandas()
+        odf = con.sql(
+            "SELECT doc_id FROM documents "
+            f"WHERE contains(' ' || text || ' ', ' {phrase} ') ORDER BY doc_id"
+        ).df()
+        assert len(sdf) > 0
+        assert compare(f"phrase:{phrase}", sdf, odf) == []
