@@ -390,3 +390,77 @@ def paragraph_dedup(
         .where(F.col("n_kept") > 0)
     )
     return out.select(id_col, text_col, "n_paras", "n_kept").orderBy(id_col)
+
+
+def repeated_span_coverage(
+    docs: DataFrame,
+    n: int = 5,
+    min_df: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document fraction of token positions covered by word n-grams
+    that occur in >= ``min_df`` distinct documents — the cross-document
+    boilerplate / memorized-span signal substring-dedup pipelines gate on
+    (a high fraction means the document is mostly text seen elsewhere).
+
+    Returns ``(doc_id, n_tokens, n_hot_spans, covered_tokens, dup_frac)``
+    for every doc with at least one n-gram; docs with no hot span report 0.
+
+    Plan shape at 100 TB:
+
+    - shingles are hashed to md5 digests in the map stage; the document
+      -frequency aggregation shuffles (digest, doc_id) pairs, never gram
+      text;
+    - hot digests (df >= min_df) join back to the positional shingle
+      stream as a digest equi-join — at real scale the hot set is the
+      small side (boilerplate is rare among DISTINCT grams even when
+      common among tokens) and AQE broadcasts it;
+    - covered-token arithmetic is the classic sorted-interval sweep done
+      per doc with one window: span i covers ``min(n, next_start - start)``
+      tokens (overlaps clip, the last span contributes n) — one shuffle on
+      doc_id, O(1) state per row.
+    """
+    toks = docs.select(
+        F.col(id_col), tokens(text_col).alias("toks")
+    ).select(id_col, F.size("toks").alias("n_tokens"), "toks")
+    toks = ensure_parallelism(toks)
+    base = toks.where(F.col("n_tokens") >= n).select(id_col, "n_tokens")
+
+    grams = toks.select(
+        id_col,
+        F.posexplode(word_shingles("toks", n)).alias("pos", "gram"),
+    ).select(id_col, "pos", F.md5("gram").alias("g"))
+
+    hot = (
+        grams.groupBy("g")
+        .agg(F.count_distinct(F.col(id_col)).alias("df"))
+        .where(F.col("df") >= min_df)
+        .select("g")
+    )
+    spans = grams.join(hot, "g").select(id_col, "pos")
+
+    w = Window.partitionBy(id_col).orderBy("pos")
+    swept = spans.select(
+        id_col,
+        F.least(
+            F.lit(n), F.coalesce(F.lead("pos").over(w) - F.col("pos"), F.lit(n))
+        ).alias("cov"),
+    )
+    per_doc = swept.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_hot_spans"),
+        F.sum("cov").cast("bigint").alias("covered_tokens"),
+    )
+    return (
+        base.join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            "n_tokens",
+            F.coalesce("n_hot_spans", F.lit(0)).cast("bigint").alias("n_hot_spans"),
+            F.coalesce("covered_tokens", F.lit(0)).cast("bigint").alias("covered_tokens"),
+            F.round(
+                F.coalesce("covered_tokens", F.lit(0)) * 1.0 / F.col("n_tokens"), 6
+            ).alias("dup_frac"),
+        )
+        .orderBy(id_col)
+    )

@@ -164,3 +164,92 @@ def test_paragraph_dedup_vs_duckdb_oracle(spark, sf_dir):
     odf = con.sql(PARA_ORACLE).df()
     assert 0 < len(sdf) < 500  # heavy word-level duplication shrinks corpus
     assert compare("paragraph_dedup", sdf, odf) == []
+
+
+def test_repeated_span_coverage_golden(spark):
+    """Interval sweep: overlapping hot spans clip; disjoint spans add;
+    clean docs report zero."""
+    rows = [
+        # docs 1 and 2 share the 6-token run "p q r s t u" -> with n=3,
+        # hot 3-grams at starts 0..3 overlap into one 6-token cover
+        Row(doc_id=1, text="p q r s t u x1 y1 z1 w1"),
+        Row(doc_id=2, text="a2 p q r s t u b2 c2 d2"),
+        Row(doc_id=3, text="k l m n1 o1 k l m n3 o3"),  # self-repeat only: df=1
+        Row(doc_id=4, text="all fresh words here now"),
+    ]
+    out = {
+        r["doc_id"]: (r["n_tokens"], r["n_hot_spans"], r["covered_tokens"], r["dup_frac"])
+        for r in DD.repeated_span_coverage(
+            spark.createDataFrame(rows), n=3, min_df=2
+        ).collect()
+    }
+    assert out[1] == (10, 4, 6, 0.6)
+    assert out[2] == (10, 4, 6, 0.6)
+    # df counts DISTINCT docs: doc 3's internal repeat is not cross-doc
+    assert out[3] == (10, 0, 0, 0.0)
+    assert out[4] == (5, 0, 0, 0.0)
+
+
+SPAN_ORACLE = """
+WITH t AS (
+    SELECT doc_id, string_split(text, ' ') AS toks,
+           len(string_split(text, ' ')) AS n_tokens
+    FROM documents
+),
+g AS (
+    SELECT doc_id, n_tokens,
+           unnest(generate_series(1, n_tokens - 4)) AS pos, toks
+    FROM t WHERE n_tokens >= 5
+),
+grams AS (
+    SELECT doc_id, n_tokens, pos,
+           toks[pos] || ' ' || toks[pos+1] || ' ' || toks[pos+2] || ' '
+               || toks[pos+3] || ' ' || toks[pos+4] AS gram
+    FROM g
+),
+hot AS (
+    SELECT gram FROM grams GROUP BY gram
+    HAVING count(DISTINCT doc_id) >= 2
+),
+spans AS (SELECT doc_id, n_tokens, pos FROM grams JOIN hot USING (gram)),
+swept AS (
+    SELECT doc_id, n_tokens,
+           least(5, coalesce(
+               lead(pos) OVER (PARTITION BY doc_id ORDER BY pos) - pos, 5
+           )) AS cov
+    FROM spans
+),
+per_doc AS (
+    SELECT doc_id, count(*) AS n_hot_spans,
+           CAST(sum(cov) AS BIGINT) AS covered_tokens
+    FROM swept GROUP BY doc_id
+)
+SELECT t.doc_id, t.n_tokens,
+       coalesce(n_hot_spans, 0) AS n_hot_spans,
+       coalesce(covered_tokens, 0) AS covered_tokens,
+       round(coalesce(covered_tokens, 0) * 1.0 / t.n_tokens, 6) AS dup_frac
+FROM t LEFT JOIN per_doc USING (doc_id)
+WHERE t.n_tokens >= 5
+ORDER BY t.doc_id
+"""
+
+
+def test_repeated_span_coverage_vs_duckdb_oracle(spark, sf_dir):
+    """Value-exact DuckDB twin on the real documents table (outside the
+    50-entry registry window; oracle evidence lives here)."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from check_oracle import compare, duck_connection
+
+    from compute_histogram_spark.sources.tables import load
+
+    sdf = DD.repeated_span_coverage(
+        load(spark, sf_dir, "documents"), n=5, min_df=2
+    ).toPandas()
+    con = duck_connection(sf_dir)
+    odf = con.sql(SPAN_ORACLE).df()
+    assert len(sdf) > 0
+    assert (sdf["dup_frac"] > 0).any()  # the synthetic corpus has boilerplate
+    assert compare("repeated_span_coverage", sdf, odf) == []
