@@ -1,0 +1,74 @@
+"""Distributed BPE training == sequential reference BPE (merge-list and
+final-segmentation equality), on goldens and the real corpus."""
+
+from pyspark.sql import Row
+
+from compute_histogram_spark.operators import bpe as B
+from compute_histogram_spark.sources.tables import load
+
+
+def py_bpe(wordfreq, num_merges, min_freq=2):
+    """Sequential reference implementation (the textbook algorithm)."""
+    vocab = {w: list(w) for w in wordfreq}
+    merges = []
+    for _ in range(num_merges):
+        counts = {}
+        for w, f in wordfreq.items():
+            s = vocab[w]
+            for i in range(len(s) - 1):
+                counts[(s[i], s[i + 1])] = counts.get((s[i], s[i + 1]), 0) + f
+        if not counts:
+            break
+        (a, b), cnt = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        if cnt < min_freq:
+            break
+        merges.append((a, b))
+        for w, s in vocab.items():
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            vocab[w] = out
+    return merges, vocab
+
+
+def test_bpe_golden(spark):
+    """The classic low/lower/newest/widest example: 'est' chains first."""
+    wf = {"low": 5, "lower": 2, "newest": 6, "widest": 3}
+    words = spark.createDataFrame(
+        [Row(word=w, weight=f) for w, f in wf.items()]
+    )
+    merges, vocab = B.bpe_train(words, num_merges=4)
+    assert merges == py_bpe(wf, 4)[0]
+    # highest-count pair is (e,s) at 9, then (es,t) at 9 ...
+    assert merges[0] == ("e", "s") and merges[1] == ("es", "t")
+    segs = {r["word"]: r["syms"] for r in vocab.collect()}
+    assert segs["newest"][-1] == "est"
+
+
+def test_bpe_vs_sequential_on_corpus(spark, sf_dir):
+    """Merge list + every word's segmentation match the sequential twin on
+    the real documents word-frequency table (iterative op — rows-only by
+    design, no SQL oracle; this equality is the correctness evidence)."""
+    words = B.word_freqs(load(spark, sf_dir, "documents"))
+    wf = {r["word"]: r["weight"] for r in words.collect()}
+    merges, vocab = B.bpe_train(words, num_merges=12)
+    py_merges, py_vocab = py_bpe(wf, 12)
+    assert merges == py_merges and len(merges) == 12
+    segs = {r["word"]: r["syms"] for r in vocab.collect()}
+    assert segs == py_vocab
+
+
+def test_bpe_segment_matches_training_output(spark, sf_dir):
+    """Re-applying the learned merges reproduces training segmentations
+    (the encode path a corpus join uses)."""
+    words = B.word_freqs(load(spark, sf_dir, "documents"))
+    merges, vocab = B.bpe_train(words, num_merges=6)
+    seg = B.bpe_segment(words.select("word"), merges)
+    got = {r["word"]: r["syms"] for r in seg.collect()}
+    want = {r["word"]: r["syms"] for r in vocab.collect()}
+    assert got == want
