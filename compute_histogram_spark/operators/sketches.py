@@ -143,3 +143,75 @@ def cms_heavy_hitters(
         .where(F.col("est") >= min_count)
         .orderBy(F.desc("est"), F.asc("token"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Bottom-k (KMV) sketch: mergeable distinct-count + uniform distinct-sample
+# ---------------------------------------------------------------------------
+
+def kmv_build(
+    values: DataFrame, value_col: str, k: int = 256
+) -> DataFrame:
+    """Bottom-k / K-Minimum-Values sketch (Bar-Yossef et al. 2002) of a
+    column: the k smallest ``xxhash64`` values over the column's DISTINCT
+    values, as a k-row DataFrame ``(h, v)``.
+
+    The complement to the CMS: CMS answers "how often", KMV answers "how
+    many distinct" — with a bonus: because the hash is uniform, the kept
+    values are a UNIFORM SAMPLE of the distinct domain (hash-order
+    sampling), unlike anything rand()-based: deterministic, mergeable,
+    layout-independent.
+
+    Plan shape: map-side hash + map-side partial dedup (dropDuplicates
+    plans a partial aggregate before its exchange, so the shuffle carries
+    each partition's DISTINCT (h, v) pairs, never raw occurrences) ->
+    global dedup -> rank filter. The ``row_number <= k`` on the
+    unpartitioned window is WindowGroupLimit-eligible: every post-dedup
+    partition forwards at most k rows, so the final single-partition sort
+    sees ``partitions * k`` candidates, not the distinct domain. Total
+    cost at 100 TB: one distinct-domain-sized shuffle (the unavoidable
+    dedup) + a k-sized tail — if even that shuffle is too hot, pre-filter
+    ``h < t`` with a threshold from a previous run's k-th minimum and the
+    dedup input shrinks to ~k rows per partition.
+    """
+    from pyspark.sql import Window
+
+    h = values.select(
+        F.xxhash64(F.col(value_col)).alias("h"),
+        F.col(value_col).alias("v"),
+    ).dropDuplicates(["h", "v"])
+    w = Window.orderBy("h")
+    return (
+        h.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
+def kmv_merge(a: DataFrame, b: DataFrame, k: int = 256) -> DataFrame:
+    """Union two sketches and keep the global bottom-k — associative and
+    commutative, so per-shard sketches fold in any order (same contract as
+    ``cms_merge`` / the histogram state merge)."""
+    from pyspark.sql import Window
+
+    u = a.unionByName(b).dropDuplicates(["h"])
+    w = Window.orderBy("h")
+    return (
+        u.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
+def kmv_distinct_estimate(sketch: DataFrame, k: int = 256) -> float:
+    """(k-1) / normalized k-th minimum — the classic KMV estimator.
+
+    xxhash64 is uniform over [-2^63, 2^63); normalize to (0, 1] before
+    inverting. If the sketch holds fewer than k rows the count is EXACT
+    (every distinct value is present). Driver receives k scalars.
+    """
+    rows = sketch.select("h").orderBy("h").collect()
+    if len(rows) < k:
+        return float(len(rows))
+    kth = (rows[k - 1]["h"] + 2.0**63 + 1.0) / 2.0**64
+    return (k - 1) / kth

@@ -79,3 +79,45 @@ def test_cms_empty_candidate_bucket_is_zero(spark):
     est = {r["token"]: r["est"] for r in SK.cms_estimate(sketch, cands).collect()}
     assert est["a"] == 5
     assert est["zzz-unseen"] == 0
+
+
+def test_kmv_exact_when_small(spark):
+    """Fewer distincts than k -> sketch IS the domain, estimate exact."""
+    df = spark.range(100).select((F.col("id") % 37).alias("v"))
+    sk = SK.kmv_build(df, "v", k=256)
+    assert sk.count() == 37
+    assert SK.kmv_distinct_estimate(sk, k=256) == 37.0
+
+
+def test_kmv_estimate_tolerance(spark):
+    """Classic KMV accuracy: ~1/sqrt(k) relative error band."""
+    df = spark.range(50_000).select(F.col("id").alias("v"))
+    est = SK.kmv_distinct_estimate(SK.kmv_build(df, "v", k=256), k=256)
+    assert abs(est - 50_000) / 50_000 < 0.2  # 3/sqrt(256) ~ 0.19
+
+
+def test_kmv_merge_equals_build_on_union(spark):
+    """Mergeability: sketch(A) ++ sketch(B) == sketch(A ∪ B), exactly."""
+    a = spark.range(0, 3000).select(F.col("id").alias("v"))
+    b = spark.range(2000, 6000).select(F.col("id").alias("v"))
+    merged = SK.kmv_merge(
+        SK.kmv_build(a, "v", k=128), SK.kmv_build(b, "v", k=128), k=128
+    )
+    direct = SK.kmv_build(a.unionByName(b), "v", k=128)
+    assert sorted(r["h"] for r in merged.collect()) == sorted(
+        r["h"] for r in direct.collect()
+    )
+
+
+def test_kmv_layout_independent_and_plan(spark):
+    """Same sketch for any partitioning; rank filter compiles to the
+    partial-limit WindowGroupLimit operator (no full sort of the domain)."""
+    df = spark.range(10_000).select((F.col("id") * 7919 % 4001).alias("v"))
+    s1 = SK.kmv_build(df, "v", k=64)
+    s2 = SK.kmv_build(df.repartition(13), "v", k=64)
+    assert [r["h"] for r in s1.orderBy("h").collect()] == [
+        r["h"] for r in s2.orderBy("h").collect()
+    ]
+    assert "WindowGroupLimit" in s1._sc._jvm.PythonSQLUtils.explainString(
+        s1._jdf.queryExecution(), "formatted"
+    )
