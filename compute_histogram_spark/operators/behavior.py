@@ -16,16 +16,18 @@ A5-A9) with the user as the bucketing key:
   co-partitioned; no extra Exchange.
 
 Cross-engine determinism: event times compare as INTEGER epoch-micros
-(``ts div 1000`` — DuckDB's TIMESTAMP is micros, so both engines compare
-identically even for same-microsecond events), and cohort buckets are
-epoch-week integers (``us div day_us div 7``) — no calendar, no session-
-timezone dependence anywhere.
+(``epoch_micros_sql`` dispatches TIMESTAMP_NTZ vs legacy nanos-BIGINT ts —
+DuckDB's TIMESTAMP is micros, so both engines compare identically even for
+same-microsecond events), and cohort buckets are epoch-week integers
+(``us div day_us div 7``) — no calendar, no session-timezone dependence
+anywhere.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from compute_histogram_spark.operators.temporal import epoch_micros_sql
 from compute_histogram_spark.operators.windows import ts_micros
 
 DEFAULT_STAGES = ("view", "click", "purchase")
@@ -34,10 +36,11 @@ DEFAULT_STAGES = ("view", "click", "purchase")
 US_PER_DAY = 86_400_000_000
 
 
-def _week_key() -> F.Column:
+def _week_key(events: DataFrame) -> F.Column:
     """Monotone epoch-week index — pure integer arithmetic (no calendar, no
     timezone): identical in every engine and session configuration."""
-    return F.expr(f"(ts div 1000) div {US_PER_DAY} div 7").alias("wk")
+    tsu = epoch_micros_sql(events)
+    return F.expr(f"({tsu}) div {US_PER_DAY} div 7").alias("wk")
 
 
 def conversion_funnel(
@@ -50,7 +53,7 @@ def conversion_funnel(
     with conversion relative to stage 0.
     """
     firsts = [
-        F.min(F.when(F.col("event_type") == s, ts_micros())).alias(f"t{i}")
+        F.min(F.when(F.col("event_type") == s, ts_micros(events))).alias(f"t{i}")
         for i, s in enumerate(stages)
     ]
     per_user = events.groupBy("user_id").agg(*firsts)
@@ -85,7 +88,7 @@ def cohort_retention(events: DataFrame) -> DataFrame:
     -> (cohort_week_start_s BIGINT, week_offset INT, n_users BIGINT);
     ``cohort_week_start_s`` is epoch seconds of the cohort week's start.
     """
-    am = events.select("user_id", _week_key()).distinct()
+    am = events.select("user_id", _week_key(events)).distinct()
     first = am.groupBy("user_id").agg(F.min("wk").alias("cwk"))
     j = am.join(first, "user_id")
     return (
@@ -117,7 +120,9 @@ def event_transitions(events: DataFrame) -> DataFrame:
 
     -> (from_type, to_type, n_transitions)
     """
-    w = Window.partitionBy("user_id").orderBy(ts_micros().asc(), F.col("event_id").asc())
+    w = Window.partitionBy("user_id").orderBy(
+        ts_micros(events).asc(), F.col("event_id").asc()
+    )
     t = events.select(
         F.col("event_type").alias("from_type"),
         F.lead("event_type").over(w).alias("to_type"),

@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.types import DoubleType, FloatType
 
+from compute_histogram_spark.operators.temporal import epoch_micros_sql
+
 
 def null_profile(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
     """-> (column STRING, n_rows, n_null, n_nan, n_distinct) one row per
@@ -61,10 +63,11 @@ def histogram_2d(
     bin_value DOUBLE, n_events BIGINT).
     """
     v = F.col("value")
+    tsu = epoch_micros_sql(events)
     return (
         events.where(v.isNotNull() & ~F.isnan(v))
         .select(
-            F.expr("(ts div 1000) div 3600000000 % 24").cast("int").alias("hour"),
+            F.expr(f"({tsu}) div 3600000000 % 24").cast("int").alias("hour"),
             F.floor(v / bin_width).cast("bigint").alias("bin"),
         )
         .groupBy("hour", "bin")

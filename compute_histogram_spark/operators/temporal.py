@@ -34,6 +34,12 @@ on the bucket, post-filter the exact predicate.
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    TimestampNTZType,
+    TimestampType,
+)
 
 
 def ntz_micros(col: str) -> Column:
@@ -47,6 +53,39 @@ def ntz_micros(col: str) -> Column:
     return F.expr(
         f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', {col})"
     )
+
+
+def epoch_micros_sql(df: DataFrame, col: str = "ts") -> str:
+    """SQL text yielding epoch-micros BIGINT from ``df[col]``, dispatching on
+    the column's actual dtype so every time-based operator accepts all three
+    layouts an events source may carry:
+
+    - ``TIMESTAMP_NTZ`` (the testdata's current ``timestamp[us]`` parquet):
+      wall-clock ``timestampdiff`` from the NTZ epoch literal — matches
+      DuckDB's ``epoch_us`` exactly, with no session-timezone shift.
+    - ``TIMESTAMP`` (LTZ): ``unix_micros``, the instant's true epoch micros.
+    - integral (legacy epoch-*nanos* BIGINT): integer ``div 1000`` — never a
+      float divide, since ~1.7e18 nanos exceeds double's 53-bit mantissa.
+
+    Returned as SQL *text* (not a Column) so call sites can compose further
+    integer arithmetic (``div``, ``%``) in a single expression — PySpark's
+    Column operators have no integer division.
+    """
+    dt = df.schema[col].dataType
+    if isinstance(dt, TimestampNTZType):
+        return (
+            f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', {col})"
+        )
+    if isinstance(dt, TimestampType):
+        return f"unix_micros({col})"
+    if isinstance(dt, (LongType, IntegerType)):
+        return f"({col} div 1000)"
+    raise TypeError(f"column {col!r} has unsupported time dtype {dt}")
+
+
+def epoch_micros(df: DataFrame, col: str = "ts") -> Column:
+    """Column form of :func:`epoch_micros_sql` (same dispatch)."""
+    return F.expr(epoch_micros_sql(df, col))
 
 
 def asof_join(
@@ -114,15 +153,13 @@ def asof_join(
 
 def asof_enrich_events(events: DataFrame, orders: DataFrame) -> DataFrame:
     """Each event joined to the user's most recent order at-or-before the
-    event time (events.ts is epoch-nanos BIGINT — see sources/tables.py —
-    orders.o_orderdate is TIMESTAMP; both compared at micros). Ties on
-    order time break to the highest o_orderkey, matching the oracle.
+    event time (events.ts may be TIMESTAMP_NTZ or epoch-nanos BIGINT —
+    :func:`epoch_micros` dispatches; orders.o_orderdate is TIMESTAMP_NTZ;
+    both compared at epoch micros). Ties on order time break to the highest
+    o_orderkey, matching the oracle.
     """
-    # integer `div`, never float division: 2024-era nanos (~1.7e18) exceed
-    # double's 53-bit mantissa, so ts/1000 rounds ~1.5% of values off by
-    # 1 us — enough to flip at-or-before ties against the oracle's epoch_us.
     ev = events.select(
-        "event_id", "user_id", F.expr("ts div 1000").alias("tsu")
+        "event_id", "user_id", epoch_micros(events).alias("tsu")
     )
     out = asof_join(
         ev,
@@ -203,7 +240,7 @@ def user_state_history(events: DataFrame) -> DataFrame:
     consecutive same-type events collapse into one interval; ties on ts
     break by event_id. The concrete twin for :func:`scd2_intervals`."""
     ev = events.select(
-        "user_id", "event_type", "event_id", F.expr("ts div 1000").alias("tsu")
+        "user_id", "event_type", "event_id", epoch_micros(events).alias("tsu")
     )
     out = scd2_intervals(
         ev,

@@ -1,8 +1,10 @@
 """Time-windowed and sessionized aggregations over the events stream table.
 
-``events.ts`` arrives as epoch-*nanosecond* BIGINT (see sources/tables.py);
-the first projection truncates it to epoch-*microsecond* BIGINT (``ts div
-1000``) because microseconds are the finest precision every engine agrees on
+``events.ts`` arrives as TIMESTAMP_NTZ in the current testdata (and as
+epoch-*nanosecond* BIGINT in the legacy layout); the first projection
+normalizes either to epoch-*microsecond* BIGINT via
+:func:`~compute_histogram_spark.operators.temporal.epoch_micros_sql`,
+because microseconds are the finest precision every engine agrees on
 (DuckDB TIMESTAMP is micros). All bucketing/gap logic is integer arithmetic
 on micros — exact, portable, immune to timezone/precision drift.
 
@@ -21,14 +23,17 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from compute_histogram_spark.operators.temporal import epoch_micros_sql
+
 NS_PER_S = 1_000_000_000
 US_PER_S = 1_000_000
 
 
-def ts_micros() -> F.Column:
-    """epoch-nanos BIGINT -> epoch-micros BIGINT (integer div — 1.7e18 nanos
-    exceeds double's 53-bit mantissa, so never go through a float)."""
-    return F.expr("ts div 1000")
+def ts_micros(events: DataFrame, col: str = "ts") -> F.Column:
+    """``ts`` -> epoch-micros BIGINT, dispatching on the column's dtype
+    (TIMESTAMP_NTZ / TIMESTAMP / epoch-nanos BIGINT — see
+    :func:`~compute_histogram_spark.operators.temporal.epoch_micros_sql`)."""
+    return F.expr(epoch_micros_sql(events, col))
 
 
 def windowed_histogram(
@@ -42,9 +47,10 @@ def windowed_histogram(
     """
     win_us = window_s * US_PER_S
     v = F.col("value")
+    tsu = epoch_micros_sql(events)
     return (
         events.where(v.isNotNull() & ~F.isnan(v)).select(
-            (F.expr(f"(ts div 1000) div {win_us}") * window_s).alias("window_start_s"),
+            (F.expr(f"({tsu}) div {win_us}") * window_s).alias("window_start_s"),
             F.floor(F.col("value") / bin_width).cast("bigint").alias("bin"),
         )
         .groupBy("window_start_s", "bin")
@@ -82,7 +88,7 @@ def sliding_histogram(
     slide_us = slide_s * US_PER_S
     v = F.col("value")
     base = events.where(v.isNotNull() & ~F.isnan(v)).select(
-        ts_micros().alias("tsu"),
+        ts_micros(events).alias("tsu"),
         F.floor(v / bin_width).cast("bigint").alias("bin"),
     )
     off = F.explode(F.array(*[F.lit(i) for i in range(n_over)])).alias("off")
@@ -125,7 +131,7 @@ def click_attribution(
     bounded horizon is also exactly what makes the STREAMING twin's state
     finite (stream_ops.streaming_click_attribution).
     """
-    us = ts_micros()
+    us = ts_micros(events)
     a = events.where(F.col("event_type") == from_type).select(
         F.col("user_id").alias("user_id"),
         F.col("event_id").alias("click_id"),
@@ -166,7 +172,7 @@ def sessionize(events: DataFrame, gap_s: int = 1800) -> DataFrame:
     oracle.
     """
     gap_us = gap_s * US_PER_S
-    base = events.select("user_id", "event_id", ts_micros().alias("tsu"))
+    base = events.select("user_id", "event_id", ts_micros(events).alias("tsu"))
     w = Window.partitionBy("user_id").orderBy("tsu", "event_id")
     flagged = base.select(
         "user_id",
@@ -216,10 +222,11 @@ def windowed_quantiles(
     win_us = window_s * US_PER_S
     v = F.col("value")
     parr = F.array(*[F.lit(p) for p in probs])
+    tsu = epoch_micros_sql(events)
     agg = (
         events.where(v.isNotNull() & ~F.isnan(v))
         .select(
-            (F.expr(f"(ts div 1000) div {win_us}") * window_s).alias(
+            (F.expr(f"({tsu}) div {win_us}") * window_s).alias(
                 "window_start_s"
             ),
             "value",

@@ -9,7 +9,10 @@ the batch result, which must be identical for a finite input.
 
 Scale/semantics notes:
 
-- event time = ``timestamp_micros(ts div 1000)`` from the epoch-nanos BIGINT.
+- event time = ``timestamp_micros(epoch_micros(ts))`` — the ts column may be
+  TIMESTAMP_NTZ (current testdata) or epoch-nanos BIGINT (legacy layout);
+  ``operators.temporal.epoch_micros_sql`` dispatches on the dtype, so the
+  streaming and batch twins always bucket on identical integer micros.
 - ``withWatermark`` bounds state: bins/windows older than the watermark are
   finalized and evicted — without it, state grows with the key space
   forever. Late rows beyond the watermark are dropped (documented, tested).
@@ -39,7 +42,11 @@ from pyspark.sql.types import (
     StructType,
 )
 
-# events schema under spark.sql.legacy.parquet.nanosAsLong=true
+from compute_histogram_spark.operators.temporal import epoch_micros_sql
+
+# legacy events schema (epoch-nanos ts) under
+# spark.sql.legacy.parquet.nanosAsLong=true; kept for fixtures that still
+# write the old layout — read_events_stream infers the real schema per path.
 EVENTS_STREAM_SCHEMA = StructType(
     [
         StructField("event_id", LongType()),
@@ -59,17 +66,28 @@ def read_events_stream(
     discovered per micro-batch — the standard landing-zone pattern.
     ``max_files_per_trigger`` bounds batch size (and, with 1, forces one
     file per micro-batch — used by tests to control watermark advancement).
+
+    File streams require an explicit schema; we take it from a one-time
+    batch read of the same path (parquet footers only, driver-side) so the
+    stream matches whatever ts layout the files actually carry —
+    TIMESTAMP_NTZ in the current testdata, nanos-BIGINT in legacy fixtures.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(path).schema
     return (
-        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(path)
     )
 
 
 def _event_time(df: DataFrame) -> DataFrame:
-    return df.withColumn("event_time", F.timestamp_micros(F.expr("ts div 1000")))
+    """Attach an ``event_time`` TIMESTAMP derived from integer epoch micros
+    (dtype-dispatched), so streaming windows land on exactly the same
+    boundaries as the batch twins' integer ``div`` bucketing."""
+    return df.withColumn(
+        "event_time", F.timestamp_micros(F.expr(epoch_micros_sql(df)))
+    )
 
 
 def streaming_windowed_histogram(
