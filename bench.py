@@ -144,29 +144,39 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     times: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in HEADLINE:
         fn = registry.QUERIES.get(name) or LOCAL_QUERIES[name]
-        materialize(fn(spark, sf_dir))  # cold / warm-up
-        warm = []
-        # min-of-5: same-box run-to-run noise measured at 1.5-2x in round 2
-        # (GC/scheduler), so 3 samples under-damped it
-        for _ in range(5):
-            t0 = time.time()
-            materialize(fn(spark, sf_dir))
-            warm.append(time.time() - t0)
-        times[name] = round(min(warm), 3)
+        # per-query isolation: one broken query must never zero the whole
+        # round's perf signal — record its error and keep benching the rest
+        try:
+            materialize(fn(spark, sf_dir))  # cold / warm-up
+            warm = []
+            # min-of-5: same-box run-to-run noise measured at 1.5-2x in
+            # round 2 (GC/scheduler), so 3 samples under-damped it
+            for _ in range(5):
+                t0 = time.time()
+                materialize(fn(spark, sf_dir))
+                warm.append(time.time() - t0)
+            times[name] = round(min(warm), 3)
+        except Exception as e:  # noqa: BLE001 - report, don't die
+            msg = f"{type(e).__name__}: {e}"
+            errors[name] = msg[:500]
+            print(f"bench: {name} FAILED: {msg.splitlines()[0][:200]}",
+                  file=sys.stderr)
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_warm_total",
-                "value": round(sum(times.values()), 3),
-                "unit": "sec",
-                "queries": times,
-                "sf": sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_warm_total",
+        "value": round(sum(times.values()), 3),
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+        "n_ok": len(times),
+        "n_err": len(errors),
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -166,9 +166,11 @@ def kmv_build(
     plans a partial aggregate before its exchange, so the shuffle carries
     each partition's DISTINCT (h, v) pairs, never raw occurrences) ->
     global dedup -> rank filter. The ``row_number <= k`` on the
-    unpartitioned window is WindowGroupLimit-eligible: every post-dedup
-    partition forwards at most k rows, so the final single-partition sort
-    sees ``partitions * k`` candidates, not the distinct domain. Total
+    unpartitioned window compiles to a partial-limit operator
+    (TakeOrderedAndProject via LimitPushDownThroughWindow): every
+    post-dedup partition forwards at most k rows, so the final
+    single-partition step sees ``partitions * k`` candidates, never the
+    distinct domain. Total
     cost at 100 TB: one distinct-domain-sized shuffle (the unavoidable
     dedup) + a k-sized tail — if even that shuffle is too hot, pre-filter
     ``h < t`` with a threshold from a previous run's k-th minimum and the

@@ -37,10 +37,10 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # are rejected by the vectorized reader without it, and setting it only
     # on some loads would make schemas depend on table read ORDER within a
     # session. With it, any nanos column uniformly decodes as epoch-nanos
-    # BIGINT (events.ts is the one such column in the driver's testdata);
-    # downstream time arithmetic is integer math on nanos — exact, and
-    # byte-identical to DuckDB's epoch_ns(). Micros/millis columns are
-    # unaffected by this flag.
+    # BIGINT. The driver's current testdata stores events.ts as
+    # timestamp[us] (-> TIMESTAMP_NTZ, untouched by this flag), but legacy
+    # layouts carried nanos — operators dispatch on the loaded dtype via
+    # operators.temporal.epoch_micros_sql, so both decode paths work.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 

@@ -12,6 +12,7 @@ from compute_histogram_spark.operators import dedup as DD
 from compute_histogram_spark.operators import pipeline as PL
 from compute_histogram_spark.operators import text as TX
 from compute_histogram_spark.operators.relational import fuzzy_name_pairs
+from compute_histogram_spark.operators.temporal import epoch_micros_sql
 from compute_histogram_spark.operators.windows import windowed_quantiles
 from compute_histogram_spark.multimodal import binary as MM
 from compute_histogram_spark.sources.tables import load
@@ -171,7 +172,9 @@ def test_windowed_quantiles_within_rank_error_of_exact(spark, sf_dir):
     vals = (
         ev.where(v.isNotNull() & ~F.isnan(v))
         .select(
-            (F.expr("(ts div 1000) div 3600000000") * 3600).alias("window_start_s"),
+            (F.expr(f"({epoch_micros_sql(ev)}) div 3600000000") * 3600).alias(
+                "window_start_s"
+            ),
             "value",
         )
         .collect()
