@@ -148,7 +148,9 @@ def test_paragraph_dedup_vs_duckdb_oracle(spark, sf_dir):
     """Value-exact DuckDB twin on the real documents table, with space as
     the separator (the synthetic corpus has no newlines, so 'paragraphs'
     degenerate to words — same machinery, maximal duplication stress).
-    Outside the 50-entry registry window; oracle evidence lives here."""
+    Since round 5 this is ALSO a registry entry (swapped in for the
+    rows-only equi_depth_histogram_approx); this test keeps the oracle
+    evidence local and fast."""
     import os
     import sys
 

@@ -206,8 +206,9 @@ def test_bm25_golden(spark):
 
 
 def test_bm25_vs_duckdb_oracle(spark, sf_dir):
-    """Value-exact DuckDB twin on the real documents table (outside the
-    50-entry registry window; oracle evidence lives here)."""
+    """Value-exact DuckDB twin on the real documents table. Since round 5
+    this is ALSO a registry entry (swapped in for the rows-only
+    similarity_topk_kmeans); this test keeps the oracle evidence local."""
     import os
     import sys
 
