@@ -2,11 +2,14 @@
 
 The Spark-side plumbing is real: schemas, Arrow-batched ``mapInPandas``
 kernels, partition-preserving feature extraction, frame-sampling explosion.
-The *decoders* are stubs — the container has no image/audio libraries — so
-``decode_image`` tries Pillow and otherwise falls back to a clearly-marked
-deterministic fake (derived from the byte content, so tests are stable).
-Swapping the fake for a real decoder changes only the inner function; the
-distributed plan (batch iteration, schema, partitioning) is unchanged.
+Decoders: PNG is REAL (stdlib zlib + unfilter, this module) and GeoTIFF is
+REAL (stdlib struct/zlib baseline-TIFF reader, ``multimodal/geotiff.py``);
+JPEG/GIF/BMP use Pillow when installed; everything else falls back to a
+clearly-marked deterministic fake (derived from the byte content, so tests
+are stable). Audio is the one remaining stub — no codec library in the
+container. Swapping a fake for a real decoder changes only the inner
+function; the distributed plan (batch iteration, schema, partitioning) is
+unchanged.
 
 Scale notes: mapInPandas streams Arrow batches — one batch in memory per
 task, never the whole partition; binary payloads never pass through a
@@ -185,6 +188,14 @@ def _try_real_image_decode(content: bytes) -> tuple[int, int, int] | None:
     if content.startswith(PNG_MAGIC):
         try:
             return png_info(content)
+        except Exception:
+            return None
+    if content.startswith((b"II*\x00", b"MM\x00*")):
+        try:
+            from compute_histogram_spark.multimodal.geotiff import geotiff_info
+
+            i = geotiff_info(content)
+            return i["width"], i["height"], i["bands"]
         except Exception:
             return None
     if content.startswith(_PIL_MAGIC):

@@ -1,0 +1,171 @@
+"""Real GeoTIFF decode: round-trips across the baseline-TIFF matrix, then
+the reference's two-pass raster program end-to-end on Spark vs a numpy
+oracle (reference main.py:53-66 semantics: validity filter, global minmax,
+np.histogram partials merged by summation)."""
+
+import struct
+
+import numpy as np
+import pytest
+from pyspark.sql import Row
+
+from compute_histogram_spark.multimodal.geotiff import (
+    decode_geotiff,
+    encode_geotiff,
+    geotiff_info,
+    raster_histogram,
+    raster_info,
+    raster_minmax,
+    raster_pipeline,
+)
+
+RNG = np.random.default_rng(7)
+
+
+def _f32(h, w):
+    return RNG.normal(100.0, 25.0, size=(h, w)).astype(np.float32)
+
+
+@pytest.mark.parametrize("compression", ["none", "deflate", "packbits"])
+def test_roundtrip_float32_strips(compression):
+    a = _f32(37, 23)
+    blob = encode_geotiff(a, compression=compression)
+    assert np.array_equal(decode_geotiff(blob), a)
+
+
+def test_roundtrip_tiled_with_edge_padding():
+    a = _f32(50, 70)  # not a multiple of tile size -> padded edge tiles
+    blob = encode_geotiff(a, tile_size=32)
+    info = geotiff_info(blob)
+    assert info["tiled"] and info["width"] == 70 and info["height"] == 50
+    assert np.array_equal(decode_geotiff(blob), a)
+
+
+def test_roundtrip_predictor2_int16():
+    a = (RNG.integers(-500, 500, size=(21, 33))).astype(np.int16)
+    blob = encode_geotiff(a, compression="deflate", predictor=2)
+    assert np.array_equal(decode_geotiff(blob), a)
+
+
+def test_roundtrip_predictor3_float32():
+    a = _f32(19, 27)
+    blob = encode_geotiff(a, compression="deflate", predictor=3)
+    assert np.array_equal(decode_geotiff(blob), a)
+
+
+def test_roundtrip_uint8_multiband_band_select():
+    a = RNG.integers(0, 255, size=(16, 24, 3)).astype(np.uint8)
+    blob = encode_geotiff(a, compression="deflate")
+    assert geotiff_info(blob)["bands"] == 3
+    for b in (1, 2, 3):
+        assert np.array_equal(decode_geotiff(blob, band=b), a[:, :, b - 1])
+    with pytest.raises(ValueError):
+        decode_geotiff(blob, band=4)
+
+
+def test_big_endian_uncompressed():
+    """Hand-built MM (big-endian) single-strip float32 file — the writer is
+    LE-only, so the BE read path needs its own fixture."""
+    a = _f32(5, 7)
+    data = a.astype(">f4").tobytes()
+    entries = [
+        (256, 4, 1, struct.pack(">I", 7)),           # width
+        (257, 4, 1, struct.pack(">I", 5)),           # height
+        (258, 3, 1, struct.pack(">HH", 32, 0)),      # bits
+        (259, 3, 1, struct.pack(">HH", 1, 0)),       # no compression
+        (273, 4, 1, struct.pack(">I", 0)),           # strip offset (patched)
+        (277, 3, 1, struct.pack(">HH", 1, 0)),
+        (278, 4, 1, struct.pack(">I", 5)),
+        (279, 4, 1, struct.pack(">I", len(data))),
+        (339, 3, 1, struct.pack(">HH", 3, 0)),       # float samples
+    ]
+    ifd = struct.pack(">H", len(entries))
+    data_off = 8 + 2 + 12 * len(entries) + 4
+    for tag, ft, cnt, payload in entries:
+        if tag == 273:
+            payload = struct.pack(">I", data_off)
+        ifd += struct.pack(">HHI", tag, ft, cnt) + payload.ljust(4, b"\x00")
+    blob = b"MM\x00*" + struct.pack(">I", 8) + ifd + struct.pack(">I", 0) + data
+    assert np.array_equal(decode_geotiff(blob), a)
+
+
+def test_info_geo_tags_and_nodata():
+    a = _f32(8, 8)
+    blob = encode_geotiff(
+        a, nodata=-9999.0,
+        pixel_scale=(0.00025, 0.00025, 0.0),
+        tiepoint=(0.0, 0.0, 0.0, 10.0, 40.0, 0.0),
+    )
+    info = geotiff_info(blob)
+    assert info["nodata"] == -9999.0
+    assert info["pixel_scale"][0] == pytest.approx(0.00025)
+    assert info["tiepoint"][3:5] == (10.0, 40.0)
+    assert info["dtype"] == "f4"
+
+
+def test_rejects_non_tiff():
+    with pytest.raises(ValueError):
+        decode_geotiff(b"\x89PNG\r\n\x1a\nnot a tiff")
+
+
+def _tile_assets(spark, n_tiles=9, h=32, w=32, nodata=-9999.0):
+    """Synthetic float32 GeoTIFF tiles with NaN holes and nodata pixels —
+    the reference's production shape (248 float32 tiles) in miniature."""
+    tiles, blobs = [], []
+    for i in range(n_tiles):
+        a = RNG.normal(50.0 * (i % 3 + 1), 10.0, size=(h, w)).astype(np.float32)
+        a[RNG.random(size=(h, w)) < 0.03] = np.nan
+        a[RNG.random(size=(h, w)) < 0.02] = nodata
+        comp = ["none", "deflate", "packbits"][i % 3]
+        blobs.append(encode_geotiff(a, nodata=nodata, compression=comp,
+                                    tile_size=16 if i % 2 else None))
+        tiles.append(a)
+    df = spark.createDataFrame(
+        [Row(asset_id=i, kind="raster", content=bytearray(b))
+         for i, b in enumerate(blobs)]
+    ).repartition(4)
+    valid = np.concatenate([
+        t[~np.isnan(t) & (t != nodata)].astype(np.float64) for t in tiles
+    ])
+    return df, valid
+
+
+def test_raster_info_on_spark(spark):
+    df, _ = _tile_assets(spark, n_tiles=4)
+    rows = {r["asset_id"]: r for r in raster_info(df).collect()}
+    assert len(rows) == 4
+    assert all(r["width"] == 32 and r["dtype"] == "f4" for r in rows.values())
+    assert rows[1]["tiled"] and not rows[0]["tiled"]
+
+
+def test_raster_minmax_matches_numpy(spark):
+    df, valid = _tile_assets(spark)
+    row = raster_minmax(df).first()
+    assert row["min_value"] == pytest.approx(float(valid.min()), abs=0)
+    assert row["max_value"] == pytest.approx(float(valid.max()), abs=0)
+    assert row["n_valid"] == valid.size
+
+
+def test_raster_histogram_matches_numpy_exactly(spark):
+    """Counts equal np.histogram over the pooled pixels bit-for-bit —
+    closed last bin and out-of-range drop included (a narrowed range makes
+    both edge behaviors observable)."""
+    df, valid = _tile_assets(spark)
+    lo, hi = float(valid.min()) + 5.0, float(valid.max()) - 5.0
+    out = raster_histogram(df, lo, hi, bins=64).collect()
+    expect, _ = np.histogram(valid, bins=64, range=(lo, hi))
+    assert [r["pixel_count"] for r in out] == expect.tolist()
+    assert [r["bin"] for r in out] == list(range(64))
+    assert out[0]["bin_left"] == pytest.approx(lo)
+    assert out[-1]["bin_right"] == pytest.approx(hi)
+    assert sum(expect) < valid.size  # out-of-range pixels really dropped
+
+
+def test_raster_pipeline_two_pass(spark):
+    df, valid = _tile_assets(spark)
+    out = raster_pipeline(df, bins=32).collect()
+    expect, _ = np.histogram(
+        valid, bins=32, range=(float(valid.min()), float(valid.max()))
+    )
+    assert [r["pixel_count"] for r in out] == expect.tolist()
+    assert sum(r["pixel_count"] for r in out) == valid.size
