@@ -14,6 +14,11 @@ Differences from the reference, all deliberate:
 - ``--ref-compat`` opts into the reference's numeric quirks (zero-seeded
   min/max, hardcoded log offset 100, int16 bin keys — SURVEY §4 1-3);
   default is the sane mode the oracles check.
+- ``--raster`` runs the reference's ACTUAL input path: SOURCE is a
+  directory of GeoTIFF tiles read through Spark's built-in ``binaryFile``
+  source, decoded by the stdlib reader (multimodal/geotiff.py), band 1 by
+  default (main.py:239), two passes exactly like main.py:53-57, CSV rows
+  in the reference's ``%1.2f, %d`` format (main.py:124).
 """
 
 from __future__ import annotations
@@ -46,7 +51,63 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--deciles", action="store_true", help="also print deciles")
     p.add_argument("--output", "-o", default=None, help="histogram.csv dir")
     p.add_argument("--workers", "-w", type=int, default=None, help="local cores")
+    p.add_argument(
+        "--raster",
+        action="store_true",
+        help="SOURCE is a dir of GeoTIFF tiles (binaryFile scan + decode)",
+    )
+    p.add_argument("--band", type=int, default=1, help="raster band (1-based)")
+    p.add_argument("--bins", type=int, default=256, help="raster histogram bins")
     return p
+
+
+def _raster_main(args, spark: SparkSession) -> int:
+    from pyspark.sql import functions as F
+
+    from compute_histogram_spark.multimodal.geotiff import (
+        raster_histogram,
+        raster_minmax,
+    )
+
+    tiles = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.tif*")
+        .load(args.source)
+        .select(
+            F.xxhash64("path").alias("asset_id"),
+            F.lit("raster").alias("kind"),
+            "content",
+        )
+    )
+    if args.minmax_only:
+        row = raster_minmax(tiles, band=args.band).first()
+        print(f"min={row['min_value']} max={row['max_value']}")
+        return 0
+    if args.min_value is not None and args.max_value is not None:
+        lo, hi = args.min_value, args.max_value  # skip pass 1 (main.py:53-54)
+    else:
+        row = raster_minmax(tiles, band=args.band).first()
+        if row is None or not row["n_valid"]:
+            print("no valid pixels", file=sys.stderr)
+            return 1
+        lo, hi = float(row["min_value"]), float(row["max_value"])
+    histo = raster_histogram(tiles, lo, hi, bins=args.bins, band=args.band)
+    if args.output:
+        from compute_histogram_spark.sources.sinks import write_histogram_csv
+
+        write_histogram_csv(
+            histo.select(
+                "bin",
+                F.col("bin_left").alias("value"),
+                "pixel_count",
+            ),
+            args.output,
+        )
+        print(f"wrote {args.output}")
+    else:
+        for r in histo.collect():
+            print("%1.2f, %d" % (r["bin_left"], r["pixel_count"]))
+    return 0
 
 
 def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> int:
@@ -63,6 +124,8 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
         spark = get_session("compute-histogram-spark", master=master)
 
     try:
+        if args.raster:
+            return _raster_main(args, spark)
         # TIMESTAMP(NANOS) columns (e.g. the driver's events table) are
         # unreadable by the vectorized reader without this; epoch-nanos
         # BIGINT is the documented engine representation (sources/tables.py).
