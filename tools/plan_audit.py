@@ -34,11 +34,15 @@ import __spark_entry__ as entrymod
 #   equi-joins on the centroid label)
 # - equi_depth_histogram_approx: broadcast of the ONE-row approx_percentile
 #   cut-point aggregate against the scan (the no-global-sort design)
+# - bm25_topk: crossJoin(broadcast(scal)) — the ONE-row (N, sum_dl) corpus
+#   scalar aggregate broadcast onto the |q|-term postings (text.py:bm25_topk);
+#   the same scalar-broadcast shape as histogram_deciles
 NLJ_ALLOWED = {
     "range_band_join",
     "histogram_deciles",
     "similarity_topk",
     "equi_depth_histogram_approx",
+    "bm25_topk",
 }
 # pure-Python kernel paths: no codegen span expected
 PY_KERNEL = {"multimodal_features", "similarity_topk_gemm"}
