@@ -16,7 +16,9 @@ same expressions.
 
 Scale: both group-bys are plain hash aggregations (partial -> shuffle ->
 final). Sessionization partitions by user_id — the window sort is per-user,
-so it distributes; a single hot user would need salting by (user_id, day).
+so it distributes; for a single hot user :func:`sessionize_salted` is the
+output-identical two-phase variant that salts by (user_id, time bucket)
+and stitches sessions across bucket edges.
 """
 
 from __future__ import annotations
@@ -197,6 +199,98 @@ def sessionize(events: DataFrame, gap_s: int = 1800) -> DataFrame:
             F.max("tsu").alias("end_us"),
         )
         .withColumn("duration_s", ((F.col("end_us") - F.col("start_us")) / US_PER_S))
+        .orderBy("user_id", "session_id")
+    )
+
+
+def sessionize_salted(
+    events: DataFrame, gap_s: int = 1800, bucket_s: int = 86_400
+) -> DataFrame:
+    """Hot-key-safe sessionization: identical output to :func:`sessionize`
+    (pinned in tests), but no single window partition ever holds one user's
+    whole history.
+
+    The plain operator's ``partitionBy(user_id)`` serializes a hot user
+    (one bot with 10^9 events = one reducer sorting 10^9 rows — the caveat
+    in this module's docstring). This variant exploits that gap-merging is
+    associative over a time-ordered split:
+
+    1. **local pass** — window over ``(user_id, time-bucket)``: the salt
+       bounds every sort partition by the bucket's event count; sessions
+       that may continue across a bucket edge are simply left split.
+    2. **stitch pass** — per-user window over the per-(bucket-)session
+       summary rows ``(start_us, end_us, n)``, re-running the SAME
+       lag/gap-flag/cumsum on session intervals: two adjacent sessions
+       merge when ``next.start - prev.end <= gap``. Input size is
+       O(sessions), smaller than events by the mean session length — a
+       dense hot user collapses to ~bucket_span/gap rows per bucket.
+
+    A user whose events are all spaced just over ``gap`` degenerates to
+    O(events) summary rows (every event its own session); for that shape
+    raise ``bucket_s``'s granularity or accept the plain operator — no
+    partitioning scheme can sessionize an adversarial key without seeing
+    its timeline.
+    """
+    gap_us = gap_s * US_PER_S
+    bucket_us = bucket_s * US_PER_S
+    base = events.select("user_id", "event_id", ts_micros(events).alias("tsu"))
+    # ---- pass 1: sessionize within (user, coarse bucket)
+    bucketed = base.withColumn("bkt", F.expr(f"tsu div {bucket_us}"))
+    w1 = Window.partitionBy("user_id", "bkt").orderBy("tsu", "event_id")
+    local = (
+        bucketed.withColumn(
+            "is_new",
+            F.when(
+                F.lag("tsu").over(w1).isNull()
+                | ((F.col("tsu") - F.lag("tsu").over(w1)) > gap_us),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn(
+            "lsid",
+            F.sum("is_new").over(
+                w1.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .groupBy("user_id", "bkt", "lsid")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("tsu").alias("start_us"),
+            F.max("tsu").alias("end_us"),
+        )
+    )
+    # ---- pass 2: gap-merge the session intervals per user (small input)
+    w2 = Window.partitionBy("user_id").orderBy("start_us", "end_us")
+    merged = (
+        local.withColumn(
+            "is_new",
+            F.when(
+                F.lag("end_us").over(w2).isNull()
+                | ((F.col("start_us") - F.lag("end_us").over(w2)) > gap_us),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn(
+            "session_id",
+            F.sum("is_new").over(
+                w2.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.min("start_us").alias("start_us"),
+            F.max("end_us").alias("end_us"),
+        )
+    )
+    return (
+        merged.withColumn(
+            "duration_s", (F.col("end_us") - F.col("start_us")) / US_PER_S
+        )
+        .select(
+            "user_id", "session_id", "n_events", "start_us", "end_us",
+            "duration_s",
+        )
         .orderBy("user_id", "session_id")
     )
 
