@@ -18,9 +18,10 @@ union-and-carry-forward plan:
 
 Cost: ONE shuffle on the key (the window sort), zero join fan-out, O(1)
 running state per row — the standard mapping of KDB/Flink-style as-of onto
-a shuffle engine. A skewed key serializes inside its window partition; if
-one key dominates, pre-split it by coarse time bucket and stitch the bucket
-boundaries (not needed at any tested SF).
+a shuffle engine. A skewed key serializes inside its window partition;
+:func:`asof_join_salted` is the output-identical time-bucketed variant
+(local carry per (key, bucket) + bucket-granular prefix-carry stitch) for
+when one key dominates.
 
 **Range join** (:func:`range_band_join`) — enrich a fact with a small set
 of [lo, hi) bands. Non-equi predicates can't hash-partition, so Spark plans
@@ -148,6 +149,123 @@ def asof_join(
     return carried.where(F.col("__tag") == 1).select(
         *left.columns,
         *[F.col(f"__c.{n}").alias(n) for n in right_payload],
+    )
+
+
+def asof_join_salted(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    left_ts: Column,
+    right_ts: Column,
+    right_payload: dict[str, Column],
+    tiebreak: Column,
+    bucket: int = 86_400_000_000,
+) -> DataFrame:
+    """Output-identical to :func:`asof_join`, but no window partition ever
+    holds one key's whole timeline — the "pre-split by coarse time bucket
+    and stitch" plan this module's docstring promises for a dominant key.
+
+    Segmented-scan formulation (carry-forward is associative, so a
+    time-ordered split stitches exactly):
+
+    1. **local pass** — the union+carry window runs per
+       ``(key, ts div bucket)``: each sort partition is bounded by one
+       bucket's rows, so a hot key spreads over its buckets.
+    2. **bucket summary** — per (key, bucket), ``max_by`` picks the LAST
+       right payload under the same (ts, tiebreak) order the window uses;
+       one row per (key, bucket-with-right-rows).
+    3. **prefix-carry** — a per-key window over the summary rows (plus the
+       left side's distinct buckets as probe markers) carries the latest
+       payload strictly-before each bucket. This window is per key but
+       over O(buckets) rows, not O(events).
+    4. left rows take their local carry, falling back to the bucket's
+       incoming payload when no right row preceded them in their bucket.
+
+    ``bucket`` is in the ts unit (default: 1 day of epoch-micros). The
+    adversarial shape — a key whose rows all land in ONE bucket — degrades
+    to the plain operator for that key; shrink ``bucket`` to spread it.
+    """
+    r_proj = right.select(
+        F.col(right_key).alias("__k"),
+        right_ts.cast("bigint").alias("__ts"),
+        F.lit(0).alias("__tag"),
+        tiebreak.cast("bigint").alias("__tie"),
+        F.struct(*[c.alias(n) for n, c in right_payload.items()]).alias("__p"),
+    )
+    payload_type = r_proj.schema["__p"].dataType
+    left_types = {f.name: f.dataType for f in left.schema.fields}
+    l_proj = left.select(
+        F.col(left_key).alias("__k"),
+        left_ts.cast("bigint").alias("__ts"),
+        F.lit(1).alias("__tag"),
+        F.lit(None).cast("bigint").alias("__tie"),
+        F.lit(None).cast(payload_type).alias("__p"),
+        *left.columns,
+    )
+    r_full = r_proj.select(
+        "__k", "__ts", "__tag", "__tie", "__p",
+        *[F.lit(None).cast(dt).alias(n) for n, dt in left_types.items()],
+    )
+    unioned = l_proj.unionByName(r_full).withColumn(
+        "__b", F.expr(f"__ts div {bucket}")
+    )
+    w_local = (
+        Window.partitionBy("__k", "__b")
+        .orderBy(
+            F.col("__ts").asc(), F.col("__tag").asc(),
+            F.col("__tie").asc_nulls_first(),
+        )
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = unioned.select(
+        "*", F.last("__p", ignorenulls=True).over(w_local).alias("__c")
+    )
+
+    # last right payload per (key, bucket) under the window's exact order
+    summary = r_proj.withColumn("__b", F.expr(f"__ts div {bucket}")).groupBy(
+        "__k", "__b"
+    ).agg(
+        F.max_by("__p", F.struct(F.col("__ts"), F.col("__tie"))).alias("__lp")
+    )
+    probes = (
+        l_proj.select("__k", F.expr(f"__ts div {bucket}").alias("__b"))
+        .distinct()
+        .withColumn("__lp", F.lit(None).cast(payload_type))
+        .withColumn("__src", F.lit(0))
+    )
+    w_carry = (
+        Window.partitionBy("__k")
+        # probe markers sort BEFORE right summaries within a bucket, so the
+        # PRECEDING frame seen from a probe holds only summaries of
+        # strictly-earlier buckets — a bucket's own last-right payload must
+        # never become its own incoming (in-bucket right rows are the local
+        # pass's job, and may postdate the left row)
+        .orderBy(F.col("__b").asc(), F.col("__src").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    incoming = (
+        summary.withColumn("__src", F.lit(1))
+        .unionByName(probes)
+        .select(
+            "__k", "__b", "__src",
+            F.last("__lp", ignorenulls=True).over(w_carry).alias("__in"),
+        )
+        .where(F.col("__src") == 0)
+        .drop("__src")
+    )
+    return (
+        local.where(F.col("__tag") == 1)
+        .join(incoming, ["__k", "__b"], "left")
+        # coalesce the WHOLE struct, never field-wise: a NULL field inside a
+        # carried payload must not be backfilled from an older right row
+        # (same atomicity rule as asof_join's single-struct carry)
+        .withColumn("__f", F.coalesce(F.col("__c"), F.col("__in")))
+        .select(
+            *left.columns,
+            *[F.col(f"__f.{n}").alias(n) for n in right_payload],
+        )
     )
 
 

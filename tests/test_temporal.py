@@ -198,3 +198,82 @@ def test_scd2_vs_duckdb_oracle(spark, sf_dir):
     odf = con.sql(SCD2_ORACLE).df()
     assert len(sdf) > 0
     assert compare("user_state_history", sdf, odf) == []
+
+
+# ---------------------------------------------------------------------------
+# salted as-of: output-identical to asof_join with bounded window partitions
+# ---------------------------------------------------------------------------
+
+
+def _asof_args():
+    return dict(
+        left_key="k", right_key="k",
+        left_ts=F.col("t"), right_ts=F.col("rt"),
+        right_payload={"rid": F.col("rid"), "price": F.col("price")},
+        tiebreak=F.col("rid"),
+    )
+
+
+def test_asof_salted_golden_edges(spark):
+    """The shapes that break a naive split: (a) left row early in a bucket
+    whose only in-bucket right row comes AFTER it (incoming must come from
+    the PREVIOUS bucket, never the same bucket's last right row); (b) a
+    right payload with a NULL field that must not be backfilled from an
+    older right row (atomic struct); (c) empty intermediate buckets."""
+    left = spark.createDataFrame(
+        [
+            Row(k=1, t=205, lid=1),   # bucket 2; in-bucket right at 210 is LATER
+            Row(k=1, t=215, lid=2),   # takes the 210 right row
+            Row(k=1, t=405, lid=3),   # bucket 4 empty of rights -> carry from 210
+            Row(k=1, t=95, lid=4),    # bucket 0, before any right -> NULL
+            Row(k=2, t=500, lid=5),   # key with no rights at all -> NULL
+        ]
+    )
+    right = spark.createDataFrame(
+        [
+            Row(k=1, rt=150, rid=10, price=7.0),    # bucket 1
+            Row(k=1, rt=210, rid=11, price=None),   # bucket 2, NULL field
+        ],
+        "k BIGINT, rt BIGINT, rid BIGINT, price DOUBLE",
+    )
+    plain = T.asof_join(left, right, **_asof_args())
+    salted = T.asof_join_salted(left, right, **_asof_args(), bucket=100)
+    key = lambda r: r["lid"]
+    assert sorted(map(tuple, plain.collect()), key=lambda t: t[2]) == sorted(
+        map(tuple, salted.collect()), key=lambda t: t[2]
+    )
+    got = {r["lid"]: (r["rid"], r["price"]) for r in salted.collect()}
+    assert got[1] == (10, 7.0)      # previous bucket, not same-bucket-later
+    assert got[2] == (11, None)     # NULL field stays NULL (atomic struct)
+    assert got[3] == (11, None)     # carried across an empty bucket
+    assert got[4] == (None, None)
+    assert got[5] == (None, None)
+
+
+def test_asof_salted_equals_plain_on_real_tables(spark, sf_dir):
+    from compute_histogram_spark.sources.tables import load
+    from compute_histogram_spark.operators.temporal import (
+        asof_join_salted,
+        epoch_micros,
+        ntz_micros,
+    )
+
+    events = load(spark, sf_dir, "events")
+    orders = load(spark, sf_dir, "orders")
+    ev = events.select("event_id", "user_id", epoch_micros(events).alias("tsu"))
+    kw = dict(
+        left_key="user_id", right_key="o_custkey",
+        left_ts=F.col("tsu"), right_ts=ntz_micros("o_orderdate"),
+        right_payload={
+            "asof_orderkey": F.col("o_orderkey"),
+            "asof_totalprice": F.col("o_totalprice"),
+        },
+        tiebreak=F.col("o_orderkey"),
+    )
+    plain = T.asof_join(ev, orders, **kw).collect()
+    # 1-hour buckets in micros: many buckets per key, heavy stitching
+    salted = asof_join_salted(
+        ev, orders, **kw, bucket=3_600_000_000
+    ).collect()
+    assert sorted(map(tuple, plain)) == sorted(map(tuple, salted))
+    assert len(plain) > 0
