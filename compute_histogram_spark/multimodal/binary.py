@@ -2,12 +2,14 @@
 
 The Spark-side plumbing is real: schemas, Arrow-batched ``mapInPandas``
 kernels, partition-preserving feature extraction, frame-sampling explosion.
-Decoders: PNG is REAL (stdlib zlib + unfilter, this module) and GeoTIFF is
-REAL (stdlib struct/zlib baseline-TIFF reader, ``multimodal/geotiff.py``);
-JPEG/GIF/BMP use Pillow when installed; everything else falls back to a
-clearly-marked deterministic fake (derived from the byte content, so tests
-are stable). Audio is the one remaining stub — no codec library in the
-container. Swapping a fake for a real decoder changes only the inner
+Decoders: PNG is REAL (stdlib zlib + unfilter, this module), GeoTIFF is
+REAL (stdlib struct/zlib baseline-TIFF reader, ``multimodal/geotiff.py``),
+and WAV audio is REAL (stdlib RIFF PCM/float reader,
+``multimodal/audio.py``); JPEG/GIF/BMP use Pillow when installed;
+everything else falls back to a clearly-marked deterministic fake (derived
+from the byte content, so tests are stable). Only COMPRESSED audio
+(MP3/AAC/OGG/FLAC) still raises — those genuinely need codec libraries the
+container lacks. Swapping a fake for a real decoder changes only the inner
 function; the distributed plan (batch iteration, schema, partitioning) is
 unchanged.
 
@@ -225,10 +227,18 @@ def decode_image(content: bytes) -> tuple[int, int, int]:
 
 
 def decode_audio(content: bytes) -> Any:
-    """Real audio decode requires a codec library not present here."""
+    """REAL for WAV (RIFF PCM / IEEE-float, stdlib decode in
+    multimodal/audio.py) -> (samples [n, ch] float64, sample_rate).
+    Compressed formats (MP3/AAC/OGG/FLAC) genuinely need a codec library
+    the container lacks and still raise."""
+    if content[:4] == b"RIFF":
+        from compute_histogram_spark.multimodal.audio import decode_wav
+
+        return decode_wav(content)
     raise NotImplementedError(
-        "audio decode needs soundfile/librosa; plumbing is ready — plug the "
-        "decoder into extract_features' kernel"
+        "compressed audio decode needs soundfile/librosa; WAV decodes for "
+        "real (multimodal/audio.py), and the mapInPandas plumbing "
+        "(extract_audio_features) is shared by both paths"
     )
 
 
