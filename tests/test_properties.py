@@ -200,3 +200,61 @@ def test_chunking_covers_every_token_exactly(spark, n_toks, chunk, data):
         ]
         covered.update(range(r["start_tok"], r["start_tok"] + r["n_chunk_tokens"]))
     assert covered == set(range(n_toks))
+
+
+# ---------------------------------------------------------------------------
+# codec round-trips: ANY array survives encode->decode byte-exact (no Spark
+# session involved, so examples are cheap — run plenty)
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    h=st.integers(1, 40),
+    w=st.integers(1, 40),
+    dtype=st.sampled_from(["u1", "i2", "i4", "f4", "f8"]),
+    compression=st.sampled_from(["none", "deflate", "packbits"]),
+    tile=st.sampled_from([None, 8, 16]),
+    data=st.data(),
+)
+def test_geotiff_roundtrip_any_array(h, w, dtype, compression, tile, data):
+    from compute_histogram_spark.multimodal.geotiff import (
+        decode_geotiff,
+        encode_geotiff,
+    )
+
+    rng = np.random.default_rng(data.draw(st.integers(0, 2**31)))
+    if dtype.startswith("f"):
+        a = rng.normal(0, 1e3, size=(h, w)).astype(dtype)
+        # NaN/inf must survive too (the validity filter is downstream)
+        if h * w > 3:
+            a.flat[0] = np.nan
+            a.flat[1] = np.inf
+    else:
+        info = np.iinfo(dtype)
+        a = rng.integers(
+            info.min, info.max, size=(h, w), endpoint=True
+        ).astype(dtype)
+    blob = encode_geotiff(a, compression=compression, tile_size=tile)
+    out = decode_geotiff(blob)
+    assert out.dtype == a.dtype and out.shape == a.shape
+    assert np.array_equal(out, a, equal_nan=True)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    n=st.integers(1, 500),
+    ch=st.integers(1, 4),
+    bits=st.sampled_from([16, 32, -32, -64]),
+    rate=st.sampled_from([8000, 16000, 44100]),
+    data=st.data(),
+)
+def test_wav_roundtrip_any_signal(n, ch, bits, rate, data):
+    from compute_histogram_spark.multimodal.audio import decode_wav, encode_wav
+
+    rng = np.random.default_rng(data.draw(st.integers(0, 2**31)))
+    a = rng.uniform(-1, 1, size=(n, ch))
+    x, got_rate = decode_wav(encode_wav(a, rate, bits=bits))
+    assert got_rate == rate and x.shape == a.shape
+    tol = {16: 2**-15, 32: 2**-31, -32: 1e-7, -64: 0.0}[bits]
+    assert np.abs(x - a).max() <= tol
