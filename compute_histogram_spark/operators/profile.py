@@ -77,3 +77,80 @@ def histogram_2d(
         )
         .orderBy("hour", "bin")
     )
+
+
+def distribution_drift(
+    ref: DataFrame,
+    cur: DataFrame,
+    value_col: str = "value",
+    bin_width: float = 50.0,
+) -> DataFrame:
+    """Population-stability-index (PSI) drift report between a reference
+    and a current sample of the same metric — the monitoring pass a
+    training-data pipeline runs per ingest batch to catch distribution
+    shift before it reaches a model.
+
+    Both sides reuse the engine's floor-bucket transform (SURVEY §2.2 A5);
+    a full outer join on the bin aligns the two histograms, absent bins
+    count 0, and every per-bin term uses additive 0.5 smoothing so empty
+    bins neither divide by zero nor explode the score. All inputs to the
+    float expression are exact integer counts; the one float computation
+    is rounded to 6 — the same cross-engine-exactness discipline as BM25.
+
+    -> (bin BIGINT, bin_value DOUBLE, n_ref BIGINT, n_cur BIGINT,
+        psi_term DOUBLE) ordered by bin; ``sum(psi_term)`` is the PSI
+    (rule of thumb: <0.1 stable, 0.1-0.25 moderate shift, >0.25 major).
+
+    Scale: two partial->final histogram aggregations (each shuffles
+    O(partitions x bins) pre-counted rows) + one bin-keyed join of two
+    bin-sized tables + two scalar totals broadcast back. The raw data is
+    scanned once per side; nothing row-sized crosses a shuffle.
+    """
+    v = F.col(value_col)
+
+    def histo(df: DataFrame) -> DataFrame:
+        return (
+            df.where(v.isNotNull() & ~F.isnan(v))
+            .groupBy(
+                F.floor(v / bin_width).cast("bigint").alias("bin")
+            )
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
+    h_ref = histo(ref).withColumnRenamed("n", "n_ref")
+    h_cur = histo(cur).withColumnRenamed("n", "n_cur")
+    joined = (
+        h_ref.join(h_cur, "bin", "full_outer")
+        .select(
+            "bin",
+            F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
+            F.coalesce("n_cur", F.lit(0)).alias("n_cur"),
+        )
+    )
+    totals = joined.agg(
+        F.sum("n_ref").alias("t_ref"), F.sum("n_cur").alias("t_cur"),
+        F.count(F.lit(1)).alias("n_bins"),
+    )
+    # smoothed shares: (n + 0.5) / (total + 0.5 * n_bins) — integers in,
+    # one rounded double out
+    return (
+        joined.crossJoin(F.broadcast(totals))
+        .select(
+            "bin",
+            (F.col("bin") * bin_width).alias("bin_value"),
+            "n_ref",
+            "n_cur",
+            F.round(
+                (
+                    (F.col("n_cur") + 0.5) / (F.col("t_cur") + 0.5 * F.col("n_bins"))
+                    - (F.col("n_ref") + 0.5) / (F.col("t_ref") + 0.5 * F.col("n_bins"))
+                )
+                * F.log(
+                    ((F.col("n_cur") + 0.5) / (F.col("t_cur") + 0.5 * F.col("n_bins")))
+                    / ((F.col("n_ref") + 0.5) / (F.col("t_ref") + 0.5 * F.col("n_bins")))
+                ),
+                6,
+            ).alias("psi_term"),
+        )
+        .orderBy("bin")
+    )

@@ -1,5 +1,6 @@
 """Profiling operators: single-pass null/distinct profile, 2-D histogram."""
 
+import numpy as np
 from pyspark.sql import Row, functions as F
 
 from compute_histogram_spark.operators import profile as PR
@@ -42,3 +43,70 @@ def test_histogram_2d_bins(spark):
     out = {(r["hour"], r["bin"]): r["n_events"] for r in PR.histogram_2d(
         spark.createDataFrame(rows)).collect()}
     assert out == {(0, 0): 1, (1, 1): 2}
+
+
+def test_distribution_drift_golden(spark):
+    """Identical distributions -> PSI ~ 0; a shifted one -> large PSI;
+    bins missing from one side get smoothed, not dropped or infinite."""
+    ref = spark.createDataFrame([Row(value=float(v)) for v in
+                                 [10, 10, 60, 60, 110, 110]])
+    same = spark.createDataFrame([Row(value=float(v)) for v in
+                                  [10, 10, 60, 60, 110, 110]])
+    shifted = spark.createDataFrame([Row(value=float(v)) for v in
+                                     [210, 210, 260, 260, 310, 310]])
+    psi_same = sum(r["psi_term"] for r in
+                   PR.distribution_drift(ref, same).collect())
+    psi_shift = sum(r["psi_term"] for r in
+                    PR.distribution_drift(ref, shifted).collect())
+    assert abs(psi_same) < 1e-9
+    assert psi_shift > 0.25  # "major shift" territory
+    rows = PR.distribution_drift(ref, shifted).collect()
+    assert all(np.isfinite(r["psi_term"]) for r in rows)
+    # disjoint supports: every bin exists on exactly one side
+    assert all((r["n_ref"] == 0) != (r["n_cur"] == 0) for r in rows)
+
+
+def test_distribution_drift_vs_duckdb_oracle(spark, sf_dir):
+    """Value-exact DuckDB twin on the real events table, ref/cur split by
+    event_type (same smoothing arithmetic, ln, round 6)."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from check_oracle import compare, duck_connection
+
+    from compute_histogram_spark.sources.tables import load
+
+    ev = load(spark, sf_dir, "events")
+    ref = ev.where(F.col("event_type") != "purchase")
+    cur = ev.where(F.col("event_type") == "purchase")
+    sdf = PR.distribution_drift(ref, cur).toPandas()
+    con = duck_connection(sf_dir)
+    odf = con.sql("""
+    WITH r AS (
+        SELECT CAST(floor(value / 50.0) AS BIGINT) AS bin, count(*) AS n_ref
+        FROM events WHERE event_type != 'purchase'
+          AND value IS NOT NULL AND NOT isnan(value) GROUP BY 1
+    ),
+    c AS (
+        SELECT CAST(floor(value / 50.0) AS BIGINT) AS bin, count(*) AS n_cur
+        FROM events WHERE event_type = 'purchase'
+          AND value IS NOT NULL AND NOT isnan(value) GROUP BY 1
+    ),
+    j AS (
+        SELECT COALESCE(r.bin, c.bin) AS bin,
+               COALESCE(n_ref, 0) AS n_ref, COALESCE(n_cur, 0) AS n_cur
+        FROM r FULL OUTER JOIN c ON r.bin = c.bin
+    ),
+    t AS (SELECT sum(n_ref) t_ref, sum(n_cur) t_cur, count(*) n_bins FROM j)
+    SELECT bin, bin * 50.0 AS bin_value, n_ref, n_cur,
+           round(
+             ((n_cur + 0.5) / (t_cur + 0.5 * n_bins)
+              - (n_ref + 0.5) / (t_ref + 0.5 * n_bins))
+             * ln(((n_cur + 0.5) / (t_cur + 0.5 * n_bins))
+                  / ((n_ref + 0.5) / (t_ref + 0.5 * n_bins))), 6)
+             AS psi_term
+    FROM j CROSS JOIN t ORDER BY bin
+    """).df()
+    assert len(sdf) > 0
+    assert compare("distribution_drift", sdf, odf) == []
