@@ -107,6 +107,17 @@ def _raster_main(args, spark: SparkSession) -> int:
     else:
         for r in histo.collect():
             print("%1.2f, %d" % (r["bin_left"], r["pixel_count"]))
+    if args.deciles:
+        from compute_histogram_spark.operators import deciles as D
+
+        dh = histo.select(
+            F.col("bin_left").alias("value"), "pixel_count"
+        )
+        for r in D.deciles(dh).collect():
+            print(
+                f"p{r['percentile']}: [{r['min_value']}, {r['max_value']}] "
+                f"n={r['bucket_count']}"
+            )
     return 0
 
 

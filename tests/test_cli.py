@@ -97,3 +97,11 @@ def test_raster_csv_output_and_bounds_prune(spark, tmp_path):
     assert parts
     rows = open(parts[0]).read().splitlines()
     assert len(rows) == 8 and rows[0].startswith("20.00, ")
+
+
+def test_raster_deciles(spark, tmp_path, capsys):
+    d, _ = _tif_dir(tmp_path)
+    rc = main([d, "--raster", "--bins", "32", "--deciles"], spark=spark)
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "p100" in out or "p90" in out
