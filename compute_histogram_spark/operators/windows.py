@@ -338,3 +338,49 @@ def windowed_quantiles(
         )
         .orderBy("window_start_s", "p")
     )
+
+
+def rolling_user_stats(
+    events: DataFrame, window_s: int = 3600
+) -> DataFrame:
+    """Per-event trailing-window aggregates: for every event, the count and
+    value-sum of the SAME user's events in the preceding ``window_s``
+    (inclusive of the current row) — the RANGE-frame complement to the
+    ROWS-frame running totals elsewhere in the engine, and the feature
+    shape online models consume ("activity in the last hour").
+
+    ``rangeBetween`` on integer epoch-micros gives exact, tz-free frame
+    bounds; money sums in integer cents so the oracle hash-matches. The
+    window partitions per user — same distribution story (and the same
+    hot-user caveat/salting answer) as :func:`sessionize`.
+
+    -> (user_id, event_id, tsu, n_window BIGINT, sum_value DOUBLE)
+    """
+    win_us = window_s * US_PER_S
+    v = F.col("value")
+    base = events.select(
+        "user_id",
+        "event_id",
+        ts_micros(events).alias("tsu"),
+        F.when(
+            v.isNotNull() & ~F.isnan(v),
+            F.round(v * 100).cast("bigint"),
+        ).alias("cents"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("tsu")
+        .rangeBetween(-win_us, 0)
+    )
+    return (
+        base.select(
+            "user_id",
+            "event_id",
+            "tsu",
+            F.count(F.lit(1)).over(w).alias("n_window"),
+            (F.coalesce(F.sum("cents").over(w), F.lit(0)) / 100.0).alias(
+                "sum_value"
+            ),
+        )
+        .orderBy("user_id", "tsu", "event_id")
+    )

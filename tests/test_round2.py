@@ -441,3 +441,66 @@ def test_delta_candidates_plan_broadcasts_the_delta(spark, sf_dir):
     plan = _plan_of(delta_candidates(sigs, new_ids))
     assert "BroadcastHashJoin" in plan
     assert "LeftSemi" in plan
+
+
+# ---------------------------------------------------------------------------
+# RANGE-frame rolling window: golden + DuckDB twin
+# ---------------------------------------------------------------------------
+
+
+def test_rolling_user_stats_golden(spark):
+    from compute_histogram_spark.operators.windows import rolling_user_stats
+
+    US = 1_000_000
+    rows = [
+        # user 1: events at t=0, 30m, 70m; 1h window
+        Row(user_id=1, event_id=1, ts=0, value=10.0),
+        Row(user_id=1, event_id=2, ts=1800 * US * 1000, value=20.0),
+        Row(user_id=1, event_id=3, ts=4200 * US * 1000, value=40.0),
+        # exact boundary: event at t=3600s sees t=0 (inclusive frame)
+        Row(user_id=2, event_id=4, ts=0, value=1.0),
+        Row(user_id=2, event_id=5, ts=3600 * US * 1000, value=2.0),
+        # NaN value still counts as an event, contributes 0 to the sum
+        Row(user_id=3, event_id=6, ts=0, value=float("nan")),
+        Row(user_id=3, event_id=7, ts=60 * US * 1000, value=5.0),
+    ]
+    out = {
+        r["event_id"]: (r["n_window"], r["sum_value"])
+        for r in rolling_user_stats(spark.createDataFrame(rows)).collect()
+    }
+    assert out[1] == (1, 10.0)
+    assert out[2] == (2, 30.0)      # 30m later: both in window
+    assert out[3] == (2, 60.0)      # 70m: t=0 aged out, 30m+70m remain
+    assert out[5] == (2, 3.0)       # exactly 1h back is INCLUDED
+    assert out[6] == (1, 0.0)       # NaN-only window sums to 0
+    assert out[7] == (2, 5.0)       # NaN event counted, not summed
+
+
+def test_rolling_user_stats_vs_duckdb_oracle(spark, sf_dir):
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from check_oracle import compare, duck_connection
+
+    from compute_histogram_spark.operators.windows import rolling_user_stats
+
+    sdf = rolling_user_stats(load(spark, sf_dir, "events")).toPandas()
+    con = duck_connection(sf_dir)
+    odf = con.sql("""
+    WITH b AS (
+        SELECT user_id, event_id, epoch_us(ts) AS tsu,
+               CASE WHEN value IS NOT NULL AND NOT isnan(value)
+                    THEN CAST(round(value * 100) AS BIGINT) END AS cents
+        FROM events
+    )
+    SELECT user_id, event_id, tsu,
+           count(*) OVER w AS n_window,
+           COALESCE(sum(cents) OVER w, 0) / 100.0 AS sum_value
+    FROM b
+    WINDOW w AS (PARTITION BY user_id ORDER BY tsu
+                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+    ORDER BY user_id, tsu, event_id
+    """).df()
+    assert len(sdf) > 0
+    assert compare("rolling_user_stats", sdf, odf) == []
