@@ -524,3 +524,55 @@ def run_to_completion(
     )
     q.awaitTermination()
     return result.sparkSession.table(query_name)
+
+
+def streaming_distribution_drift(
+    stream: DataFrame,
+    ref_counts: dict[int, int],
+    bin_width: float = 50.0,
+    value_col: str = "value",
+):
+    """Running PSI drift monitor: a complete-mode bin aggregation over the
+    stream plus a foreachBatch hook that recomputes the drift report
+    against a STATIC reference histogram after every micro-batch — the
+    streaming twin of ``operators/profile.py:distribution_drift`` (same
+    smoothing, same rounding; twin equality pinned in
+    tests/test_streaming.py).
+
+    Returns ``(query, reports)``: ``reports`` is an append-only list of
+    ``(batch_id, psi)`` driver-side observations (in production the sink
+    would page an alerting system instead). State is ONE row per occupied
+    bin — bounded by the value domain, not the stream length.
+    """
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    v = F.col(value_col)
+    binned = (
+        stream.where(v.isNotNull() & ~F.isnan(v))
+        .groupBy(F.floor(v / bin_width).cast("bigint").alias("bin"))
+        .count()
+    )
+    reports: list[tuple[int, float]] = []
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        cur = {r["bin"]: r["count"] for r in batch_df.collect()}
+        bins = sorted(set(ref_counts) | set(cur))
+        if not bins:
+            return
+        t_ref = sum(ref_counts.values())
+        t_cur = sum(cur.values())
+        nb = len(bins)
+        psi = 0.0
+        for b in bins:
+            pr = (ref_counts.get(b, 0) + 0.5) / (t_ref + 0.5 * nb)
+            pc = (cur.get(b, 0) + 0.5) / (t_cur + 0.5 * nb)
+            psi += round((pc - pr) * __import__("math").log(pc / pr), 6)
+        reports.append((batch_id, round(psi, 6)))
+
+    q = (
+        binned.writeStream.outputMode("complete")
+        .foreachBatch(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    return q, reports

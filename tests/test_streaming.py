@@ -345,3 +345,33 @@ def test_streaming_user_stats_tws_matches_batch(spark, sf_dir, stream_dir):
         .collect()
     }
     assert final == batch
+
+
+def test_streaming_drift_converges_to_batch_psi(spark, sf_dir, stream_dir):
+    """After draining the finite stream, the last streaming PSI report must
+    equal the batch distribution_drift PSI of the full data vs the same
+    reference (identical smoothing/rounding arithmetic)."""
+    from compute_histogram_spark.operators.profile import distribution_drift
+    from compute_histogram_spark.streaming.stream_ops import (
+        streaming_distribution_drift,
+    )
+    from pyspark.sql import functions as F
+
+    ev = load(spark, sf_dir, "events")
+    ref = ev.where(F.col("event_type") != "purchase")
+    ref_counts = {
+        r["bin"]: r["n"]
+        for r in ref.where(
+            F.col("value").isNotNull() & ~F.isnan("value")
+        )
+        .groupBy(F.floor(F.col("value") / 50.0).cast("bigint").alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    stream = read_events_stream(spark, stream_dir)
+    q, reports = streaming_distribution_drift(stream, ref_counts)
+    q.awaitTermination()
+    assert reports, "no micro-batch reports"
+    batch_rows = distribution_drift(ref, ev).collect()
+    batch_psi = round(sum(r["psi_term"] for r in batch_rows), 6)
+    assert abs(reports[-1][1] - batch_psi) < 1e-6, (reports[-1], batch_psi)
