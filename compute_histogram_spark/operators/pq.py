@@ -357,3 +357,90 @@ def cosine_topk_ivfpq(
         )
     )
     return _ranked(pairs, k)
+
+
+def sq_encode(
+    emb: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """int8 scalar quantization -> (vec_id, v, nrm, scale, q ARRAY<INT>):
+    ``q_i = round(x_i / scale)`` with per-vector ``scale = max|x| / 127``.
+    4x compression (vs PQ's 32x) at much higher fidelity — the middle rung
+    of the compression ladder, entirely JVM-side expressions (no kernel):
+    dot(a, b) ~= scale_a * scale_b * dot(q_a, q_b) on integers."""
+    e = _with_norms(emb.withColumnRenamed(id_col, "vec_id")).select(
+        "vec_id", "v", "nrm"
+    )
+    scale = F.aggregate(
+        F.col("v"), F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x))
+    ) / F.lit(127.0)
+    return e.withColumn("scale", scale).withColumn(
+        "q",
+        F.transform(
+            F.col("v"), lambda x: F.round(x / F.col("scale")).cast("int")
+        ),
+    )
+
+
+def cosine_topk_sq(
+    emb: DataFrame,
+    k: int = 5,
+    rerank: int = 50,
+    query_filter: str = "vec_id < 10",
+) -> DataFrame:
+    """ANN over int8-quantized vectors: approximate cosine from the integer
+    dot (scaled back), shortlist, exact rerank — same output contract as
+    the exact operator. The candidate scan touches only (q, scale, nrm):
+    a quarter of the float payload."""
+    codes = sq_encode(emb)
+    q = codes.where(query_filter).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("q").alias("qq"),
+        F.col("scale").alias("qscale"),
+        F.col("nrm").alias("qn"),
+    )
+    approx_dot = (
+        F.aggregate(
+            F.zip_with("qq", "q", lambda a, b: (a * b).cast("bigint")),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ).cast("double")
+        * F.col("qscale")
+        * F.col("scale")
+    )
+    cand = (
+        F.broadcast(q)
+        .crossJoin(codes.select("vec_id", "q", "scale", "nrm"))
+        .where(F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(approx_dot / (F.col("qn") * F.col("nrm")), 6).alias(
+                "approx"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("approx"), F.asc("vec_id"))
+    short = (
+        cand.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= rerank)
+        .select("query_id", "vec_id")
+    )
+    e = _with_norms(emb)
+    qv = e.where(query_filter).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    pairs = (
+        short.join(e.select("vec_id", "v", "nrm"), "vec_id")
+        .join(F.broadcast(qv), "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(
+                V.cosine(F.col("qv"), F.col("v"), F.col("qn"), F.col("nrm")),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    return _ranked(pairs, k)

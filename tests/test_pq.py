@@ -156,3 +156,28 @@ def test_ivfpq_probes_bound_the_scan(emb, vecs):
     probes_by_id = {int(i): set(map(int, p)) for i, p in zip(ids, probe)}
     for r in out:
         assert cid_of[r["vec_id"]] in probes_by_id[r["query_id"]], r
+
+
+def test_sq_encode_bounds_and_fidelity(emb, vecs):
+    rows = PQ.sq_encode(emb).collect()
+    assert len(rows) == len(vecs)
+    for r in rows[:20]:
+        q = np.array(r["q"])
+        assert np.abs(q).max() <= 127
+        recon = q * r["scale"]
+        v = np.array(r["v"])
+        # int8 reconstruction error bounded by scale/2 per component
+        assert np.abs(recon - v).max() <= r["scale"] / 2 + 1e-12
+
+
+def test_sq_topk_recall_floor(emb):
+    exact = {}
+    for r in SIM.cosine_topk(emb, k=5).collect():
+        exact.setdefault(r["query_id"], set()).add(r["vec_id"])
+    approx = {}
+    for r in PQ.cosine_topk_sq(emb, k=5, rerank=30).collect():
+        approx.setdefault(r["query_id"], set()).add(r["vec_id"])
+    hits = sum(len(exact[q] & approx.get(q, set())) for q in exact)
+    total = sum(len(v) for v in exact.values())
+    # int8 is high fidelity: near-perfect recall expected
+    assert hits / total >= 0.9, f"recall {hits}/{total}"
