@@ -181,3 +181,26 @@ def test_sq_topk_recall_floor(emb):
     total = sum(len(v) for v in exact.values())
     # int8 is high fidelity: near-perfect recall expected
     assert hits / total >= 0.9, f"recall {hits}/{total}"
+
+
+def test_persisted_ivfpq_index_prunes_and_matches(emb, spark, tmp_path):
+    """The persisted index must (a) answer identically to the in-memory
+    IVFPQ (same deterministic training), and (b) scan ONLY probed cid
+    partitions — PartitionFilters on the physical plan."""
+    path = str(tmp_path / "ivfpq")
+    PQ.write_ivfpq_index(emb, path, n_clusters=10, iters=2)
+    from_disk = PQ.cosine_topk_ivfpq_index(
+        spark, path, k=5, nprobe=2, rerank=30
+    )
+    in_mem = PQ.cosine_topk_ivfpq(
+        emb, k=5, n_clusters=10, iters=2, nprobe=2, rerank=30
+    )
+    assert sorted(map(tuple, from_disk.collect())) == sorted(
+        map(tuple, in_mem.collect())
+    )
+    # partition pruning evidence: the probed-cid filter must appear as a
+    # PartitionFilters entry on the codes scan
+    plan = from_disk._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "cid" in plan.split(
+        "PartitionFilters"
+    )[1][:200]
