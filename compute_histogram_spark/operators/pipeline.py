@@ -483,3 +483,44 @@ def stratified_sample(
             F.col(strata_col) == v, F.lit(int(round(frac * 1_000_000)))
         ).otherwise(expr)
     return df.where(b < expr)
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    n: int,
+    id_col: str = "doc_id",
+    salt: str = "wsamp:",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis &
+    Spirakis 2006, A-ES): each row gets key ``ln(u) / w`` with a
+    hash-derived uniform ``u``; the n LARGEST keys are the sample, with
+    inclusion probability proportional to weight. The quality-weighted
+    corpus downsampling step ("keep 1M docs, prefer high quality") that
+    rand()-based sampling cannot do reproducibly.
+
+    ``u`` comes from the salted md5 micro-bucket (same idiom as
+    :func:`stratified_sample`, distinct salt REQUIRED — see
+    :func:`split_bucket`), so the sample is a pure function of the row
+    ids: rerun/layout/engine-stable, and the DuckDB oracle reproduces it
+    bit-for-bit. The global top-n compiles to TakeOrderedAndProject
+    (map-side partial top-n per partition, no global sort — the same
+    bounded shape as the KMV sketch). Zero/negative weights are excluded
+    (their key would be -inf).
+
+    -> the sampled rows (original columns), ordered by ``sample_key``
+    descending with the key attached for auditability.
+    """
+    # u in (0, 1]: micro-bucket + 1 over 1e6 — never 0, so ln is finite
+    u = (
+        split_bucket(id_col, buckets=1_000_000, salt=salt).cast("double")
+        + F.lit(1.0)
+    ) / F.lit(1_000_000.0)
+    w = F.col(weight_col).cast("double")
+    keyed = df.where(w > 0).withColumn(
+        "sample_key", F.round(F.log(u) / w, 12)
+    )
+    return (
+        keyed.orderBy(F.desc("sample_key"), F.col(id_col).asc())
+        .limit(n)
+    )

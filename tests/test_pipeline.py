@@ -370,3 +370,59 @@ def test_stratified_sample_vs_duckdb_oracle(spark, sf_dir):
     odf = con.sql(STRAT_ORACLE).df()
     assert len(sdf) > 0
     assert compare("stratified_sample", sdf, odf) == []
+
+
+# ---------------------------------------------------------------------------
+# weighted sampling without replacement (A-ES): determinism, bias, oracle
+# ---------------------------------------------------------------------------
+
+
+def test_weighted_sample_deterministic_and_weight_biased(spark):
+    from pyspark.sql import Row
+
+    rows = [
+        Row(doc_id=i, w=(10.0 if i < 50 else 0.1)) for i in range(500)
+    ]
+    df = spark.createDataFrame(rows)
+    s1 = PL.weighted_sample(df, "w", n=60, salt="t:").collect()
+    s2 = PL.weighted_sample(df.repartition(7), "w", n=60, salt="t:").collect()
+    assert [r["doc_id"] for r in s1] == [r["doc_id"] for r in s2]  # layout-stable
+    heavy = sum(1 for r in s1 if r["doc_id"] < 50)
+    # 50 heavy (w=10) vs 450 light (w=0.1): heavy rows must dominate the
+    # sample despite being 10% of the population
+    assert heavy >= 40
+    # zero/negative weights never sampled
+    df2 = df.withColumn("w", F.when(F.col("doc_id") == 0, -1.0).otherwise(F.col("w")))
+    assert all(
+        r["doc_id"] != 0 for r in PL.weighted_sample(df2, "w", n=60, salt="t:").collect()
+    )
+
+
+def test_weighted_sample_vs_duckdb_oracle(spark, sf_dir):
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from check_oracle import compare, duck_connection
+
+    from compute_histogram_spark.sources.tables import load
+
+    docs = load(spark, sf_dir, "documents")
+    sdf = (
+        PL.weighted_sample(docs.withColumn("w", F.col("n_chars").cast("double")),
+                           "w", n=100)
+        .select("doc_id", "sample_key")
+        .toPandas()
+    )
+    con = duck_connection(sf_dir)
+    odf = con.sql("""
+    SELECT doc_id, sample_key FROM (
+        SELECT doc_id,
+               round(ln((('0x' || substring(md5('wsamp:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                         % 1000000 + 1.0) / 1000000.0)
+                     / CAST(n_chars AS DOUBLE), 12) AS sample_key
+        FROM documents WHERE n_chars > 0
+    ) ORDER BY sample_key DESC, doc_id LIMIT 100
+    """).df()
+    assert len(sdf) == 100
+    assert compare("weighted_sample", sdf, odf) == []
