@@ -421,3 +421,64 @@ def phrase_match(
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_matches"))
         .orderBy(id_col)
     )
+
+
+def token_pmi(
+    docs: DataFrame,
+    min_count: int = 5,
+    k: int = 50,
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k adjacent-token associations by pointwise mutual information:
+    ``pmi(a,b) = ln(c_ab * N_pairs / (c_a' * c_b'))`` over within-document
+    adjacent pairs (c' = the token's occurrences as pair-left/right
+    respectively) — the collocation detector ("new york", "machine
+    learning") a corpus-curation pass runs to find multi-word units worth
+    protecting from tokenization or dedup shingling.
+
+    Plan: one map-side explode builds adjacent pairs with the
+    index-sequence idiom (no posexplode self-join), two partial->final
+    hash aggregations count pairs and endpoints, the vocab-sized endpoint
+    counts join back onto the pair counts, and every PMI input is an exact
+    integer with one rounded ``ln`` — value-exact vs the DuckDB twin.
+    ``min_count`` keeps rare-pair noise out (classic PMI failure mode).
+
+    -> (a, b, n_pair, pmi) top-k by (pmi desc, a, b).
+    """
+    toks = ensure_parallelism(docs).select(
+        F.col("doc_id"), tokens(text_col).alias("ts")
+    )
+    pairs = toks.where(F.size("ts") >= 2).select(
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(ts) - 2), "
+                "i -> struct(ts[i] AS a, ts[i + 1] AS b))"
+            )
+        ).alias("p")
+    ).select("p.a", "p.b")
+    pc = pairs.groupBy("a", "b").agg(F.count(F.lit(1)).alias("n_pair"))
+    left = pairs.groupBy("a").agg(F.count(F.lit(1)).alias("n_a"))
+    right = pairs.groupBy("b").agg(F.count(F.lit(1)).alias("n_b"))
+    total = pairs.agg(F.count(F.lit(1)).alias("n_total"))
+    w = Window.orderBy(F.desc("pmi"), F.asc("a"), F.asc("b"))
+    return (
+        pc.where(F.col("n_pair") >= min_count)
+        .join(left, "a")
+        .join(right, "b")
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "pmi",
+            F.round(
+                F.log(
+                    F.col("n_pair").cast("double")
+                    * F.col("n_total")
+                    / (F.col("n_a").cast("double") * F.col("n_b"))
+                ),
+                6,
+            ),
+        )
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("a", "b", "n_pair", "pmi")
+        .orderBy(F.desc("pmi"), "a", "b")
+    )

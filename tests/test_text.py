@@ -264,3 +264,59 @@ def test_phrase_match_vs_duckdb_oracle(spark, sf_dir):
         ).df()
         assert len(sdf) > 0
         assert compare(f"phrase:{phrase}", sdf, odf) == []
+
+
+def test_token_pmi_golden(spark):
+    """A bound pair ("new york" always together) must out-score a frequent
+    but unassociated pair."""
+    rows = [
+        Row(doc_id=i, text="new york " + "the cat sat on the mat " * 3)
+        for i in range(5)
+    ]
+    out = TX.token_pmi(spark.createDataFrame(rows), min_count=3, k=10).collect()
+    scores = {(r["a"], r["b"]): r["pmi"] for r in out}
+    assert ("new", "york") in scores
+    # 'new york' is perfectly bound; 'the cat' shares 'the' with 'the mat'
+    assert scores[("new", "york")] > scores.get(("the", "cat"), -1e9)
+    # ranks ordered by pmi desc
+    pmis = [r["pmi"] for r in out]
+    assert pmis == sorted(pmis, reverse=True)
+
+
+def test_token_pmi_vs_duckdb_oracle(spark, sf_dir):
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from check_oracle import compare, duck_connection
+
+    from compute_histogram_spark.sources.tables import load
+
+    sdf = TX.token_pmi(load(spark, sf_dir, "documents"), min_count=3,
+                       k=50).toPandas()
+    con = duck_connection(sf_dir)
+    odf = con.sql("""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+    p AS (
+        SELECT ts[i] AS a, ts[i + 1] AS b
+        FROM (SELECT ts, unnest(generate_series(1, len(ts) - 1)) AS i FROM t
+              WHERE len(ts) >= 2)
+    ),
+    pc AS (SELECT a, b, count(*) AS n_pair FROM p GROUP BY a, b),
+    la AS (SELECT a, count(*) AS n_a FROM p GROUP BY a),
+    rb AS (SELECT b, count(*) AS n_b FROM p GROUP BY b),
+    tot AS (SELECT count(*) AS n_total FROM p)
+    SELECT a, b, n_pair, pmi FROM (
+        SELECT a, b, n_pair,
+               round(ln(CAST(n_pair AS DOUBLE) * n_total
+                        / (CAST(n_a AS DOUBLE) * n_b)), 6) AS pmi,
+               row_number() OVER (ORDER BY
+                   round(ln(CAST(n_pair AS DOUBLE) * n_total
+                            / (CAST(n_a AS DOUBLE) * n_b)), 6) DESC, a, b)
+                   AS rnk
+        FROM pc JOIN la USING (a) JOIN rb USING (b) CROSS JOIN tot
+        WHERE n_pair >= 3
+    ) WHERE rnk <= 50 ORDER BY pmi DESC, a, b
+    """).df()
+    assert len(sdf) > 0
+    assert compare("token_pmi", sdf, odf) == []
