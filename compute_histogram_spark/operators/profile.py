@@ -154,3 +154,54 @@ def distribution_drift(
         )
         .orderBy("bin")
     )
+
+
+def robust_outliers(
+    df: DataFrame,
+    value_col: str = "value",
+    group_col: str = "event_type",
+    threshold: float = 3.5,
+) -> DataFrame:
+    """Per-group robust outlier report via the modified z-score
+    ``0.6745 * |x - median| / MAD`` (Iglewicz & Hoaglin 1993) — the
+    ingest-side anomaly pass that survives the outliers it hunts
+    (mean/stddev z-scores are dragged by the very tails they flag).
+
+    Three aggregation passes, all partial->final with group-cardinality-
+    bounded shuffles: per-group exact ``median``; per-group MAD after a
+    broadcast join of the medians onto the rows; then the flagged count in
+    one final aggregation after broadcasting the (tiny) MAD table back.
+    The raw data is scanned per pass — medians cannot fuse with their own
+    deviations. Zero-MAD groups (constant values) report 0 outliers
+    rather than dividing by zero. median/MAD round to 6 so the DuckDB
+    twin hash-matches.
+
+    -> (group, n_rows, median, mad, n_outliers) ordered by group.
+    """
+    v = F.col(value_col)
+    clean = df.where(v.isNotNull() & ~F.isnan(v)).select(
+        F.col(group_col).alias("group"), v.alias("x")
+    )
+    med = clean.groupBy("group").agg(
+        F.round(F.median("x"), 6).alias("median")
+    )
+    dev = clean.join(F.broadcast(med), "group").withColumn(
+        "adev", F.abs(F.col("x") - F.col("median"))
+    )
+    mad = dev.groupBy("group").agg(F.round(F.median("adev"), 6).alias("mad"))
+    flagged = F.when(
+        (F.col("mad") > 0)
+        & (0.6745 * F.col("adev") / F.col("mad") > F.lit(threshold)),
+        1,
+    )
+    return (
+        dev.join(F.broadcast(mad), "group")
+        .groupBy("group")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.first("median").alias("median"),
+            F.first("mad").alias("mad"),
+            F.count(flagged).alias("n_outliers"),
+        )
+        .orderBy("group")
+    )

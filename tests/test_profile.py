@@ -110,3 +110,58 @@ def test_distribution_drift_vs_duckdb_oracle(spark, sf_dir):
     """).df()
     assert len(sdf) > 0
     assert compare("distribution_drift", sdf, odf) == []
+
+
+def test_robust_outliers_golden(spark):
+    rows = (
+        [Row(event_type="a", value=float(v)) for v in range(1, 12)]  # 1..11
+        + [Row(event_type="a", value=1000.0)]                        # outlier
+        + [Row(event_type="b", value=5.0)] * 6                       # constant
+    )
+    out = {r["group"]: r for r in
+           PR.robust_outliers(spark.createDataFrame(rows)).collect()}
+    a = out["a"]
+    assert a["median"] == 6.5 and a["n_rows"] == 12
+    assert a["n_outliers"] == 1          # only the 1000.0
+    b = out["b"]
+    assert b["mad"] == 0.0 and b["n_outliers"] == 0  # zero-MAD guarded
+
+
+def test_robust_outliers_vs_duckdb_oracle(spark, sf_dir):
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from check_oracle import compare, duck_connection
+
+    from compute_histogram_spark.sources.tables import load
+
+    sdf = PR.robust_outliers(load(spark, sf_dir, "events")).toPandas()
+    con = duck_connection(sf_dir)
+    odf = con.sql("""
+    WITH clean AS (
+        SELECT event_type AS "group", value AS x FROM events
+        WHERE value IS NOT NULL AND NOT isnan(value)
+    ),
+    med AS (
+        SELECT "group", round(median(x), 6) AS median FROM clean GROUP BY 1
+    ),
+    dev AS (
+        SELECT c."group", c.x, m.median, abs(c.x - m.median) AS adev
+        FROM clean c JOIN med m USING ("group")
+    ),
+    mad AS (
+        SELECT "group", round(median(adev), 6) AS mad FROM dev GROUP BY 1
+    )
+    SELECT d."group",
+           count(*) AS n_rows,
+           any_value(d.median) AS median,
+           any_value(md.mad) AS mad,
+           count(CASE WHEN md.mad > 0
+                       AND 0.6745 * d.adev / md.mad > 3.5 THEN 1 END)
+               AS n_outliers
+    FROM dev d JOIN mad md USING ("group")
+    GROUP BY 1 ORDER BY 1
+    """).df()
+    assert len(sdf) > 0
+    assert compare("robust_outliers", sdf, odf) == []
