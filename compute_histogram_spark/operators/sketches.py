@@ -217,3 +217,67 @@ def kmv_distinct_estimate(sketch: DataFrame, k: int = 256) -> float:
         return float(len(rows))
     kth = (rows[k - 1]["h"] + 2.0**63 + 1.0) / 2.0**64
     return (k - 1) / kth
+
+
+def hll_build(
+    values: DataFrame, value_col: str, p: int = 12
+) -> DataFrame:
+    """HyperLogLog register table (Flajolet et al. 2007): ``2^p`` rows of
+    ``(reg, max_rank)`` — the third classic sketch beside the CMS ("how
+    often") and KMV ("how many distinct, plus a sample"): HLL answers "how
+    many distinct" in O(2^p) space with no stored values at all, and
+    merges by per-register max, so per-partition/per-day sketches roll up
+    losslessly (the same partial/final discipline as the histogram merge).
+
+    Register = low ``p`` bits of ``xxhash64``; rank = leading-zero count
+    of the remaining ``64 - p`` bits + 1, via ``log2`` integer arithmetic
+    on the shifted hash (pure JVM expressions — no UDF). The aggregation
+    is a plain partial->final ``max`` groupBy: the shuffle carries at most
+    ``partitions x 2^p`` rows. Empty registers are absent (rank 0 implied);
+    :func:`hll_estimate` densifies driver-side over 2^p scalars.
+    """
+    m = 1 << p
+    h = F.xxhash64(F.col(value_col))
+    # hash is signed; mask to the register, then shift away the p low bits
+    reg = F.pmod(h, F.lit(m)).cast("int")
+    rest = F.expr(f"CAST((CAST(xxhash64({value_col}) AS DECIMAL(28,0)) "
+                  f"+ 9223372036854775808) / {m} AS BIGINT)")
+    # rank = (64 - p) - floor(log2(rest)) for rest > 0, else 64 - p + 1
+    rank = F.when(
+        rest > 0,
+        F.lit(64 - p) - F.floor(F.log2(rest.cast("double"))).cast("int"),
+    ).otherwise(F.lit(64 - p + 1))
+    return (
+        values.select(reg.alias("reg"), rank.cast("int").alias("rank"))
+        .groupBy("reg")
+        .agg(F.max("rank").alias("max_rank"))
+    )
+
+
+def hll_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Union two register tables, keep the per-register max — associative,
+    commutative, idempotent (the CRDT property that makes HLL the
+    rollup-friendly distinct counter)."""
+    return (
+        a.unionByName(b)
+        .groupBy("reg")
+        .agg(F.max("max_rank").alias("max_rank"))
+    )
+
+
+def hll_estimate(sketch: DataFrame, p: int = 12) -> float:
+    """Driver-side estimate from the (<= 2^p)-row register table: raw HLL
+    harmonic mean with the standard small-range (linear counting) and
+    alpha corrections. O(2^p) scalars to the driver — like the CMS point
+    query, the collect is sketch-sized, never data-sized."""
+    import math
+
+    m = 1 << p
+    regs = {r["reg"]: r["max_rank"] for r in sketch.collect()}
+    zeros = m - len(regs)
+    s = zeros * 1.0 + sum(2.0 ** -v for v in regs.values())
+    alpha = 0.7213 / (1 + 1.079 / m)
+    raw = alpha * m * m / s
+    if raw <= 2.5 * m and zeros:
+        return m * math.log(m / zeros)  # linear counting regime
+    return raw

@@ -126,3 +126,36 @@ def test_kmv_layout_independent_and_plan(spark):
         s1._jdf.queryExecution(), "formatted"
     )
     assert "TakeOrderedAndProject" in plan or "WindowGroupLimit" in plan, plan
+
+
+def test_hll_estimate_within_error_bound(spark):
+    n = 20_000
+    df = spark.range(n).select(F.col("id").cast("string").alias("v"))
+    est = SK.hll_estimate(SK.hll_build(df, "v", p=12), p=12)
+    # standard error ~ 1.04/sqrt(4096) ~ 1.6%; allow 4 sigma
+    assert abs(est - n) / n < 0.065, est
+
+
+def test_hll_merge_equals_union_and_is_layout_independent(spark):
+    a = spark.range(0, 6000).select(F.col("id").cast("string").alias("v"))
+    b = spark.range(4000, 12000).select(F.col("id").cast("string").alias("v"))
+    sa, sb = SK.hll_build(a, "v"), SK.hll_build(b, "v")
+    merged = {(r["reg"], r["max_rank"]) for r in SK.hll_merge(sa, sb).collect()}
+    direct = {
+        (r["reg"], r["max_rank"])
+        for r in SK.hll_build(a.unionByName(b), "v").collect()
+    }
+    assert merged == direct  # register-exact, not just estimate-close
+    repart = {
+        (r["reg"], r["max_rank"])
+        for r in SK.hll_build(a.unionByName(b).repartition(13), "v").collect()
+    }
+    assert repart == direct
+
+
+def test_hll_duplicates_do_not_move_the_sketch(spark):
+    a = spark.range(3000).select(F.col("id").cast("string").alias("v"))
+    dup = a.unionByName(a).unionByName(a)
+    sa = {(r["reg"], r["max_rank"]) for r in SK.hll_build(a, "v").collect()}
+    sd = {(r["reg"], r["max_rank"]) for r in SK.hll_build(dup, "v").collect()}
+    assert sa == sd
