@@ -424,7 +424,7 @@ def encode_geotiff(
             if tag == loc_tag:
                 oi = sum(
                     1
-                    for t, _ft, _ct, p in all_entries[:i]
+                    for _t, _ft, _ct, p in all_entries[:i]
                     if len(p) > 4
                 )
                 overflow[oi] = offsets_payload

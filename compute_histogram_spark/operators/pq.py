@@ -85,7 +85,7 @@ def pq_encode(
     import pandas as pd
 
     cb = np.ascontiguousarray(codebooks, dtype=np.float64)
-    m, ksub, dsub = cb.shape
+    m, _ksub, dsub = cb.shape
     c_sq = (cb * cb).sum(axis=2)  # [m, ksub]
 
     def kernel(batches):
@@ -137,7 +137,7 @@ def cosine_topk_pq(
     qm = np.array([r["v"] for r in q_rows], dtype=np.float64)
     qn = np.array([r["nrm"] for r in q_rows], dtype=np.float64)
     cb = np.ascontiguousarray(codebooks, dtype=np.float64)
-    mm, ksub_, dsub = cb.shape
+    mm, _ksub, dsub = cb.shape
     # per-query ADC lookup tables: lut[q, s, j] = <q_sub_s, centroid_sj>
     lut = np.einsum("qsd,sjd->qsj", qm.reshape(len(q_ids), mm, dsub), cb)
 
@@ -469,7 +469,7 @@ def write_ivfpq_index(
         [(int(i), [float(x) for x in c]) for i, c in enumerate(centroids)],
         "cid int, cvec array<double>",
     ).write.mode("overwrite").parquet(f"{path}/centroids")
-    mm, kk, dsub = codebooks.shape
+    mm, kk, _dsub = codebooks.shape
     spark.createDataFrame(
         [
             (int(s), int(j), [float(x) for x in codebooks[s, j]])
