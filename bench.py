@@ -136,17 +136,63 @@ def materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    m = re.search(r"sf([0-9.]+)", sf_dir)
-    sf = float(m.group(1)) if m else -1.0
-    spark = get_session("bench")
-    spark.sparkContext.setLogLevel("ERROR")
+# OPT-IN extended set (SPARK_GRAFT_BENCH_EXT=1): the round-5 operators
+# that are pytest-pinned but outside the 50-entry registry window. Kept
+# out of HEADLINE so the 26-query total stays comparable across rounds;
+# results land under a separate "ext" key. pq/ivfpq deliberately include
+# their codebook TRAINING (that is the operator's real cost shape).
+def _ext_queries():
+    from compute_histogram_spark.operators import bpe as B
+    from compute_histogram_spark.operators import pq as PQ
+    from compute_histogram_spark.operators import profile as PR
+    from compute_histogram_spark.operators import text as TXm
+    from compute_histogram_spark.operators.pipeline import weighted_sample
+    from compute_histogram_spark.operators.windows import (
+        rolling_user_stats,
+        sessionize_salted,
+    )
+    from pyspark.sql import functions as Fx
 
-    times: dict[str, float] = {}
-    errors: dict[str, str] = {}
-    for name in HEADLINE:
-        fn = registry.QUERIES.get(name) or LOCAL_QUERIES[name]
+    return {
+        "similarity_topk_pq": lambda s, d: PQ.cosine_topk_pq(
+            load(s, d, "embeddings"), iters=2
+        ),
+        "similarity_topk_ivfpq": lambda s, d: PQ.cosine_topk_ivfpq(
+            load(s, d, "embeddings"), iters=2
+        ),
+        "similarity_topk_sq": lambda s, d: PQ.cosine_topk_sq(
+            load(s, d, "embeddings")
+        ),
+        "bpe_encode": lambda s, d: B.bpe_encode(
+            load(s, d, "documents"),
+            B.bpe_train(B.word_freqs(load(s, d, "documents")), 6)[0],
+        ),
+        "token_pmi": lambda s, d: TXm.token_pmi(load(s, d, "documents")),
+        "distribution_drift": lambda s, d: PR.distribution_drift(
+            load(s, d, "events").where(Fx.col("event_type") != "purchase"),
+            load(s, d, "events").where(Fx.col("event_type") == "purchase"),
+        ),
+        "robust_outliers": lambda s, d: PR.robust_outliers(
+            load(s, d, "events")
+        ),
+        "rolling_user_stats": lambda s, d: rolling_user_stats(
+            load(s, d, "events")
+        ),
+        "sessionize_salted": lambda s, d: sessionize_salted(
+            load(s, d, "events")
+        ),
+        "weighted_sample": lambda s, d: weighted_sample(
+            load(s, d, "documents").withColumn(
+                "w", Fx.col("n_chars").cast("double")
+            ),
+            "w",
+            1000,
+        ),
+    }
+
+
+def _bench_set(spark, sf_dir, queries, times, errors) -> None:
+    for name, fn in queries.items():
         # per-query isolation: one broken query must never zero the whole
         # round's perf signal — record its error and keep benching the rest
         try:
@@ -165,6 +211,27 @@ def main() -> None:
             print(f"bench: {name} FAILED: {msg.splitlines()[0][:200]}",
                   file=sys.stderr)
 
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+    spark = get_session("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    times: dict[str, float] = {}
+    errors: dict[str, str] = {}
+    _bench_set(
+        spark,
+        sf_dir,
+        {n: registry.QUERIES.get(n) or LOCAL_QUERIES[n] for n in HEADLINE},
+        times,
+        errors,
+    )
+    ext: dict[str, float] = {}
+    if os.environ.get("SPARK_GRAFT_BENCH_EXT"):
+        _bench_set(spark, sf_dir, _ext_queries(), ext, errors)
+
     out = {
         "metric": "headline_queries_warm_total",
         "value": round(sum(times.values()), 3),
@@ -174,6 +241,8 @@ def main() -> None:
         "n_ok": len(times),
         "n_err": len(errors),
     }
+    if ext:
+        out["ext"] = ext
     if errors:
         out["errors"] = errors
     print(json.dumps(out))
