@@ -81,6 +81,9 @@ def _raster_main(args, spark: SparkSession) -> int:
     )
     if args.minmax_only:
         row = raster_minmax(tiles, band=args.band).first()
+        if row is None or not row["n_valid"]:
+            print("no valid pixels", file=sys.stderr)
+            return 1
         print(f"min={row['min_value']} max={row['max_value']}")
         return 0
     if args.min_value is not None and args.max_value is not None:

@@ -68,7 +68,10 @@ def pq_train(
     e = emb.select(
         F.col(id_col).alias("vec_id"), V.to_double_array(vec_col).alias("v")
     )
-    dim = len(e.first()["v"])
+    head = e.first()
+    if head is None:
+        raise ValueError("no vectors to train PQ on")
+    dim = len(head["v"])
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
     dsub = dim // m
@@ -426,9 +429,15 @@ def sq_encode(
     e = _with_norms(emb.withColumnRenamed(id_col, "vec_id")).select(
         "vec_id", "v", "nrm"
     )
-    scale = F.aggregate(
-        F.col("v"), F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x))
-    ) / F.lit(127.0)
+    # an all-zero vector would give scale=0 and x/0 = NaN, which the ANSI
+    # int cast rejects; floor the scale so zero vectors encode as all-zero q
+    scale = F.greatest(
+        F.aggregate(
+            F.col("v"), F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x))
+        )
+        / F.lit(127.0),
+        F.lit(1e-30),
+    )
     return e.withColumn("scale", scale).withColumn(
         "q",
         F.transform(

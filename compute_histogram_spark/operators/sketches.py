@@ -242,10 +242,13 @@ def hll_build(
     reg = F.pmod(h, F.lit(m)).cast("int")
     rest = F.expr(f"CAST((CAST(xxhash64({value_col}) AS DECIMAL(28,0)) "
                   f"+ 9223372036854775808) / {m} AS BIGINT)")
-    # rank = (64 - p) - floor(log2(rest)) for rest > 0, else 64 - p + 1
+    # rank = (64 - p) - floor(log2(rest)) for rest > 0, else 64 - p + 1.
+    # floor(log2(n)) == bit_length(n) - 1, computed exactly via the base-2
+    # string length (conv) — float log2 rounds up for n just below 2^k
+    # (e.g. 2^52 - 1), which would inflate the rank by 1.
     rank = F.when(
         rest > 0,
-        F.lit(64 - p) - F.floor(F.log2(rest.cast("double"))).cast("int"),
+        F.lit(64 - p + 1) - F.length(F.conv(rest, 10, 2)).cast("int"),
     ).otherwise(F.lit(64 - p + 1))
     return (
         values.select(reg.alias("reg"), rank.cast("int").alias("rank"))

@@ -55,9 +55,14 @@ def get_session(
         .config("spark.sql.session.timeZone", "UTC")
         # Arrow for any pandas-UDF path and fast toPandas in tests.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        # The reference retries flaky tile reads 7x (main.py:231-236);
-        # Spark's task retry + corrupt-file tolerance is the built-in
-        # equivalent (SURVEY §2.1 S5).
+        # The reference retries flaky tile reads 7x with exponential
+        # backoff capped at 300 s (main.py:231-236); Spark's task retry is
+        # the built-in equivalent (SURVEY §2.1 S5) — match the attempt
+        # count (default maxFailures is 4) so transient object-store IO
+        # survives as many tries as the reference gives it. Like
+        # driver.memory, task.maxFailures is a cluster conf: it binds only
+        # for the first session in the JVM (spark-submit on a real cluster).
+        .config("spark.task.maxFailures", "7")
         .config("spark.sql.files.ignoreCorruptFiles", "false")
         # NOTE: takes effect only for the FIRST session in a process —
         # getOrCreate() on an already-running JVM silently ignores builder

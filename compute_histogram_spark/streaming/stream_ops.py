@@ -33,6 +33,7 @@ Scale/semantics notes:
 
 from __future__ import annotations
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.types import (
     DoubleType,
@@ -71,9 +72,15 @@ def read_events_stream(
     batch read of the same path (parquet footers only, driver-side) so the
     stream matches whatever ts layout the files actually carry —
     TIMESTAMP_NTZ in the current testdata, nanos-BIGINT in legacy fixtures.
+    On an empty landing directory (the normal streaming start state) the
+    batch read finds no footers; fall back to the legacy explicit schema so
+    the stream still starts and picks up files as they land.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = spark.read.parquet(path).schema
+    try:
+        schema = spark.read.parquet(path).schema
+    except AnalysisException:
+        schema = EVENTS_STREAM_SCHEMA
     return (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)
