@@ -121,9 +121,10 @@ def equi_depth_histogram(
     ``ntile`` over (value, id) gives exact, deterministic bucket membership
     (the id tie-break pins rows with equal values to the same bucket in
     every engine). The global ordered window is a single-partition sort —
-    fine into the millions; the 100 TB path replaces the window with
-    ``approx_percentile`` cut points and a ``width_bucket``-style bucket
-    join, trading exactness for full parallelism (same output schema).
+    this is the SMALL-DATA ORACLE TWIN, fine into the millions; the
+    registered scale path is :func:`equi_depth_histogram_binned` (no
+    raw-data sort anywhere), with :func:`equi_depth_histogram_approx` as
+    the sketch-based alternative (same output schema).
 
     -> (bucket INT, n_rows BIGINT, min_value DOUBLE, max_value DOUBLE)
     """
@@ -140,6 +141,70 @@ def equi_depth_histogram(
             F.max("v").alias("max_value"),
         )
         .select(F.col("bucket").cast("int").alias("bucket"), "n_rows", "min_value", "max_value")
+        .orderBy("bucket")
+    )
+
+
+def equi_depth_histogram_binned(
+    df: DataFrame,
+    col: str,
+    buckets: int = 10,
+    scale: int = 100,
+) -> DataFrame:
+    """Exact histogram-inverted equi-depth — the registered 100 TB path.
+
+    The classic DB-statistics construction: bin values to integer keys
+    (``trunc(v * scale)``, the same truncation discipline as the linear
+    histogram A5), aggregate per-bin ``(count, min, max)`` in one scan
+    (partial->final, shuffle bounded by the number of NON-EMPTY bins, i.e.
+    the value range x scale — never by row count), then assign each bin to
+    the bucket its first row would occupy under perfect equi-depth:
+    ``bucket = (cum_excl * buckets) div total + 1`` with exclusive running
+    counts from a window over the BIN-bounded aggregate (same bounded-input
+    pattern as :func:`deciles` — thousands of rows, not raw data).
+
+    Deterministic and engine-independent: every decision is integer
+    arithmetic on counts; min/max are raw values with no arithmetic. A bin
+    is never split, so a heavy bin may overfill its bucket by up to the bin
+    population — the bin-granularity tradeoff that makes the plan fully
+    parallel. The raw-exact twin :func:`equi_depth_histogram` (global
+    ntile) is the small-data oracle for the tolerance test in
+    tests/test_deciles.py.
+
+    -> (bucket INT, n_rows BIGINT, min_value DOUBLE, max_value DOUBLE)
+    """
+    c = F.col(col)
+    src = df.where(c.isNotNull() & ~F.isnan(c)).select(c.alias("v"))
+    # double->bigint cast truncates toward zero (== DuckDB trunc); the same
+    # discipline as bin_scheme.bin_key_expr (A5)
+    b = src.groupBy(
+        (F.col("v") * F.lit(scale)).cast("bigint").alias("bin")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("v").alias("mn"),
+        F.max("v").alias("mx"),
+    )
+    w_cum = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, -1)
+    w_tot = Window.partitionBy()
+    m = b.select(
+        "bin",
+        "n",
+        "mn",
+        "mx",
+        F.coalesce(F.sum("n").over(w_cum), F.lit(0)).alias("cum_excl"),
+        F.sum("n").over(w_tot).alias("total"),
+    ).withColumn(
+        "bucket",
+        (F.expr(f"(cum_excl * {buckets}) div total") + 1).cast("int"),
+    )
+    return (
+        m.groupBy("bucket")
+        .agg(
+            F.sum("n").alias("n_rows"),
+            F.min("mn").alias("min_value"),
+            F.max("mx").alias("max_value"),
+        )
+        .select("bucket", "n_rows", "min_value", "max_value")
         .orderBy("bucket")
     )
 

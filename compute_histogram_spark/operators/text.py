@@ -369,10 +369,14 @@ def bm25_topk(
         .groupBy("doc_id")
         .agg(F.round(F.sum("s"), 6).alias("bm25"))
     )
+    # top-k WITHOUT a global ordered window: orderBy+limit compiles to
+    # TakeOrderedAndProject (per-partition partial top-k, k-row merge) —
+    # the rank window then runs over <= k rows, never the full hit set.
     w = Window.orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
     return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
+        scored.orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+        .limit(k)
+        .withColumn("rank", F.row_number().over(w))
         .select("doc_id", "bm25", "rank")
         .orderBy("rank")
     )

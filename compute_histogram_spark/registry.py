@@ -193,20 +193,44 @@ def q_histogram_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "equi_depth_histogram",
+    # Histogram-inverted equi-depth (deciles.py:equi_depth_histogram_binned)
+    # — every decision is integer arithmetic on per-bin counts, so the two
+    # engines agree bit-for-bit. `//` is DuckDB integer division, matching
+    # Spark's `div`. The raw-exact global-ntile twin lives in pytest
+    # (tests/test_deciles.py) — it is deliberately NOT registered: its plan
+    # is a single-partition sort of the whole table.
     """
-    WITH t AS (
-        SELECT value AS v,
-               ntile(10) OVER (ORDER BY value, event_id) AS bucket
-        FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+    WITH src AS (
+        SELECT value AS v FROM events
+        WHERE value IS NOT NULL AND NOT isnan(value)
+    ),
+    b AS (
+        SELECT CAST(trunc(v * 100) AS BIGINT) AS bin, count(*) AS n,
+               min(v) AS mn, max(v) AS mx
+        FROM src GROUP BY 1
+    ),
+    c AS (
+        SELECT bin, n, mn, mx,
+               CAST(coalesce(sum(n) OVER (ORDER BY bin
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS cum_excl,
+               CAST(sum(n) OVER () AS BIGINT) AS total
+        FROM b
+    ),
+    m AS (
+        SELECT bin, n, mn, mx,
+               CAST((cum_excl * 10) // total AS INT) + 1 AS bucket
+        FROM c
     )
-    SELECT CAST(bucket AS INT) AS bucket, count(*) AS n_rows,
-           min(v) AS min_value, max(v) AS max_value
-    FROM t GROUP BY bucket ORDER BY bucket
+    SELECT CAST(bucket AS INT) AS bucket,
+           CAST(sum(n) AS BIGINT) AS n_rows,
+           min(mn) AS min_value, max(mx) AS max_value
+    FROM m GROUP BY bucket ORDER BY bucket
     """,
 )
 def q_equi_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return D.equi_depth_histogram(
-        load(spark, sf_dir, "events"), "value", "event_id"
+    return D.equi_depth_histogram_binned(
+        load(spark, sf_dir, "events"), "value"
     )
 
 

@@ -47,11 +47,63 @@ NLJ_ALLOWED = {
 # pure-Python kernel paths: no codegen span expected
 PY_KERNEL = {"multimodal_features", "similarity_topk_gemm"}
 
+# queries whose plan carries a GLOBAL ordered window (single-partition sort)
+# over input that is BOUNDED by construction — never raw table rows:
+# - histogram_deciles: running sum over the histogram (<= bins rows, the
+#   reference's own query shape)
+# - equi_depth_histogram: running count over the per-bin aggregate
+#   (deciles.py:equi_depth_histogram_binned — bins, not rows)
+# Rank-style global windows preceded by a WindowGroupLimit partial limit
+# (top-k pushdown, input <= partitions x k) are accepted without listing.
+GLOBAL_WINDOW_BOUNDED = {"histogram_deciles", "equi_depth_histogram"}
+
+
+def _global_windows(plan: str) -> int:
+    """Count Window nodes with an empty partition spec.
+
+    Physical plans print ``Window [funcs], [partitionSpec], [orderSpec]``;
+    a global window omits the partition group: ``Window [funcs], [orderSpec]``.
+    Group counting tracks bracket depth so nested brackets inside function
+    expressions don't split groups.
+    """
+    n = 0
+    for line in plan.splitlines():
+        s = line.lstrip(" +-*:|")
+        if not s.startswith(("Window ", "WindowExec")):
+            continue
+        depth = 0
+        groups = 0
+        for ch in s:
+            if ch == "[":
+                if depth == 0:
+                    groups += 1
+                depth += 1
+            elif ch == "]":
+                depth -= 1
+        if groups <= 2:  # funcs + order only -> no partition spec
+            n += 1
+    return n
+
 
 def audit(name: str, df) -> tuple[bool, list[str]]:
     plan = df._jdf.queryExecution().executedPlan().toString()
     flags: list[str] = []
     hard_fail = False
+
+    gw = _global_windows(plan)
+    if gw:
+        # accepted when the window input is bounded by construction: an
+        # allowlisted bin-bounded aggregate, a WindowGroupLimit partial
+        # limit, or a TakeOrderedAndProject top-k merge feeding the window
+        if (
+            name in GLOBAL_WINDOW_BOUNDED
+            or "WindowGroupLimit" in plan
+            or "TakeOrderedAndProject" in plan
+        ):
+            flags.append(f"global_window_bounded={gw}")
+        else:
+            flags.append("GLOBAL_WINDOW")
+            hard_fail = True
 
     if "CartesianProduct" in plan:
         flags.append("CARTESIAN")
