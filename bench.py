@@ -21,6 +21,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from compute_histogram_spark.session import get_session
 from compute_histogram_spark import registry
+from compute_histogram_spark.operators import behavior as BH
 from compute_histogram_spark.operators import relational as R
 from compute_histogram_spark.sources.tables import load
 
@@ -48,6 +49,11 @@ LOCAL_QUERIES = {
         load(spark, d, "nation"),
         load(spark, d, "customer"),
         load(spark, d, "orders"),
+    ),
+    # rotated out of the registry window in r6 (tests/test_rotated_out.py
+    # keeps the oracle); stays here for BENCH r01->r06 comparability.
+    "cohort_retention": lambda spark, d: BH.cohort_retention(
+        load(spark, d, "events")
     ),
 }
 
@@ -99,6 +105,19 @@ LOCAL_ORACLES = {
     JOIN region r ON n.n_regionkey = r.r_regionkey
     GROUP BY ROLLUP (r.r_name, n.n_name)
     ORDER BY r_name, n_name
+    """,
+    "cohort_retention": """
+    WITH am AS (
+        SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 // 7 AS wk
+        FROM events
+    ),
+    f AS (SELECT user_id, min(wk) AS cwk FROM am GROUP BY user_id)
+    SELECT cwk * 7 * 86400 AS cohort_week_start_s,
+           CAST(wk - cwk AS INT) AS week_offset,
+           count(DISTINCT a.user_id) AS n_users
+    FROM am a JOIN f USING (user_id)
+    GROUP BY cwk, wk
+    ORDER BY cohort_week_start_s, week_offset
     """,
 }
 

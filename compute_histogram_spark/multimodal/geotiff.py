@@ -13,7 +13,7 @@ mainstream GeoTIFF subset:
 - classic TIFF (not BigTIFF), little- or big-endian;
 - strips or tiles; chunky planar config; any band count;
 - uint8/16/32, int8/16/32, float32/64 samples;
-- compression: none (1), DEFLATE (8 / legacy 32946), PackBits (32773);
+- compression: none (1), LZW (5), DEFLATE (8 / legacy 32946), PackBits (32773);
 - predictor: none (1), horizontal differencing (2), floating-point
   byte-split differencing (3);
 - GeoTIFF georeferencing (ModelPixelScale / ModelTiepoint) and the GDAL
@@ -132,6 +132,106 @@ def _unpackbits(data: bytes, expected: int) -> bytes:
     return bytes(out)
 
 
+def _unlzw(data: bytes, expected: int) -> bytes:
+    """TIFF-variant LZW decode (TIFF spec §13, compression code 5) — the
+    most common in-the-wild GeoTIFF codec (the reference reads it through
+    GDAL transparently, main.py:237-241).
+
+    TIFF LZW is MSB-first bit packing with ClearCode=256, EOI=257, first
+    table entry 258, and the "early change" convention: the code width
+    bumps 9->10->11->12 when the table reaches 511/1023/2047 entries (one
+    code EARLIER than generic LZW's 512/1024/2048 — libtiff compatible).
+    """
+    CLEAR, EOI = 256, 257
+    base = [bytes([i]) for i in range(256)] + [b"", b""]
+    out = bytearray()
+    table = list(base)
+    nbits = 9
+    prev = None
+    bitpos = 0
+    total_bits = len(data) * 8
+    while bitpos + nbits <= total_bits and len(out) < expected:
+        byte0 = bitpos >> 3
+        window = int.from_bytes(data[byte0 : byte0 + 3].ljust(3, b"\0"), "big")
+        code = (window >> (24 - (bitpos & 7) - nbits)) & ((1 << nbits) - 1)
+        bitpos += nbits
+        if code == CLEAR:
+            table = list(base)
+            nbits = 9
+            prev = None
+            continue
+        if code == EOI:
+            break
+        if prev is None:
+            if code >= 256:
+                raise ValueError("corrupt LZW stream: first code not literal")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):  # KwKwK case
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError("corrupt LZW stream: code beyond table")
+        out += entry
+        prev = entry
+        # early change, decoder side: the decoder's table lags the
+        # encoder's by one entry (it inserts for code N while reading code
+        # N+1), so it widens at 510/1022/2046 where the encoder widens at
+        # 511/1023/2047 (TIFF spec §13 decoder pseudocode).
+        if len(table) >= (1 << nbits) - 2 and nbits < 12:
+            nbits += 1
+    return bytes(out[:expected])
+
+
+def _lzw_compress(raw: bytes) -> bytes:
+    """TIFF-variant LZW encode — fixture generator proving :func:`_unlzw`
+    by round-trip (same early-change convention; table reset at 4094 like
+    libtiff so 12-bit codes never overflow)."""
+    CLEAR, EOI = 256, 257
+    out = bytearray()
+    buf = 0
+    nbuf = 0
+    nbits = 9
+
+    def emit(code: int) -> None:
+        nonlocal buf, nbuf
+        buf = (buf << nbits) | code
+        nbuf += nbits
+        while nbuf >= 8:
+            nbuf -= 8
+            out.append((buf >> nbuf) & 0xFF)
+
+    table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    emit(CLEAR)
+    prev = b""
+    for byte in raw:
+        cur = prev + bytes([byte])
+        if cur in table:
+            prev = cur
+            continue
+        emit(table[prev])
+        table[cur] = next_code
+        next_code += 1
+        prev = bytes([byte])
+        if next_code == (1 << nbits) - 1 and nbits < 12:
+            nbits += 1
+        elif next_code == 4094:
+            emit(CLEAR)
+            table = {bytes([i]): i for i in range(256)}
+            next_code = 258
+            nbits = 9
+    if prev:
+        emit(table[prev])
+    emit(EOI)
+    if nbuf:
+        buf <<= 8 - nbuf
+        out.append(buf & 0xFF)
+    return bytes(out)
+
+
 def _undo_predictor(chunk: np.ndarray, predictor: int, spp: int) -> np.ndarray:
     """Invert TIFF predictor on a [rows, cols, spp] chunk."""
     if predictor == 2:  # horizontal differencing on integer samples
@@ -183,8 +283,10 @@ def decode_geotiff(content: bytes, band: int = 1) -> np.ndarray:
         raise ValueError(f"unsupported sample (format={fmt}, bits={bits[0]})")
     dtype = np.dtype(eb + _DTYPES[(fmt, bits[0])])
     comp = _tag1(tags, T_COMPRESSION, 1)
-    if comp not in (1, 8, 32946, 32773):
-        raise ValueError(f"unsupported compression {comp} (need none/deflate/packbits)")
+    if comp not in (1, 5, 8, 32946, 32773):
+        raise ValueError(
+            f"unsupported compression {comp} (need none/lzw/deflate/packbits)"
+        )
     predictor = _tag1(tags, T_PREDICTOR, 1)
     if predictor not in (1, 2, 3):
         raise ValueError(f"unsupported predictor {predictor}")
@@ -208,6 +310,8 @@ def decode_geotiff(content: bytes, band: int = 1) -> np.ndarray:
         data = content[off : off + cnt]
         if comp in (8, 32946):
             data = zlib.decompress(data)
+        elif comp == 5:
+            data = _unlzw(data, cw * ch * spp * dtype.itemsize)
         elif comp == 32773:
             data = _unpackbits(data, cw * ch * spp * dtype.itemsize)
         row0 = (idx // tiles_across) * ch
@@ -300,6 +404,8 @@ def encode_geotiff(
         raw = apply_predictor(chunk).tobytes()
         if compression == "deflate":
             return zlib.compress(raw, 6)
+        if compression == "lzw":
+            return _lzw_compress(raw)
         if compression == "packbits":
             out = bytearray()
             i, n = 0, len(raw)
@@ -338,7 +444,7 @@ def encode_geotiff(
     else:
         chunks.append(pack(a))
 
-    comp_code = {"none": 1, "deflate": 8, "packbits": 32773}[compression]
+    comp_code = {"none": 1, "lzw": 5, "deflate": 8, "packbits": 32773}[compression]
     nodata_ascii = (
         (repr(float(nodata)).encode() + b"\x00") if nodata is not None else b""
     )

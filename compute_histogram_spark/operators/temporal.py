@@ -298,6 +298,38 @@ def asof_enrich_events(events: DataFrame, orders: DataFrame) -> DataFrame:
     ).orderBy("event_id")
 
 
+def asof_enrich_events_salted(
+    events: DataFrame, orders: DataFrame, bucket: int = 86_400_000_000
+) -> DataFrame:
+    """Hot-key-safe twin of :func:`asof_enrich_events` — same arguments,
+    same output columns, but through :func:`asof_join_salted` (per-day
+    time-bucket salt), so no window partition ever holds one user's whole
+    timeline. Output-identical by the stitching argument proven in
+    tests/test_temporal.py; registered beside the plain version so BOTH
+    physical strategies carry oracle evidence."""
+    ev = events.select(
+        "event_id", "user_id", epoch_micros(events).alias("tsu")
+    )
+    out = asof_join_salted(
+        ev,
+        orders,
+        left_key="user_id",
+        right_key="o_custkey",
+        left_ts=F.col("tsu"),
+        right_ts=ntz_micros("o_orderdate"),
+        right_payload={
+            "asof_orderkey": F.col("o_orderkey"),
+            "asof_order_us": ntz_micros("o_orderdate"),
+            "asof_totalprice": F.col("o_totalprice"),
+        },
+        tiebreak=F.col("o_orderkey"),
+        bucket=bucket,
+    )
+    return out.select(
+        "event_id", "user_id", "asof_orderkey", "asof_order_us", "asof_totalprice"
+    ).orderBy("event_id")
+
+
 def scd2_intervals(
     df: DataFrame,
     key_col: str,

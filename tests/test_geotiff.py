@@ -26,10 +26,56 @@ def _f32(h, w):
     return RNG.normal(100.0, 25.0, size=(h, w)).astype(np.float32)
 
 
-@pytest.mark.parametrize("compression", ["none", "deflate", "packbits"])
+@pytest.mark.parametrize("compression", ["none", "deflate", "packbits", "lzw"])
 def test_roundtrip_float32_strips(compression):
     a = _f32(37, 23)
     blob = encode_geotiff(a, compression=compression)
+    assert np.array_equal(decode_geotiff(blob), a)
+
+
+def test_roundtrip_lzw_crosses_code_width_boundaries():
+    """64x64 float32 = 16 KiB of diverse bytes per strip: the LZW table
+    blows through the 9->10->11-bit early-change boundaries (511/1023
+    entries), and a 128x128 single strip crosses the 4094-entry table
+    reset. Round-trip proves encoder and decoder agree on all of them."""
+    for shape in ((64, 64), (128, 128)):
+        a = _f32(*shape)
+        blob = encode_geotiff(a, compression="lzw")
+        assert np.array_equal(decode_geotiff(blob), a)
+
+
+def test_roundtrip_lzw_predictor2_int16():
+    # the libtiff-default pairing for integer rasters: LZW + horizontal
+    # differencing
+    a = (RNG.integers(-500, 500, size=(41, 53))).astype(np.int16)
+    blob = encode_geotiff(a, compression="lzw", predictor=2)
+    assert np.array_equal(decode_geotiff(blob), a)
+
+
+def test_roundtrip_lzw_tiled():
+    a = _f32(50, 70)
+    blob = encode_geotiff(a, compression="lzw", tile_size=32)
+    assert geotiff_info(blob)["compression"] == 5
+    assert np.array_equal(decode_geotiff(blob), a)
+
+
+def test_lzw_known_vector():
+    """Hand-checkable stream: Clear, 'A', KwKwK ('AA'), EOI at 9 bits =
+    [256, 65, 258, 257] -> bits 100000000 001000001 100000010 100000001,
+    packed MSB-first."""
+    from compute_histogram_spark.multimodal.geotiff import _unlzw
+
+    bits = "100000000" + "001000001" + "100000010" + "100000001"
+    bits = bits.ljust((len(bits) + 7) // 8 * 8, "0")
+    stream = bytes(int(bits[i : i + 8], 2) for i in range(0, len(bits), 8))
+    assert _unlzw(stream, 3) == b"AAA"
+
+
+def test_lzw_highly_repetitive_runs():
+    # long constant runs exercise the KwKwK path repeatedly
+    a = np.zeros((33, 47), dtype=np.uint8)
+    a[5:9, :] = 200
+    blob = encode_geotiff(a, compression="lzw")
     assert np.array_equal(decode_geotiff(blob), a)
 
 
@@ -116,7 +162,7 @@ def _tile_assets(spark, n_tiles=9, h=32, w=32, nodata=-9999.0):
         a = RNG.normal(50.0 * (i % 3 + 1), 10.0, size=(h, w)).astype(np.float32)
         a[RNG.random(size=(h, w)) < 0.03] = np.nan
         a[RNG.random(size=(h, w)) < 0.02] = nodata
-        comp = ["none", "deflate", "packbits"][i % 3]
+        comp = ["none", "deflate", "packbits", "lzw"][i % 4]
         blobs.append(encode_geotiff(a, nodata=nodata, compression=comp,
                                     tile_size=16 if i % 2 else None))
         tiles.append(a)

@@ -37,12 +37,20 @@ import __spark_entry__ as entrymod
 # - bm25_topk: crossJoin(broadcast(scal)) — the ONE-row (N, sum_dl) corpus
 #   scalar aggregate broadcast onto the |q|-term postings (text.py:bm25_topk);
 #   the same scalar-broadcast shape as histogram_deciles
+# - token_pmi: crossJoin(broadcast(tot)) — the ONE-row pair-total scalar
+#   aggregate broadcast onto the vocab-bounded pair counts (text.py:token_pmi)
+# - distribution_drift: crossJoin(broadcast(t)) — the ONE-row
+#   (t_ref, t_cur, n_bins) scalar broadcast onto the bin-bounded joined
+#   histogram (profile.py:distribution_drift); its SMJ is the full-outer
+#   bin alignment over two bin-bounded aggregates
 NLJ_ALLOWED = {
     "range_band_join",
     "histogram_deciles",
     "similarity_topk",
     "equi_depth_histogram_approx",
     "bm25_topk",
+    "token_pmi",
+    "distribution_drift",
 }
 # pure-Python kernel paths: no codegen span expected
 PY_KERNEL = {"multimodal_features", "similarity_topk_gemm"}
