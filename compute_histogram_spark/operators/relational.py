@@ -381,26 +381,45 @@ def local_supplier_revenue(
     """TPC-H Q5 shape: revenue from orders where customer and supplier sit
     in the SAME nation, per nation of one region.
 
-    Six-table star: bounded dims (region/nation) broadcast; customer and
-    supplier are data-scaled, so their join strategy is AQE's stats-based
-    choice (broadcast while small, shuffle beyond — forcing broadcast here
-    cost 3.4x at sf1). The orders⋈lineitem equi-join on orderkey is the one
-    guaranteed fact-to-fact shuffle. The customer-supplier co-nationality
-    predicate rides ON the supplier join (c_nationkey = s_nationkey), not
-    as a post-filter.
+    Six-table star, selectivity-first join order: region⋈nation collapse
+    into ONE pre-filtered broadcast dim (≤ nations-per-region rows), which
+    semi-filters customer AND supplier map-side BEFORE any fact join — the
+    region predicate (1-of-R selectivity) reaches the fact shuffle instead
+    of applying after it, so orders⋈lineitem moves ~1/R of the rows it used
+    to. Catalyst does not reorder joins without CBO stats, so the order is
+    written selective-first by hand. Customer and supplier stay data-scaled:
+    their join strategy remains AQE's stats-based choice, and the shrunken
+    post-filter sizes make the runtime broadcast kick in far longer
+    (forcing it would still die at 100x). The customer-supplier
+    co-nationality predicate rides ON the supplier join
+    (c_nationkey = s_nationkey), not as a post-filter.
     """
     disc_pc = cents("l_extendedprice") * (100 - cents("l_discount"))
-    j = (
-        orders.join(lineitem, orders["o_orderkey"] == lineitem["l_orderkey"])
-        .join(customer, orders["o_custkey"] == customer["c_custkey"])
-        .join(
-            supplier,
-            (lineitem["l_suppkey"] == supplier["s_suppkey"])
-            & (customer["c_nationkey"] == supplier["s_nationkey"]),
+    # one bounded broadcast dim: nations of the target region (≤25 rows)
+    nat = (
+        nation.join(
+            F.broadcast(region.where(F.col("r_name") == region_name)),
+            nation["n_regionkey"] == region["r_regionkey"],
         )
-        .join(F.broadcast(nation), customer["c_nationkey"] == nation["n_nationkey"])
-        .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
-        .where(F.col("r_name") == region_name)
+        .select("n_nationkey", "n_name")
+    )
+    cust = customer.join(
+        F.broadcast(nat), customer["c_nationkey"] == nat["n_nationkey"]
+    ).select("c_custkey", "c_nationkey", "n_name")
+    # No supplier⋈nation join: c_nationkey = s_nationkey plus the
+    # region-filtered customer already constrains the supplier's region, and
+    # a raw 2-column supplier SCAN has an honest file-size estimate (the
+    # planner broadcasts it while small, shuffles beyond), whereas a
+    # supplier⋈nation subtree gets the product-inflated join estimate that
+    # forced a pointless extra SMJ stage pair here.
+    li = lineitem.join(
+        supplier.select("s_suppkey", "s_nationkey"),
+        lineitem["l_suppkey"] == supplier["s_suppkey"],
+    ).select("l_orderkey", "l_extendedprice", "l_discount", "s_nationkey")
+    j = orders.join(cust, orders["o_custkey"] == cust["c_custkey"]).join(
+        li,
+        (orders["o_orderkey"] == li["l_orderkey"])
+        & (cust["c_nationkey"] == li["s_nationkey"]),
     )
     return (
         j.groupBy("n_name")
