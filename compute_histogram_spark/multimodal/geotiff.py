@@ -10,7 +10,8 @@ rasters (DEFLATE via stdlib ``zlib``, and PackBits RLE) decodable without
 any codec library. So the decode path here is REAL, not a stub, for the
 mainstream GeoTIFF subset:
 
-- classic TIFF (not BigTIFF), little- or big-endian;
+- classic TIFF and BigTIFF (version 43, 8-byte offsets), little- or
+  big-endian;
 - strips or tiles; chunky planar config; any band count;
 - uint8/16/32, int8/16/32, float32/64 samples;
 - compression: none (1), LZW (5), DEFLATE (8 / legacy 32946), PackBits (32773);
@@ -59,6 +60,8 @@ _FIELD_TYPES = {
     9: ("i", 4),   # SLONG
     11: ("f", 4),  # FLOAT
     12: ("d", 8),  # DOUBLE
+    16: ("Q", 8),  # LONG8 (BigTIFF)
+    17: ("q", 8),  # SLONG8 (BigTIFF)
 }
 
 T_WIDTH, T_HEIGHT = 256, 257
@@ -76,19 +79,56 @@ _DTYPES = {
 }
 
 
-def _read_ifd(content: bytes, eb: str, off: int) -> dict[int, tuple]:
-    """First IFD as {tag: (type, values tuple)}."""
-    (n,) = struct.unpack_from(eb + "H", content, off)
+def _parse_header(content: bytes) -> tuple[str, bool, int]:
+    """TIFF header -> (endian prefix, is_bigtiff, first IFD offset).
+
+    Classic TIFF: magic 42, 4-byte IFD offset at byte 4. BigTIFF: magic 43,
+    then {offset bytesize (must be 8), constant 0} and an 8-byte IFD offset
+    at byte 8 — the layout GDAL emits for rasters past 4 GiB."""
+    if content[:2] == b"II":
+        eb = "<"
+    elif content[:2] == b"MM":
+        eb = ">"
+    else:
+        raise ValueError("not a TIFF (bad byte-order mark)")
+    (version,) = struct.unpack_from(eb + "H", content, 2)
+    if version == 42:
+        (ifd_off,) = struct.unpack_from(eb + "I", content, 4)
+        return eb, False, ifd_off
+    if version == 43:
+        osize, zero = struct.unpack_from(eb + "HH", content, 4)
+        if osize != 8 or zero != 0:
+            raise ValueError(f"malformed BigTIFF header ({osize}, {zero})")
+        (ifd_off,) = struct.unpack_from(eb + "Q", content, 8)
+        return eb, True, ifd_off
+    raise ValueError(f"not a TIFF (version {version})")
+
+
+def _read_ifd(
+    content: bytes, eb: str, off: int, big: bool = False
+) -> dict[int, tuple]:
+    """First IFD as {tag: (type, values tuple)}. BigTIFF IFDs differ only
+    in widths: 8-byte entry count, 20-byte entries (8-byte value count and
+    inline-value field), 8-byte overflow offsets."""
+    if big:
+        (n,) = struct.unpack_from(eb + "Q", content, off)
+        base, esize, inline, offcode = off + 8, 20, 8, "Q"
+    else:
+        (n,) = struct.unpack_from(eb + "H", content, off)
+        base, esize, inline, offcode = off + 2, 12, 4, "I"
     tags: dict[int, tuple] = {}
     for i in range(n):
-        tag, ftype, count = struct.unpack_from(eb + "HHI", content, off + 2 + 12 * i)
+        tag, ftype = struct.unpack_from(eb + "HH", content, base + esize * i)
+        (count,) = struct.unpack_from(
+            eb + offcode, content, base + esize * i + 4
+        )
         if ftype not in _FIELD_TYPES:
             continue  # unknown type: per spec, readers skip
         code, size = _FIELD_TYPES[ftype]
         nbytes = size * count
-        vpos = off + 2 + 12 * i + 8
-        if nbytes > 4:
-            (vpos,) = struct.unpack_from(eb + "I", content, vpos)
+        vpos = base + esize * i + (12 if big else 8)
+        if nbytes > inline:
+            (vpos,) = struct.unpack_from(eb + offcode, content, vpos)
         if ftype == 2:  # ASCII: NUL-terminated string
             raw = content[vpos : vpos + count]
             tags[tag] = (ftype, (raw.split(b"\x00")[0].decode("latin-1"),))
@@ -258,15 +298,10 @@ def _undo_predictor(chunk: np.ndarray, predictor: int, spp: int) -> np.ndarray:
 
 def decode_geotiff(content: bytes, band: int = 1) -> np.ndarray:
     """Decode one band (1-based, matching rasterio/reference main.py:241)
-    of a baseline TIFF/GeoTIFF -> 2-D numpy array [height, width]."""
-    if content[:4] == TIFF_MAGIC_LE:
-        eb = "<"
-    elif content[:4] == TIFF_MAGIC_BE:
-        eb = ">"
-    else:
-        raise ValueError("not a classic TIFF (BigTIFF and non-TIFF rejected)")
-    (ifd_off,) = struct.unpack_from(eb + "I", content, 4)
-    tags = _read_ifd(content, eb, ifd_off)
+    of a baseline TIFF/GeoTIFF — classic or BigTIFF — into a 2-D numpy
+    array [height, width]."""
+    eb, big, ifd_off = _parse_header(content)
+    tags = _read_ifd(content, eb, ifd_off, big)
 
     w = _tag1(tags, T_WIDTH)
     h = _tag1(tags, T_HEIGHT)
@@ -333,14 +368,8 @@ def decode_geotiff(content: bytes, band: int = 1) -> np.ndarray:
 def geotiff_info(content: bytes) -> dict[str, Any]:
     """Header-only metadata: dims, bands, dtype, compression, nodata, and
     GeoTIFF georeferencing (pixel scale + tiepoint) when present."""
-    if content[:4] == TIFF_MAGIC_LE:
-        eb = "<"
-    elif content[:4] == TIFF_MAGIC_BE:
-        eb = ">"
-    else:
-        raise ValueError("not a classic TIFF")
-    (ifd_off,) = struct.unpack_from(eb + "I", content, 4)
-    tags = _read_ifd(content, eb, ifd_off)
+    eb, big, ifd_off = _parse_header(content)
+    tags = _read_ifd(content, eb, ifd_off, big)
     spp = _tag1(tags, T_SPP, 1)
     bits = _tag(tags, T_BITS, (8,) * spp)
     fmt = _tag1(tags, T_SAMPLE_FORMAT, 1)
@@ -366,13 +395,16 @@ def encode_geotiff(
     pixel_scale: tuple[float, float, float] = (0.00025, 0.00025, 0.0),
     tiepoint: tuple[float, ...] = (0.0, 0.0, 0.0, 10.0, 40.0, 0.0),
     predictor: int = 1,
+    bigtiff: bool = False,
 ) -> bytes:
     """Minimal little-endian GeoTIFF writer for ``[h, w]`` or ``[h, w, c]``
     arrays — the fixture generator proving :func:`decode_geotiff` by
     round-trip (the same role :func:`~compute_histogram_spark.multimodal.
     binary.encode_png` plays for the PNG path). Supports none/deflate/
     packbits compression, optional square tiling, predictor 2 (ints) and
-    3 (floats)."""
+    3 (floats), and the BigTIFF layout (20-byte IFD entries, LONG8
+    chunk locations) so the 8-byte parsing path is round-trip-provable
+    without a >4 GiB fixture."""
     a = np.ascontiguousarray(arr)
     if a.ndim == 2:
         a = a[:, :, None]
@@ -480,17 +512,28 @@ def encode_geotiff(
     if nodata_ascii:
         add(T_GDAL_NODATA, 2, (nodata_ascii,))
 
-    # layout: header(8) | IFD | overflow values | chunk data
+    # layout: header | IFD | overflow values | chunk data.
+    # BigTIFF widens every offset-shaped field: 16-byte header, 8-byte IFD
+    # entry count, 20-byte entries with 8 inline bytes, 8-byte next-IFD
+    # pointer, and LONG8 (type 16) chunk location arrays.
+    hdr_size = 16 if bigtiff else 8
+    esize = 20 if bigtiff else 12
+    inline = 8 if bigtiff else 4
+    ptr = "Q" if bigtiff else "I"
+    nfmt = "Q" if bigtiff else "H"
+    loc_type, loc_code = (16, "Q") if bigtiff else (4, "I")
+
     n_loc = len(entries) + 2  # + offsets/counts arrays
-    ifd_size = 2 + 12 * (n_loc) + 4
-    overflow_pos = 8 + ifd_size
+    ifd_size = struct.calcsize(nfmt) + esize * n_loc + struct.calcsize(ptr)
+    overflow_pos = hdr_size + ifd_size
     overflow: list[bytes] = []
 
     def entry_bytes(tag: int, ftype: int, count: int, payload: bytes) -> bytes:
         nonlocal overflow_pos
-        if len(payload) <= 4:
-            return struct.pack("<HHI", tag, ftype, count) + payload.ljust(4, b"\x00")
-        e = struct.pack("<HHII", tag, ftype, count, overflow_pos)
+        head = struct.pack("<HH" + ptr, tag, ftype, count)
+        if len(payload) <= inline:
+            return head + payload.ljust(inline, b"\x00")
+        e = head + struct.pack("<" + ptr, overflow_pos)
         overflow.append(payload)
         overflow_pos += len(payload)
         return e
@@ -498,11 +541,13 @@ def encode_geotiff(
     # chunk locations resolve after overflow: two passes over sizes
     loc_tag = (T_TILE_OFFSETS if tile_size else T_STRIP_OFFSETS)
     cnt_tag = (T_TILE_COUNTS if tile_size else T_STRIP_COUNTS)
-    counts_payload = struct.pack("<" + "I" * len(chunks), *[len(c) for c in chunks])
-    placeholder = struct.pack("<" + "I" * len(chunks), *([0] * len(chunks)))
+    counts_payload = struct.pack(
+        "<" + loc_code * len(chunks), *[len(c) for c in chunks]
+    )
+    placeholder = struct.pack("<" + loc_code * len(chunks), *([0] * len(chunks)))
     all_entries = entries + [
-        (loc_tag, 4, len(chunks), placeholder),
-        (cnt_tag, 4, len(chunks), counts_payload),
+        (loc_tag, loc_type, len(chunks), placeholder),
+        (cnt_tag, loc_type, len(chunks), counts_payload),
     ]
     all_entries.sort(key=lambda e: e[0])  # IFD must be tag-ascending
 
@@ -515,11 +560,11 @@ def encode_geotiff(
     for c in chunks:
         chunk_offsets.append(data_pos)
         data_pos += len(c)
-    offsets_payload = struct.pack("<" + "I" * len(chunks), *chunk_offsets)
-    if len(offsets_payload) <= 4:
-        fixed = struct.pack("<HHI", loc_tag, 4, len(chunks)) + offsets_payload.ljust(
-            4, b"\x00"
-        )
+    offsets_payload = struct.pack("<" + loc_code * len(chunks), *chunk_offsets)
+    if len(offsets_payload) <= inline:
+        fixed = struct.pack(
+            "<HH" + ptr, loc_tag, loc_type, len(chunks)
+        ) + offsets_payload.ljust(inline, b"\x00")
         rendered = [
             fixed if struct.unpack_from("<H", r)[0] == loc_tag else r
             for r in rendered
@@ -531,19 +576,21 @@ def encode_geotiff(
                 oi = sum(
                     1
                     for _t, _ft, _ct, p in all_entries[:i]
-                    if len(p) > 4
+                    if len(p) > inline
                 )
                 overflow[oi] = offsets_payload
                 break
     body = b"".join(rendered)
-    ifd = struct.pack("<H", len(all_entries)) + body + struct.pack("<I", 0)
-    return (
-        TIFF_MAGIC_LE
-        + struct.pack("<I", 8)
-        + ifd
-        + b"".join(overflow)
-        + b"".join(chunks)
+    ifd = (
+        struct.pack("<" + nfmt, len(all_entries))
+        + body
+        + struct.pack("<" + ptr, 0)
     )
+    if bigtiff:
+        header = b"II+\x00" + struct.pack("<HHQ", 8, 0, 16)
+    else:
+        header = TIFF_MAGIC_LE + struct.pack("<I", 8)
+    return header + ifd + b"".join(overflow) + b"".join(chunks)
 
 
 # ---------------------------------------------------------------------------

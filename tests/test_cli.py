@@ -50,9 +50,14 @@ def _tif_dir(tmp_path, n=5, h=24, w=24):
         a = rng.normal(40.0, 8.0, size=(h, w)).astype(np.float32)
         a[rng.random(size=(h, w)) < 0.05] = np.nan
         (d / f"tile_{i}.tif").write_bytes(
-            # mixed codecs, incl. LZW: --raster must read an inventory of
-            # in-the-wild COGs regardless of per-file compression
-            encode_geotiff(a, compression=["deflate", "lzw"][i % 2])
+            # mixed codecs AND container versions, incl. LZW + BigTIFF:
+            # --raster must read an inventory of in-the-wild COGs
+            # regardless of per-file compression or offset width
+            encode_geotiff(
+                a,
+                compression=["deflate", "lzw"][i % 2],
+                bigtiff=(i % 3 == 2),
+            )
         )
         vals.append(a[~np.isnan(a)])
     return str(d), np.concatenate(vals).astype(np.float64)

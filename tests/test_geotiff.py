@@ -154,6 +154,42 @@ def test_rejects_non_tiff():
         decode_geotiff(b"\x89PNG\r\n\x1a\nnot a tiff")
 
 
+@pytest.mark.parametrize("compression", ["none", "deflate", "lzw"])
+def test_roundtrip_bigtiff(compression):
+    """BigTIFF (version 43): 20-byte IFD entries, 8-byte counts/offsets,
+    LONG8 chunk location arrays — byte-identical pixels back."""
+    a = _f32(37, 23)
+    blob = encode_geotiff(a, compression=compression, bigtiff=True)
+    assert blob[:4] == b"II+\x00"
+    assert np.array_equal(decode_geotiff(blob), a)
+
+
+def test_roundtrip_bigtiff_tiled_predictor2():
+    a = (RNG.integers(-500, 500, size=(41, 53))).astype(np.int16)
+    blob = encode_geotiff(
+        a, compression="lzw", predictor=2, tile_size=16, bigtiff=True
+    )
+    info = geotiff_info(blob)
+    assert info["tiled"] and info["compression"] == 5
+    assert np.array_equal(decode_geotiff(blob), a)
+
+
+def test_bigtiff_info_and_nodata():
+    a = _f32(20, 20)
+    blob = encode_geotiff(a, nodata=-9999.0, bigtiff=True)
+    info = geotiff_info(blob)
+    assert (info["width"], info["height"]) == (20, 20)
+    assert info["nodata"] == -9999.0
+    assert info["pixel_scale"] is not None
+
+
+def test_bigtiff_malformed_header_rejected():
+    # claims 4-byte offsets — outside the spec (must be 8)
+    bad = b"II+\x00" + struct.pack("<HHQ", 4, 0, 16)
+    with pytest.raises(ValueError):
+        decode_geotiff(bad + b"\x00" * 64)
+
+
 def _tile_assets(spark, n_tiles=9, h=32, w=32, nodata=-9999.0):
     """Synthetic float32 GeoTIFF tiles with NaN holes and nodata pixels —
     the reference's production shape (248 float32 tiles) in miniature."""
