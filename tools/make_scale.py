@@ -79,17 +79,25 @@ def scale_table(name: str, src: str, dst: str, factor: int) -> int:
     return out.num_rows
 
 
+def build(factor: int = 10, src: str = "/root/testdata/sf0.1",
+          dst: str = "/tmp/sf1", verbose: bool = True) -> None:
+    """Importable entry point (bench.py builds the sf1 sweep data on demand)."""
+    os.makedirs(dst, exist_ok=True)
+    for name in COPY_ONLY:
+        n = scale_table(name, src, dst, 1)
+        if verbose:
+            print(f"{name}: {n} rows (copied)")
+    for name in KEY_COLS:
+        n = scale_table(name, src, dst, factor)
+        if verbose:
+            print(f"{name}: {n} rows (x{factor})")
+
+
 def main() -> None:
     factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     src = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
     dst = sys.argv[3] if len(sys.argv) > 3 else "/tmp/sf1"
-    os.makedirs(dst, exist_ok=True)
-    for name in COPY_ONLY:
-        n = scale_table(name, src, dst, 1)
-        print(f"{name}: {n} rows (copied)")
-    for name in KEY_COLS:
-        n = scale_table(name, src, dst, factor)
-        print(f"{name}: {n} rows (x{factor})")
+    build(factor, src, dst)
 
 
 if __name__ == "__main__":
