@@ -127,20 +127,28 @@ AUDIO_FEATURE_SCHEMA = (
 
 def extract_audio_features(assets: DataFrame) -> DataFrame:
     """Per-asset audio features via Arrow-batched ``mapInPandas``: REAL
-    decode for WAV payloads, ``decoded=false`` passthrough otherwise.
-    rms/peak are over all channels; payload bytes never cross a shuffle."""
+    decode for WAV and FLAC payloads, ``decoded=false`` passthrough
+    otherwise. rms/peak are over all channels; payload bytes never cross a
+    shuffle."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
         from compute_histogram_spark.multimodal.audio import decode_wav
+        from compute_histogram_spark.multimodal.flac import (
+            FLAC_MAGIC,
+            decode_flac,
+        )
 
         for pdf in batches:
             rows = []
             for row in pdf.itertuples(index=False):
                 content = bytes(row.content)
                 try:
-                    x, rate = decode_wav(content)
+                    if content[:4] == FLAC_MAGIC:
+                        x, rate = decode_flac(content)
+                    else:
+                        x, rate = decode_wav(content)
                     n, c = x.shape
                     rows.append(
                         (row.asset_id, rate, c, n, n / rate,

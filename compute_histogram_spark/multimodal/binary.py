@@ -227,18 +227,22 @@ def decode_image(content: bytes) -> tuple[int, int, int]:
 
 
 def decode_audio(content: bytes) -> Any:
-    """REAL for WAV (RIFF PCM / IEEE-float, stdlib decode in
-    multimodal/audio.py) -> (samples [n, ch] float64, sample_rate).
-    Compressed formats (MP3/AAC/OGG/FLAC) genuinely need a codec library
-    the container lacks and still raise."""
+    """REAL for WAV (RIFF PCM / IEEE-float, multimodal/audio.py) and FLAC
+    (full bitstream decode, multimodal/flac.py) -> (samples [n, ch]
+    float64, sample_rate). Lossy formats (MP3/AAC/OGG) genuinely need a
+    codec library the container lacks and still raise."""
     if content[:4] == b"RIFF":
         from compute_histogram_spark.multimodal.audio import decode_wav
 
         return decode_wav(content)
+    if content[:4] == b"fLaC":
+        from compute_histogram_spark.multimodal.flac import decode_flac
+
+        return decode_flac(content)
     raise NotImplementedError(
-        "compressed audio decode needs soundfile/librosa; WAV decodes for "
-        "real (multimodal/audio.py), and the mapInPandas plumbing "
-        "(extract_audio_features) is shared by both paths"
+        "lossy audio decode needs soundfile/librosa; WAV and FLAC decode "
+        "for real (multimodal/audio.py, flac.py), and the mapInPandas "
+        "plumbing (extract_audio_features) is shared by all paths"
     )
 
 
