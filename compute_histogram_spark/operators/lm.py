@@ -1,0 +1,130 @@
+"""N-gram language-model perplexity — the CCNet-style quality signal.
+
+Production LLM-data pipelines score every document with a small language
+model and drop the high-perplexity tail (CCNet, Gopher, Llama data prep).
+This module is the distributed, model-free version: an add-k-smoothed
+bigram LM trained ON a reference corpus entirely as DataFrame aggregates,
+then used to score any corpus — no Python in the hot path, no model
+artifact, exact arithmetic on integer counts until the final log.
+
+Semantics (standard add-k bigram LM):
+    P(w | v) = (c(v, w) + k) / (c(v) + k * V)
+where c(v, w) is the bigram count in the reference corpus, c(v) the
+context count (sum over w of c(v, w), so probabilities sum to exactly 1),
+V the next-token vocabulary size, and k the smoothing constant. Per doc:
+    avg_nll = mean over bigrams of ln(1 / P(w | v)),    ppl = e^avg_nll
+
+Scale shape (100 TB): training is two partial->final count aggregations
+whose shuffles are bounded by the number of DISTINCT bigrams/contexts
+(vocab-shaped, not corpus-shaped). Scoring shuffles the document bigrams
+once to join the bigram table (AQE broadcasts it while it fits), then the
+context table on a 1-token key. V rides along as a broadcast 1-row
+dimension — no driver-side collect anywhere. Docs with < 2 tokens emit
+n_bigrams = 0 and NULL perplexity rather than vanishing.
+
+Cross-engine note: counts and V are exact integers in both engines; the
+only floats are the final ln/exp, so a DuckDB twin agrees to ~1e-12
+relative (pinned with tolerance in tests/test_lm.py, alongside an exact
+hand-computed oracle on a tiny corpus).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from compute_histogram_spark.functions.texthash import tokens
+from compute_histogram_spark.sources.tables import ensure_parallelism
+
+
+def _doc_bigrams(docs: DataFrame) -> DataFrame:
+    """(doc_id, v, w) — one row per adjacent token pair, built map-side
+    from the token array (no per-token explode before pairing)."""
+    return (
+        docs.select("doc_id", tokens("text").alias("toks"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(slice(toks, 1, size(toks) - 1), "
+                    "(x, i) -> struct(x AS v, toks[i + 1] AS w))"
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", F.col("p.v").alias("v"), F.col("p.w").alias("w"))
+    )
+
+
+def bigram_lm(ref: DataFrame):
+    """Train: -> (bigram counts (v, w, c_vw), context counts (v, c_v),
+    vocab size as a broadcastable 1-row DataFrame (n_vocab))."""
+    ref = ensure_parallelism(ref)
+    pairs = _doc_bigrams(ref)
+    big = pairs.groupBy("v", "w").agg(F.count(F.lit(1)).alias("c_vw"))
+    ctx = pairs.groupBy("v").agg(F.count(F.lit(1)).alias("c_v"))
+    vocab = pairs.select(
+        F.count_distinct("w").alias("n_vocab")
+    )  # 1 row, vocab-bounded agg — broadcast, never collected
+    return big, ctx, vocab
+
+
+def doc_perplexity(
+    docs: DataFrame, ref: DataFrame | None = None, k: float = 0.5
+) -> DataFrame:
+    """Score every doc with an add-k bigram LM trained on ``ref``
+    (defaults to ``docs`` itself — self-perplexity flags statistical
+    outliers for quality filtering).
+
+    -> (doc_id, n_bigrams, avg_nll, ppl), ordered by doc_id.
+    """
+    docs = ensure_parallelism(docs)
+    big, ctx, vocab = bigram_lm(docs if ref is None else ref)
+
+    pairs = _doc_bigrams(docs)
+    scored = (
+        pairs.join(big, ["v", "w"], "left")
+        .join(ctx, ["v"], "left")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            # unseen context -> c_v = 0 -> P = k/(kV) = 1/V; unseen bigram
+            # under a seen context -> numerator k. ln of a ratio whose
+            # parts are exact (integer + k) in both engines.
+            F.log(
+                (F.coalesce(F.col("c_v"), F.lit(0)) + k * F.col("n_vocab"))
+                / (F.coalesce(F.col("c_vw"), F.lit(0)) + F.lit(k))
+            ).alias("nll"),
+        )
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sum("nll").alias("nll_sum"),
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_bigrams"), F.lit(0)).alias("n_bigrams"),
+            F.round(F.col("nll_sum") / F.col("n_bigrams"), 6).alias("avg_nll"),
+            F.round(F.exp(F.col("nll_sum") / F.col("n_bigrams")), 6).alias(
+                "ppl"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def perplexity_filter(
+    docs: DataFrame,
+    ref: DataFrame | None = None,
+    max_ppl: float = 1000.0,
+    k: float = 0.5,
+) -> DataFrame:
+    """The pipeline gate: keep docs whose LM perplexity is at most
+    ``max_ppl`` (docs too short to score pass through — length-based
+    gates are a separate signal, operators/text.py quality_signals)."""
+    ppl = doc_perplexity(docs, ref=ref, k=k)
+    keep = ppl.where(
+        (F.col("n_bigrams") == 0) | (F.col("ppl") <= max_ppl)
+    ).select("doc_id")
+    return docs.join(keep, "doc_id", "left_semi")
