@@ -400,6 +400,83 @@ def q_priority_year_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame
     return R.priority_year_grouping_sets(load(spark, sf_dir, "orders"))
 
 
+@register(
+    "late_order_priority",
+    # rotated IN late r6 (was a bench-only r01 entry): TPC-H Q4 shape —
+    # EXISTS over lineitem rewritten as aggregate-then-join on the Spark
+    # side; DuckDB runs the EXISTS form natively. SQL verbatim from
+    # bench.LOCAL_ORACLES (kept there as a fallback for future rotations).
+    """
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders o
+    WHERE EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate
+    )
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def q_late_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.late_order_priority(
+        load(spark, sf_dir, "orders"), load(spark, sf_dir, "lineitem")
+    )
+
+
+@register(
+    "rollup_revenue",
+    # rotated IN late r6 (was a bench-only r01 entry): 3-level ROLLUP in a
+    # single Exchange; cents-exact sums make every level hash-identical.
+    """
+    SELECT coalesce(r.r_name, 'ALL') AS r_name,
+           coalesce(n.n_name, 'ALL') AS n_name,
+           CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) / 100.0
+               AS revenue,
+           count(*) AS n_orders
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP (r.r_name, n.n_name)
+    ORDER BY r_name, n_name
+    """,
+)
+def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.rollup_revenue(
+        load(spark, sf_dir, "region"),
+        load(spark, sf_dir, "nation"),
+        load(spark, sf_dir, "customer"),
+        load(spark, sf_dir, "orders"),
+    )
+
+
+@register(
+    "promo_revenue_share",
+    # first registry appearance (previously untested): TPC-H Q14 shape —
+    # one broadcast dimension join + conditional aggregation in a single
+    # pass. promo_pct divides two exact integer cents*1e2 sums, so the
+    # double is bit-identical cross-engine.
+    """
+    WITH li AS (
+        SELECT l_partkey,
+               CAST(round(l_extendedprice * 100) AS BIGINT)
+                   * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS disc_pc
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate < TIMESTAMP '1997-04-01'
+    )
+    SELECT sum(CASE WHEN p.p_type = 'PROMO' THEN li.disc_pc ELSE 0 END)
+               * 100.0 / sum(li.disc_pc) AS promo_pct,
+           sum(li.disc_pc) / 10000.0 AS total_revenue
+    FROM li JOIN part p ON li.l_partkey = p.p_partkey
+    """,
+)
+def q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.promo_revenue_share(
+        load(spark, sf_dir, "part"), load(spark, sf_dir, "lineitem")
+    )
+
+
 # ---------------------------------------------------------------------------
 # window-function coverage beyond the decile cumsum: ntile bucketing and
 # running totals with explicit frames (ROWS UNBOUNDED PRECEDING)
@@ -415,15 +492,16 @@ def q_priority_year_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame
 # orders_pivot rotated out in r6 — oracle in tests/test_rotated_out.py.
 
 
-@register(
-    "json_props_stats",
-    """
+# rotated out late r6 (second wave) — driver-green r01-r05+, oracle kept
+# verbatim below for tests/test_rotated_out.py
+JSON_PROPS_ORACLE = """
     SELECT event_type,
            CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
            CAST(count(json_extract(props, '$.k')) AS BIGINT) AS n_k
     FROM events GROUP BY event_type ORDER BY event_type
-    """,
-)
+    """
+
+
 def q_json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # JSON path extraction in the scan projection — the function class behind
     # the reference's GeoJSON catalog read (S1, main.py:60-74), here applied
@@ -785,7 +863,8 @@ def _simhash_oracle(bits: int = 16) -> str:
     """
 
 
-@register("dedup_simhash", _simhash_oracle())
+# rotated out late r6 (second wave) — _simhash_oracle stays exported for
+# tests/test_rotated_out.py
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.simhash(load(spark, sf_dir, "documents"))
 
@@ -1016,24 +1095,25 @@ def _null_profile_oracle() -> str:
     return "\nUNION ALL ".join(parts) + '\nORDER BY "column"'
 
 
-@register("events_null_profile", _null_profile_oracle())
+# rotated out late r6 (second wave) — _null_profile_oracle stays exported
+# for tests/test_rotated_out.py
 def q_events_null_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from compute_histogram_spark.operators import profile as PR
 
     return PR.null_profile(load(spark, sf_dir, "events"), list(_PROFILE_COLS))
 
 
-@register(
-    "histogram_2d",
-    """
+# rotated out late r6 (second wave) — oracle kept for the rotated-out tests
+HISTOGRAM_2D_ORACLE = """
     SELECT CAST(epoch_us(ts) // 3600000000 % 24 AS INT) AS hour,
            CAST(floor(value / 50.0) AS BIGINT) AS bin,
            floor(value / 50.0) * 50.0 AS bin_value,
            count(*) AS n_events
     FROM events WHERE value IS NOT NULL AND NOT isnan(value)
     GROUP BY 1, 2, 3 ORDER BY hour, bin
-    """,
-)
+    """
+
+
 def q_histogram_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
     from compute_histogram_spark.operators import profile as PR
 
@@ -1206,6 +1286,64 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ONE scan — absorbs r01's separate token_count / lang_id queries
     # (driver 50-query window), every absorbed column still oracle-exact.
     return TX.text_profile(load(spark, sf_dir, "documents"))
+
+
+@register(
+    "quality_signals",
+    # rotated IN late r6: Gopher-style repetition/quality bands (Rae et
+    # al. 2021 §A1.1) — map-only scan, modal-bigram count via a per-row
+    # sorted-array fold (no explode/groupBy). Oracle lifted verbatim from
+    # tests/test_text.py where it was pytest-pinned since r2.
+    """
+    WITH base AS (
+        SELECT doc_id,
+               string_split(text, ' ') AS toks,
+               len(string_split(text, ' ')) AS n_words,
+               list_transform(generate_series(1, len(string_split(text, ' ')) - 1),
+                              i -> string_split(text, ' ')[i] || ' ' ||
+                                   string_split(text, ' ')[i+1]) AS g2,
+               list_transform(generate_series(1, len(string_split(text, ' ')) - 2),
+                              i -> string_split(text, ' ')[i] || ' ' ||
+                                   string_split(text, ' ')[i+1] || ' ' ||
+                                   string_split(text, ' ')[i+2]) AS g3
+        FROM documents
+    ),
+    bg AS (
+        SELECT doc_id, unnest(g2) AS gram FROM base
+    ),
+    modal AS (
+        SELECT doc_id, max(c) AS max_run
+        FROM (SELECT doc_id, gram, count(*) AS c FROM bg GROUP BY 1, 2)
+        GROUP BY 1
+    ),
+    sig AS (
+        SELECT b.doc_id,
+               CAST(b.n_words AS BIGINT) AS n_words,
+               round(list_sum(list_transform(b.toks, x -> length(x))) * 1.0
+                     / b.n_words, 6) AS mean_word_len,
+               round(len(list_filter(b.toks, x -> regexp_matches(x, '[A-Za-z]')))
+                     * 1.0 / b.n_words, 6) AS frac_alpha_words,
+               round((b.n_words - len(list_distinct(b.toks))) * 1.0 / b.n_words, 6)
+                   AS dup_word_frac,
+               CASE WHEN len(b.g2) > 0
+                    THEN round(coalesce(m.max_run, 0) * 1.0 / len(b.g2), 6)
+                    ELSE 0.0 END AS top_bigram_frac,
+               CASE WHEN len(b.g3) > 0
+                    THEN round((len(b.g3) - len(list_distinct(b.g3))) * 1.0
+                               / len(b.g3), 6)
+                    ELSE 0.0 END AS dup_trigram_frac
+        FROM base b LEFT JOIN modal m USING (doc_id)
+    )
+    SELECT *,
+           (n_words >= 10 AND n_words <= 100000
+            AND mean_word_len >= 2.0 AND mean_word_len <= 10.0
+            AND frac_alpha_words >= 0.8
+            AND top_bigram_frac <= 0.2) AS gopher_pass
+    FROM sig ORDER BY doc_id
+    """,
+)
+def q_quality_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TX.quality_signals(load(spark, sf_dir, "documents"))
 
 
 @register(

@@ -268,3 +268,48 @@ def test_cohort_retention_oracle(spark, sf_dir, con):
     GROUP BY cwk, wk
     ORDER BY cohort_week_start_s, week_offset
     """)
+
+
+# --- second rotation wave (late r6): four long-driver-green entries swap
+# --- out for quality_signals / promo_revenue_share / late_order_priority /
+# --- rollup_revenue; their full oracles continue here.
+
+
+def test_json_props_stats_oracle(spark, sf_dir, con):
+    from compute_histogram_spark.registry import (
+        JSON_PROPS_ORACLE,
+        q_json_props_stats,
+    )
+
+    _check("json_props_stats", q_json_props_stats(spark, sf_dir), con,
+           JSON_PROPS_ORACLE)
+
+
+def test_dedup_simhash_oracle(spark, sf_dir, con):
+    from compute_histogram_spark.registry import (
+        _simhash_oracle,
+        q_dedup_simhash,
+    )
+
+    _check("dedup_simhash", q_dedup_simhash(spark, sf_dir), con,
+           _simhash_oracle())
+
+
+def test_events_null_profile_oracle(spark, sf_dir, con):
+    from compute_histogram_spark.registry import (
+        _null_profile_oracle,
+        q_events_null_profile,
+    )
+
+    _check("events_null_profile", q_events_null_profile(spark, sf_dir), con,
+           _null_profile_oracle())
+
+
+def test_histogram_2d_oracle(spark, sf_dir, con):
+    from compute_histogram_spark.registry import (
+        HISTOGRAM_2D_ORACLE,
+        q_histogram_2d,
+    )
+
+    _check("histogram_2d", q_histogram_2d(spark, sf_dir), con,
+           HISTOGRAM_2D_ORACLE)

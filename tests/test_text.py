@@ -63,55 +63,8 @@ def test_normalize_text(spark):
     assert out["text"].startswith("Hello")  # original untouched
 
 
-QUALITY_ORACLE = """
-WITH base AS (
-    SELECT doc_id,
-           string_split(text, ' ') AS toks,
-           len(string_split(text, ' ')) AS n_words,
-           list_transform(generate_series(1, len(string_split(text, ' ')) - 1),
-                          i -> string_split(text, ' ')[i] || ' ' ||
-                               string_split(text, ' ')[i+1]) AS g2,
-           list_transform(generate_series(1, len(string_split(text, ' ')) - 2),
-                          i -> string_split(text, ' ')[i] || ' ' ||
-                               string_split(text, ' ')[i+1] || ' ' ||
-                               string_split(text, ' ')[i+2]) AS g3
-    FROM documents
-),
-bg AS (
-    SELECT doc_id, unnest(g2) AS gram FROM base
-),
-modal AS (
-    SELECT doc_id, max(c) AS max_run
-    FROM (SELECT doc_id, gram, count(*) AS c FROM bg GROUP BY 1, 2)
-    GROUP BY 1
-),
-sig AS (
-    SELECT b.doc_id,
-           CAST(b.n_words AS BIGINT) AS n_words,
-           round(list_sum(list_transform(b.toks, x -> length(x))) * 1.0
-                 / b.n_words, 6) AS mean_word_len,
-           round(len(list_filter(b.toks, x -> regexp_matches(x, '[A-Za-z]')))
-                 * 1.0 / b.n_words, 6) AS frac_alpha_words,
-           round((b.n_words - len(list_distinct(b.toks))) * 1.0 / b.n_words, 6)
-               AS dup_word_frac,
-           CASE WHEN len(b.g2) > 0
-                THEN round(coalesce(m.max_run, 0) * 1.0 / len(b.g2), 6)
-                ELSE 0.0 END AS top_bigram_frac,
-           CASE WHEN len(b.g3) > 0
-                THEN round((len(b.g3) - len(list_distinct(b.g3))) * 1.0
-                           / len(b.g3), 6)
-                ELSE 0.0 END AS dup_trigram_frac
-    FROM base b LEFT JOIN modal m USING (doc_id)
-)
-SELECT *,
-       (n_words >= 10 AND n_words <= 100000
-        AND mean_word_len >= 2.0 AND mean_word_len <= 10.0
-        AND frac_alpha_words >= 0.8
-        AND top_bigram_frac <= 0.2) AS gopher_pass
-FROM sig ORDER BY doc_id
-"""
-
-
+# quality_signals rotated INTO the registry window late r6; its oracle
+# now lives in registry.py (driver-checked) — small-fixture test kept.
 def test_quality_signals_small(spark):
     rows = [
         Row(doc_id=0, lang="en", text="a b a b a b a b a b"),  # modal bigram heavy
@@ -136,20 +89,20 @@ def test_quality_signals_small(spark):
 
 
 def test_quality_signals_vs_duckdb_oracle(spark, sf_dir):
-    """Value-exact DuckDB twin over the real documents table (the same
-    comparator the driver's gate uses; this query is outside the 50-entry
-    registry window, so its oracle evidence lives here)."""
+    """Value-exact DuckDB twin over the real documents table — oracle SQL
+    from the registry entry (rotated into the driver window late r6)."""
     import os
     import sys
 
     sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
     from check_oracle import compare, duck_connection
 
+    from compute_histogram_spark.registry import ORACLES
     from compute_histogram_spark.sources.tables import load
 
     sdf = TX.quality_signals(load(spark, sf_dir, "documents")).toPandas()
     con = duck_connection(sf_dir)
-    odf = con.sql(QUALITY_ORACLE).df()
+    odf = con.sql(ORACLES["quality_signals"]).df()
     assert len(sdf) > 0
     assert compare("quality_signals", sdf, odf) == []
 
