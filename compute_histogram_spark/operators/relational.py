@@ -82,22 +82,37 @@ def top_customers(customer: DataFrame, orders: DataFrame, k: int = 10) -> DataFr
     )
 
 
+def _orders_per_customer(orders: DataFrame) -> DataFrame:
+    """Pre-aggregate the fact table BEFORE the dimension join: exact
+    integer-cents partial sums per customer. Catalyst never pushes an
+    aggregation below a join on its own, but revenue is additive, so
+    summing partials after the join is value-identical — and the join
+    input drops from |orders| to |customers| rows (the orders-per-customer
+    factor, unboundedly large at 100 TB)."""
+    return orders.groupBy("o_custkey").agg(
+        F.sum(cents("o_totalprice")).alias("rev_c"),
+        F.count(F.lit(1)).alias("n_o"),
+    )
+
+
 def region_revenue(
     region: DataFrame, nation: DataFrame, customer: DataFrame, orders: DataFrame
 ) -> DataFrame:
-    """Revenue by region/nation through a 4-way join; bounded dims
-    (nation/region) broadcast, data-scaled customer joins via AQE's
-    stats-based choice."""
+    """Revenue by region/nation; the fact side pre-aggregates per customer
+    (see :func:`_orders_per_customer`), bounded dims (nation/region)
+    broadcast, the data-scaled customer join stays AQE's stats-based
+    choice."""
     j = (
-        orders.join(customer, orders["o_custkey"] == customer["c_custkey"])
+        _orders_per_customer(orders)
+        .join(customer, F.col("o_custkey") == customer["c_custkey"])
         .join(F.broadcast(nation), customer["c_nationkey"] == nation["n_nationkey"])
         .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
     )
     return (
         j.groupBy("r_name", "n_name")
         .agg(
-            (F.sum(cents("o_totalprice")) / 100.0).alias("revenue"),
-            F.count(F.lit(1)).alias("n_orders"),
+            (F.sum("rev_c") / 100.0).alias("revenue"),
+            F.sum("n_o").alias("n_orders"),
         )
         .orderBy("r_name", "n_name")
     )
@@ -124,20 +139,22 @@ def rollup_revenue(
     """Region/nation revenue with ROLLUP subtotals + grand total.
 
     One aggregation pass computes all three grouping levels (Spark expands
-    the rollup before the shuffle — still a single Exchange). Group labels
-    are coalesced to 'ALL' so every engine sorts/compares the subtotal rows
-    identically (NULL ordering differs across engines).
+    the rollup before the shuffle — still a single Exchange, over the
+    customer-cardinality pre-aggregate, not the raw fact table). Group
+    labels are coalesced to 'ALL' so every engine sorts/compares the
+    subtotal rows identically (NULL ordering differs across engines).
     """
     j = (
-        orders.join(customer, orders["o_custkey"] == customer["c_custkey"])
+        _orders_per_customer(orders)
+        .join(customer, F.col("o_custkey") == customer["c_custkey"])
         .join(F.broadcast(nation), customer["c_nationkey"] == nation["n_nationkey"])
         .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
     )
     return (
         j.rollup("r_name", "n_name")
         .agg(
-            (F.sum(cents("o_totalprice")) / 100.0).alias("revenue"),
-            F.count(F.lit(1)).alias("n_orders"),
+            (F.sum("rev_c") / 100.0).alias("revenue"),
+            F.sum("n_o").alias("n_orders"),
         )
         .select(
             F.coalesce("r_name", F.lit("ALL")).alias("r_name"),
