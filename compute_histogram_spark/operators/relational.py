@@ -66,16 +66,18 @@ def pricing_summary(lineitem: DataFrame, cutoff: str = "1998-09-02") -> DataFram
 
 def top_customers(customer: DataFrame, orders: DataFrame, k: int = 10) -> DataFrame:
     """Highest-spend customers: exact cents sum, deterministic
-    tie-break, TakeOrdered top-k (no global sort shuffle). customer is
+    tie-break, TakeOrdered top-k (no global sort shuffle). The fact side
+    pre-aggregates per customer (:func:`_orders_per_customer`) so the
+    c_name join probes |customers| rows, not |orders|; customer is
     data-scaled — join strategy left to AQE (see module docstring)."""
-    joined = orders.join(
-        customer, orders["o_custkey"] == customer["c_custkey"]
-    )
     return (
-        joined.groupBy("c_custkey", "c_name")
-        .agg(
-            (F.sum(cents("o_totalprice")) / 100.0).alias("total_spent"),
-            F.count(F.lit(1)).alias("n_orders"),
+        _orders_per_customer(orders)
+        .join(customer, F.col("o_custkey") == customer["c_custkey"])
+        .select(
+            "c_custkey",
+            "c_name",
+            (F.col("rev_c") / 100.0).alias("total_spent"),
+            F.col("n_o").alias("n_orders"),
         )
         .orderBy(F.desc("total_spent"), F.asc("c_custkey"))
         .limit(k)
