@@ -277,23 +277,34 @@ def shipping_priority(
 
     Join strategy for scale: ``customer`` (dim, pre-filtered to one segment)
     broadcasts into ``orders`` — the orders fact never shuffles for that
-    join; the surviving (filtered) orders then equi-join ``lineitem`` on
-    ``l_orderkey``. That fact-to-fact join is the one real shuffle; with
-    both tables bucketed by orderkey (sources/bucketing.py) it too becomes
-    exchange-free. Revenue sums in integer cents*1e2 (pc * (100-dc)) so the
-    result is bit-identical across engines and partitionings; top-k is
-    TakeOrdered (no global sort).
+    join. The lineitem side pre-aggregates its additive revenue per
+    ``l_orderkey`` BEFORE the fact-to-fact join (integer-cents partials,
+    value-identical; same rationale as :func:`_orders_per_customer`), so
+    that join moves one row per order, not one per line item. It remains
+    the one real shuffle; with both tables bucketed by orderkey
+    (sources/bucketing.py) it too becomes exchange-free. Revenue sums in
+    integer cents*1e2 (pc * (100-dc)) so the result is bit-identical
+    across engines and partitionings; top-k is TakeOrdered (no global
+    sort).
     """
     cust = customer.where(F.col("c_mktsegment") == segment).select("c_custkey")
     ords = orders.where(F.col("o_orderdate") < F.lit(cutoff).cast("timestamp"))
-    li = lineitem.where(F.col("l_shipdate") > F.lit(cutoff).cast("timestamp"))
     disc_pc = cents("l_extendedprice") * (100 - cents("l_discount"))
+    li = (
+        lineitem.where(F.col("l_shipdate") > F.lit(cutoff).cast("timestamp"))
+        .groupBy("l_orderkey")
+        .agg(F.sum(disc_pc).alias("rev_pc"))
+    )
     j = ords.join(cust, ords["o_custkey"] == cust["c_custkey"]).join(
         li, ords["o_orderkey"] == li["l_orderkey"]
     )
     return (
-        j.groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg((F.sum(disc_pc) / 10000.0).alias("revenue"))
+        j.select(
+            "l_orderkey",
+            "o_orderdate",
+            "o_orderpriority",
+            (F.col("rev_pc") / 10000.0).alias("revenue"),
+        )
         .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
         .limit(k)
     )
