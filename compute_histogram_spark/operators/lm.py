@@ -114,6 +114,118 @@ def doc_perplexity(
     )
 
 
+def _doc_trigrams(docs: DataFrame) -> DataFrame:
+    return (
+        docs.select("doc_id", tokens("text").alias("toks"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(slice(toks, 1, size(toks) - 2), "
+                    "(x, i) -> struct(x AS v1, toks[i + 1] AS v2, "
+                    "toks[i + 2] AS v3))"
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", "p.v1", "p.v2", "p.v3")
+    )
+
+
+def doc_perplexity_backoff(
+    docs: DataFrame, ref: DataFrame | None = None, alpha: float = 0.4
+) -> DataFrame:
+    """Stupid-backoff trigram score (Brants et al. 2007, "Large Language
+    Models in Machine Translation") — the LM big web pipelines actually
+    train, because unnormalized backoff needs ONLY count tables:
+
+        S(w3 | w1 w2) = c(w1w2w3)/c(w1w2)          if trigram seen
+                      = a * c(w2w3)/c(w2)           elif bigram seen
+                      = a^2 * c(w3)/N               else
+
+    Every count table is a partial->final aggregation bounded by distinct
+    n-grams; scoring is four left joins on token keys plus a broadcast
+    1-row total. All scores are ratios of exact integers times powers of
+    ``alpha``, so engines agree to float ulp.
+
+    -> (doc_id, n_trigrams, avg_nls, score) where ``avg_nls`` is the mean
+    negative log-score (lower = more fluent) and ``score = e^-avg_nls``.
+    """
+    docs = ensure_parallelism(docs)
+    r = ensure_parallelism(ref) if ref is not None else docs
+    rtri = _doc_trigrams(r)
+    runi = (
+        r.select(F.explode(tokens("text")).alias("w"))
+    )
+    tri = rtri.groupBy("v1", "v2", "v3").agg(F.count(F.lit(1)).alias("c3"))
+    ctx2 = rtri.groupBy("v1", "v2").agg(F.count(F.lit(1)).alias("c2ctx"))
+    big = (
+        _doc_bigrams(r)
+        .groupBy(F.col("v").alias("v2"), F.col("w").alias("v3"))
+        .agg(F.count(F.lit(1)).alias("c2"))
+    )
+    ctx1 = (
+        runi.groupBy(F.col("w").alias("v2"))
+        .agg(F.count(F.lit(1)).alias("c1ctx"))
+    )
+    uni = runi.groupBy(F.col("w").alias("v3")).agg(
+        F.count(F.lit(1)).alias("c1")
+    )
+    total = runi.select(F.count(F.lit(1)).alias("n_total"))
+
+    pairs = _doc_trigrams(docs)
+    s = (
+        pairs.join(tri, ["v1", "v2", "v3"], "left")
+        .join(ctx2, ["v1", "v2"], "left")
+        .join(big, ["v2", "v3"], "left")
+        .join(ctx1, ["v2"], "left")
+        .join(uni, ["v3"], "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            F.when(
+                F.col("c3").isNotNull(),
+                -F.log(F.col("c3") / F.col("c2ctx")),
+            )
+            .when(
+                F.col("c2").isNotNull(),
+                -F.log(F.lit(alpha) * F.col("c2") / F.col("c1ctx")),
+            )
+            .otherwise(
+                # OOV floor: an unseen unigram scores as half a count so
+                # the log stays finite (the standard epsilon hack — stupid
+                # backoff itself is unsmoothed)
+                -F.log(
+                    F.lit(alpha * alpha)
+                    * F.greatest(
+                        F.coalesce(F.col("c1"), F.lit(0.0)), F.lit(0.5)
+                    )
+                    / F.col("n_total")
+                )
+            )
+            .alias("nls"),
+        )
+    )
+    per_doc = s.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_trigrams"),
+        F.sum("nls").alias("nls_sum"),
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_trigrams"), F.lit(0)).alias("n_trigrams"),
+            F.round(F.col("nls_sum") / F.col("n_trigrams"), 6).alias(
+                "avg_nls"
+            ),
+            F.round(
+                F.exp(-F.col("nls_sum") / F.col("n_trigrams")), 6
+            ).alias("score"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def perplexity_filter(
     docs: DataFrame,
     ref: DataFrame | None = None,

@@ -155,3 +155,97 @@ def test_perplexity_filter_gate(spark):
     assert 99 not in kept
     assert set(range(8)) <= kept
     assert 100 in kept  # unscorable docs pass through
+
+
+def _py_backoff(texts, score_texts=None, alpha=0.4):
+    """Pure-Python stupid-backoff trigram oracle."""
+    ref = texts if score_texts is None else texts
+    tri, ctx2, big, ctx1, uni = {}, {}, {}, {}, {}
+    n_total = 0
+    for t in ref.values():
+        toks = t.split(" ")
+        n_total += len(toks)
+        for w in toks:
+            uni[w] = uni.get(w, 0) + 1
+            ctx1[w] = ctx1.get(w, 0) + 1
+        for a, b in zip(toks, toks[1:]):
+            big[(a, b)] = big.get((a, b), 0) + 1
+        for a, b, c in zip(toks, toks[1:], toks[2:]):
+            tri[(a, b, c)] = tri.get((a, b, c), 0) + 1
+            ctx2[(a, b)] = ctx2.get((a, b), 0) + 1
+    out = {}
+    for doc_id, t in (score_texts or texts).items():
+        toks = t.split(" ")
+        tgs = list(zip(toks, toks[1:], toks[2:]))
+        if not tgs:
+            out[doc_id] = (0, None)
+            continue
+        s = 0.0
+        for a, b, c in tgs:
+            if (a, b, c) in tri:
+                s += -math.log(tri[(a, b, c)] / ctx2[(a, b)])
+            elif (b, c) in big:
+                s += -math.log(alpha * big[(b, c)] / ctx1[b])
+            else:
+                s += -math.log(alpha * alpha * max(uni.get(c, 0), 0.5) / n_total)
+        out[doc_id] = (len(tgs), round(s / len(tgs), 6))
+    return out
+
+
+def test_backoff_exact_hand_oracle(spark):
+    from compute_histogram_spark.operators.lm import doc_perplexity_backoff
+
+    texts = {
+        0: "a b c a b c a b d",
+        1: "a b c",
+        2: "c a b",
+        3: "x y",  # 2 tokens -> no trigrams
+    }
+    df = spark.createDataFrame(
+        [Row(doc_id=k, text=v) for k, v in texts.items()]
+    )
+    got = {
+        r["doc_id"]: (r["n_trigrams"], r["avg_nls"])
+        for r in doc_perplexity_backoff(df).collect()
+    }
+    want = _py_backoff(texts)
+    assert set(got) == set(want)
+    for d in want:
+        assert got[d][0] == want[d][0], d
+        if want[d][1] is None:
+            assert got[d][1] is None
+        else:
+            assert got[d][1] == pytest.approx(want[d][1], abs=2e-6), d
+
+
+def test_backoff_cross_corpus_oov_is_finite_and_worst(spark):
+    from compute_histogram_spark.operators.lm import doc_perplexity_backoff
+
+    ref = spark.createDataFrame(
+        [Row(doc_id=0, text="the cat sat on the mat the cat ran")]
+    )
+    held = spark.createDataFrame(
+        [
+            Row(doc_id=10, text="the cat sat on the mat"),
+            Row(doc_id=11, text="zz qq ww rr tt yy"),  # all OOV
+        ]
+    )
+    out = {
+        r["doc_id"]: r
+        for r in doc_perplexity_backoff(held, ref=ref).collect()
+    }
+    assert out[11]["avg_nls"] is not None  # OOV floor keeps logs finite
+    assert out[10]["avg_nls"] < out[11]["avg_nls"]
+
+
+def test_backoff_on_testdata_is_scored(spark, sf_dir):
+    from compute_histogram_spark.operators.lm import doc_perplexity_backoff
+
+    docs = load(spark, sf_dir, "documents")
+    rows = doc_perplexity_backoff(docs).collect()
+    n_docs = docs.count()
+    assert len(rows) == n_docs
+    scored = [r for r in rows if r["n_trigrams"] > 0]
+    assert len(scored) > 0
+    for r in scored[:50]:
+        assert r["avg_nls"] is not None and r["avg_nls"] > 0
