@@ -460,6 +460,8 @@ def encode_flac(
     a = a.astype(np.int64)
     if np.any(a >= 1 << (bps - 1)) or np.any(a < -(1 << (bps - 1))):
         raise ValueError(f"samples exceed {bps}-bit range")
+    if not 16 <= blocksize <= 65536:
+        raise ValueError("blocksize must be in [16, 65536] (16-bit header)")
     if stereo != "independent" and ch != 2:
         raise ValueError("stereo decorrelation needs exactly 2 channels")
 

@@ -31,3 +31,33 @@ def write_parquet(df: DataFrame, path: str, partition_by: list[str] | None = Non
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.parquet(path)
+
+
+def write_jsonl_shards(
+    df: DataFrame,
+    path: str,
+    n_shards: int = 64,
+    key_col: str = "doc_id",
+    shuffle: bool = True,
+) -> None:
+    """Training-data export: exactly ``n_shards`` balanced JSON-lines
+    shards with a DETERMINISTIC global pseudo-shuffle.
+
+    Trainers stream shards sequentially, so corpus order must be
+    decorrelated from ingest order (domain/time clumps bias early steps) —
+    but reproducibly, or two exports of the same corpus train different
+    models. Both come from one md5 digest per row: shard = hash partition
+    of the digest (same key -> same shard on every run, shard sizes
+    balanced by uniformity), order-within-shard = sort by digest
+    (rerun-invariant, no RNG state anywhere). One repartition exchange +
+    in-partition sort; no global sort, no driver involvement — the same
+    layout/rerun-invariance argument as the hash split/sample operators
+    (operators/pipeline.py).
+    """
+    digest = F.md5(
+        F.concat(F.lit("shard:"), F.col(key_col).cast("string"))
+    )
+    keyed = df.withColumn("_h", digest).repartition(n_shards, F.col("_h"))
+    if shuffle:
+        keyed = keyed.sortWithinPartitions("_h")
+    keyed.drop("_h").write.mode("overwrite").json(path)

@@ -102,3 +102,49 @@ def test_tilecatalog_python_datasource(spark, tmp_path):
         (r["tile_id"], r["uri"]) for r in read_tile_catalog(spark, str(p)).collect()
     }
     assert got == want and len(got) == 11
+
+
+def test_write_jsonl_shards_deterministic(spark, sf_dir, tmp_path):
+    """Exactly n shards, lossless content, same-key-same-shard and
+    identical within-shard order across two independent writes."""
+    import json
+    import os
+
+    from compute_histogram_spark.sources.tables import load
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    d1, d2 = str(tmp_path / "e1"), str(tmp_path / "e2")
+    S.write_jsonl_shards(docs, d1, n_shards=8)
+    S.write_jsonl_shards(docs, d2, n_shards=8)
+
+    def shards(d):
+        out = {}
+        for f in sorted(os.listdir(d)):
+            if not f.startswith("part-"):
+                continue
+            with open(os.path.join(d, f)) as fh:
+                rows = [json.loads(ln) for ln in fh if ln.strip()]
+            if rows:
+                # key shard by content (part numbering is not the contract)
+                out[min(r["doc_id"] for r in rows)] = rows
+        return out
+
+    s1, s2 = shards(d1), shards(d2)
+    n_docs = docs.count()
+    assert sum(len(v) for v in s1.values()) == n_docs  # lossless
+    assert len(s1) == 8  # every shard non-empty at this size
+    # rerun-invariance: same membership AND same order per shard
+    assert {k: [r["doc_id"] for r in v] for k, v in s1.items()} == {
+        k: [r["doc_id"] for r in v] for k, v in s2.items()
+    }
+    # the shuffle decorrelates ingest order: no shard is an ascending run
+    assert any(
+        [r["doc_id"] for r in v] != sorted(r["doc_id"] for r in v)
+        for v in s1.values()
+    )
+    # readable back by Spark with full fidelity
+    back = spark.read.json(d1)
+    assert back.count() == n_docs
+    assert {r["doc_id"] for r in back.select("doc_id").collect()} == {
+        r["doc_id"] for r in docs.select("doc_id").collect()
+    }
