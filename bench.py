@@ -205,9 +205,17 @@ def _ext_queries():
     )
     from pyspark.sql import functions as Fx
 
+    from compute_histogram_spark.operators import lm as LM
+
     return {
         "cosine_topk_ivf_index": _ivf_index_served,
         "cosine_topk_ivfpq_index": _ivfpq_index_served,
+        "doc_perplexity": lambda s, d: LM.doc_perplexity(
+            load(s, d, "documents")
+        ),
+        "doc_perplexity_backoff": lambda s, d: LM.doc_perplexity_backoff(
+            load(s, d, "documents")
+        ),
         "similarity_topk_pq": lambda s, d: PQ.cosine_topk_pq(
             load(s, d, "embeddings"), iters=2
         ),
