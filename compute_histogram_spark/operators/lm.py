@@ -151,60 +151,72 @@ def doc_perplexity_backoff(
     negative log-score (lower = more fluent) and ``score = e^-avg_nls``.
     """
     docs = ensure_parallelism(docs)
-    r = ensure_parallelism(ref) if ref is not None else docs
+    self_scoring = ref is None
+    r = docs if self_scoring else ensure_parallelism(ref)
     rtri = _doc_trigrams(r)
-    runi = (
-        r.select(F.explode(tokens("text")).alias("w"))
-    )
     tri = rtri.groupBy("v1", "v2", "v3").agg(F.count(F.lit(1)).alias("c3"))
     ctx2 = rtri.groupBy("v1", "v2").agg(F.count(F.lit(1)).alias("c2ctx"))
-    big = (
-        _doc_bigrams(r)
-        .groupBy(F.col("v").alias("v2"), F.col("w").alias("v3"))
-        .agg(F.count(F.lit(1)).alias("c2"))
-    )
-    ctx1 = (
-        runi.groupBy(F.col("w").alias("v2"))
-        .agg(F.count(F.lit(1)).alias("c1ctx"))
-    )
-    uni = runi.groupBy(F.col("w").alias("v3")).agg(
-        F.count(F.lit(1)).alias("c1")
-    )
-    total = runi.select(F.count(F.lit(1)).alias("n_total"))
 
     pairs = _doc_trigrams(docs)
-    s = (
-        pairs.join(tri, ["v1", "v2", "v3"], "left")
-        .join(ctx2, ["v1", "v2"], "left")
-        .join(big, ["v2", "v3"], "left")
-        .join(ctx1, ["v2"], "left")
-        .join(uni, ["v3"], "left")
-        .crossJoin(F.broadcast(total))
-        .select(
-            "doc_id",
-            F.when(
-                F.col("c3").isNotNull(),
-                -F.log(F.col("c3") / F.col("c2ctx")),
+    if self_scoring:
+        # every scored trigram came from the same corpus the counts were
+        # trained on, so the trigram branch always fires — the backoff
+        # joins would match zero rows. INNER joins, no CASE: same values,
+        # two fewer count tables and three fewer shuffled joins.
+        s = (
+            pairs.join(tri, ["v1", "v2", "v3"])
+            .join(ctx2, ["v1", "v2"])
+            .select(
+                "doc_id", (-F.log(F.col("c3") / F.col("c2ctx"))).alias("nls")
             )
-            .when(
-                F.col("c2").isNotNull(),
-                -F.log(F.lit(alpha) * F.col("c2") / F.col("c1ctx")),
-            )
-            .otherwise(
-                # OOV floor: an unseen unigram scores as half a count so
-                # the log stays finite (the standard epsilon hack — stupid
-                # backoff itself is unsmoothed)
-                -F.log(
-                    F.lit(alpha * alpha)
-                    * F.greatest(
-                        F.coalesce(F.col("c1"), F.lit(0.0)), F.lit(0.5)
-                    )
-                    / F.col("n_total")
-                )
-            )
-            .alias("nls"),
         )
-    )
+    else:
+        runi = r.select(F.explode(tokens("text")).alias("w"))
+        big = (
+            _doc_bigrams(r)
+            .groupBy(F.col("v").alias("v2"), F.col("w").alias("v3"))
+            .agg(F.count(F.lit(1)).alias("c2"))
+        )
+        ctx1 = (
+            runi.groupBy(F.col("w").alias("v2"))
+            .agg(F.count(F.lit(1)).alias("c1ctx"))
+        )
+        uni = runi.groupBy(F.col("w").alias("v3")).agg(
+            F.count(F.lit(1)).alias("c1")
+        )
+        total = runi.select(F.count(F.lit(1)).alias("n_total"))
+        s = (
+            pairs.join(tri, ["v1", "v2", "v3"], "left")
+            .join(ctx2, ["v1", "v2"], "left")
+            .join(big, ["v2", "v3"], "left")
+            .join(ctx1, ["v2"], "left")
+            .join(uni, ["v3"], "left")
+            .crossJoin(F.broadcast(total))
+            .select(
+                "doc_id",
+                F.when(
+                    F.col("c3").isNotNull(),
+                    -F.log(F.col("c3") / F.col("c2ctx")),
+                )
+                .when(
+                    F.col("c2").isNotNull(),
+                    -F.log(F.lit(alpha) * F.col("c2") / F.col("c1ctx")),
+                )
+                .otherwise(
+                    # OOV floor: an unseen unigram scores as half a count
+                    # so the log stays finite (the standard epsilon hack —
+                    # stupid backoff itself is unsmoothed)
+                    -F.log(
+                        F.lit(alpha * alpha)
+                        * F.greatest(
+                            F.coalesce(F.col("c1"), F.lit(0.0)), F.lit(0.5)
+                        )
+                        / F.col("n_total")
+                    )
+                )
+                .alias("nls"),
+            )
+        )
     per_doc = s.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_trigrams"),
         F.sum("nls").alias("nls_sum"),
