@@ -11,6 +11,7 @@ large relative to sub-second queries at this scale). `value` is the sum.
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import re
@@ -173,7 +174,7 @@ def _ivf_index_served(s, d):
     if key not in _IDX_CACHE:
         emb = load(s, d, "embeddings")
         cent = CL.kmeans(emb, n_clusters=10, iters=3)
-        path = f"/tmp/bench_ivf_idx_{abs(hash(d))}"
+        path = "/tmp/bench_ivf_idx_" + hashlib.md5(d.encode()).hexdigest()[:12]
         CL.write_ivf_index(emb, cent, path)
         _IDX_CACHE[key] = (path, cent)
     path, cent = _IDX_CACHE[key]
@@ -187,7 +188,7 @@ def _ivfpq_index_served(s, d):
 
     key = ("ivfpq", d)
     if key not in _IDX_CACHE:
-        path = f"/tmp/bench_ivfpq_idx_{abs(hash(d))}"
+        path = "/tmp/bench_ivfpq_idx_" + hashlib.md5(d.encode()).hexdigest()[:12]
         PQ.write_ivfpq_index(load(s, d, "embeddings"), path, iters=2)
         _IDX_CACHE[key] = path
     return PQ.cosine_topk_ivfpq_index(s, _IDX_CACHE[key])
