@@ -346,6 +346,60 @@ def mix_corpus(
     ).drop("_i")
 
 
+def temperature_rates(
+    docs: DataFrame,
+    group_col: str = "lang",
+    alpha: float = 0.5,
+    target_total: int | None = None,
+) -> dict[str, float]:
+    """Per-group mixture rates from temperature sampling (the multilingual
+    alpha-sampling of mBERT/XLM-R/mT5): sample groups proportionally to
+    ``p_g^alpha`` instead of their natural share ``p_g`` — alpha=1 keeps
+    the corpus as-is, alpha=0 equalizes groups, in between boosts the tail
+    without flattening it. Realized as per-doc rates
+    ``rate_g = q_g * target_total / n_g`` (q ∝ p^alpha, normalized), so
+    head groups downsample and tail groups UPSAMPLE (rate > 1 -> epoch
+    duplication, handled by :func:`mix_corpus`).
+
+    Cost: one count aggregation; the returned dict is group-bounded
+    (driver-side G floats — the same bounded-collect class as k-means
+    centroids). ``target_total`` defaults to the input size."""
+    counts = {
+        r["g"]: r["n"]
+        for r in docs.groupBy(F.col(group_col).alias("g"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    total = sum(counts.values())
+    if not total:
+        return {}
+    if target_total is None:
+        target_total = total
+    weights = {g: (n / total) ** alpha for g, n in counts.items()}
+    z = sum(weights.values())
+    return {
+        g: round(weights[g] / z * target_total / counts[g], 2)
+        for g in counts
+    }
+
+
+def temperature_mix(
+    docs: DataFrame,
+    group_col: str = "lang",
+    alpha: float = 0.5,
+    target_total: int | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Temperature-resampled corpus: :func:`temperature_rates` feeding the
+    deterministic :func:`mix_corpus` (hash-gated fractional copies, no
+    rand(), rerun/layout-invariant). Rates quantized to 1e-2 like
+    mix_corpus's fractional gate."""
+    rates = temperature_rates(docs, group_col, alpha, target_total)
+    return mix_corpus(
+        docs, rates, default_rate=0.0, source_col=group_col, id_col=id_col
+    )
+
+
 # ---------------------------------------------------------------------------
 # bloom-filter novelty gate for incremental ingestion
 # ---------------------------------------------------------------------------

@@ -426,3 +426,57 @@ def test_weighted_sample_vs_duckdb_oracle(spark, sf_dir):
     """).df()
     assert len(sdf) == 100
     assert compare("weighted_sample", sdf, odf) == []
+
+
+def test_temperature_rates_properties(spark, sf_dir):
+    from compute_histogram_spark.operators.pipeline import temperature_rates
+
+    docs = load(spark, sf_dir, "documents")
+    counts = {
+        r["lang"]: r["n"]
+        for r in docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    # alpha=1 reproduces the corpus: every rate ~1
+    r1 = temperature_rates(docs, alpha=1.0)
+    assert set(r1) == set(counts)
+    assert all(abs(v - 1.0) <= 0.01 for v in r1.values()), r1
+    # alpha=0 equalizes: expected output count per group is ~total/G
+    r0 = temperature_rates(docs, alpha=0.0)
+    total, g = sum(counts.values()), len(counts)
+    for lang, rate in r0.items():
+        assert counts[lang] * rate == pytest.approx(total / g, rel=0.05), lang
+    # alpha=0.5 sits between: head rate < 1 < tail rate
+    r5 = temperature_rates(docs, alpha=0.5)
+    head = max(counts, key=counts.get)
+    tail = min(counts, key=counts.get)
+    if counts[head] > counts[tail]:
+        assert r5[head] < 1.0 < r5[tail], r5
+    # target_total scales every group linearly
+    rt = temperature_rates(docs, alpha=0.5, target_total=total * 2)
+    for lang in r5:
+        assert rt[lang] == pytest.approx(2 * r5[lang], abs=0.02), lang
+
+
+def test_temperature_mix_is_deterministic_and_shifts_shares(spark, sf_dir):
+    from compute_histogram_spark.operators.pipeline import temperature_mix
+
+    docs = load(spark, sf_dir, "documents")
+    out1 = temperature_mix(docs, alpha=0.3)
+    out2 = temperature_mix(docs, alpha=0.3)
+    a = sorted((r["doc_id"], r["copy_id"]) for r in out1.collect())
+    b = sorted((r["doc_id"], r["copy_id"]) for r in out2.collect())
+    assert a == b and len(a) > 0  # rerun-identical, including copy ids
+
+    def shares(df):
+        rows = df.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+        t = sum(r["n"] for r in rows)
+        return {r["lang"]: r["n"] / t for r in rows}
+
+    before = shares(docs)
+    after = shares(out1)
+    # mixing must move every group's share toward uniform
+    g = len(before)
+    for lang in before:
+        drift_before = abs(before[lang] - 1 / g)
+        drift_after = abs(after[lang] - 1 / g)
+        assert drift_after <= drift_before + 0.02, lang
