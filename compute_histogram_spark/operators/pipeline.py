@@ -369,6 +369,10 @@ def temperature_rates(
         for r in docs.groupBy(F.col(group_col).alias("g"))
         .agg(F.count(F.lit(1)).alias("n"))
         .collect()
+        # NULL-group docs take mix_corpus's default_rate (0.0 under
+        # temperature_mix -> dropped); a None key would also break the
+        # deterministic sorted() iteration over rates
+        if r["g"] is not None
     }
     total = sum(counts.values())
     if not total:
