@@ -133,3 +133,99 @@ def event_transitions(events: DataFrame) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_transitions"))
         .orderBy("from_type", "to_type")
     )
+
+
+def session_concurrency(
+    sessions: DataFrame, bucket_s: int = 3600
+) -> DataFrame:
+    """Sweep-line interval aggregation: how many sessions are active at
+    every change point — the load-curve query behind capacity planning and
+    concurrency SLAs.
+
+    Classic sweep-line needs ONE globally ordered running sum, which is
+    the exact plan shape this engine bans (a single-partition window).
+    Scale-safe construction instead (the two-phase prefix-sum pattern of
+    ``pipeline.pack_shards`` / the salted sessionize stitch):
+
+    1. each session [start_us, end_us] (inclusive) becomes two delta rows
+       (+1 at start, -1 at end+1), summed per DISTINCT timestamp — ties
+       collapse in the aggregate, so no within-timestamp ordering
+       ambiguity exists at all;
+    2. running sums are computed per time BUCKET (window partitioned by
+       ``ts div bucket``, never global);
+    3. bucket totals get their own running sum — a window over the
+       bucket-level aggregate, bounded by the number of buckets, i.e. the
+       time span, not the data volume;
+    4. a broadcast join adds each bucket's exclusive prefix back.
+
+    -> (ts_us, n_active), one row per change point: n_active is the count
+    of concurrently active sessions at and after ts_us until the next
+    change point. Sum of all deltas is 0, so the curve ends at 0.
+    """
+    bucket_us = bucket_s * 1_000_000
+    deltas = (
+        sessions.select(F.col("start_us").alias("ts_us"), F.lit(1).alias("d"))
+        .unionAll(
+            sessions.select(
+                (F.col("end_us") + 1).alias("ts_us"), F.lit(-1).alias("d")
+            )
+        )
+        .groupBy("ts_us")
+        .agg(F.sum("d").alias("d"))
+        .withColumn("bkt", (F.col("ts_us") / bucket_us).cast("bigint"))
+    )
+    in_bucket = Window.partitionBy("bkt").orderBy("ts_us")
+    local = deltas.withColumn(
+        "run",
+        F.sum("d").over(
+            in_bucket.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    bucket_totals = deltas.groupBy("bkt").agg(F.sum("d").alias("tot"))
+    # running sum over the BUCKET aggregate: bounded by the time span
+    over_buckets = Window.orderBy("bkt").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = bucket_totals.withColumn(
+        "prefix", F.coalesce(F.sum("tot").over(over_buckets), F.lit(0))
+    ).select("bkt", "prefix")
+    return (
+        local.join(F.broadcast(offsets), "bkt")
+        .select(
+            "ts_us",
+            (F.col("prefix") + F.col("run")).cast("bigint").alias("n_active"),
+        )
+        .orderBy("ts_us")
+    )
+
+
+def peak_concurrency(
+    sessions: DataFrame, bucket_s: int = 3600
+) -> DataFrame:
+    """Per-bucket peak of the concurrency curve -> (bucket_start_s,
+    peak_active). A change point's n_active holds until the next change
+    point, so a bucket's peak must also consider the level CARRIED INTO it
+    (a bucket with no change points inherits the previous level; one with
+    late change points may peak at entry). The carried level is the
+    bucket-prefix sum — already bounded, reused here."""
+    curve = session_concurrency(sessions, bucket_s=bucket_s)
+    bucket_us = bucket_s * 1_000_000
+    b = curve.withColumn("bkt", (F.col("ts_us") / bucket_us).cast("bigint"))
+    per_bucket = b.groupBy("bkt").agg(
+        F.max("n_active").alias("peak_inside"),
+        F.max_by("n_active", "ts_us").alias("exit_level"),
+    )
+    over_buckets = Window.orderBy("bkt")
+    return (
+        per_bucket.withColumn(
+            "entry_level",
+            F.coalesce(F.lag("exit_level").over(over_buckets), F.lit(0)),
+        )
+        .select(
+            (F.col("bkt") * bucket_s).alias("bucket_start_s"),
+            F.greatest("peak_inside", "entry_level")
+            .cast("bigint")
+            .alias("peak_active"),
+        )
+        .orderBy("bucket_start_s")
+    )
