@@ -43,6 +43,9 @@ import __spark_entry__ as entrymod
 #   (t_ref, t_cur, n_bins) scalar broadcast onto the bin-bounded joined
 #   histogram (profile.py:distribution_drift); its SMJ is the full-outer
 #   bin alignment over two bin-bounded aggregates
+# - doc_perplexity(+_backoff): crossJoin(broadcast(vocab/total)) — ONE-row
+#   vocabulary-size / token-total aggregates broadcast onto the scored
+#   bigram/trigram stream (operators/lm.py)
 NLJ_ALLOWED = {
     "range_band_join",
     "histogram_deciles",
@@ -51,6 +54,8 @@ NLJ_ALLOWED = {
     "bm25_topk",
     "token_pmi",
     "distribution_drift",
+    "doc_perplexity",
+    "doc_perplexity_backoff",
 }
 # pure-Python kernel paths: no codegen span expected
 PY_KERNEL = {"multimodal_features", "similarity_topk_gemm"}
@@ -61,9 +66,45 @@ PY_KERNEL = {"multimodal_features", "similarity_topk_gemm"}
 #   reference's own query shape)
 # - equi_depth_histogram: running count over the per-bin aggregate
 #   (deciles.py:equi_depth_histogram_binned — bins, not rows)
+# - session_concurrency / peak_concurrency: running sums over the time-
+#   BUCKET aggregate (bounded by the time span, not data volume —
+#   behavior.py sweep-line docstring)
 # Rank-style global windows preceded by a WindowGroupLimit partial limit
 # (top-k pushdown, input <= partitions x k) are accepted without listing.
-GLOBAL_WINDOW_BOUNDED = {"histogram_deciles", "equi_depth_histogram"}
+GLOBAL_WINDOW_BOUNDED = {
+    "histogram_deciles",
+    "equi_depth_histogram",
+    "session_concurrency",
+    "peak_concurrency",
+}
+
+
+def _extra_queries():
+    """Non-registry operators added in r6 — plan-shape-gated here even
+    though they sit outside the 50-entry driver window."""
+    from compute_histogram_spark.operators import behavior as BH
+    from compute_histogram_spark.operators import lm as LM
+    from compute_histogram_spark.operators.pipeline import temperature_mix
+    from compute_histogram_spark.operators.windows import sessionize
+    from compute_histogram_spark.sources.tables import load
+
+    return {
+        "doc_perplexity": lambda s, d: LM.doc_perplexity(
+            load(s, d, "documents")
+        ),
+        "doc_perplexity_backoff": lambda s, d: LM.doc_perplexity_backoff(
+            load(s, d, "documents")
+        ),
+        "session_concurrency": lambda s, d: BH.session_concurrency(
+            sessionize(load(s, d, "events"))
+        ),
+        "peak_concurrency": lambda s, d: BH.peak_concurrency(
+            sessionize(load(s, d, "events"))
+        ),
+        "temperature_mix": lambda s, d: temperature_mix(
+            load(s, d, "documents")
+        ),
+    }
 
 
 def _global_windows(plan: str) -> int:
@@ -152,7 +193,8 @@ def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
     spark = get_session("plan_audit")
-    queries = entrymod.queries()
+    queries = dict(entrymod.queries())
+    queries.update(_extra_queries())
     failures = []
     for name, fn in queries.items():
         if only and name not in only:
