@@ -334,6 +334,8 @@ def decode_flac(content: bytes) -> tuple[np.ndarray, int]:
 
         br.align()
         body_end = br.tell_bytes()
+        if body_end + 2 > len(content):
+            raise ValueError("truncated FLAC frame (missing CRC-16)")
         crc16 = (content[body_end] << 8) | content[body_end + 1]
         if _crc16(content[frame_start:body_end]) != crc16:
             raise ValueError("frame CRC-16 mismatch")

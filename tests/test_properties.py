@@ -258,3 +258,66 @@ def test_wav_roundtrip_any_signal(n, ch, bits, rate, data):
     assert got_rate == rate and x.shape == a.shape
     tol = {16: 2**-15, 32: 2**-31, -32: 1e-7, -64: 0.0}[bits]
     assert np.abs(x - a).max() <= tol
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    n=st.integers(1, 2000),
+    ch=st.integers(1, 2),
+    bps=st.sampled_from([8, 16, 24]),
+    mode=st.sampled_from(["verbatim", "fixed2", "auto"]),
+    stereo=st.sampled_from(["independent", "leftside", "midside"]),
+    data=st.data(),
+)
+def test_flac_roundtrip_any_signal(n, ch, bps, mode, stereo, data):
+    from compute_histogram_spark.multimodal.flac import decode_flac, encode_flac
+
+    if stereo != "independent" and ch != 2:
+        stereo = "independent"
+    rng = np.random.default_rng(data.draw(st.integers(0, 2**31)))
+    lim = 1 << (bps - 1)
+    a = rng.integers(-lim, lim, size=(n, ch)).astype(np.int64)
+    blob = encode_flac(a, 44100, bps=bps, blocksize=256, mode=mode,
+                       stereo=stereo)
+    x, rate = decode_flac(blob)
+    assert rate == 44100 and x.shape == a.shape
+    assert np.array_equal(x, a / lim)
+
+
+@settings(max_examples=60, deadline=None)
+@given(data=st.data())
+def test_flac_corrupt_bytes_never_hang_or_crash_weirdly(data):
+    """Any single-byte corruption must raise a clean ValueError/struct
+    error or still decode (if the flip landed in dead padding) — never
+    hang, never throw an unrelated exception type."""
+    import struct as _struct
+
+    from compute_histogram_spark.multimodal.flac import decode_flac, encode_flac
+
+    rng = np.random.default_rng(7)
+    a = (1000 * np.sin(np.arange(600) / 9)).astype(np.int64)
+    blob = bytearray(encode_flac(a, 8000, blocksize=256, mode="fixed2"))
+    pos = data.draw(st.integers(0, len(blob) - 1))
+    bit = data.draw(st.integers(0, 7))
+    blob[pos] ^= 1 << bit
+    try:
+        decode_flac(bytes(blob))
+    except (ValueError, _struct.error, OverflowError, MemoryError):
+        pass  # clean, diagnosed rejection paths
+
+
+@settings(max_examples=60, deadline=None)
+@given(data=st.data())
+def test_mp4_corrupt_bytes_never_crash_weirdly(data):
+    import struct as _struct
+
+    from compute_histogram_spark.multimodal.mp4 import encode_mp4, mp4_info
+
+    blob = bytearray(encode_mp4(12.0, timescale=600))
+    pos = data.draw(st.integers(0, len(blob) - 1))
+    bit = data.draw(st.integers(0, 7))
+    blob[pos] ^= 1 << bit
+    try:
+        mp4_info(bytes(blob))
+    except (ValueError, _struct.error):
+        pass
