@@ -464,3 +464,34 @@ def repeated_span_coverage(
         )
         .orderBy(id_col)
     )
+
+
+def neardup_dedup(
+    docs: DataFrame,
+    n: int = 3,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    rows_per_band: int = DEFAULT_ROWS_PER_BAND,
+) -> DataFrame:
+    """The end-to-end near-duplicate REMOVAL a pipeline actually runs:
+    minhash-LSH candidate pairs -> transitive cluster resolution -> keep
+    the smallest ``doc_id`` of every cluster -> anti-join the rest away.
+    Returns the deduplicated corpus with the original schema.
+
+    Composition of already-oracle-pinned pieces (``minhash_candidates``
+    is the banded-join scale path; ``graph.connected_components`` is
+    O(log d) label-propagation rounds), plus one final anti-join keyed by
+    doc_id. Docs in no cluster pass through untouched — the anti-join's
+    right side holds ONLY cluster losers (cluster-size - 1 rows per
+    cluster), so its build side is bounded by the duplicate count, not
+    the corpus.
+    """
+    from compute_histogram_spark.operators.graph import connected_components
+
+    pairs = minhash_candidates(
+        docs, num_hashes=num_hashes, rows_per_band=rows_per_band, n=n
+    )
+    clusters = connected_components(pairs)
+    losers = clusters.where(F.col("node") != F.col("component")).select(
+        F.col("node").alias("doc_id")
+    )
+    return docs.join(losers, "doc_id", "left_anti")

@@ -255,3 +255,26 @@ def test_repeated_span_coverage_vs_duckdb_oracle(spark, sf_dir):
     assert len(sdf) > 0
     assert (sdf["dup_frac"] > 0).any()  # the synthetic corpus has boilerplate
     assert compare("repeated_span_coverage", sdf, odf) == []
+
+
+def test_neardup_dedup_removes_cluster_losers_only(spark, sf_dir):
+    from compute_histogram_spark.operators.dedup import (
+        minhash_candidates,
+        neardup_dedup,
+    )
+    from compute_histogram_spark.operators.graph import connected_components
+    from compute_histogram_spark.sources.tables import load
+
+    docs = load(spark, sf_dir, "documents")
+    kept = neardup_dedup(docs)
+    kept_ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    all_ids = {r["doc_id"] for r in docs.select("doc_id").collect()}
+
+    clusters = connected_components(minhash_candidates(docs)).collect()
+    losers = {r["node"] for r in clusters if r["node"] != r["component"]}
+    winners = {r["component"] for r in clusters}
+
+    assert kept_ids == all_ids - losers       # exactly the losers removed
+    assert winners <= kept_ids                # every cluster keeps its min
+    assert len(losers) > 0                    # the fixture has near-dups
+    assert kept.columns == docs.columns       # schema passes through
