@@ -27,11 +27,13 @@ from compute_histogram_spark.operators import relational as R
 from compute_histogram_spark.sources.tables import load
 
 
-# Benched-but-not-registered queries: the registry is capped at 50 entries
-# (the driver checks exactly that many), so these four r01 headline queries
-# now live only here — same operator calls as their r01 registry entries,
-# keeping BENCH_r01 -> r02 per-query comparability. Their semantics stay
-# pytest-covered (tests/test_relational.py).
+# Registry fallbacks for headline queries: the registry is capped at 50
+# entries (the driver checks exactly that many), and rotation moves names
+# in and out of it across rounds — benching always prefers the registry
+# entry and falls back here, so the 26-query headline set stays runnable
+# (and r01-comparable) regardless of the current window composition.
+# late_order_priority and rollup_revenue re-entered the registry in r6;
+# their copies below are harmless fallbacks for a future rotation.
 LOCAL_QUERIES = {
     "top_customers": lambda spark, d: R.top_customers(
         load(spark, d, "customer"), load(spark, d, "orders")
