@@ -253,8 +253,19 @@ def ngram_jaccard_pairs(
         .groupBy(F.col("p.d1").alias("doc_id_1"), F.col("p.d2").alias("doc_id_2"))
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
-    s1 = sizes.withColumnsRenamed({"doc_id": "doc_id_1", "n_sh": "n1"})
-    s2 = sizes.withColumnsRenamed({"doc_id": "doc_id_2", "n_sh": "n2"})
+    # SHUFFLE_HASH on the sizes side: the static estimator thinks the
+    # twice-aggregated pair table is tiny and BROADCASTS it (an 11M-row
+    # hashed relation at sf1 — measured 2x the whole query; AQE cannot
+    # demote a statically planned broadcast). A shuffled hash join streams
+    # the pair table against a per-partition build of the doc-size table —
+    # no sort, no broadcast of either data-scaled side, valid at any
+    # corpus size. sf1: 10.3s -> 5.0s, output identical (oracle-pinned).
+    s1 = sizes.withColumnsRenamed({"doc_id": "doc_id_1", "n_sh": "n1"}).hint(
+        "shuffle_hash"
+    )
+    s2 = sizes.withColumnsRenamed({"doc_id": "doc_id_2", "n_sh": "n2"}).hint(
+        "shuffle_hash"
+    )
     return (
         inter.join(s1, "doc_id_1")
         .join(s2, "doc_id_2")
