@@ -257,7 +257,14 @@ def asof_join_salted(
     )
     return (
         local.where(F.col("__tag") == 1)
-        .join(incoming, ["__k", "__b"], "left")
+        # SHUFFLE_HASH: `incoming` is one row per (key, active bucket) —
+        # DATA-scaled — but its multi-aggregate subtree gets a degenerate
+        # static size estimate, so the planner would broadcast it and the
+        # choice sticks at every scale (the same misplan class
+        # tools/plan_audit.py now hard-fails; see dedup ngram-jaccard).
+        # A shuffled hash join builds the carry side per partition: no
+        # sort, no broadcast of a table that grows with the key space.
+        .join(incoming.hint("shuffle_hash"), ["__k", "__b"], "left")
         # coalesce the WHOLE struct, never field-wise: a NULL field inside a
         # carried payload must not be backfilled from an older right row
         # (same atomicity rule as asof_join's single-struct carry)

@@ -107,6 +107,74 @@ def _extra_queries():
     }
 
 
+# Broadcasts whose subtree contains a shuffle over a data-scaled table are
+# the misplan class behind the r6 ngram-jaccard bug: the static estimator
+# decides a twice-aggregated output is tiny and broadcasts something that
+# grows with the data (AQE never demotes a static broadcast). Each entry
+# here is a REVIEWED case where the broadcast subtree is provably bounded:
+# - histogram_log/_incremental/_deciles: bin-bounded histogram aggregates
+#   / spine (bins, not rows)
+# - token_pmi: vocab-bounded endpoint marginals
+# - distribution_drift: bin-bounded histograms
+# - robust_outliers: group-bounded median/MAD aggregates (event types)
+# - apply_changes: the DELTA winners — delta-scaled by design, documented
+#   bucketed-SMJ escape hatch for big deltas (incremental.py docstring)
+# - minmax/histogram_linear: scalar minmax row
+# - bm25_topk: the k-limited scored top-k joined back for ranking
+# - doc_perplexity(+_backoff): ONE-row vocab/total scalar crossJoins (the
+#   count_distinct expand makes the subtree look 2-level)
+# - session/peak_concurrency: bucket-prefix offsets, bounded by the time
+#   span (explicitly F.broadcast in behavior.py)
+BCAST_OVER_SHUFFLE_BOUNDED = {
+    "minmax",
+    "histogram_linear",
+    "histogram_log",
+    "histogram_incremental",
+    "histogram_deciles",
+    "token_pmi",
+    "distribution_drift",
+    "robust_outliers",
+    "apply_changes",
+    "bm25_topk",
+    "doc_perplexity",
+    "doc_perplexity_backoff",
+    "session_concurrency",
+    "peak_concurrency",
+}
+
+_BIG_TABLES = ("documents", "events", "lineitem", "orders", "embeddings")
+
+
+def _bcast_over_shuffle(plan: str) -> int:
+    """Count BroadcastExchange subtrees over >= 2 hash-partition shuffle
+    levels of a data-scaled table — the scale-INsensitive-estimate shape.
+
+    One aggregation level keeps a size-proportional estimate, so the
+    planner's broadcast choice flips to shuffle correctly as data grows;
+    after two+ levels the estimate degenerates to a constant guess and the
+    broadcast sticks at every scale (the r6 ngram-jaccard bug: an 11M-row
+    pair aggregate broadcast at sf1). Bounded aggregates are allowlisted
+    above."""
+    lines = plan.splitlines()
+    n = 0
+    for i, ln in enumerate(lines):
+        if "BroadcastExchange" not in ln:
+            continue
+        indent = len(ln) - len(ln.lstrip(" +-*:|"))
+        sub = [ln]
+        for nxt in lines[i + 1:]:
+            ind2 = len(nxt) - len(nxt.lstrip(" +-*:|"))
+            if ind2 <= indent and nxt.strip():
+                break
+            sub.append(nxt)
+        text = "\n".join(sub)
+        if text.count("Exchange hashpartitioning") >= 2 and any(
+            f"/{t}.parquet" in text for t in _BIG_TABLES
+        ):
+            n += 1
+    return n
+
+
 def _global_windows(plan: str) -> int:
     """Count Window nodes with an empty partition spec.
 
@@ -152,6 +220,14 @@ def audit(name: str, df) -> tuple[bool, list[str]]:
             flags.append(f"global_window_bounded={gw}")
         else:
             flags.append("GLOBAL_WINDOW")
+            hard_fail = True
+
+    bos = _bcast_over_shuffle(plan)
+    if bos:
+        if name in BCAST_OVER_SHUFFLE_BOUNDED:
+            flags.append(f"bcast_over_shuffle_bounded={bos}")
+        else:
+            flags.append("BCAST_OVER_SHUFFLE")
             hard_fail = True
 
     if "CartesianProduct" in plan:
