@@ -19,8 +19,8 @@ Decoder coverage (the full mainstream subset):
 - stereo decorrelation: left/side, right/side, mid/side.
 
 The fixture encoder emits spec-conformant streams (CONSTANT/VERBATIM/
-FIXED-order-2 subframes, optional left/side | mid/side decorrelation) so
-every decoder path is round-trip-provable; real-world files produced by
+FIXED-order-2/LPC-order-2 subframes, optional left/side | mid/side
+decorrelation) so every decoder path is round-trip-provable; real-world files produced by
 libFLAC exercise the same code paths.
 
 Python-speed note: Rice coding is bit-serial by construction, so the
@@ -412,13 +412,26 @@ def _write_subframe(
         bw.write(0, 1)
         bw.write(x[0], bps)
         return
-    if mode == "fixed2" and len(x) > 2:
+    if mode in ("fixed2", "lpc2") and len(x) > 2:
         order = 2
         bw.write(0, 1)
-        bw.write(8 + order, 6)
-        bw.write(0, 1)
+        if mode == "fixed2":
+            bw.write(8 + order, 6)
+            bw.write(0, 1)
+        else:
+            # LPC subframe with coefficients [2, -1] at shift 0 — the same
+            # predictor as FIXED order 2, but routed through the decoder's
+            # generic LPC path (precision/shift/coef parsing, coef dot
+            # product) so that branch is round-trip-provable too
+            bw.write(32 + (order - 1), 6)
+            bw.write(0, 1)
         for v in x[:order]:
             bw.write(v, bps)
+        if mode == "lpc2":
+            bw.write(14, 4)          # precision 15 bits (qlp precision - 1)
+            bw.write(0, 5)           # shift 0
+            bw.write(2, 15)          # coef a1 = 2
+            bw.write(-1, 15)         # coef a2 = -1 (two's complement)
         res = [
             x[i] - 2 * x[i - 1] + x[i - 2] for i in range(order, len(x))
         ]
@@ -453,7 +466,8 @@ def encode_flac(
 ) -> bytes:
     """Spec-conformant FLAC writer for ``[n]`` or ``[n, ch]`` int arrays —
     the fixture generator proving :func:`decode_flac` by round-trip.
-    ``mode``: subframe strategy (auto | constant | verbatim | fixed2);
+    ``mode``: subframe strategy (auto | constant | verbatim | fixed2 |
+    lpc2 — the FIXED-2 predictor routed through the LPC coding path);
     ``stereo``: independent | leftside | midside (2-channel only)."""
     a = np.asarray(samples)
     if a.ndim == 1:

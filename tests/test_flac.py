@@ -139,3 +139,24 @@ def test_extract_audio_features_spark_mixed_wav_flac(spark):
     assert out[2]["peak"] == pytest.approx(float(np.abs(ref).max()),
                                            rel=1e-9)
     assert out[9]["decoded"] is False
+
+
+def test_roundtrip_lpc_subframe_path():
+    """LPC subframes (precision/shift/coefficient parsing + the generic
+    coef dot-product) — encoded as order-2 LPC with coefs [2, -1], the
+    same predictor as FIXED-2, so residual sizing is known-good."""
+    x = (9000 * np.sin(T / 45)).astype(np.int64)
+    blob = _roundtrip(x, mode="lpc2")
+    v = encode_flac(x, 44100, mode="verbatim")
+    assert len(blob) < len(v) / 2  # the LPC path actually compresses too
+
+
+def test_roundtrip_lpc_stereo_midside():
+    st = np.stack(
+        [
+            (6000 * np.sin(T / 30)).astype(np.int64),
+            (5500 * np.sin(T / 30 + 0.2)).astype(np.int64),
+        ],
+        axis=1,
+    )
+    _roundtrip(st, mode="lpc2", stereo="midside")
