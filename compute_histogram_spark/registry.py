@@ -659,6 +659,50 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return W.sessionize(load(spark, sf_dir, "events"))
 
 
+@register(
+    "session_concurrency",
+    # rotated IN late r6 (third wave): the sweep-line load curve over the
+    # sessionized events — all-integer output (change-point micros +
+    # running active-session count), so the oracle is hash-exact. The
+    # Spark side computes the running sum per time BUCKET with a bounded
+    # bucket-prefix stitch (behavior.py docstring: no global sort);
+    # DuckDB's single-node global window is the oracle shape.
+    """
+    WITH t AS (SELECT user_id, event_id, epoch_us(ts) AS tsu FROM events),
+    l AS (
+        SELECT *, lag(tsu) OVER (PARTITION BY user_id ORDER BY tsu, event_id) AS prev
+        FROM t
+    ),
+    f AS (
+        SELECT *, CASE WHEN prev IS NULL OR tsu - prev > 1800000000
+                       THEN 1 ELSE 0 END AS is_new
+        FROM l
+    ),
+    s AS (
+        SELECT *, CAST(sum(is_new) OVER (
+            PARTITION BY user_id ORDER BY tsu, event_id ROWS UNBOUNDED PRECEDING
+        ) AS BIGINT) AS session_id
+        FROM f
+    ),
+    sess AS (
+        SELECT user_id, session_id, min(tsu) AS start_us, max(tsu) AS end_us
+        FROM s GROUP BY user_id, session_id
+    ),
+    d AS (
+        SELECT start_us AS ts_us, 1 AS d FROM sess
+        UNION ALL SELECT end_us + 1, -1 FROM sess
+    ),
+    g AS (SELECT ts_us, sum(d) AS d FROM d GROUP BY ts_us)
+    SELECT ts_us, CAST(sum(d) OVER (ORDER BY ts_us) AS BIGINT) AS n_active
+    FROM g ORDER BY ts_us
+    """,
+)
+def q_session_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from compute_histogram_spark.operators import behavior as BH
+
+    return BH.session_concurrency(W.sessionize(load(spark, sf_dir, "events")))
+
+
 # ---------------------------------------------------------------------------
 # dedup suite (operators/dedup.py) — documents table. Oracle SQL mirrors the
 # md5-based signatures exactly; shingling is word 3-grams on single-space
@@ -680,17 +724,19 @@ sh AS (
 """
 
 
-@register(
-    "user_stats",
-    """
+# rotated out late r6 (third wave, for session_concurrency) — driver-green
+# r01-r06; oracle kept verbatim for tests/test_rotated_out.py. The
+# streaming twin's diff in tests/test_streaming.py still uses this fn.
+USER_STATS_ORACLE = """
     SELECT user_id, count(*) AS n_events,
            CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) / 100.0
                AS sum_value,
            min(value) AS min_value, max(value) AS max_value
     FROM events WHERE value IS NOT NULL AND NOT isnan(value)
     GROUP BY user_id ORDER BY user_id
-    """,
-)
+    """
+
+
 def q_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # batch twin of streaming/stream_ops.py:streaming_user_stats (same
     # cents-exact accumulation); the streaming form is diffed against this

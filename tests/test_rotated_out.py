@@ -313,3 +313,10 @@ def test_histogram_2d_oracle(spark, sf_dir, con):
 
     _check("histogram_2d", q_histogram_2d(spark, sf_dir), con,
            HISTOGRAM_2D_ORACLE)
+
+
+def test_user_stats_oracle(spark, sf_dir, con):
+    # third rotation wave (late r6): swapped for session_concurrency
+    from compute_histogram_spark.registry import USER_STATS_ORACLE, q_user_stats
+
+    _check("user_stats", q_user_stats(spark, sf_dir), con, USER_STATS_ORACLE)
