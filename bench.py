@@ -208,7 +208,9 @@ def _ext_queries():
     )
     from pyspark.sql import functions as Fx
 
+    from compute_histogram_spark.operators import behavior as BHx
     from compute_histogram_spark.operators import lm as LM
+    from compute_histogram_spark.operators import windows as WDx
 
     return {
         "cosine_topk_ivf_index": _ivf_index_served,
@@ -218,6 +220,9 @@ def _ext_queries():
         ),
         "doc_perplexity_backoff": lambda s, d: LM.doc_perplexity_backoff(
             load(s, d, "documents")
+        ),
+        "session_concurrency": lambda s, d: BHx.session_concurrency(
+            WDx.sessionize(load(s, d, "events"))
         ),
         "similarity_topk_pq": lambda s, d: PQ.cosine_topk_pq(
             load(s, d, "embeddings"), iters=2
