@@ -303,11 +303,16 @@ def decode_geotiff(content: bytes, band: int = 1) -> np.ndarray:
     eb, big, ifd_off = _parse_header(content)
     tags = _read_ifd(content, eb, ifd_off, big)
 
-    w = _tag1(tags, T_WIDTH)
-    h = _tag1(tags, T_HEIGHT)
-    if not w or not h:
-        raise ValueError("malformed TIFF: missing dimensions")
-    spp = _tag1(tags, T_SPP, 1)
+    def _pos_int(v, name):
+        # a corrupted field TYPE can deliver floats (RATIONAL/FLOAT reads)
+        # for structural tags; reject instead of TypeError-ing downstream
+        if not isinstance(v, int) or v <= 0:
+            raise ValueError(f"malformed TIFF: bad {name} ({v!r})")
+        return v
+
+    w = _pos_int(_tag1(tags, T_WIDTH), "width")
+    h = _pos_int(_tag1(tags, T_HEIGHT), "height")
+    spp = _pos_int(_tag1(tags, T_SPP, 1), "samples/pixel")
     if not 1 <= band <= spp:
         raise ValueError(f"band {band} out of range (1..{spp})")
     bits = _tag(tags, T_BITS, (8,) * spp)
@@ -330,15 +335,18 @@ def decode_geotiff(content: bytes, band: int = 1) -> np.ndarray:
 
     tiled = T_TILE_OFFSETS in tags
     if tiled:
-        cw, ch = _tag1(tags, T_TILE_W), _tag1(tags, T_TILE_H)
+        cw = _pos_int(_tag1(tags, T_TILE_W), "tile width")
+        ch = _pos_int(_tag1(tags, T_TILE_H), "tile height")
         offsets, counts = _tag(tags, T_TILE_OFFSETS), _tag(tags, T_TILE_COUNTS)
         tiles_across = (w + cw - 1) // cw
     else:
-        cw, ch = w, _tag1(tags, T_ROWS_PER_STRIP, h)
+        cw, ch = w, _pos_int(_tag1(tags, T_ROWS_PER_STRIP, h), "rows/strip")
         offsets, counts = _tag(tags, T_STRIP_OFFSETS), _tag(tags, T_STRIP_COUNTS)
         tiles_across = 1
     if not offsets or not counts:
         raise ValueError("malformed TIFF: missing strip/tile locations")
+    if not all(isinstance(v, int) and v >= 0 for v in (*offsets, *counts)):
+        raise ValueError("malformed TIFF: non-integer strip/tile locations")
 
     out = np.zeros((h, w), dtype=dtype.newbyteorder("="))
     for idx, (off, cnt) in enumerate(zip(offsets, counts)):

@@ -321,3 +321,34 @@ def test_mp4_corrupt_bytes_never_crash_weirdly(data):
         mp4_info(bytes(blob))
     except (ValueError, _struct.error):
         pass
+
+
+@settings(max_examples=60, deadline=None)
+@given(data=st.data())
+def test_geotiff_corrupt_bytes_never_crash_weirdly(data):
+    """Single-bit corruption of classic or BigTIFF containers must either
+    still decode (flip landed in pixel data — values differ, shape holds)
+    or raise a diagnosed error type — never hang or throw something
+    unrelated."""
+    import struct as _struct
+    import zlib as _zlib
+
+    from compute_histogram_spark.multimodal.geotiff import (
+        decode_geotiff,
+        encode_geotiff,
+    )
+
+    rng = np.random.default_rng(21)
+    a = rng.normal(40.0, 9.0, size=(16, 16)).astype(np.float32)
+    big = data.draw(st.booleans())
+    comp = data.draw(st.sampled_from(["none", "deflate", "lzw"]))
+    blob = bytearray(encode_geotiff(a, compression=comp, bigtiff=big))
+    pos = data.draw(st.integers(0, len(blob) - 1))
+    bit = data.draw(st.integers(0, 7))
+    blob[pos] ^= 1 << bit
+    try:
+        out = decode_geotiff(bytes(blob))
+        assert out.shape == a.shape  # decoded despite the flip
+    except (ValueError, _struct.error, _zlib.error, KeyError,
+            OverflowError, MemoryError):
+        pass  # diagnosed rejection paths
