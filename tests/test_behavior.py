@@ -124,3 +124,42 @@ def test_session_concurrency_brute_force_small(spark):
         sum(1 for a, b in iv if a <= t <= b)
         for t in {x for a, b in iv for x in (a, b)}
     )
+
+
+def test_peak_concurrency_matches_duckdb_sweep(spark, sf_dir):
+    import duckdb
+
+    from compute_histogram_spark.operators.behavior import peak_concurrency
+    from compute_histogram_spark.operators.windows import sessionize
+    from compute_histogram_spark.sources.tables import load
+
+    sess = sessionize(load(spark, sf_dir, "events"))
+    got = {r["bucket_start_s"]: r["peak_active"]
+           for r in peak_concurrency(sess, bucket_s=3600).collect()}
+    con = duckdb.connect()
+    con.register("sess", sess.toPandas())
+    # oracle: global sweep curve, then per-bucket max of (levels inside
+    # the bucket) and (level carried in = last level of any earlier point)
+    want = {int(r[0]): int(r[1]) for r in con.execute("""
+        WITH d AS (
+            SELECT start_us AS ts_us, 1 AS d FROM sess
+            UNION ALL SELECT end_us + 1, -1 FROM sess
+        ),
+        g AS (SELECT ts_us, sum(d) AS d FROM d GROUP BY ts_us),
+        curve AS (
+            SELECT ts_us, CAST(sum(d) OVER (ORDER BY ts_us) AS BIGINT) AS n,
+                   ts_us // 3600000000 AS bkt
+            FROM g
+        ),
+        per AS (
+            SELECT bkt, max(n) AS peak_inside,
+                   arg_max(n, ts_us) AS exit_level
+            FROM curve GROUP BY bkt
+        )
+        SELECT bkt * 3600 AS bucket_start_s,
+               greatest(peak_inside,
+                        coalesce(lag(exit_level) OVER (ORDER BY bkt), 0))
+                   AS peak_active
+        FROM per ORDER BY bucket_start_s
+    """).fetchall()}
+    assert got == want and len(got) > 0
