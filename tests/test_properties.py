@@ -352,3 +352,24 @@ def test_geotiff_corrupt_bytes_never_crash_weirdly(data):
     except (ValueError, _struct.error, _zlib.error, KeyError,
             OverflowError, MemoryError):
         pass  # diagnosed rejection paths
+
+
+@settings(max_examples=60, deadline=None)
+@given(data=st.data())
+def test_wav_corrupt_bytes_never_crash_weirdly(data):
+    import struct as _struct
+
+    from compute_histogram_spark.multimodal.audio import decode_wav, encode_wav
+
+    rng = np.random.default_rng(31)
+    a = rng.uniform(-0.8, 0.8, size=(400, 2))
+    bits = data.draw(st.sampled_from([16, 32, -32]))
+    blob = bytearray(encode_wav(a, 16000, bits=bits))
+    pos = data.draw(st.integers(0, len(blob) - 1))
+    bit = data.draw(st.integers(0, 7))
+    blob[pos] ^= 1 << bit
+    try:
+        x, _rate = decode_wav(bytes(blob))
+        assert x.ndim == 2  # decoded despite the flip (payload corruption)
+    except (ValueError, _struct.error, KeyError):
+        pass  # diagnosed rejection paths
