@@ -331,9 +331,17 @@ def _bench_sf1(spark, out: dict) -> None:
                 t0 = time.time()
                 materialize(fn(spark, sf1_dir))
                 s_times.append(time.time() - t0)
+            # sub-2s queries are where min-of-2 is thin against the 1.5-2x
+            # host-contention noise (r6 read Q5 at 1.72 s vs an idle-box
+            # 0.25 s): top up to min-of-5 there; it costs seconds, not
+            # minutes, precisely because the queries are fast.
+            while min(s_times) < 2.0 and len(s_times) < 5:
+                t0 = time.time()
+                materialize(fn(spark, sf1_dir))
+                s_times.append(time.time() - t0)
             row["spark"] = round(min(s_times), 3)
         except Exception as e:  # noqa: BLE001
-            errors[name] = f"spark {type(e).__name__}: {e}"[:300]
+            errors[f"{name}.spark"] = f"spark {type(e).__name__}: {e}"[:300]
         if sql is not None:
             try:
                 con.execute(sql).fetchall()  # cold
@@ -342,9 +350,13 @@ def _bench_sf1(spark, out: dict) -> None:
                     t0 = time.time()
                     con.execute(sql).fetchall()
                     d_times.append(time.time() - t0)
+                while min(d_times) < 2.0 and len(d_times) < 5:
+                    t0 = time.time()
+                    con.execute(sql).fetchall()
+                    d_times.append(time.time() - t0)
                 row["duckdb"] = round(min(d_times), 3)
             except Exception as e:  # noqa: BLE001
-                errors[name] = f"duckdb {type(e).__name__}: {e}"[:300]
+                errors[f"{name}.duckdb"] = f"duckdb {type(e).__name__}: {e}"[:300]
         queries[name] = row
     # totals compare the same query set: only queries timed on BOTH engines
     both = [(r["spark"], r["duckdb"]) for r in queries.values()

@@ -295,6 +295,14 @@ def decode_flac(content: bytes) -> tuple[np.ndarray, int]:
             raise ValueError("invalid sample-rate code")
         else:
             rate = _SAMPLE_RATE_CODES[sr_code]
+        if rate != info["rate"]:
+            # the decoder returns STREAMINFO's rate; a frame coding a
+            # DIFFERENT rate would silently yield wrong duration_s
+            # downstream — reject, matching the strict CRC posture
+            raise ValueError(
+                f"frame/STREAMINFO sample-rate mismatch ({rate} vs "
+                f"{info['rate']})"
+            )
         bps = info["bps"] if ss_code == 0 else _SAMPLE_SIZE_CODES.get(ss_code)
         if bps is None:
             raise ValueError(f"reserved sample-size code {ss_code}")

@@ -129,6 +129,12 @@ def _read_ifd(
         vpos = base + esize * i + (12 if big else 8)
         if nbytes > inline:
             (vpos,) = struct.unpack_from(eb + offcode, content, vpos)
+        if vpos + nbytes > len(content):
+            # a corrupted count/offset would otherwise drive an unbounded
+            # format-string build + unpack below; bound it by the container
+            raise ValueError(
+                f"malformed TIFF: tag {tag} values beyond end of file"
+            )
         if ftype == 2:  # ASCII: NUL-terminated string
             raw = content[vpos : vpos + count]
             tags[tag] = (ftype, (raw.split(b"\x00")[0].decode("latin-1"),))
@@ -347,6 +353,37 @@ def decode_geotiff(content: bytes, band: int = 1) -> np.ndarray:
         raise ValueError("malformed TIFF: missing strip/tile locations")
     if not all(isinstance(v, int) and v >= 0 for v in (*offsets, *counts)):
         raise ValueError("malformed TIFF: non-integer strip/tile locations")
+
+    # Structural consistency BEFORE allocating: a bit-flipped dimension tag
+    # (e.g. ImageLength 16 -> 1048576) must take the diagnosed-rejection
+    # path, not "succeed" with a wrongly-shaped (potentially multi-GiB)
+    # zero-filled array inside an executor kernel. Three independent checks:
+    # (1) the chunk count the layout implies must equal the chunks present;
+    # (2) every chunk must lie inside the container; (3) the output raster
+    # cannot exceed the container bytes times the codec's max expansion
+    # (deflate tops out ~1032:1; TIFF-LZW on degenerate runs ~sqrt-bounded,
+    # 4096 is generous for any real tile size; PackBits 128:1; none 1:1 —
+    # strip/tile payloads for a valid file always cover the visible raster).
+    if len(offsets) != len(counts):
+        raise ValueError(
+            "malformed TIFF: strip/tile offsets vs byte-counts mismatch "
+            f"({len(offsets)} vs {len(counts)})"
+        )
+    expected_chunks = tiles_across * ((h + ch - 1) // ch)
+    if len(offsets) != expected_chunks:
+        raise ValueError(
+            "malformed TIFF: dimensions inconsistent with chunk count "
+            f"({len(offsets)} chunks present, layout implies {expected_chunks})"
+        )
+    if any(off + cnt > len(content) for off, cnt in zip(offsets, counts)):
+        raise ValueError("malformed TIFF: strip/tile beyond end of file")
+    max_expansion = {1: 1, 8: 1100, 32946: 1100, 5: 4096, 32773: 128}[comp]
+    if h * w * spp * dtype.itemsize > max(sum(counts), 1) * max_expansion:
+        raise ValueError(
+            "malformed TIFF: dimensions implausible for container size "
+            f"({h}x{w}x{spp} {dtype.itemsize}B samples vs "
+            f"{sum(counts)} payload bytes)"
+        )
 
     out = np.zeros((h, w), dtype=dtype.newbyteorder("="))
     for idx, (off, cnt) in enumerate(zip(offsets, counts)):

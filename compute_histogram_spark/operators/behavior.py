@@ -172,7 +172,9 @@ def session_concurrency(
         )
         .groupBy("ts_us")
         .agg(F.sum("d").alias("d"))
-        .withColumn("bkt", (F.col("ts_us") / bucket_us).cast("bigint"))
+        # floor, not truncate-toward-zero: pre-1970 (negative) timestamps
+        # must bucket floor-consistently with the DuckDB oracle's `//`
+        .withColumn("bkt", F.floor(F.col("ts_us") / F.lit(bucket_us)))
     )
     in_bucket = Window.partitionBy("bkt").orderBy("ts_us")
     local = deltas.withColumn(
@@ -205,12 +207,16 @@ def peak_concurrency(
     """Per-bucket peak of the concurrency curve -> (bucket_start_s,
     peak_active). A change point's n_active holds until the next change
     point, so a bucket's peak must also consider the level CARRIED INTO it
-    (a bucket with no change points inherits the previous level; one with
-    late change points may peak at entry). The carried level is the
-    bucket-prefix sum — already bounded, reused here."""
+    (the previous emitted bucket's exit level — carried across any gap; a
+    bucket with late change points may peak at entry). Only buckets that
+    CONTAIN a change point emit a row: a gap bucket's level is constant
+    (= the previous row's exit level), so the emitted rows fully determine
+    the step curve — same contract as the DuckDB sweep oracle
+    (tests/test_behavior.py). The carried level rides the bucket-prefix
+    sum — already bounded, reused here."""
     curve = session_concurrency(sessions, bucket_s=bucket_s)
     bucket_us = bucket_s * 1_000_000
-    b = curve.withColumn("bkt", (F.col("ts_us") / bucket_us).cast("bigint"))
+    b = curve.withColumn("bkt", F.floor(F.col("ts_us") / F.lit(bucket_us)))
     per_bucket = b.groupBy("bkt").agg(
         F.max("n_active").alias("peak_inside"),
         F.max_by("n_active", "ts_us").alias("exit_level"),
