@@ -1030,7 +1030,12 @@ def q_similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.cosine_topk_ivf(load(spark, sf_dir, "embeddings"))
 
 
-@register("similarity_topk_gemm", ORACLES["similarity_topk"])
+# rotated out r7 (fourth wave, for the r6 LM/mix/concurrency/neardup ops) —
+# driver-green r02-r06; shares similarity_topk's oracle (value-identical by
+# construction), re-checked in tests/test_rotated_out.py.
+SIMILARITY_GEMM_ORACLE = ORACLES["similarity_topk"]
+
+
 def q_similarity_topk_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
     # same semantics as similarity_topk (shared oracle); the physical
     # strategy is the Arrow-batched blocked-GEMM Pandas kernel — the
@@ -1099,9 +1104,9 @@ def _lsh_oracle(dim: int = 64, n_planes: int = 4, n_tables: int = 8) -> str:
 # tests/test_rotated_out.py.
 
 
-@register(
-    "event_transitions",
-    """
+# rotated out r7 (fourth wave) — driver-green r01-r06; oracle kept verbatim
+# for tests/test_rotated_out.py.
+EVENT_TRANSITIONS_ORACLE = """
     WITH t AS (
         SELECT event_type AS from_type,
                lead(event_type) OVER (
@@ -1112,8 +1117,9 @@ def _lsh_oracle(dim: int = 64, n_planes: int = 4, n_tables: int = 8) -> str:
     SELECT from_type, to_type, count(*) AS n_transitions
     FROM t WHERE to_type IS NOT NULL
     GROUP BY from_type, to_type ORDER BY from_type, to_type
-    """,
-)
+    """
+
+
 def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     from compute_histogram_spark.operators import behavior as BH
 
@@ -1199,9 +1205,9 @@ def q_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 # cohort_retention rotated out in r6 — oracle in tests/test_rotated_out.py.
 
 
-@register(
-    "cluster_doc_stats",
-    """
+# rotated out r7 (fourth wave) — driver-green r04-r06; oracle kept verbatim
+# for tests/test_rotated_out.py.
+CLUSTER_DOC_STATS_ORACLE = """
     SELECT e.label,
            count(*) AS n_docs,
            count(DISTINCT d.lang) AS n_langs,
@@ -1209,8 +1215,9 @@ def q_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
            min(d.doc_id) AS min_doc_id
     FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
     GROUP BY e.label ORDER BY e.label
-    """,
-)
+    """
+
+
 def q_cluster_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cross-modal equi-join: the embedding table's cluster label against the
     # text table's quality columns. Both sides prune to 2-3 columns at scan;
@@ -1392,9 +1399,9 @@ def q_quality_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.quality_signals(load(spark, sf_dir, "documents"))
 
 
-@register(
-    "doc_fingerprint",
-    """
+# rotated out r7 (fourth wave) — driver-green r03-r06; oracle kept verbatim
+# for tests/test_rotated_out.py.
+DOC_FINGERPRINT_ORACLE = """
     WITH g AS (
         SELECT doc_id, substr(text, gg, 8) AS gr
         FROM (
@@ -1406,8 +1413,9 @@ def q_quality_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id, min(md5(gr)) AS fingerprint,
            CAST(count(DISTINCT gr) AS BIGINT) AS n_grams
     FROM g GROUP BY doc_id ORDER BY doc_id
-    """,
-)
+    """
+
+
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.doc_fingerprint(load(spark, sf_dir, "documents"))
 
@@ -1526,9 +1534,9 @@ def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "top_tokens_per_lang",
-    """
+# rotated out r7 (fourth wave) — driver-green r03-r06; oracle kept verbatim
+# for tests/test_rotated_out.py.
+TOP_TOKENS_ORACLE = """
     WITH c AS (
         SELECT lang, token, count(*) AS n
         FROM (SELECT lang, unnest(string_split(text, ' ')) AS token
@@ -1544,8 +1552,9 @@ def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT lang, rnk, token, n FROM r WHERE rnk <= 5
     ORDER BY lang, rnk
-    """,
-)
+    """
+
+
 def q_top_tokens_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.top_tokens_per_lang(load(spark, sf_dir, "documents"))
 
@@ -1875,3 +1884,228 @@ def q_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     # every branch (insert / update / delete / seq tie) exercised by the
     # deterministic synthetic feed.
     return INC.orders_upsert_demo(load(spark, sf_dir, "orders"))
+
+
+# ---------------------------------------------------------------------------
+# round-7 window rotation (VERDICT r06 #3): the round-6 operators with
+# DuckDB-twin evidence graduate into the driver window. Rotated out to make
+# room (oracles kept above + re-checked in tests/test_rotated_out.py):
+# doc_fingerprint, cluster_doc_stats, top_tokens_per_lang, event_transitions,
+# similarity_topk_gemm.
+# ---------------------------------------------------------------------------
+
+from compute_histogram_spark.operators import lm as LM  # noqa: E402
+
+
+@register(
+    "doc_perplexity",
+    # add-k (k=0.5) bigram self-perplexity (operators/lm.py:doc_perplexity —
+    # the CCNet-style quality signal). Counts and vocab size are exact
+    # integers in both engines; the only floats are the per-bigram ln and
+    # the final mean/exp, rounded to 6 decimals on both sides. Docs with
+    # < 2 tokens emit n_bigrams = 0 and NULL avg_nll/ppl.
+    """
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+    ),
+    pairs AS (
+        SELECT doc_id, ts[i] AS v, ts[i+1] AS w
+        FROM toks, LATERAL (
+            SELECT unnest(generate_series(1, len(ts) - 1)) AS i
+        )
+    ),
+    big AS (SELECT v, w, count(*) AS c_vw FROM pairs GROUP BY v, w),
+    ctx AS (SELECT v, count(*) AS c_v FROM pairs GROUP BY v),
+    voc AS (SELECT count(DISTINCT w) AS nv FROM pairs),
+    per AS (
+        SELECT p.doc_id, count(*) AS n_bigrams,
+               sum(ln((ctx.c_v + 0.5 * voc.nv) / (big.c_vw + 0.5))) AS nll
+        FROM pairs p
+        JOIN big USING (v, w) JOIN ctx USING (v) CROSS JOIN voc
+        GROUP BY p.doc_id
+    )
+    SELECT t.doc_id,
+           COALESCE(per.n_bigrams, 0) AS n_bigrams,
+           round(per.nll / per.n_bigrams, 6) AS avg_nll,
+           round(exp(per.nll / per.n_bigrams), 6) AS ppl
+    FROM toks t LEFT JOIN per USING (doc_id)
+    ORDER BY doc_id
+    """,
+)
+def q_doc_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return LM.doc_perplexity(load(spark, sf_dir, "documents"))
+
+
+@register(
+    "doc_perplexity_backoff",
+    # stupid-backoff trigram self-score (operators/lm.py:
+    # doc_perplexity_backoff). Self-scoring means the trigram branch always
+    # fires, so the oracle needs only the trigram/context count tables —
+    # exact-integer ratios into one ln, rounded to 6 on both sides.
+    """
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+    ),
+    tri AS (
+        SELECT doc_id, ts[i] AS v1, ts[i+1] AS v2, ts[i+2] AS v3
+        FROM toks, LATERAL (
+            SELECT unnest(generate_series(1, len(ts) - 2)) AS i
+        )
+    ),
+    c3 AS (SELECT v1, v2, v3, count(*) AS c3 FROM tri GROUP BY 1, 2, 3),
+    c2 AS (SELECT v1, v2, count(*) AS c2ctx FROM tri GROUP BY 1, 2),
+    per AS (
+        SELECT t.doc_id, count(*) AS n_trigrams,
+               sum(-ln(c3.c3 / c2.c2ctx)) AS nls
+        FROM tri t JOIN c3 USING (v1, v2, v3) JOIN c2 USING (v1, v2)
+        GROUP BY t.doc_id
+    )
+    SELECT k.doc_id,
+           COALESCE(per.n_trigrams, 0) AS n_trigrams,
+           round(per.nls / per.n_trigrams, 6) AS avg_nls,
+           round(exp(-per.nls / per.n_trigrams), 6) AS score
+    FROM toks k LEFT JOIN per USING (doc_id)
+    ORDER BY doc_id
+    """,
+)
+def q_doc_perplexity_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return LM.doc_perplexity_backoff(load(spark, sf_dir, "documents"))
+
+
+@register(
+    "temperature_mix",
+    # temperature-resampled corpus (pipeline.py:temperature_mix, alpha=0.5
+    # over lang): per-group rates are round(q_g * total / n_g, 2) with
+    # q proportional to p^alpha — the mBERT/XLM-R alpha-sampling scheme —
+    # feeding the deterministic hash-gated mix_corpus (floor(rate) copies
+    # plus an md5-bucket fractional copy; 'mix:' salt). The rate arithmetic
+    # is reproduced in SQL: identical double ops, and the 2-decimal/
+    # frac-percent roundings never land on representable half-way points
+    # (see mix_corpus notes), so both engines derive identical copy counts.
+    """
+    WITH counts AS (
+        SELECT lang AS g, count(*) AS n FROM documents
+        WHERE lang IS NOT NULL GROUP BY 1
+    ),
+    t AS (SELECT CAST(sum(n) AS DOUBLE) AS total FROM counts),
+    w AS (SELECT g, n, pow(n / t.total, 0.5) AS wt FROM counts, t),
+    z AS (SELECT sum(wt) AS zz FROM w),
+    rates AS (
+        SELECT g, round(wt / z.zz * t.total / n, 2) AS rate
+        FROM w, z, t
+    ),
+    b AS (
+        SELECT d.*, r.rate,
+               ('0x' || substring(md5('mix:' || CAST(d.doc_id AS VARCHAR)),
+                                  1, 8))::BIGINT % 100 AS bk
+        FROM documents d JOIN rates r ON d.lang = r.g
+    ),
+    nc AS (
+        SELECT *, CAST(floor(rate) AS BIGINT)
+            + CASE WHEN bk < round((rate - floor(rate)) * 100)
+                   THEN 1 ELSE 0 END AS n_copies
+        FROM b
+    )
+    SELECT doc_id, text, lang, source, n_chars, copy_id
+    FROM nc, LATERAL (
+        SELECT unnest(generate_series(1, n_copies)) AS copy_id
+    )
+    WHERE n_copies > 0
+    ORDER BY doc_id, copy_id
+    """,
+)
+def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = PL.temperature_mix(
+        load(spark, sf_dir, "documents"), group_col="lang", alpha=0.5
+    )
+    # copy_id comes off posexplode(sequence(int)) as INT; the oracle's
+    # generate_series is BIGINT — align dtypes for the schema check
+    return out.withColumn("copy_id", F.col("copy_id").cast("bigint")).orderBy(
+        "doc_id", "copy_id"
+    )
+
+
+@register(
+    "peak_concurrency",
+    # per-hour peak of the sweep-line concurrency curve (behavior.py:
+    # peak_concurrency over windows.sessionize): all-integer output. The
+    # Spark plan is the bucket-partitioned two-phase prefix sum (no global
+    # sort); the oracle is the single-node global-window sweep. Only
+    # buckets containing a change point emit a row (gap buckets carry the
+    # previous exit level — see the operator docstring).
+    """
+    WITH t AS (SELECT user_id, event_id, epoch_us(ts) AS tsu FROM events),
+    l AS (
+        SELECT *, lag(tsu) OVER (PARTITION BY user_id ORDER BY tsu, event_id) AS prev
+        FROM t
+    ),
+    f AS (
+        SELECT *, CASE WHEN prev IS NULL OR tsu - prev > 1800000000
+                       THEN 1 ELSE 0 END AS is_new
+        FROM l
+    ),
+    s AS (
+        SELECT *, CAST(sum(is_new) OVER (
+            PARTITION BY user_id ORDER BY tsu, event_id ROWS UNBOUNDED PRECEDING
+        ) AS BIGINT) AS session_id
+        FROM f
+    ),
+    sess AS (
+        SELECT user_id, session_id, min(tsu) AS start_us, max(tsu) AS end_us
+        FROM s GROUP BY user_id, session_id
+    ),
+    d AS (
+        SELECT start_us AS ts_us, 1 AS d FROM sess
+        UNION ALL SELECT end_us + 1, -1 FROM sess
+    ),
+    g AS (SELECT ts_us, sum(d) AS d FROM d GROUP BY ts_us),
+    curve AS (
+        SELECT ts_us, CAST(sum(d) OVER (ORDER BY ts_us) AS BIGINT) AS n,
+               ts_us // 3600000000 AS bkt
+        FROM g
+    ),
+    per AS (
+        SELECT bkt, max(n) AS peak_inside, arg_max(n, ts_us) AS exit_level
+        FROM curve GROUP BY bkt
+    )
+    SELECT CAST(bkt * 3600 AS BIGINT) AS bucket_start_s,
+           greatest(peak_inside,
+                    coalesce(lag(exit_level) OVER (ORDER BY bkt), 0))
+               AS peak_active
+    FROM per ORDER BY bucket_start_s
+    """,
+)
+def q_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return BH.peak_concurrency(
+        W.sessionize(load(spark, sf_dir, "events")), bucket_s=3600
+    )
+
+
+@register(
+    "neardup_dedup",
+    # end-to-end near-duplicate REMOVAL (dedup.py:neardup_dedup): minhash-
+    # LSH candidate pairs -> connected components -> keep min doc_id per
+    # cluster -> anti-join. Output is the surviving corpus with original
+    # schema — the oracle resolves the same min-label fixpoint with a
+    # recursive CTE and removes the same loser set.
+    f"""
+    WITH RECURSIVE {_minhash_pairs_ctes()},
+    e AS (
+        SELECT doc_id_1 AS a, doc_id_2 AS b FROM pairs
+        UNION SELECT doc_id_2, doc_id_1 FROM pairs
+    ),
+    reach(node, r) AS (
+        SELECT a, a FROM e
+        UNION
+        SELECT e.b, reach.r FROM e JOIN reach ON e.a = reach.node
+    ),
+    comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node),
+    losers AS (SELECT node AS doc_id FROM comp WHERE node != component)
+    SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars
+    FROM documents d
+    WHERE d.doc_id NOT IN (SELECT doc_id FROM losers)
+    ORDER BY d.doc_id
+    """,
+)
+def q_neardup_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return DD.neardup_dedup(load(spark, sf_dir, "documents")).orderBy("doc_id")

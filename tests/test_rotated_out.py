@@ -320,3 +320,57 @@ def test_user_stats_oracle(spark, sf_dir, con):
     from compute_histogram_spark.registry import USER_STATS_ORACLE, q_user_stats
 
     _check("user_stats", q_user_stats(spark, sf_dir), con, USER_STATS_ORACLE)
+
+
+# --- fourth rotation wave (r7): swapped for doc_perplexity(+backoff),
+# --- temperature_mix, peak_concurrency, neardup_dedup
+
+
+def test_event_transitions_oracle(spark, sf_dir, con):
+    from compute_histogram_spark.registry import (
+        EVENT_TRANSITIONS_ORACLE,
+        q_event_transitions,
+    )
+
+    _check("event_transitions", q_event_transitions(spark, sf_dir), con,
+           EVENT_TRANSITIONS_ORACLE)
+
+
+def test_cluster_doc_stats_oracle(spark, sf_dir, con):
+    from compute_histogram_spark.registry import (
+        CLUSTER_DOC_STATS_ORACLE,
+        q_cluster_doc_stats,
+    )
+
+    _check("cluster_doc_stats", q_cluster_doc_stats(spark, sf_dir), con,
+           CLUSTER_DOC_STATS_ORACLE)
+
+
+def test_doc_fingerprint_oracle(spark, sf_dir, con):
+    from compute_histogram_spark.registry import (
+        DOC_FINGERPRINT_ORACLE,
+        q_doc_fingerprint,
+    )
+
+    _check("doc_fingerprint", q_doc_fingerprint(spark, sf_dir), con,
+           DOC_FINGERPRINT_ORACLE)
+
+
+def test_top_tokens_per_lang_oracle(spark, sf_dir, con):
+    from compute_histogram_spark.registry import (
+        TOP_TOKENS_ORACLE,
+        q_top_tokens_per_lang,
+    )
+
+    _check("top_tokens_per_lang", q_top_tokens_per_lang(spark, sf_dir), con,
+           TOP_TOKENS_ORACLE)
+
+
+def test_similarity_topk_gemm_oracle(spark, sf_dir, con):
+    from compute_histogram_spark.registry import (
+        SIMILARITY_GEMM_ORACLE,
+        q_similarity_topk_gemm,
+    )
+
+    _check("similarity_topk_gemm", q_similarity_topk_gemm(spark, sf_dir), con,
+           SIMILARITY_GEMM_ORACLE)
