@@ -24,6 +24,7 @@ from compute_histogram_spark.session import get_session
 from compute_histogram_spark import registry
 from compute_histogram_spark.operators import behavior as BH
 from compute_histogram_spark.operators import relational as R
+from compute_histogram_spark.operators import text as TX
 from compute_histogram_spark.sources.tables import load
 
 
@@ -57,6 +58,13 @@ LOCAL_QUERIES = {
     # keeps the oracle); stays here for BENCH r01->r06 comparability.
     "cohort_retention": lambda spark, d: BH.cohort_retention(
         load(spark, d, "events")
+    ),
+    # rotated out in r7 (fourth wave); headline comparability fallbacks.
+    "event_transitions": lambda spark, d: BH.event_transitions(
+        load(spark, d, "events")
+    ),
+    "doc_fingerprint": lambda spark, d: TX.doc_fingerprint(
+        load(spark, d, "documents")
     ),
 }
 
@@ -122,6 +130,10 @@ LOCAL_ORACLES = {
     GROUP BY cwk, wk
     ORDER BY cohort_week_start_s, week_offset
     """,
+    # r7 rotation fallbacks: the oracle text lives on in registry.py as
+    # module constants (also exercised by tests/test_rotated_out.py)
+    "event_transitions": registry.EVENT_TRANSITIONS_ORACLE,
+    "doc_fingerprint": registry.DOC_FINGERPRINT_ORACLE,
 }
 
 HEADLINE = [
