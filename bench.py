@@ -294,21 +294,31 @@ def _bench_set(spark, sf_dir, queries, times, errors) -> None:
                   file=sys.stderr)
 
 
-# sf1 crossover sweep (default ON, SPARK_GRAFT_BENCH_SF1=0 to skip): tiles
-# sf0.1 by 10x via tools/make_scale.py (bench-only data; ~5 s to build,
-# reused if present) and times the headline queries on BOTH engines at sf1.
-# This is where the fixed-overhead-vs-linear-scan crossover shows (BASELINE
-# .md): DuckDB wins the constant factor at sf0.1; at sf1 the ratio lands
-# ~1.3x with several outright Spark wins. min-of-2 warm (not 5) keeps the
-# sweep ~4 min; cross-round comparisons use the ratio, not single queries.
-def _bench_sf1(spark, out: dict) -> None:
-    sf1_dir = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/sf1")
-    if not os.path.exists(os.path.join(sf1_dir, "lineitem.parquet")):
+# Crossover sweeps: the sf1 sweep (default ON, SPARK_GRAFT_BENCH_SF1=0 to
+# skip) tiles sf0.1 by 10x via tools/make_scale.py and times the headline
+# queries on BOTH engines — where the fixed-overhead-vs-linear-scan
+# crossover shows (BASELINE.md): DuckDB wins the constant factor at sf0.1;
+# at sf1 the ratio lands ~1.1x with several outright Spark wins. Warm runs
+# are min-of-2, topped up to min-of-5 for sub-2s queries (contention
+# noise); cross-round comparisons use the ratio, not single queries.
+def _bench_scale(
+    spark,
+    out: dict,
+    label: str,
+    factor: int,
+    scale_dir: str,
+    names: list[str],
+    budget_s: float,
+    min_runs: int = 2,
+) -> None:
+    """Interleaved two-engine sweep at ``factor``x the sf0.1 testdata
+    (bench-only tiled data, built on demand, reused if present)."""
+    if not os.path.exists(os.path.join(scale_dir, "lineitem.parquet")):
         sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools"))
         from make_scale import build
 
-        build(10, os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"),
-              sf1_dir, verbose=False)
+        build(factor, os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"),
+              scale_dir, verbose=False)
 
     import duckdb
 
@@ -316,20 +326,19 @@ def _bench_sf1(spark, out: dict) -> None:
 
     con = duckdb.connect()
     for t in TABLES:
-        p = os.path.join(sf1_dir, f"{t}.parquet")
+        p = os.path.join(scale_dir, f"{t}.parquet")
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
 
     # wall-clock budget: a loaded box must not starve the driver of the
-    # whole bench by dragging the sf1 sweep past its timeout. On budget
-    # overrun the sweep stops early with truncated=true; totals stay
-    # comparable because they only sum queries timed on BOTH engines.
-    budget_s = float(os.environ.get("SPARK_GRAFT_SF1_BUDGET_S", "900"))
+    # whole bench by dragging a sweep past its timeout. On budget overrun
+    # the sweep stops early with truncated=true; totals stay comparable
+    # because they only sum queries timed on BOTH engines.
     t_start = time.time()
     truncated = False
     queries: dict[str, dict[str, float]] = {}
     errors: dict[str, str] = {}
-    for name in HEADLINE:
+    for name in names:
         if time.time() - t_start > budget_s:
             truncated = True
             break
@@ -337,11 +346,11 @@ def _bench_sf1(spark, out: dict) -> None:
         sql = registry.ORACLES.get(name) or LOCAL_ORACLES.get(name)
         row: dict[str, float] = {}
         try:
-            materialize(fn(spark, sf1_dir))  # cold
+            materialize(fn(spark, scale_dir))  # cold
             s_times = []
-            for _ in range(2):
+            for _ in range(min_runs):
                 t0 = time.time()
-                materialize(fn(spark, sf1_dir))
+                materialize(fn(spark, scale_dir))
                 s_times.append(time.time() - t0)
             # sub-2s queries are where min-of-2 is thin against the 1.5-2x
             # host-contention noise (r6 read Q5 at 1.72 s vs an idle-box
@@ -349,7 +358,7 @@ def _bench_sf1(spark, out: dict) -> None:
             # minutes, precisely because the queries are fast.
             while min(s_times) < 2.0 and len(s_times) < 5:
                 t0 = time.time()
-                materialize(fn(spark, sf1_dir))
+                materialize(fn(spark, scale_dir))
                 s_times.append(time.time() - t0)
             row["spark"] = round(min(s_times), 3)
         except Exception as e:  # noqa: BLE001
@@ -358,7 +367,7 @@ def _bench_sf1(spark, out: dict) -> None:
             try:
                 con.execute(sql).fetchall()  # cold
                 d_times = []
-                for _ in range(2):
+                for _ in range(min_runs):
                     t0 = time.time()
                     con.execute(sql).fetchall()
                     d_times.append(time.time() - t0)
@@ -375,7 +384,7 @@ def _bench_sf1(spark, out: dict) -> None:
             if "spark" in r and "duckdb" in r]
     s_total = round(sum(s for s, _ in both), 3)
     d_total = round(sum(d for _, d in both), 3)
-    out["sf1"] = {
+    out[label] = {
         "spark_total_s": s_total,
         "duckdb_total_s": d_total,
         "ratio": round(s_total / d_total, 3) if d_total else None,
@@ -383,9 +392,48 @@ def _bench_sf1(spark, out: dict) -> None:
         "queries": queries,
     }
     if truncated:
-        out["sf1"]["truncated"] = True
+        out[label]["truncated"] = True
     if errors:
-        out["sf1"]["errors"] = errors
+        out[label]["errors"] = errors
+
+
+def _bench_sf1(spark, out: dict) -> None:
+    _bench_scale(
+        spark,
+        out,
+        "sf1",
+        10,
+        os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/sf1"),
+        HEADLINE,
+        float(os.environ.get("SPARK_GRAFT_SF1_BUDGET_S", "900")),
+    )
+
+
+# sf10 second-decade sweep (opt-in: SPARK_GRAFT_BENCH_SF10=1): 100x tiles
+# of sf0.1 (60M lineitem, 500k documents) through the 5 heaviest sf1
+# queries on both engines. One decade of measurement (sf0.1 -> sf1) showed
+# the crossover; this extends the ratio trend a second decade — the basis
+# of the 100 TB extrapolation in BASELINE.md. ~2 GB of /tmp parquet,
+# ~1 min build, budget-guarded.
+SF10_QUERIES = [
+    "doc_fingerprint",
+    "dedup_ngram_jaccard",
+    "text_stats",
+    "dedup_minhash",
+    "local_supplier_revenue",
+]
+
+
+def _bench_sf10(spark, out: dict) -> None:
+    _bench_scale(
+        spark,
+        out,
+        "sf10",
+        100,
+        os.environ.get("SPARK_GRAFT_SF10_DIR", "/tmp/sf10"),
+        SF10_QUERIES,
+        float(os.environ.get("SPARK_GRAFT_SF10_BUDGET_S", "1200")),
+    )
 
 
 def main() -> None:
@@ -426,6 +474,11 @@ def main() -> None:
             _bench_sf1(spark, out)
         except Exception as e:  # noqa: BLE001 - sweep must not kill headline
             out["sf1"] = {"error": f"{type(e).__name__}: {e}"[:300]}
+    if os.environ.get("SPARK_GRAFT_BENCH_SF10") == "1":
+        try:
+            _bench_sf10(spark, out)
+        except Exception as e:  # noqa: BLE001
+            out["sf10"] = {"error": f"{type(e).__name__}: {e}"[:300]}
     print(json.dumps(out))
 
 

@@ -1,14 +1,19 @@
-"""REAL audio decode for WAV (RIFF PCM / IEEE-float) — pure stdlib struct
-+ numpy, the audio sibling of the PNG codec (binary.py) and the GeoTIFF
-reader (geotiff.py). This removes the engine's last decoder stub: WAV is a
-chunked container with raw samples, fully parseable without any codec
-library. Compressed formats (MP3/AAC/OGG/FLAC) genuinely need codecs the
-container lacks; those still raise with a clear message.
+"""REAL audio decode for WAV (RIFF PCM / IEEE-float / G.711 / IMA-ADPCM) —
+pure stdlib struct + numpy, the audio sibling of the PNG codec (binary.py)
+and the GeoTIFF reader (geotiff.py). This removes the engine's last decoder
+stub: WAV is a chunked container with raw samples, fully parseable without
+any codec library. Perceptual formats (MP3/AAC/OGG) genuinely need codecs
+the container lacks; those still raise with a clear message.
 
-Supported: RIFF/WAVE with fmt tags 1 (integer PCM: u8, i16, i24, i32) and
-3 (float32/64), any channel count, chunk order per spec (fmt before data,
-unknown chunks skipped). ``WAVE_FORMAT_EXTENSIBLE`` (tag 0xFFFE) resolves
-through its SubFormat GUID.
+Supported: RIFF/WAVE with fmt tags 1 (integer PCM: u8, i16, i24, i32),
+3 (float32/64), 6 (G.711 A-law), 7 (G.711 µ-law — both ubiquitous in
+telephony corpora) and 0x11 (IMA/DVI ADPCM, the classic 4-bit speech
+codec), any channel count, chunk order per spec (fmt before data, unknown
+chunks skipped). ``WAVE_FORMAT_EXTENSIBLE`` (tag 0xFFFE) resolves through
+its SubFormat GUID. G.711 decodes through the canonical CCITT segment
+tables (LUT, vectorized); IMA-ADPCM walks its predictor state per block —
+O(samples) Python like the FLAC Rice path, with the same native plug
+point if ADPCM corpora ever dominate a workload.
 
 Spark side: :func:`extract_audio_features` follows the module's kernel
 pattern — Arrow-batched ``mapInPandas``, per-row decode inside the scan
@@ -32,6 +37,93 @@ _PCM_DTYPES = {8: np.uint8, 16: np.int16, 32: np.int32}
 _FLOAT_DTYPES = {32: np.float32, 64: np.float64}
 # first two bytes of the EXTENSIBLE SubFormat GUID
 _GUID_PCM, _GUID_FLOAT = 1, 3
+_TAG_ALAW, _TAG_ULAW, _TAG_IMA_ADPCM = 6, 7, 0x11
+
+
+def _g711_tables() -> tuple[np.ndarray, np.ndarray]:
+    """256-entry int16 decode LUTs for (µ-law, A-law) — the canonical
+    CCITT G.711 segment expansion (sign bit, 3-bit segment, 4-bit
+    mantissa; µ-law is biased by 0x84 and stored complemented, A-law is
+    stored XOR 0x55)."""
+    u = (~np.arange(256, dtype=np.int64)) & 0xFF
+    t = (((u & 0x0F) << 3) + 0x84) << ((u & 0x70) >> 4)
+    ulaw = np.where(u & 0x80, 0x84 - t, t - 0x84).astype(np.int16)
+
+    a = np.arange(256, dtype=np.int64) ^ 0x55
+    seg = (a & 0x70) >> 4
+    t = (a & 0x0F) << 4
+    t = np.where(seg == 0, t + 8, np.where(seg == 1, t + 0x108,
+                 (t + 0x108) << np.maximum(seg - 1, 0)))
+    alaw = np.where(a & 0x80, t, -t).astype(np.int16)
+    return ulaw, alaw
+
+
+_ULAW_DECODE, _ALAW_DECODE = _g711_tables()
+
+# IMA/DVI ADPCM state tables (IMA Digital Audio Pack, 1992)
+_IMA_STEPS = np.array([
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+], dtype=np.int64)
+_IMA_INDEX_ADJ = np.array([-1, -1, -1, -1, 2, 4, 6, 8], dtype=np.int64)
+
+
+def _ima_decode_channel(nibbles, pred: int, index: int) -> list[int]:
+    """Sequential IMA-ADPCM nibble expansion for one channel of one block.
+    The predictor recurrence is inherently serial — honest Python loop."""
+    out = []
+    for n in nibbles:
+        step = int(_IMA_STEPS[index])
+        diff = step >> 3
+        if n & 1:
+            diff += step >> 2
+        if n & 2:
+            diff += step >> 1
+        if n & 4:
+            diff += step
+        pred = pred - diff if n & 8 else pred + diff
+        pred = max(-32768, min(32767, pred))
+        index = max(0, min(88, index + int(_IMA_INDEX_ADJ[n & 7])))
+        out.append(pred)
+    return out
+
+
+def _decode_ima_adpcm(data: bytes, n_ch: int, block_align: int) -> np.ndarray:
+    """IMA-ADPCM 'data' chunk -> int16 [n_frames, n_ch]. Block layout per
+    the WAV spec: a 4-byte header per channel (int16 predictor, uint8 step
+    index, pad), then nibble payload in 4-byte (8-sample) groups
+    interleaved across channels."""
+    if block_align < 4 * n_ch or (block_align - 4 * n_ch) % (4 * n_ch):
+        raise ValueError(f"malformed IMA-ADPCM block align {block_align}")
+    frames: list[list[int]] = [[] for _ in range(n_ch)]
+    for b0 in range(0, len(data) - block_align + 1, block_align):
+        block = data[b0 : b0 + block_align]
+        chans = []
+        for c in range(n_ch):
+            pred, index, _pad = struct.unpack_from("<hBB", block, 4 * c)
+            if index > 88:
+                raise ValueError(f"malformed IMA-ADPCM step index {index}")
+            chans.append((pred, index))
+            frames[c].append(pred)  # header predictor IS sample 0
+        payload = np.frombuffer(block, dtype=np.uint8, offset=4 * n_ch)
+        lo, hi = payload & 0x0F, payload >> 4
+        nib = np.empty(payload.size * 2, dtype=np.uint8)
+        nib[0::2], nib[1::2] = lo, hi  # low nibble first, per spec
+        # regroup: 4-byte word (8 nibbles) per channel, channels rotating
+        groups = nib.reshape(-1, 8)
+        for c in range(n_ch):
+            ch_nib = groups[c::n_ch].ravel()
+            pred, index = chans[c]
+            frames[c].extend(_ima_decode_channel(ch_nib.tolist(), pred, index))
+    n = min(len(f) for f in frames) if frames else 0
+    return np.stack(
+        [np.asarray(f[:n], dtype=np.int16) for f in frames], axis=1
+    )
 
 
 def decode_wav(content: bytes) -> tuple[np.ndarray, int]:
@@ -43,6 +135,7 @@ def decode_wav(content: bytes) -> tuple[np.ndarray, int]:
     pos, end = 12, min(len(content), 8 + struct.unpack_from("<I", content, 4)[0])
     fmt = None
     data = None
+    n_fact = None
     while pos + 8 <= end:
         cid, size = struct.unpack_from("<4sI", content, pos)
         body = content[pos + 8 : pos + 8 + size]
@@ -55,6 +148,8 @@ def decode_wav(content: bytes) -> tuple[np.ndarray, int]:
                     raise ValueError("malformed EXTENSIBLE fmt chunk")
                 (tag,) = struct.unpack_from("<H", body, 24)
             fmt = (tag, n_ch, rate, block, bits)
+        elif cid == b"fact" and size >= 4:
+            (n_fact,) = struct.unpack_from("<I", body, 0)
         elif cid == b"data":
             data = body
         pos += 8 + size + (size & 1)  # chunks are word-aligned
@@ -82,10 +177,22 @@ def decode_wav(content: bytes) -> tuple[np.ndarray, int]:
         x = np.frombuffer(
             data, dtype=np.dtype(_FLOAT_DTYPES[bits]).newbyteorder("<")
         ).astype(np.float64)
+    elif tag in (_TAG_ULAW, _TAG_ALAW):
+        if bits != 8:
+            raise ValueError(f"G.711 must be 8-bit, got {bits}")
+        lut = _ULAW_DECODE if tag == _TAG_ULAW else _ALAW_DECODE
+        x = lut[np.frombuffer(data, dtype=np.uint8)].astype(np.float64) / 32768.0
+    elif tag == _TAG_IMA_ADPCM:
+        if bits != 4:
+            raise ValueError(f"IMA-ADPCM must be 4-bit, got {bits}")
+        y = _decode_ima_adpcm(data, n_ch, _block)
+        if n_fact is not None:  # fact chunk trims the padded tail block
+            y = y[:n_fact]
+        return y.astype(np.float64) / 32768.0, rate
     else:
         raise ValueError(
-            f"WAV format tag {tag} needs a codec library (only PCM/float "
-            "decode without one)"
+            f"WAV format tag {tag} needs a codec library (only PCM/float/"
+            "G.711/IMA-ADPCM decode without one)"
         )
     n = len(x) - len(x) % n_ch
     return x[:n].reshape(-1, n_ch), rate
@@ -117,6 +224,122 @@ def encode_wav(samples, sample_rate: int, bits: int = 16) -> bytes:
         for cid, body in ((b"fmt ", fmt), (b"data", data))
     )
     return RIFF_MAGIC + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def _wrap_wav(fmt_body: bytes, data: bytes, extra=()) -> bytes:
+    chunks = b"".join(
+        struct.pack("<4sI", cid, len(body)) + body + (b"\x00" * (len(body) & 1))
+        for cid, body in ((b"fmt ", fmt_body), *extra, (b"data", data))
+    )
+    return RIFF_MAGIC + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def encode_wav_g711(samples, sample_rate: int, law: str = "ulaw") -> bytes:
+    """G.711 µ-law / A-law WAV writer — the fixture generator proving the
+    telephony decode path by round-trip. Encoding quantizes each int16
+    sample to the code whose LUT expansion is nearest (the decode tables
+    are the ground truth, so encoder and decoder cannot drift apart)."""
+    a = np.asarray(samples, dtype=np.float64)
+    if a.ndim == 1:
+        a = a[:, None]
+    n_ch = a.shape[1]
+    pcm = np.clip(np.round(a * 32768.0), -32768, 32767).astype(np.int64)
+    lut = _ULAW_DECODE if law == "ulaw" else _ALAW_DECODE
+    order = np.argsort(lut, kind="stable")
+    sorted_vals = lut[order].astype(np.int64)
+    pos = np.searchsorted(sorted_vals, pcm.ravel())
+    lo = np.clip(pos - 1, 0, 255)
+    hi = np.clip(pos, 0, 255)
+    pick = np.where(
+        np.abs(sorted_vals[hi] - pcm.ravel())
+        < np.abs(sorted_vals[lo] - pcm.ravel()),
+        hi,
+        lo,
+    )
+    data = order[pick].astype(np.uint8).tobytes()
+    tag = _TAG_ULAW if law == "ulaw" else _TAG_ALAW
+    fmt = struct.pack(
+        "<HHIIHH", tag, n_ch, sample_rate, sample_rate * n_ch, n_ch, 8
+    )
+    return _wrap_wav(fmt, data)
+
+
+def encode_wav_ima(samples, sample_rate: int, block_frames: int = 505) -> bytes:
+    """IMA-ADPCM WAV writer (format tag 0x11) — fixture generator for the
+    4-bit predictive path. ``block_frames`` must be 8k+1 (one header sample
+    plus whole 4-byte nibble groups per channel; 505 is the stock mono
+    choice)."""
+    if (block_frames - 1) % 8:
+        raise ValueError("block_frames must be 8k+1")
+    a = np.asarray(samples, dtype=np.float64)
+    if a.ndim == 1:
+        a = a[:, None]
+    n_frames, n_ch = a.shape
+    pcm = np.clip(np.round(a * 32768.0), -32768, 32767).astype(np.int64)
+    block_align = 4 * n_ch + (block_frames - 1) * n_ch // 2
+    out = bytearray()
+    # per-channel step index: fitted to the opening slope, then carried
+    # across block boundaries (resetting to 0 each block gives the codec a
+    # slow 'attack' every block_frames samples — audible and test-visible)
+    idx_state = []
+    for c in range(n_ch):
+        d0 = abs(int(pcm[1, c]) - int(pcm[0, c])) if n_frames > 1 else 0
+        idx_state.append(int(np.abs(_IMA_STEPS - d0).argmin()))
+    for f0 in range(0, n_frames, block_frames):
+        blk = pcm[f0 : f0 + block_frames]
+        if blk.shape[0] < block_frames:  # zero-pad the tail block
+            pad = np.zeros((block_frames - blk.shape[0], n_ch), dtype=np.int64)
+            blk = np.vstack([blk, pad])
+        nibs = [[] for _ in range(n_ch)]
+        for c in range(n_ch):
+            pred, index = int(blk[0, c]), idx_state[c]
+            out += struct.pack("<hBB", pred, index, 0)
+            for s in blk[1:, c]:
+                step = int(_IMA_STEPS[index])
+                delta = int(s) - pred
+                code = 8 if delta < 0 else 0
+                delta = abs(delta)
+                if delta >= step:
+                    code |= 4
+                    delta -= step
+                if delta >= step >> 1:
+                    code |= 2
+                    delta -= step >> 1
+                if delta >= step >> 2:
+                    code |= 1
+                # reconstruct with the decoder arithmetic to keep state
+                diff = step >> 3
+                if code & 1:
+                    diff += step >> 2
+                if code & 2:
+                    diff += step >> 1
+                if code & 4:
+                    diff += step
+                pred = pred - diff if code & 8 else pred + diff
+                pred = max(-32768, min(32767, pred))
+                index = max(0, min(88, index + int(_IMA_INDEX_ADJ[code & 7])))
+                nibs[c].append(code)
+            idx_state[c] = index
+        # interleave in 8-nibble groups per channel
+        for g in range((block_frames - 1) // 8):
+            for c in range(n_ch):
+                eight = nibs[c][g * 8 : g * 8 + 8]
+                for k in range(0, 8, 2):
+                    out.append(eight[k] | (eight[k + 1] << 4))
+    spb = block_frames
+    fmt = struct.pack(
+        "<HHIIHHHH",
+        _TAG_IMA_ADPCM,
+        n_ch,
+        sample_rate,
+        sample_rate * block_align // spb,
+        block_align,
+        4,
+        2,      # cbSize
+        spb,    # wSamplesPerBlock
+    )
+    fact = struct.pack("<I", n_frames)
+    return _wrap_wav(fmt, bytes(out), extra=((b"fact", fact),))
 
 
 AUDIO_FEATURE_SCHEMA = (

@@ -129,3 +129,62 @@ def test_extract_audio_features_spark(spark):
         assert r["rms"] == pytest.approx(float(np.sqrt((v**2).mean())), rel=1e-6)
         assert r["peak"] == pytest.approx(float(np.abs(v).max()), rel=1e-6)
     assert out[9]["decoded"] is False and out[9]["rms"] is None
+
+
+# --- G.711 µ-law / A-law + IMA-ADPCM (r7: telephony-corpus coverage) ---
+
+
+def test_g711_tables_match_spec_landmarks():
+    """Spot-pin the LUTs against published G.711 values: µ-law 0xFF
+    decodes to 0 and 0x7F to the positive max 32124; A-law 0xD5 (the
+    silence byte) decodes to ±8-range small values per the CCITT tables."""
+    from compute_histogram_spark.multimodal.audio import (
+        _ALAW_DECODE,
+        _ULAW_DECODE,
+    )
+
+    assert _ULAW_DECODE[0xFF] == 0
+    assert _ULAW_DECODE[0x7F] == -0  # negative zero collapses to 0
+    assert int(_ULAW_DECODE.max()) == 32124
+    assert int(_ULAW_DECODE.min()) == -32124
+    assert int(_ALAW_DECODE.max()) == 32256
+    assert int(_ALAW_DECODE.min()) == -32256
+    assert _ALAW_DECODE[0xD5] == 8  # the canonical A-law 'silence' level
+
+
+@pytest.mark.parametrize("law", ["ulaw", "alaw"])
+def test_roundtrip_g711(law):
+    from compute_histogram_spark.multimodal.audio import encode_wav_g711
+
+    a = _sig(1200, 2)
+    x, rate = decode_wav(encode_wav_g711(a, 8000, law=law))
+    assert rate == 8000 and x.shape == a.shape
+    # logarithmic companding: relative error small for large samples,
+    # absolute error bounded by the widest segment's step (~1024/32768)
+    assert np.abs(x - a).max() < 0.032
+    big = np.abs(a) > 0.1
+    assert np.abs((x - a)[big] / a[big]).max() < 0.05
+
+
+@pytest.mark.parametrize("ch", [1, 2])
+def test_roundtrip_ima_adpcm(ch):
+    from compute_histogram_spark.multimodal.audio import encode_wav_ima
+
+    a = _sig(1000, ch)  # non-multiple of block_frames: fact-chunk trim path
+    x, rate = decode_wav(encode_wav_ima(a, 16000))
+    assert rate == 16000 and x.shape == a.shape
+    # 4-bit predictive coding of a smooth signal tracks within ~2%
+    assert np.abs(x - a).max() < 0.02
+
+
+def test_ima_adpcm_malformed_raises():
+    from compute_histogram_spark.multimodal.audio import encode_wav_ima
+
+    blob = bytearray(encode_wav_ima(_sig(505), 8000))
+    # corrupt the in-block step index beyond table range (offset of first
+    # block header's index byte = 12-byte RIFF + fmt chunk + fact + data hdr;
+    # find it structurally instead of hardcoding)
+    i = blob.index(b"data") + 8 + 2  # predictor int16, then index byte
+    blob[i] = 120
+    with pytest.raises(ValueError, match="step index"):
+        decode_wav(bytes(blob))

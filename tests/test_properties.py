@@ -361,10 +361,20 @@ def test_wav_corrupt_bytes_never_crash_weirdly(data):
 
     from compute_histogram_spark.multimodal.audio import decode_wav, encode_wav
 
+    from compute_histogram_spark.multimodal.audio import (
+        encode_wav_g711,
+        encode_wav_ima,
+    )
+
     rng = np.random.default_rng(31)
     a = rng.uniform(-0.8, 0.8, size=(400, 2))
-    bits = data.draw(st.sampled_from([16, 32, -32]))
-    blob = bytearray(encode_wav(a, 16000, bits=bits))
+    codec = data.draw(st.sampled_from([16, 32, -32, "ulaw", "alaw", "ima"]))
+    if codec == "ima":
+        blob = bytearray(encode_wav_ima(a, 16000))
+    elif codec in ("ulaw", "alaw"):
+        blob = bytearray(encode_wav_g711(a, 16000, law=codec))
+    else:
+        blob = bytearray(encode_wav(a, 16000, bits=codec))
     pos = data.draw(st.integers(0, len(blob) - 1))
     bit = data.draw(st.integers(0, 7))
     blob[pos] ^= 1 << bit

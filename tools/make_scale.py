@@ -59,24 +59,31 @@ def _suffix_tokens(col: pa.ChunkedArray, tag: str) -> pa.ChunkedArray:
 
 
 def scale_table(name: str, src: str, dst: str, factor: int) -> int:
+    """Write each replica as its own row-group batch instead of
+    concatenating ``factor`` copies in memory — at factor 100 (sf10) the
+    concat form would hold multi-GB of lineitem in one arrow table."""
     t = pq.read_table(os.path.join(src, f"{name}.parquet"))
-    reps = []
-    for i in range(factor):
-        r = t
-        if i > 0:
-            for k in KEY_COLS.get(name, []):
-                idx = r.schema.get_field_index(k)
-                shifted = pc.add(r.column(k), pa.scalar(i * OFFSET, r.schema.field(k).type))
-                r = r.set_column(idx, r.schema.field(k), shifted)
-            if name == "documents":
-                idx = r.schema.get_field_index("text")
-                r = r.set_column(
-                    idx, r.schema.field("text"), _suffix_tokens(r.column("text"), str(i))
-                )
-        reps.append(r)
-    out = pa.concat_tables(reps)
-    pq.write_table(out, os.path.join(dst, f"{name}.parquet"))
-    return out.num_rows
+    n_rows = 0
+    with pq.ParquetWriter(os.path.join(dst, f"{name}.parquet"), t.schema) as w:
+        for i in range(factor):
+            r = t
+            if i > 0:
+                for k in KEY_COLS.get(name, []):
+                    idx = r.schema.get_field_index(k)
+                    shifted = pc.add(
+                        r.column(k), pa.scalar(i * OFFSET, r.schema.field(k).type)
+                    )
+                    r = r.set_column(idx, r.schema.field(k), shifted)
+                if name == "documents":
+                    idx = r.schema.get_field_index("text")
+                    r = r.set_column(
+                        idx,
+                        r.schema.field("text"),
+                        _suffix_tokens(r.column("text"), str(i)),
+                    )
+            w.write_table(r)
+            n_rows += r.num_rows
+    return n_rows
 
 
 def build(factor: int = 10, src: str = "/root/testdata/sf0.1",
