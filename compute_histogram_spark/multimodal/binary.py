@@ -2,16 +2,17 @@
 
 The Spark-side plumbing is real: schemas, Arrow-batched ``mapInPandas``
 kernels, partition-preserving feature extraction, frame-sampling explosion.
-Decoders: PNG is REAL (stdlib zlib + unfilter, this module), GeoTIFF is
-REAL (stdlib struct/zlib baseline-TIFF reader, ``multimodal/geotiff.py``),
-and WAV audio is REAL (stdlib RIFF PCM/float reader,
-``multimodal/audio.py``); JPEG/GIF/BMP use Pillow when installed;
-everything else falls back to a clearly-marked deterministic fake (derived
-from the byte content, so tests are stable). Only COMPRESSED audio
-(MP3/AAC/OGG/FLAC) still raises — those genuinely need codec libraries the
-container lacks. Swapping a fake for a real decoder changes only the inner
-function; the distributed plan (batch iteration, schema, partitioning) is
-unchanged.
+Decoders: PNG is REAL (stdlib zlib + unfilter, this module), baseline
+JPEG is REAL (stdlib Huffman + numpy IDCT, ``multimodal/jpeg.py``),
+GeoTIFF is REAL (stdlib struct/zlib baseline-TIFF reader,
+``multimodal/geotiff.py``), and WAV/FLAC audio are REAL (stdlib readers,
+``multimodal/audio.py``, ``multimodal/flac.py``); GIF/BMP use Pillow
+when installed; everything else falls back to a clearly-marked
+deterministic fake (derived from the byte content, so tests are stable).
+Only LOSSY audio (MP3/AAC/OGG) still raises — those genuinely need codec
+libraries the container lacks. Swapping a fake for a real decoder
+changes only the inner function; the distributed plan (batch iteration,
+schema, partitioning) is unchanged.
 
 Scale notes: mapInPandas streams Arrow batches — one batch in memory per
 task, never the whole partition; binary payloads never pass through a
@@ -200,6 +201,13 @@ def _try_real_image_decode(content: bytes) -> tuple[int, int, int] | None:
             return i["width"], i["height"], i["bands"]
         except Exception:
             return None
+    if content.startswith(b"\xff\xd8"):
+        try:
+            from compute_histogram_spark.multimodal.jpeg import jpeg_info
+
+            return jpeg_info(content)
+        except Exception:
+            return None
     if content.startswith(_PIL_MAGIC):
         try:
             from PIL import Image  # noqa: PLC0415
@@ -213,8 +221,9 @@ def _try_real_image_decode(content: bytes) -> tuple[int, int, int] | None:
 
 
 def decode_image(content: bytes) -> tuple[int, int, int]:
-    """(width, height, channels). REAL for PNG (stdlib header decode) and,
-    with Pillow installed, for JPEG/GIF/BMP; DETERMINISTIC FAKE otherwise:
+    """(width, height, channels). REAL for PNG (stdlib header decode),
+    baseline JPEG (stdlib SOF parse, ``multimodal/jpeg.py``), TIFF, and,
+    with Pillow installed, GIF/BMP; DETERMINISTIC FAKE otherwise:
     dimensions derived from the content digest — stable, content-addressed,
     clearly not a real decode. Magic-byte gating means synthetic (text)
     payloads always take the fake path, keeping the driver oracle exact
@@ -273,7 +282,24 @@ def extract_features(assets: DataFrame) -> DataFrame:
                 if content.startswith(b"\x89PNG\r\n\x1a\n"):
                     w, h, _d, ct = struct.unpack(">IIBB", content[16:26])
                     return w, h, {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ct]
-                if content.startswith((b"\xff\xd8\xff", b"GIF87a", b"GIF89a", b"BM")):
+                if content.startswith(b"\xff\xd8"):
+                    # inline SOFn walk (kernel stays self-contained):
+                    # skip segments until a frame header, read dims
+                    pos = 2
+                    while pos + 4 <= len(content):
+                        if content[pos] != 0xFF:
+                            break
+                        m = content[pos + 1]
+                        if m in (0xD8, 0xD9) or 0xD0 <= m <= 0xD7:
+                            pos += 2
+                            continue
+                        (ln,) = struct.unpack_from(">H", content, pos + 2)
+                        if 0xC0 <= m <= 0xCF and m not in (0xC4, 0xC8, 0xCC):
+                            h, w = struct.unpack_from(">HH", content, pos + 5)
+                            return w, h, content[pos + 9]
+                        pos += 2 + ln
+                    raise ValueError("no SOF")
+                if content.startswith((b"GIF87a", b"GIF89a", b"BM")):
                     from PIL import Image
                     import io
 
@@ -347,9 +373,10 @@ PIXEL_STATS_SCHEMA = (
 
 
 def extract_pixel_stats(assets: DataFrame) -> DataFrame:
-    """REAL pixel statistics for decodable (PNG) image payloads via
-    Arrow-batched ``mapInPandas``: full stdlib decode (zlib + unfilter),
-    then vectorized numpy reductions — mean luminance, min/max sample.
+    """REAL pixel statistics for decodable (PNG, baseline JPEG) image
+    payloads via Arrow-batched ``mapInPandas``: full stdlib decode (PNG:
+    zlib + unfilter; JPEG: Huffman + IDCT, multimodal/jpeg.py), then
+    vectorized numpy reductions — mean luminance, min/max sample.
     Non-decodable payloads pass through with ``decoded=false`` and NULL
     stats instead of poisoning the batch; binary content never crosses a
     shuffle (stats are projected out in the scan stage's task)."""
@@ -358,13 +385,19 @@ def extract_pixel_stats(assets: DataFrame) -> DataFrame:
         import numpy as np
 
         from compute_histogram_spark.multimodal.binary import decode_png
+        from compute_histogram_spark.multimodal.jpeg import decode_jpeg
 
         for pdf in batches:
             rows = []
             for row in pdf.itertuples(index=False):
                 content = bytes(row.content)
                 try:
-                    px = decode_png(content)
+                    if content.startswith(b"\xff\xd8"):
+                        px = decode_jpeg(content)
+                        if px.ndim == 2:
+                            px = px[:, :, None]
+                    else:
+                        px = decode_png(content)
                     h, w, c = px.shape
                     # ITU-R 601 luma for RGB(A); first channel otherwise
                     if c >= 3:

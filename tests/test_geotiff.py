@@ -285,3 +285,55 @@ def test_giant_single_strip_dimension_lie_raises():
             struct.pack_into("<HHII", blob, base + 12 * i, tag, 4, 1, 1 << 30)
     with pytest.raises(ValueError, match="implausible|chunk count|short"):
         decode_geotiff(bytes(blob))
+
+
+def test_jpeg_in_tiff_round_trip_strip_and_tiled():
+    """New-style JPEG (compression 7, TIFF TechNote 2): single-strip and
+    tiled layouts, gray and RGB, with and without the shared JPEGTables
+    tag — lossy round trip under a quality-95 tolerance."""
+    yy, xx = np.mgrid[0:50, 0:70]
+    gray = (120 + 60 * np.sin(xx / 8.0) * np.cos(yy / 6.0)).astype(np.uint8)
+
+    for kwargs in (
+        {},
+        {"tile_size": 32},
+        {"tile_size": 32, "jpeg_shared_tables": True},
+    ):
+        blob = encode_geotiff(gray, compression="jpeg", jpeg_quality=95,
+                              **kwargs)
+        out = decode_geotiff(blob)
+        assert out.shape == gray.shape and out.dtype == np.uint8
+        assert np.abs(out.astype(int) - gray.astype(int)).max() <= 8
+    info = geotiff_info(blob)
+    assert info["compression"] == 7 and info["tiled"]
+
+
+def test_jpeg_in_tiff_rgb_band_select():
+    yy, xx = np.mgrid[0:40, 0:48]
+    g = (128 + 70 * np.sin(xx / 7.0) * np.cos(yy / 9.0)).astype(np.uint8)
+    rgb = np.stack([g, 255 - g, g // 2], axis=-1)
+    blob = encode_geotiff(rgb, compression="jpeg", tile_size=32,
+                          jpeg_quality=95, jpeg_shared_tables=True)
+    for band in (1, 2, 3):
+        out = decode_geotiff(blob, band=band)
+        assert out.shape == (40, 48)
+        assert np.abs(
+            out.astype(int) - rgb[:, :, band - 1].astype(int)
+        ).max() <= 16
+
+
+def test_jpeg_in_tiff_rejects_non_uint8():
+    a = np.zeros((8, 8), dtype=np.float32)
+    with pytest.raises(ValueError, match="uint8"):
+        encode_geotiff(a, compression="jpeg")
+    # and a corrupted float TIFF relabelled as JPEG-compressed must be
+    # diagnosed, not decoded
+    blob = bytearray(encode_geotiff(a, compression="none"))
+    (off,) = struct.unpack_from("<I", blob, 4)
+    (n,) = struct.unpack_from("<H", blob, off)
+    for i in range(n):
+        tag, _ = struct.unpack_from("<HH", blob, off + 2 + 12 * i)
+        if tag == 259:
+            struct.pack_into("<HHII", blob, off + 2 + 12 * i, 259, 3, 1, 7)
+    with pytest.raises(ValueError, match="uint8|JPEG"):
+        decode_geotiff(bytes(blob))

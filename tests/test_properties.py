@@ -325,6 +325,44 @@ def test_mp4_corrupt_bytes_never_crash_weirdly(data):
 
 @settings(max_examples=60, deadline=None)
 @given(data=st.data())
+def test_jpeg_corrupt_bytes_never_crash_weirdly(data):
+    """Single-bit corruption of a baseline JPEG must either still decode
+    to an array consistent with the (possibly corrupted) header — never a
+    header-inconsistent or unboundedly large one — or raise a diagnosed
+    error type. A flipped dimension bit is caught by the entropy-budget
+    guard before any allocation (jpeg.py _decode_scan)."""
+    import struct as _struct
+
+    from compute_histogram_spark.multimodal.jpeg import (
+        decode_jpeg,
+        encode_jpeg_baseline,
+        jpeg_info,
+    )
+
+    rng = np.random.default_rng(17)
+    gray = data.draw(st.booleans())
+    shape = (24, 24) if gray else (24, 24, 3)
+    img = np.clip(rng.normal(128, 30, size=shape), 0, 255).astype(np.uint8)
+    sub = "4:4:4" if gray else data.draw(st.sampled_from(["4:4:4", "4:2:0"]))
+    ri = data.draw(st.sampled_from([0, 2]))
+    blob = bytearray(
+        encode_jpeg_baseline(img, quality=85, subsampling=sub,
+                             restart_interval=ri)
+    )
+    pos = data.draw(st.integers(0, len(blob) - 1))
+    bit = data.draw(st.integers(0, 7))
+    blob[pos] ^= 1 << bit
+    try:
+        out = decode_jpeg(bytes(blob))
+        w, h, c = jpeg_info(bytes(blob))
+        assert out.shape[:2] == (h, w)  # shape tracks the stream's header
+    except (ValueError, _struct.error, KeyError, OverflowError,
+            MemoryError):
+        pass  # diagnosed rejection paths
+
+
+@settings(max_examples=60, deadline=None)
+@given(data=st.data())
 def test_geotiff_corrupt_bytes_never_crash_weirdly(data):
     """Single-bit corruption of classic or BigTIFF containers must either
     still decode (flip landed in pixel data — values differ, shape holds)
