@@ -345,7 +345,9 @@ def extract_features(assets: DataFrame) -> DataFrame:
 def sample_frames(assets: DataFrame, every_n_bytes: int = 64) -> DataFrame:
     """'Video' frame sampling: one output row per sampled chunk — the
     row-explosion shape of real frame extraction, with a byte-slice standing
-    in for codec-decoded frames."""
+    in for codec-decoded frames. REAL frame decode exists for MJPEG/AVI in
+    :func:`sample_video_frames`; this codec-free twin stays because the
+    driver oracle pins it for arbitrary (synthetic) payloads."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib  # local: keep the closure self-contained
@@ -364,6 +366,51 @@ def sample_frames(assets: DataFrame, every_n_bytes: int = 64) -> DataFrame:
             )
 
     return assets.where(F.col("kind") == "video").mapInPandas(kernel, FRAME_SCHEMA)
+
+
+VIDEO_FRAME_SCHEMA = (
+    "asset_id BIGINT, frame_idx INT, width INT, height INT, "
+    "mean_luma DOUBLE, decoded BOOLEAN"
+)
+
+
+def sample_video_frames(
+    assets: DataFrame, every: int = 1, max_frames: int | None = None
+) -> DataFrame:
+    """REAL video frame sampling for MJPEG-in-AVI payloads (multimodal/
+    avi.py — stdlib RIFF walk + the repo's baseline JPEG decoder): one
+    row per SAMPLED frame with decoded pixel stats. Skipped frames are
+    never Huffman-decoded — the container walk seeks chunk-to-chunk, so
+    stride sampling costs O(sampled), the property that matters when a
+    100 TB corpus stores hour-long clips and the pipeline wants 1 fps.
+    Non-AVI / non-decodable video payloads emit a single
+    ``decoded=false`` row instead of poisoning the Arrow batch
+    (:func:`sample_frames` remains the codec-free byte-chunk twin the
+    driver oracle pins)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from compute_histogram_spark.multimodal.avi import video_frame_stats
+
+        for pdf in batches:
+            rows = []
+            for row in pdf.itertuples(index=False):
+                content = bytes(row.content)
+                try:
+                    for idx, w, h, luma in video_frame_stats(
+                        content, every=every, max_frames=max_frames
+                    ):
+                        rows.append((row.asset_id, idx, w, h, luma, True))
+                except Exception:
+                    rows.append((row.asset_id, None, None, None, None, False))
+            yield pd.DataFrame(
+                rows,
+                columns=["asset_id", "frame_idx", "width", "height",
+                         "mean_luma", "decoded"],
+            )
+
+    return assets.where(F.col("kind") == "video").mapInPandas(
+        kernel, VIDEO_FRAME_SCHEMA
+    )
 
 
 PIXEL_STATS_SCHEMA = (

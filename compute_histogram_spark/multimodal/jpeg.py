@@ -685,8 +685,8 @@ def encode_jpeg_baseline(
     gray = a.ndim == 2
     if not gray and a.shape[2] != 3:
         raise ValueError("need 3 channels for color")
-    if subsampling not in ("4:4:4", "4:2:0"):
-        raise ValueError("subsampling must be 4:4:4 or 4:2:0")
+    if subsampling not in ("4:4:4", "4:2:2", "4:2:0"):
+        raise ValueError("subsampling must be 4:4:4, 4:2:2 or 4:2:0")
     h, w = a.shape[:2]
     if h == 0 or w == 0 or h > 65535 or w > 65535:
         raise ValueError("bad dimensions")
@@ -709,6 +709,13 @@ def encode_jpeg_baseline(
                 return pp.reshape(eh // 2, 2, ew // 2, 2).mean((1, 3))
             planes = [y, down(cb), down(cr)]
             samp = [(2, 2), (1, 1), (1, 1)]
+        elif subsampling == "4:2:2":
+            ew = -(-w // 2) * 2
+            def down(p):
+                pp = np.pad(p, ((0, 0), (0, ew - w)), mode="edge")
+                return pp.reshape(h, ew // 2, 2).mean(2)
+            planes = [y, down(cb), down(cr)]
+            samp = [(2, 1), (1, 1), (1, 1)]
         else:
             planes = [y, cb, cr]
             samp = [(1, 1), (1, 1), (1, 1)]

@@ -142,16 +142,41 @@ VIDEO_INFO_SCHEMA = (
 
 def extract_video_info(assets: DataFrame) -> DataFrame:
     """Per-asset container metadata via Arrow ``mapInPandas`` — real parse
-    for ISO-BMFF payloads, ``parsed=false`` passthrough otherwise."""
+    for ISO-BMFF payloads and (since r7) RIFF AVI payloads through the
+    same schema (brand='AVI ', MJPEG duration = frames/fps),
+    ``parsed=false`` passthrough otherwise."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from compute_histogram_spark.multimodal.avi import avi_info
         from compute_histogram_spark.multimodal.mp4 import mp4_info
 
         for pdf in batches:
             rows = []
             for row in pdf.itertuples(index=False):
                 try:
-                    i = mp4_info(bytes(row.content))
+                    content = bytes(row.content)
+                    if content[:4] == b"RIFF" and content[8:12] == b"AVI ":
+                        a = avi_info(content)
+                        rows.append(
+                            (
+                                row.asset_id,
+                                "AVI ",
+                                (
+                                    round(a["n_frames"] / a["fps"], 3)
+                                    if a["fps"]
+                                    else None
+                                ),
+                                int(round(a["fps"] * 1000)),
+                                1,
+                                a.get("codec"),
+                                a["width"],
+                                a["height"],
+                                None,
+                                True,
+                            )
+                        )
+                        continue
+                    i = mp4_info(content)
                     vid = next(
                         (t for t in i["tracks"] if t["handler"] == "vide"),
                         None,

@@ -97,6 +97,21 @@ def test_rgb_420_subsampling_luma_tight_chroma_loose():
     assert np.abs(out.astype(int) - img.astype(int)).max() <= 40
 
 
+def test_rgb_422_mixed_sampling_factors():
+    """4:2:2 (Y h=2,v=1) exercises the MCU geometry where horizontal and
+    vertical sampling differ — the path 4:4:4/4:2:0 can't reach."""
+    img = smooth_rgb(41, 57)
+    blob = encode_jpeg_baseline(img, quality=92, subsampling="4:2:2")
+    out = decode_jpeg(blob)
+    assert out.shape == img.shape
+
+    def luma(a):
+        return 0.299 * a[..., 0] + 0.587 * a[..., 1] + 0.114 * a[..., 2]
+
+    assert np.abs(luma(out) - luma(img)).max() <= 10
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 40
+
+
 def test_flat_image_near_exact():
     flat = np.full((17, 23), 131, np.uint8)
     out = decode_jpeg(encode_jpeg_baseline(flat, quality=90))

@@ -323,6 +323,39 @@ def test_mp4_corrupt_bytes_never_crash_weirdly(data):
         pass
 
 
+@settings(max_examples=40, deadline=None)
+@given(data=st.data())
+def test_avi_corrupt_bytes_never_crash_weirdly(data):
+    """Single-bit corruption of an MJPEG AVI must either still yield
+    frames (flip landed in pixel data) or raise a diagnosed error —
+    never hang, crash weirdly, or allocate absurdly (frame-count guard +
+    per-frame JPEG entropy-budget guard)."""
+    import struct as _struct
+
+    from compute_histogram_spark.multimodal.avi import (
+        encode_avi_mjpeg,
+        iter_frames,
+    )
+
+    rng = np.random.default_rng(23)
+    frames = [
+        np.clip(rng.normal(128, 25, size=(16, 16)), 0, 255).astype(np.uint8)
+        for _ in range(4)
+    ]
+    blob = bytearray(encode_avi_mjpeg(frames, fps=10, quality=85))
+    pos = data.draw(st.integers(0, len(blob) - 1))
+    bit = data.draw(st.integers(0, 7))
+    blob[pos] ^= 1 << bit
+    try:
+        out = list(iter_frames(bytes(blob), max_frames=8))
+        assert len(out) <= 8
+        for _idx, px in out:
+            assert px.ndim in (2, 3)
+    except (ValueError, _struct.error, KeyError, OverflowError,
+            MemoryError):
+        pass  # diagnosed rejection paths
+
+
 @settings(max_examples=60, deadline=None)
 @given(data=st.data())
 def test_jpeg_corrupt_bytes_never_crash_weirdly(data):
@@ -343,7 +376,11 @@ def test_jpeg_corrupt_bytes_never_crash_weirdly(data):
     gray = data.draw(st.booleans())
     shape = (24, 24) if gray else (24, 24, 3)
     img = np.clip(rng.normal(128, 30, size=shape), 0, 255).astype(np.uint8)
-    sub = "4:4:4" if gray else data.draw(st.sampled_from(["4:4:4", "4:2:0"]))
+    sub = (
+        "4:4:4"
+        if gray
+        else data.draw(st.sampled_from(["4:4:4", "4:2:2", "4:2:0"]))
+    )
     ri = data.draw(st.sampled_from([0, 2]))
     blob = bytearray(
         encode_jpeg_baseline(img, quality=85, subsampling=sub,
