@@ -253,6 +253,9 @@ def scrub_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
     -> (doc_id, n_emails, n_long_numbers, clean_md5) — the digest stands in
     for the cleaned text so downstream equality checks stay 32 bytes/row.
     """
+    from compute_histogram_spark.sources.tables import range_ordered
+
+    docs = range_ordered(docs, "doc_id")  # see range_ordered: one regex pass
     t = F.col(text_col)
     no_email = F.regexp_replace(t, EMAIL_RE, "<EMAIL>")
     clean = F.regexp_replace(no_email, LONG_NUMBER_RE, "<NUM>")
@@ -265,7 +268,7 @@ def scrub_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
             F.regexp_extract_all(no_email, F.lit(LONG_NUMBER_RE), F.lit(0))
         ).alias("n_long_numbers"),
         F.md5(clean).alias("clean_md5"),
-    ).orderBy("doc_id")
+    ).sortWithinPartitions("doc_id")
 
 
 def corpus_checksum(

@@ -406,7 +406,12 @@ def local_supplier_revenue(
     supplier: DataFrame,
     orders: DataFrame,
     lineitem: DataFrame,
-    region_name: str = "REGION0",
+    # default must be a name that EXISTS in the testdata (driver tables
+    # use TPC-H region names): the old "REGION0" fossil silently produced
+    # an empty result, and every ad-hoc Q5 timing taken with the default
+    # benchmarked a no-op — the source of the irreconcilable "0.25 s vs
+    # 1.7-2.2 s" readings in r6 (BASELINE.md round-7 reconciliation)
+    region_name: str = "ASIA",
 ) -> DataFrame:
     """TPC-H Q5 shape: revenue from orders where customer and supplier sit
     in the SAME nation, per nation of one region.

@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from compute_histogram_spark.functions.texthash import tokens, word_shingles
-from compute_histogram_spark.sources.tables import ensure_parallelism
+from compute_histogram_spark.sources.tables import ensure_parallelism, range_ordered
 
 STOPWORDS = ("the", "a", "of", "and", "in", "to")
 
@@ -38,7 +38,7 @@ def _count_in(tok_col: Column, words: tuple[str, ...]) -> Column:
 
 def text_stats(docs: DataFrame) -> DataFrame:
     """Per-doc quality features + a deterministic composite score."""
-    docs = ensure_parallelism(docs)
+    docs = range_ordered(docs, "doc_id")
     t = docs.select("doc_id", F.col("text"), tokens("text").alias("toks"))
     n_tokens = F.size("toks")
     n_nonspace = F.length(
@@ -57,7 +57,7 @@ def text_stats(docs: DataFrame) -> DataFrame:
         * (1.0 - 0.5 * F.col("stopword_ratio")),
         6,
     )
-    return stats.withColumn("quality_score", quality).orderBy("doc_id")
+    return stats.withColumn("quality_score", quality).sortWithinPartitions("doc_id")
 
 
 def _lang_pred_from_scores() -> Column:
@@ -79,7 +79,7 @@ def _lang_pred_from_scores() -> Column:
 
 def lang_id(docs: DataFrame) -> DataFrame:
     """Marker-word language scores + argmax prediction."""
-    docs = ensure_parallelism(docs)
+    docs = range_ordered(docs, "doc_id")
     t = docs.select("doc_id", "lang", tokens("text").alias("toks"))
     scores = t.select(
         "doc_id",
@@ -89,7 +89,7 @@ def lang_id(docs: DataFrame) -> DataFrame:
             for code, words in LANG_MARKERS.items()
         ],
     )
-    return scores.withColumn("lang_pred", _lang_pred_from_scores()).orderBy("doc_id")
+    return scores.withColumn("lang_pred", _lang_pred_from_scores()).sortWithinPartitions("doc_id")
 
 
 def text_profile(docs: DataFrame) -> DataFrame:
@@ -100,7 +100,7 @@ def text_profile(docs: DataFrame) -> DataFrame:
     scan whose only cost over :func:`text_stats` is the extra expressions,
     all JVM-side/codegen (``regexp_count`` avoids materializing the BPE
     match array just to take its size)."""
-    docs = ensure_parallelism(docs)
+    docs = range_ordered(docs, "doc_id")
     t = docs.select("doc_id", F.col("text"), tokens("text").alias("toks"))
     n_tokens = F.size("toks")
     n_nonspace = F.length(
@@ -133,12 +133,12 @@ def text_profile(docs: DataFrame) -> DataFrame:
         quality.alias("quality_score"),
         "n_bpe_tokens",
         _lang_pred_from_scores().alias("lang_pred"),
-    ).orderBy("doc_id")
+    ).sortWithinPartitions("doc_id")
 
 
 def token_counts(docs: DataFrame) -> DataFrame:
     """Whitespace vs BPE-ish token counts per doc."""
-    docs = ensure_parallelism(docs)
+    docs = range_ordered(docs, "doc_id")
     return docs.select(
         "doc_id",
         F.size(tokens("text")).alias("n_ws_tokens"),
@@ -146,7 +146,7 @@ def token_counts(docs: DataFrame) -> DataFrame:
             "n_bpe_tokens"
         ),
         F.length("text").alias("n_chars"),
-    ).orderBy("doc_id")
+    ).sortWithinPartitions("doc_id")
 
 
 def doc_fingerprint(docs: DataFrame, gram: int = 8) -> DataFrame:
@@ -159,7 +159,7 @@ def doc_fingerprint(docs: DataFrame, gram: int = 8) -> DataFrame:
     embarrassingly parallel map stage (vs the naive explode->groupBy, which
     shuffles every gram — measured 20x slower at sf0.1).
     """
-    docs = ensure_parallelism(docs)
+    docs = range_ordered(docs, "doc_id")
     grams = F.expr(
         f"CASE WHEN length(text) >= {gram} "
         f"THEN transform(sequence(1, length(text) - {gram} + 1), "
@@ -170,7 +170,7 @@ def doc_fingerprint(docs: DataFrame, gram: int = 8) -> DataFrame:
         "doc_id",
         F.array_min(F.transform(grams, F.md5)).alias("fingerprint"),
         F.size(F.array_distinct(grams)).cast("bigint").alias("n_grams"),
-    ).orderBy("doc_id")
+    ).sortWithinPartitions("doc_id")
 
 
 def top_tokens(docs: DataFrame, k: int = 20) -> DataFrame:
@@ -227,7 +227,7 @@ def quality_signals(docs: DataFrame) -> DataFrame:
     folding a (prev, run, best) accumulator over it — no explode, no
     groupBy (see the naive-shape cost note in :func:`doc_fingerprint`).
     """
-    docs = ensure_parallelism(docs)
+    docs = range_ordered(docs, "doc_id")
     t = docs.select("doc_id", tokens("text").alias("toks"))
     t = t.withColumn("g2", word_shingles("toks", 2)).withColumn(
         "g3", word_shingles("toks", 3)
@@ -276,7 +276,7 @@ def quality_signals(docs: DataFrame) -> DataFrame:
         & (F.col("frac_alpha_words") >= 0.8)
         & (F.col("top_bigram_frac") <= 0.2)
     )
-    return sig.withColumn("gopher_pass", gopher).orderBy("doc_id")
+    return sig.withColumn("gopher_pass", gopher).sortWithinPartitions("doc_id")
 
 
 def top_tokens_per_lang(docs: DataFrame, k: int = 5) -> DataFrame:

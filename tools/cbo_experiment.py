@@ -48,7 +48,7 @@ JOIN customer ON o_custkey = c_custkey
 JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
 JOIN nation   ON c_nationkey = n_nationkey
 JOIN region   ON n_regionkey = r_regionkey
-WHERE r_name = 'REGION0'
+WHERE r_name = 'ASIA'
 GROUP BY n_name
 ORDER BY revenue DESC, n_name ASC
 """
@@ -58,8 +58,19 @@ def join_order(df) -> list[str]:
     """Leaf-relation order of the optimized logical plan (left-to-right)."""
     plan = df._jdf.queryExecution().optimizedPlan().toString()
     # catalog scans print as `Relation spark_catalog.default.lineitem[...]`
-    # or `Relation default.lineitem[...]` depending on version
-    return re.findall(r"Relation [^\[ ]*?([a-z_]+)\[", plan)
+    # or `Relation default.lineitem[...]`; path-based parquet reads carry
+    # no table name, so fall back to the first column's `x_` prefix
+    names = re.findall(r"Relation [^\[ ]*?([a-z_]+)\[", plan)
+    if names:
+        return names
+    prefix_to_table = {
+        "l": "lineitem", "o": "orders", "c": "customer",
+        "s": "supplier", "n": "nation", "r": "region", "p": "part",
+    }
+    return [
+        prefix_to_table.get(m, m)
+        for m in re.findall(r"Relation ?\[([a-z])_[a-z_]+#", plan)
+    ]
 
 
 def timed(df, n=3) -> float:
