@@ -14,6 +14,7 @@ from compute_histogram_spark.multimodal.jpeg import (
     _A,
     decode_jpeg,
     encode_jpeg_baseline,
+    encode_jpeg_progressive,
     jpeg_info,
 )
 
@@ -201,12 +202,56 @@ def patch_marker(blob: bytes, old: int, new: int) -> bytes:
     raise AssertionError("marker not found")
 
 
-def test_progressive_and_arithmetic_rejected():
+def test_arithmetic_and_lossless_rejected():
     blob = encode_jpeg_baseline(smooth_gray(16, 16), quality=80)
-    with pytest.raises(ValueError, match="progressive"):
-        decode_jpeg(patch_marker(blob, 0xC0, 0xC2))
     with pytest.raises(ValueError, match="process"):
-        decode_jpeg(patch_marker(blob, 0xC0, 0xC9))
+        decode_jpeg(patch_marker(blob, 0xC0, 0xC9))  # arithmetic sequential
+    with pytest.raises(ValueError, match="process"):
+        decode_jpeg(patch_marker(blob, 0xC0, 0xC3))  # lossless
+
+
+# ------------------------------------------------------- progressive
+
+
+@pytest.mark.parametrize("h,w", [(40, 56), (9, 17), (8, 8), (33, 1)])
+def test_progressive_gray_bit_exact_with_baseline(h, w):
+    """The progressive scan script (successive-approximation DC,
+    spectral AC bands, two AC refinement rounds) must reconstruct
+    EXACTLY the coefficients the baseline stream carries — so the
+    decoded pixels are bit-identical to the baseline decode."""
+    img = smooth_gray(h, w)
+    prog = decode_jpeg(encode_jpeg_progressive(img, quality=90))
+    base = decode_jpeg(encode_jpeg_baseline(img, quality=90))
+    assert np.array_equal(prog, base)
+
+
+@pytest.mark.parametrize("sub", ["4:4:4", "4:2:0"])
+def test_progressive_color_bit_exact_with_baseline(sub):
+    img = smooth_rgb(41, 57)
+    prog = decode_jpeg(encode_jpeg_progressive(img, quality=88, subsampling=sub))
+    base = decode_jpeg(encode_jpeg_baseline(img, quality=88, subsampling=sub))
+    assert np.array_equal(prog, base)
+    assert np.abs(prog.astype(int) - img.astype(int)).max() <= 40
+
+
+def test_progressive_info_and_tolerance():
+    img = smooth_gray(24, 40)
+    blob = encode_jpeg_progressive(img, quality=95)
+    assert jpeg_info(blob) == (40, 24, 1)
+    out = decode_jpeg(blob)
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 6
+
+
+def test_progressive_block_cap_rejected():
+    """A bit-flipped SOF2 dimension must hit the absolute block cap
+    before the coefficient buffers are allocated."""
+    blob = bytearray(encode_jpeg_progressive(smooth_gray(16, 16), quality=80))
+    pos = 2
+    while blob[pos + 1] != 0xC2:
+        pos += 2 + struct.unpack_from(">H", blob, pos + 2)[0]
+    struct.pack_into(">HH", blob, pos + 5, 60000, 60000)
+    with pytest.raises(ValueError, match="block cap"):
+        decode_jpeg(bytes(blob))
 
 
 def test_not_a_jpeg_and_truncation_rejected():
