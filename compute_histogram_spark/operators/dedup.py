@@ -100,6 +100,11 @@ def minhash_candidates(
         .select(
             F.col("a.doc_id").alias("doc_id_1"), F.col("b.doc_id").alias("doc_id_2")
         )
+        # explicit pair-key shuffle: distinct reuses it (no extra
+        # exchange), and it MATERIALIZES the signature/join subtree so the
+        # final sort's range sampler re-reads shuffle files instead of
+        # re-running every min-md5 aggregation (plan_audit SORT_RESAMPLE)
+        .repartition(F.col("doc_id_1"), F.col("doc_id_2"))
         .distinct()
         .orderBy("doc_id_1", "doc_id_2")
     )
@@ -342,6 +347,10 @@ def embedding_neardup_pairs(
             ).alias("cosine"),
         )
         .where(F.col("cosine") >= threshold)
+        # shuffle barrier below the presentational sort: the surviving
+        # pair rows are tiny, and materializing them means the range
+        # sampler never re-runs the O(b^2) cosine join (SORT_RESAMPLE)
+        .repartition(F.col("vec_id_1"), F.col("vec_id_2"))
         .orderBy("vec_id_1", "vec_id_2")
     )
 

@@ -175,6 +175,52 @@ def _bcast_over_shuffle(plan: str) -> int:
     return n
 
 
+# per-row functions expensive enough that re-running them over a full
+# corpus for SORT SAMPLING is a real cost (the r7 text_profile finding)
+_EXPENSIVE_EXPRS = (
+    "regexp_", "md5(", "sha2(", "crc32(", "xxhash64(", "lambdafunction",
+)
+
+# queries whose range-sampled region is bounded or cheap by construction
+SORT_RESAMPLE_BOUNDED: dict[str, str] = {
+    # group-bounded aggregates: the region above the final sort is a
+    # post-shuffle reduce over few rows (AQE materializes the agg's map
+    # side; the resample re-runs only the reduce)
+}
+
+
+def _sort_resample(plan: str) -> int:
+    """Count rangepartitioning Exchanges whose RESAMPLE REGION — the
+    operators between the range exchange and the next materialized
+    exchange / scan below it — contains expensive per-row expressions.
+
+    A global orderBy samples its child to pick range bounds, re-running
+    everything in that region a second time over the full input
+    (measured r7: text_profile spent >50% of its wall-clock re-running
+    regex + marker passes for the sampler). The fix is
+    sources/tables.py:range_ordered — partition the SOURCE by the sort
+    key so the sampler reads only the pruned key column — or a shuffle
+    barrier below the sort. This gate keeps the class fixed."""
+    lines = plan.splitlines()
+    n = 0
+    for i, ln in enumerate(lines):
+        if "Exchange rangepartitioning" not in ln:
+            continue
+        indent = len(ln) - len(ln.lstrip(" +-*:|"))
+        region: list[str] = []
+        for nxt in lines[i + 1:]:
+            ind2 = len(nxt) - len(nxt.lstrip(" +-*:|"))
+            if ind2 <= indent and nxt.strip():
+                break
+            if "Exchange " in nxt or "FileScan" in nxt:
+                break  # materialized boundary: resample reads it cheaply
+            region.append(nxt)
+        text = "\n".join(region)
+        if any(m in text for m in _EXPENSIVE_EXPRS):
+            n += 1
+    return n
+
+
 def _global_windows(plan: str) -> int:
     """Count Window nodes with an empty partition spec.
 
@@ -228,6 +274,14 @@ def audit(name: str, df) -> tuple[bool, list[str]]:
             flags.append(f"bcast_over_shuffle_bounded={bos}")
         else:
             flags.append("BCAST_OVER_SHUFFLE")
+            hard_fail = True
+
+    sr = _sort_resample(plan)
+    if sr:
+        if name in SORT_RESAMPLE_BOUNDED:
+            flags.append(f"sort_resample_bounded={sr}")
+        else:
+            flags.append("SORT_RESAMPLE")
             hard_fail = True
 
     if "CartesianProduct" in plan:
