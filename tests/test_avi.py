@@ -138,3 +138,36 @@ def test_extract_video_info_handles_avi(spark):
     assert out[0]["duration_s"] == pytest.approx(0.5, abs=0.01)
     assert out[1]["parsed"] and out[1]["brand"] != "AVI "
     assert out[2]["parsed"] is False
+
+
+def test_mjpegframes_python_datasource(spark, tmp_path):
+    from compute_histogram_spark.sources.video import MJPEGFramesDataSource
+
+    for i, n in enumerate((4, 6)):
+        (tmp_path / f"clip{i}.avi").write_bytes(
+            encode_avi_mjpeg(gray_frames(n), fps=10, quality=92)
+        )
+    (tmp_path / "broken.avi").write_bytes(b"RIFFxxxxAVI garbage")
+
+    spark.dataSource.register(MJPEGFramesDataSource)
+    df = (
+        spark.read.format("mjpegframes")
+        .option("path", str(tmp_path))
+        .option("every", 2)
+        .load()
+    )
+    rows = df.collect()
+    by_path = {}
+    for r in rows:
+        by_path.setdefault(r["path"].rsplit("/", 1)[-1], []).append(r)
+    assert sorted(r["frame_idx"] for r in by_path["clip0.avi"]) == [0, 2]
+    assert sorted(r["frame_idx"] for r in by_path["clip1.avi"]) == [0, 2, 4]
+    assert all(
+        r["decoded"] and (r["width"], r["height"]) == (48, 32)
+        for r in by_path["clip0.avi"] + by_path["clip1.avi"]
+    )
+    # corrupt file -> one decoded=false row, scan survives
+    assert len(by_path["broken.avi"]) == 1
+    assert by_path["broken.avi"][0]["decoded"] is False
+    # file-level parallelism: one planned partition per file
+    assert df.rdd.getNumPartitions() == 3
