@@ -515,3 +515,114 @@ def neardup_dedup(
         F.col("node").alias("doc_id")
     )
     return docs.join(losers, "doc_id", "left_anti")
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    threshold: float = 0.9,
+    n_clusters: int = 10,
+    iters: int = 3,
+    keep: str = "closest",
+    centroids=None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): k-means partition
+    the embedding space, connect within-cluster pairs whose cosine
+    exceeds ``threshold``, keep ONE representative per duplicate group ->
+    (vec_id, cid, kept).
+
+    ``keep="closest"`` is the paper's policy — retain the group member
+    FARTHEST from its cluster centroid (lowest centroid cosine; redundant
+    interior points go, the informative outlier stays), vec_id as the
+    deterministic tiebreak. ``keep="min_id"`` retains the smallest vec_id
+    (the oracle-friendly twin used by the NumPy equality test).
+
+    100 TB shape: the learned clusters are the blocking key, so the pair
+    space is sum over clusters of O(b^2) instead of O(n^2) — identical to
+    the IVF index layout (clustering.assign_clusters), whose
+    ``partitionBy('cid')`` form this consumes for free; training cost is
+    amortized exactly like the ANN ladder's (sample_fraction + fixed
+    Lloyd's rounds, shuffles bounded by O(partitions x k x dim)). The
+    pair join, component resolution (O(log d) rounds) and min_by
+    reduction are all bounded by within-cluster duplicate counts, never
+    the corpus. ``centroids`` accepts a pre-trained matrix (testing /
+    index reuse).
+    """
+    from compute_histogram_spark.operators.clustering import (
+        assign_clusters,
+        kmeans,
+    )
+    from compute_histogram_spark.operators.graph import connected_components
+
+    if keep not in ("closest", "min_id"):
+        raise ValueError("keep must be 'closest' or 'min_id'")
+    if centroids is None:
+        centroids = kmeans(emb, n_clusters=n_clusters, iters=iters)
+    assigned = assign_clusters(emb, centroids)  # (vec_id, v, nrm, cid)
+
+    a, b = assigned.alias("a"), assigned.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.cid") == F.col("b.cid"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .where(
+            V.cosine(F.col("a.v"), F.col("b.v"), F.col("a.nrm"), F.col("b.nrm"))
+            >= threshold
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_id_1"),
+            F.col("b.vec_id").alias("vec_id_2"),
+        )
+    )
+    comps = connected_components(pairs, src="vec_id_1", dst="vec_id_2")
+
+    if keep == "min_id":
+        keep_per_comp = comps.groupBy("component").agg(
+            F.min("node").alias("keep_id")
+        )
+    else:
+        # centroid cosine per member: join the k-row centroid table
+        spark = emb.sparkSession
+        cent_rows = [
+            (int(i), [float(x) for x in c]) for i, c in enumerate(centroids)
+        ]
+        cent = spark.createDataFrame(cent_rows, "cid INT, cv ARRAY<DOUBLE>")
+        scored = (
+            assigned.join(comps, assigned["vec_id"] == comps["node"])
+            .join(F.broadcast(cent), "cid")
+            .select(
+                "component",
+                "vec_id",
+                V.cosine(
+                    F.col("v"), F.col("cv"), F.col("nrm"), V.norm(F.col("cv"))
+                ).alias("ccos"),
+            )
+        )
+        keep_per_comp = scored.groupBy("component").agg(
+            F.min_by("vec_id", F.struct(F.col("ccos"), F.col("vec_id"))).alias(
+                "keep_id"
+            )
+        )
+
+    losers = (
+        comps.join(
+            keep_per_comp,
+            comps["component"] == keep_per_comp["component"],
+            "inner",
+        )
+        .where(F.col("node") != F.col("keep_id"))
+        .select(F.col("node").alias("vec_id"))
+    )
+    return (
+        assigned.select("vec_id", "cid")
+        .join(F.broadcast(losers.withColumn("lost", F.lit(True))), "vec_id",
+              "left")
+        .select(
+            "vec_id",
+            "cid",
+            F.coalesce(~F.col("lost"), F.lit(True)).alias("kept"),
+        )
+        .repartition(F.col("vec_id"))
+        .orderBy("vec_id")
+    )

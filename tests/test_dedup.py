@@ -278,3 +278,85 @@ def test_neardup_dedup_removes_cluster_losers_only(spark, sf_dir):
     assert winners <= kept_ids                # every cluster keeps its min
     assert len(losers) > 0                    # the fixture has near-dups
     assert kept.columns == docs.columns       # schema passes through
+
+
+def test_semantic_dedup_matches_numpy_twin(spark):
+    """SemDeDup vs an independent NumPy reimplementation: same centroids
+    in, identical (kept, cid) out — for both keep policies."""
+    import numpy as np
+
+    from compute_histogram_spark.operators.clustering import kmeans
+    from compute_histogram_spark.operators.dedup import semantic_dedup
+
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=(6, 8))
+    rows = []
+    vid = 0
+    for b in base:
+        for _ in range(rng.integers(2, 5)):
+            v = b + rng.normal(scale=0.01, size=8)  # tight near-dup family
+            rows.append((vid, [float(x) for x in v], int(vid % 3)))
+            vid += 1
+    emb = spark.createDataFrame(
+        rows, "vec_id BIGINT, embedding ARRAY<DOUBLE>, label INT"
+    )
+    cents = kmeans(emb, n_clusters=4, iters=3)
+
+    # --- NumPy twin
+    X = np.array([r[1] for r in rows])
+    ids = np.array([r[0] for r in rows])
+    d = np.linalg.norm(X[:, None, :] - cents[None, :, :], axis=2)
+    cid = d.argmin(axis=1)
+    thr = 0.9
+
+    def cos(i, j):
+        return float(
+            X[i] @ X[j] / (np.linalg.norm(X[i]) * np.linalg.norm(X[j]))
+        )
+
+    # union-find over within-cluster pairs above threshold
+    parent = {int(i): int(i) for i in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            if cid[i] == cid[j] and cos(i, j) >= thr:
+                ri, rj = find(int(ids[i])), find(int(ids[j]))
+                if ri != rj:
+                    parent[max(ri, rj)] = min(ri, rj)
+    groups = {}
+    for i in range(len(ids)):
+        groups.setdefault(find(int(ids[i])), []).append(i)
+
+    for keep in ("min_id", "closest"):
+        expect_kept = set()
+        for members in groups.values():
+            if len(members) == 1:
+                expect_kept.add(int(ids[members[0]]))
+                continue
+            if keep == "min_id":
+                expect_kept.add(min(int(ids[m]) for m in members))
+            else:
+                def ccos(m):
+                    c = cents[cid[m]]
+                    return (
+                        X[m] @ c / (np.linalg.norm(X[m]) * np.linalg.norm(c)),
+                        int(ids[m]),
+                    )
+                expect_kept.add(int(ids[min(members, key=ccos)]))
+
+        out = semantic_dedup(
+            emb, threshold=thr, centroids=cents, keep=keep
+        ).collect()
+        assert len(out) == len(rows)
+        got_kept = {r["vec_id"] for r in out if r["kept"]}
+        assert got_kept == expect_kept, keep
+        got_cid = {r["vec_id"]: r["cid"] for r in out}
+        assert got_cid == {int(ids[i]): int(cid[i]) for i in range(len(ids))}
+        # families collapse: kept count == number of groups
+        assert len(got_kept) == len(groups)
