@@ -5,10 +5,11 @@ kernels, partition-preserving feature extraction, frame-sampling explosion.
 Decoders: PNG is REAL (stdlib zlib + unfilter, this module), baseline
 JPEG is REAL (stdlib Huffman + numpy IDCT, ``multimodal/jpeg.py``),
 GeoTIFF is REAL (stdlib struct/zlib baseline-TIFF reader,
-``multimodal/geotiff.py``), and WAV/FLAC audio are REAL (stdlib readers,
-``multimodal/audio.py``, ``multimodal/flac.py``); GIF/BMP use Pillow
-when installed; everything else falls back to a clearly-marked
-deterministic fake (derived from the byte content, so tests are stable).
+``multimodal/geotiff.py``), GIF and BMP are REAL (stdlib LZW + palette
+reader, ``multimodal/gif.py``), and WAV/FLAC audio are REAL (stdlib
+readers, ``multimodal/audio.py``, ``multimodal/flac.py``); everything
+else falls back to a clearly-marked deterministic fake (derived from
+the byte content, so tests are stable).
 Only LOSSY audio (MP3/AAC/OGG) still raises — those genuinely need codec
 libraries the container lacks. Swapping a fake for a real decoder
 changes only the inner function; the distributed plan (batch iteration,
@@ -61,8 +62,6 @@ def assets_from_documents(docs: DataFrame) -> DataFrame:
 PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 # channels per PNG color type: gray, RGB, palette, gray+alpha, RGBA
 _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
-# magic prefixes worth handing to Pillow if it happens to be installed
-_PIL_MAGIC = (b"\xff\xd8\xff", b"GIF87a", b"GIF89a", b"BM")
 
 
 def png_info(content: bytes) -> tuple[int, int, int]:
@@ -183,10 +182,10 @@ def encode_png(arr) -> bytes:
 
 
 def _try_real_image_decode(content: bytes) -> tuple[int, int, int] | None:
-    """Real decode path: stdlib PNG header parse for PNG payloads; Pillow
-    (if installed) for other known image magics. Returns None — never
-    raises — when the payload isn't decodable, so callers fall through to
-    the deterministic fake (ADVICE r01: an exception here must not poison
+    """Real metadata decode, all in-repo: PNG IHDR, TIFF IFD, JPEG SOF,
+    GIF logical screen, BMP info header. Returns None — never raises —
+    when the payload isn't decodable, so callers fall through to the
+    deterministic fake (ADVICE r01: an exception here must not poison
     the whole Arrow batch)."""
     if content.startswith(PNG_MAGIC):
         try:
@@ -208,22 +207,27 @@ def _try_real_image_decode(content: bytes) -> tuple[int, int, int] | None:
             return jpeg_info(content)
         except Exception:
             return None
-    if content.startswith(_PIL_MAGIC):
+    if content.startswith((b"GIF87a", b"GIF89a")):
         try:
-            from PIL import Image  # noqa: PLC0415
-            import io  # noqa: PLC0415
+            from compute_histogram_spark.multimodal.gif import gif_info
 
-            img = Image.open(io.BytesIO(content))
-            return img.width, img.height, len(img.getbands())
-        except Exception:  # ImportError, UnidentifiedImageError, truncation
+            return gif_info(content)
+        except Exception:
+            return None
+    if content.startswith(b"BM"):
+        try:
+            from compute_histogram_spark.multimodal.gif import bmp_info
+
+            return bmp_info(content)
+        except Exception:
             return None
     return None
 
 
 def decode_image(content: bytes) -> tuple[int, int, int]:
     """(width, height, channels). REAL for PNG (stdlib header decode),
-    baseline JPEG (stdlib SOF parse, ``multimodal/jpeg.py``), TIFF, and,
-    with Pillow installed, GIF/BMP; DETERMINISTIC FAKE otherwise:
+    JPEG (stdlib SOF parse, ``multimodal/jpeg.py``), TIFF, GIF and BMP
+    (``multimodal/gif.py``); DETERMINISTIC FAKE otherwise:
     dimensions derived from the content digest — stable, content-addressed,
     clearly not a real decode. Magic-byte gating means synthetic (text)
     payloads always take the fake path, keeping the driver oracle exact
@@ -299,12 +303,17 @@ def extract_features(assets: DataFrame) -> DataFrame:
                             return w, h, content[pos + 9]
                         pos += 2 + ln
                     raise ValueError("no SOF")
-                if content.startswith((b"GIF87a", b"GIF89a", b"BM")):
-                    from PIL import Image
-                    import io
-
-                    img = Image.open(io.BytesIO(content))
-                    return img.width, img.height, len(img.getbands())
+                if content.startswith((b"GIF87a", b"GIF89a")):
+                    w, h = struct.unpack_from("<HH", content, 6)
+                    if w == 0 or h == 0:
+                        raise ValueError("zero dim")
+                    return w, h, 3
+                if content.startswith(b"BM") and len(content) >= 30:
+                    w, h = struct.unpack_from("<ii", content, 18)
+                    (bpp,) = struct.unpack_from("<H", content, 28)
+                    if w <= 0 or h == 0:
+                        raise ValueError("bad dims")
+                    return w, abs(h), 1 if bpp == 8 else 3
             except Exception:
                 pass
             d = hashlib.sha256(content).digest()
@@ -420,9 +429,10 @@ PIXEL_STATS_SCHEMA = (
 
 
 def extract_pixel_stats(assets: DataFrame) -> DataFrame:
-    """REAL pixel statistics for decodable (PNG, baseline JPEG) image
+    """REAL pixel statistics for decodable (PNG, JPEG, GIF, BMP) image
     payloads via Arrow-batched ``mapInPandas``: full stdlib decode (PNG:
-    zlib + unfilter; JPEG: Huffman + IDCT, multimodal/jpeg.py), then
+    zlib + unfilter; JPEG: Huffman + IDCT, multimodal/jpeg.py; GIF: LZW
+    + palette; BMP: padded BGR rows, multimodal/gif.py), then
     vectorized numpy reductions — mean luminance, min/max sample.
     Non-decodable payloads pass through with ``decoded=false`` and NULL
     stats instead of poisoning the batch; binary content never crosses a
@@ -432,6 +442,7 @@ def extract_pixel_stats(assets: DataFrame) -> DataFrame:
         import numpy as np
 
         from compute_histogram_spark.multimodal.binary import decode_png
+        from compute_histogram_spark.multimodal.gif import decode_bmp, decode_gif
         from compute_histogram_spark.multimodal.jpeg import decode_jpeg
 
         for pdf in batches:
@@ -443,6 +454,10 @@ def extract_pixel_stats(assets: DataFrame) -> DataFrame:
                         px = decode_jpeg(content)
                         if px.ndim == 2:
                             px = px[:, :, None]
+                    elif content.startswith((b"GIF87a", b"GIF89a")):
+                        px = decode_gif(content)
+                    elif content.startswith(b"BM"):
+                        px = decode_bmp(content)
                     else:
                         px = decode_png(content)
                     h, w, c = px.shape

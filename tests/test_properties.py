@@ -325,6 +325,39 @@ def test_mp4_corrupt_bytes_never_crash_weirdly(data):
 
 @settings(max_examples=40, deadline=None)
 @given(data=st.data())
+def test_gif_bmp_corrupt_bytes_never_crash_weirdly(data):
+    """Single-bit corruption of a GIF or BMP must either still decode to
+    a header-consistent array or raise a diagnosed error type."""
+    import struct as _struct
+
+    from compute_histogram_spark.multimodal.gif import (
+        bmp_info,
+        decode_bmp,
+        decode_gif,
+        encode_bmp,
+        encode_gif,
+        gif_info,
+    )
+
+    rng = np.random.default_rng(29)
+    pal = rng.integers(0, 256, size=(8, 3), dtype=np.uint8)
+    img = pal[rng.integers(0, 8, size=(16, 16), dtype=np.uint8)]
+    is_gif = data.draw(st.booleans())
+    blob = bytearray(encode_gif(img) if is_gif else encode_bmp(img))
+    pos = data.draw(st.integers(0, len(blob) - 1))
+    bit = data.draw(st.integers(0, 7))
+    blob[pos] ^= 1 << bit
+    try:
+        out = decode_gif(bytes(blob)) if is_gif else decode_bmp(bytes(blob))
+        w, h, _ = (gif_info if is_gif else bmp_info)(bytes(blob))
+        assert out.shape[:2] == (h, w)
+    except (ValueError, _struct.error, KeyError, OverflowError,
+            MemoryError, IndexError):
+        pass  # diagnosed rejection paths
+
+
+@settings(max_examples=40, deadline=None)
+@given(data=st.data())
 def test_avi_corrupt_bytes_never_crash_weirdly(data):
     """Single-bit corruption of an MJPEG AVI must either still yield
     frames (flip landed in pixel data) or raise a diagnosed error —
