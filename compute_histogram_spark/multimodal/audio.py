@@ -1,9 +1,10 @@
-"""REAL audio decode for WAV (RIFF PCM / IEEE-float / G.711 / IMA-ADPCM) —
-pure stdlib struct + numpy, the audio sibling of the PNG codec (binary.py)
-and the GeoTIFF reader (geotiff.py). This removes the engine's last decoder
-stub: WAV is a chunked container with raw samples, fully parseable without
-any codec library. Perceptual formats (MP3/AAC/OGG) genuinely need codecs
-the container lacks; those still raise with a clear message.
+"""REAL audio decode for WAV (RIFF PCM / IEEE-float / G.711 / IMA-ADPCM)
+and AIFF/AIFF-C (big-endian signed PCM + 'sowt', the Mac/pro-audio
+container) — pure stdlib struct + numpy, the audio sibling of the PNG
+codec (binary.py) and the GeoTIFF reader (geotiff.py). Uncompressed
+audio is chunked containers with raw samples, fully parseable without
+any codec library. Perceptual formats (MP3/AAC/OGG) genuinely need
+codecs the container lacks; those still raise with a clear message.
 
 Supported: RIFF/WAVE with fmt tags 1 (integer PCM: u8, i16, i24, i32),
 3 (float32/64), 6 (G.711 A-law), 7 (G.711 µ-law — both ubiquitous in
@@ -392,3 +393,132 @@ def extract_audio_features(assets: DataFrame) -> DataFrame:
     return assets.where(F.col("kind") == "audio").mapInPandas(
         kernel, AUDIO_FEATURE_SCHEMA
     )
+
+
+# ---------------------------------------------------------------- AIFF
+
+AIFF_MAGIC = b"FORM"
+
+
+def _f80_to_float(b: bytes) -> float:
+    """80-bit IEEE 754 extended (the AIFF COMM sample-rate field)."""
+    if len(b) != 10:
+        raise ValueError("malformed AIFF: bad extended float")
+    (se,) = struct.unpack(">H", b[:2])
+    (mant,) = struct.unpack(">Q", b[2:])
+    sign = -1.0 if se & 0x8000 else 1.0
+    exp = se & 0x7FFF
+    if exp == 0 and mant == 0:
+        return 0.0
+    return sign * mant * 2.0 ** (exp - 16383 - 63)
+
+
+def _float_to_f80(v: float) -> bytes:
+    if v == 0:
+        return b"\x00" * 10
+    sign = 0x8000 if v < 0 else 0
+    v = abs(v)
+    exp = 16383 + 63
+    while v >= 2.0**64:
+        v /= 2.0
+        exp += 1
+    while v < 2.0**63:
+        v *= 2.0
+        exp -= 1
+    return struct.pack(">HQ", sign | exp, int(v))
+
+
+def decode_aiff(content: bytes) -> tuple[np.ndarray, int]:
+    """AIFF / AIFF-C ('NONE' big-endian, 'sowt' little-endian PCM) ->
+    (samples [n_frames, n_channels] float64 in [-1, 1], sample_rate).
+    AIFF PCM is SIGNED at every depth (8/16/24/32) — unlike WAV's
+    offset-binary u8 — and big-endian by default; the FORM/chunk grammar
+    mirrors RIFF with big-endian sizes."""
+    if content[:4] != AIFF_MAGIC or content[8:12] not in (b"AIFF", b"AIFC"):
+        raise ValueError("not an AIFF file")
+    aifc = content[8:12] == b"AIFC"
+    pos = 12
+    end = min(len(content), 8 + struct.unpack_from(">I", content, 4)[0])
+    comm = None
+    data = None
+    little = False
+    while pos + 8 <= end:
+        cid, size = struct.unpack_from(">4sI", content, pos)
+        body = content[pos + 8 : pos + 8 + size]
+        if len(body) < size:
+            raise ValueError("malformed AIFF: truncated chunk")
+        if cid == b"COMM":
+            if size < 18:
+                raise ValueError("malformed AIFF: short COMM")
+            n_ch, _n_frames, bits = struct.unpack_from(">hIh", body, 0)
+            rate = _f80_to_float(body[8:18])
+            if aifc:
+                if size < 22:
+                    raise ValueError("malformed AIFC: missing compression")
+                ctype = body[18:22]
+                if ctype == b"sowt":
+                    little = True
+                elif ctype != b"NONE":
+                    raise ValueError(
+                        f"AIFC compression {ctype!r} needs a codec library"
+                    )
+            comm = (n_ch, bits, rate)
+        elif cid == b"SSND":
+            if size < 8:
+                raise ValueError("malformed AIFF: short SSND")
+            (offset,) = struct.unpack_from(">I", body, 0)
+            data = body[8 + offset :]
+        pos += 8 + size + (size & 1)
+    if comm is None or data is None:
+        raise ValueError("malformed AIFF: missing COMM/SSND chunk")
+    n_ch, bits, rate = comm
+    if n_ch < 1 or not (6 <= rate <= 10_000_000):
+        raise ValueError("malformed AIFF: bad channel count or rate")
+    eb = "<" if little else ">"
+    if bits == 24:
+        b = np.frombuffer(data, dtype=np.uint8)
+        b = b[: len(b) - len(b) % 3].reshape(-1, 3)
+        widened = np.zeros((b.shape[0], 4), dtype=np.uint8)
+        # assemble little-endian i32 [0, LSB, mid, MSB]: sowt stores
+        # LSB-first already; big-endian AIFF stores MSB-first, so reverse
+        widened[:, 1:] = b if little else b[:, ::-1]
+        x = widened.view("<i4").ravel().astype(np.float64) / 2**31
+    elif bits in (8, 16, 32):
+        dt = {8: "i1", 16: "i2", 32: "i4"}[bits]
+        raw = np.frombuffer(data, dtype=np.dtype(dt).newbyteorder(eb))
+        x = raw.astype(np.float64) / float(2 ** (bits - 1))
+    else:
+        raise ValueError(f"unsupported AIFF bit depth {bits}")
+    n = len(x) - len(x) % n_ch
+    return x[:n].reshape(-1, n_ch), int(round(rate))
+
+
+def encode_aiff(samples, sample_rate: int, bits: int = 16) -> bytes:
+    """Big-endian AIFF PCM writer (8/16/24/32 signed) — the fixture
+    proving :func:`decode_aiff` by round trip."""
+    x = np.asarray(samples, dtype=np.float64)
+    if x.ndim == 1:
+        x = x[:, None]
+    n_frames, n_ch = x.shape
+    scale = float(2 ** (bits - 1))
+    q = np.clip(np.round(x * scale), -scale, scale - 1).astype(np.int64)
+    if bits == 24:
+        as32 = (q.ravel().astype(">i4")).view(np.uint8).reshape(-1, 4)
+        data = as32[:, 1:].tobytes()  # drop the high byte of each BE i32
+    elif bits in (8, 16, 32):
+        dt = {8: ">i1", 16: ">i2", 32: ">i4"}[bits]
+        data = q.ravel().astype(dt).tobytes()
+    else:
+        raise ValueError(f"unsupported AIFF bit depth {bits}")
+    comm = struct.pack(">hIh", n_ch, n_frames, bits) + _float_to_f80(
+        float(sample_rate)
+    )
+    ssnd = struct.pack(">II", 0, 0) + data
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        return cid + struct.pack(">I", len(body)) + body + (
+            b"\x00" if len(body) & 1 else b""
+        )
+
+    body = b"AIFF" + chunk(b"COMM", comm) + chunk(b"SSND", ssnd)
+    return AIFF_MAGIC + struct.pack(">I", len(body)) + body

@@ -248,6 +248,10 @@ def decode_audio(content: bytes) -> Any:
         from compute_histogram_spark.multimodal.audio import decode_wav
 
         return decode_wav(content)
+    if content[:4] == b"FORM" and content[8:12] in (b"AIFF", b"AIFC"):
+        from compute_histogram_spark.multimodal.audio import decode_aiff
+
+        return decode_aiff(content)
     if content[:4] == b"fLaC":
         from compute_histogram_spark.multimodal.flac import decode_flac
 

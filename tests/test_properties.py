@@ -486,7 +486,24 @@ def test_wav_corrupt_bytes_never_crash_weirdly(data):
 
     rng = np.random.default_rng(31)
     a = rng.uniform(-0.8, 0.8, size=(400, 2))
-    codec = data.draw(st.sampled_from([16, 32, -32, "ulaw", "alaw", "ima"]))
+    codec = data.draw(
+        st.sampled_from([16, 32, -32, "ulaw", "alaw", "ima", "aiff"])
+    )
+    if codec == "aiff":
+        from compute_histogram_spark.multimodal.audio import (
+            decode_aiff,
+            encode_aiff,
+        )
+
+        blob = bytearray(encode_aiff(a, 16000, bits=16))
+        pos = data.draw(st.integers(0, len(blob) - 1))
+        blob[pos] ^= 1 << data.draw(st.integers(0, 7))
+        try:
+            x, _rate = decode_aiff(bytes(blob))
+            assert x.ndim == 2
+        except (ValueError, _struct.error, KeyError, OverflowError):
+            pass
+        return
     if codec == "ima":
         blob = bytearray(encode_wav_ima(a, 16000))
     elif codec in ("ulaw", "alaw"):
