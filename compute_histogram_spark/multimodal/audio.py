@@ -102,8 +102,14 @@ def _decode_ima_adpcm(data: bytes, n_ch: int, block_align: int) -> np.ndarray:
     if block_align < 4 * n_ch or (block_align - 4 * n_ch) % (4 * n_ch):
         raise ValueError(f"malformed IMA-ADPCM block align {block_align}")
     frames: list[list[int]] = [[] for _ in range(n_ch)]
-    for b0 in range(0, len(data) - block_align + 1, block_align):
+    b0 = 0
+    # the FINAL block may be short (the WAV spec permits it; truncated
+    # telephony captures produce it) — decode it too instead of silently
+    # dropping up to a block of samples, trimming its payload to whole
+    # cross-channel nibble groups
+    while b0 + 4 * n_ch <= len(data):
         block = data[b0 : b0 + block_align]
+        b0 += block_align
         chans = []
         for c in range(n_ch):
             pred, index, _pad = struct.unpack_from("<hBB", block, 4 * c)
@@ -111,7 +117,11 @@ def _decode_ima_adpcm(data: bytes, n_ch: int, block_align: int) -> np.ndarray:
                 raise ValueError(f"malformed IMA-ADPCM step index {index}")
             chans.append((pred, index))
             frames[c].append(pred)  # header predictor IS sample 0
-        payload = np.frombuffer(block, dtype=np.uint8, offset=4 * n_ch)
+        payload_len = len(block) - 4 * n_ch
+        payload_len -= payload_len % (4 * n_ch)
+        payload = np.frombuffer(
+            block, dtype=np.uint8, offset=4 * n_ch, count=payload_len
+        )
         lo, hi = payload & 0x0F, payload >> 4
         nib = np.empty(payload.size * 2, dtype=np.uint8)
         nib[0::2], nib[1::2] = lo, hi  # low nibble first, per spec

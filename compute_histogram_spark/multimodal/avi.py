@@ -122,9 +122,12 @@ def iter_frames(
         raise ValueError("every must be >= 1")
     info = avi_info(content)
     lo, hi = _movi_bounds(content)
-    # declared frame count must be plausible for the movi payload: a
-    # coded MJPEG frame is >= ~128 bytes of marker overhead alone
-    if info.get("n_frames", 0) > max(hi - lo, 1):
+    # sanity-check the DECLARED frame count against the movi payload
+    # (every chunk costs at least an 8-byte header + SOI/EOI markers; use a
+    # conservative 16-byte floor). Iteration itself is bounded by the
+    # actual chunks present and each frame by the JPEG entropy-budget
+    # guard, so this only rejects metadata lies early and loudly.
+    if info.get("n_frames", 0) > max((hi - lo) // 16, 1):
         raise ValueError(
             "malformed AVI: frame count inconsistent with movi size"
         )

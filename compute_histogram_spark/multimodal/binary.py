@@ -266,10 +266,13 @@ def decode_audio(content: bytes) -> Any:
 def extract_features(assets: DataFrame) -> DataFrame:
     """Per-asset features via Arrow-batched mapInPandas.
 
-    The kernel is fully self-contained (local imports, no references to this
-    module) so cloudpickle ships it BY VALUE: executors never need the
-    engine package on their PYTHONPATH — required for remote clusters where
-    only the driver has the repo checkout.
+    The kernel imports the repo's own header parsers executor-side
+    (identical to the sibling kernels extract_pixel_stats /
+    sample_video_frames) — ship the package to executors like any Spark
+    app dependency (``--py-files`` / archives). A r7 review found the
+    previous "self-contained" inline parsers had already drifted from
+    :func:`decode_image` (no TIFF branch), the exact failure mode
+    duplicated parsers invite.
 
     Arrow batch sizing comes from the session conf
     ``spark.sql.execution.arrow.maxRecordsPerBatch`` — it is read at JOB
@@ -278,48 +281,19 @@ def extract_features(assets: DataFrame) -> DataFrame:
     """
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import hashlib  # local: keep the closure self-contained
-        import struct
+        import hashlib
+
+        from compute_histogram_spark.multimodal.binary import (
+            _try_real_image_decode,
+        )
 
         def decode(content: bytes) -> tuple[int, int, int]:
-            # real path ONLY behind magic-byte gates (PNG via stdlib IHDR
-            # parse, others via Pillow when present); ANY decode failure
+            # real metadata parse behind magic-byte gates; ANY failure
             # falls through to the deterministic sha256 fake — a bad byte
             # must not poison the Arrow batch (ADVICE r01)
-            try:
-                if content.startswith(b"\x89PNG\r\n\x1a\n"):
-                    w, h, _d, ct = struct.unpack(">IIBB", content[16:26])
-                    return w, h, {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ct]
-                if content.startswith(b"\xff\xd8"):
-                    # inline SOFn walk (kernel stays self-contained):
-                    # skip segments until a frame header, read dims
-                    pos = 2
-                    while pos + 4 <= len(content):
-                        if content[pos] != 0xFF:
-                            break
-                        m = content[pos + 1]
-                        if m in (0xD8, 0xD9) or 0xD0 <= m <= 0xD7:
-                            pos += 2
-                            continue
-                        (ln,) = struct.unpack_from(">H", content, pos + 2)
-                        if 0xC0 <= m <= 0xCF and m not in (0xC4, 0xC8, 0xCC):
-                            h, w = struct.unpack_from(">HH", content, pos + 5)
-                            return w, h, content[pos + 9]
-                        pos += 2 + ln
-                    raise ValueError("no SOF")
-                if content.startswith((b"GIF87a", b"GIF89a")):
-                    w, h = struct.unpack_from("<HH", content, 6)
-                    if w == 0 or h == 0:
-                        raise ValueError("zero dim")
-                    return w, h, 3
-                if content.startswith(b"BM") and len(content) >= 30:
-                    w, h = struct.unpack_from("<ii", content, 18)
-                    (bpp,) = struct.unpack_from("<H", content, 28)
-                    if w <= 0 or h == 0:
-                        raise ValueError("bad dims")
-                    return w, abs(h), 1 if bpp == 8 else 3
-            except Exception:
-                pass
+            real = _try_real_image_decode(content)
+            if real is not None:
+                return real
             d = hashlib.sha256(content).digest()
             return 16 + d[0] % 240, 16 + d[1] % 240, 1 + d[2] % 3
 

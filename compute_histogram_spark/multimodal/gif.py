@@ -312,6 +312,21 @@ def decode_bmp(content: bytes) -> np.ndarray:
         raise ValueError("malformed BMP: bad dimensions")
     if comp not in (0, 3) or bpp not in (8, 24, 32):
         raise ValueError(f"unsupported BMP: compression {comp} bpp {bpp}")
+    if comp == 3:
+        # BI_BITFIELDS: only the standard BGR(A) masks decode — anything
+        # else would silently swap channels; masks live in the header
+        # (BITMAPV2+) or right after a 40-byte BITMAPINFOHEADER
+        if bpp != 32:
+            raise ValueError("unsupported BMP: BI_BITFIELDS needs 32 bpp")
+        mask_off = 54 if hdr_size == 40 else 14 + 40
+        if mask_off + 12 > len(content):
+            raise ValueError("malformed BMP: missing BI_BITFIELDS masks")
+        r_m, g_m, b_m = struct.unpack_from("<III", content, mask_off)
+        if (r_m, g_m, b_m) != (0x00FF0000, 0x0000FF00, 0x000000FF):
+            raise ValueError(
+                "unsupported BMP: non-BGRA BI_BITFIELDS masks "
+                f"({r_m:#010x}, {g_m:#010x}, {b_m:#010x})"
+            )
     h = abs(h_signed)
     row_bytes = (w * bpp // 8 + 3) & ~3
     if data_off + row_bytes * h > len(content):

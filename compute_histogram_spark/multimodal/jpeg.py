@@ -408,6 +408,55 @@ def _scan_stream(content: bytes, t: _Tables, expect_image: bool):
 
 
 def _decode_scan(content, pos, seg, frame, t):
+    """Sequential (SOF0/SOF1) decode: the common single interleaved scan,
+    or multiple successive scans over component subsets (libjpeg can emit
+    a 3-component file as three single-component scans)."""
+    w, h, comps, _prog = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    grid_all: dict[int, tuple[int, int]] = {}
+    coeffs_all: dict[int, object] = {}
+    while True:
+        pos = _sequential_scan(
+            content, pos, seg, frame, t, grid_all, coeffs_all
+        )
+        if len(coeffs_all) == len(comps):
+            return _finish(coeffs_all, grid_all, comps, t, w, h, hmax, vmax)
+        # more scans must follow: DHT/DQT/DRI may be redefined between them
+        seg = None
+        while seg is None:
+            if pos + 2 > len(content):
+                raise ValueError("malformed JPEG: missing EOI")
+            if content[pos] != 0xFF:
+                raise ValueError("malformed JPEG: marker expected")
+            m = content[pos + 1]
+            pos += 2
+            if m == EOI:
+                raise ValueError(
+                    "unsupported JPEG: not every component was coded"
+                )
+            if 0xD0 <= m <= 0xD7:
+                continue
+            ln = _u16(content, pos)
+            body = content[pos + 2 : pos + ln]
+            if len(body) != ln - 2:
+                raise ValueError("malformed JPEG: truncated segment")
+            pos += ln
+            if m == DHT:
+                _parse_dht(body, t)
+            elif m == DQT:
+                _parse_dqt(body, t)
+            elif m == DRI:
+                t.restart_interval = _u16(body, 0)
+            elif m == SOS:
+                seg = body
+            elif m in (0xC0, 0xC1, 0xC2):
+                raise ValueError("malformed JPEG: second SOF")
+
+
+def _sequential_scan(content, pos, seg, frame, t, grid_all, coeffs_all):
+    """Decode ONE sequential scan into the shared coefficient buffers;
+    returns the offset of the terminating marker."""
     w, h, comps, _prog = frame
     if len(seg) < 1 or len(seg) < 1 + 2 * seg[0] + 3:
         raise ValueError("malformed JPEG: truncated SOS")
@@ -427,7 +476,7 @@ def _decode_scan(content, pos, seg, frame, t):
         if tq not in t.quant:
             raise ValueError("malformed JPEG: missing DQT")
 
-    segs, _ = _split_ecs(content, pos)
+    segs, end_pos = _split_ecs(content, pos)
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
 
@@ -460,6 +509,8 @@ def _decode_scan(content, pos, seg, frame, t):
 
     coeffs = {c: np.zeros((gy * gx, 64), dtype=np.int32)
               for c, (gy, gx) in grid.items()}
+    grid_all.update(grid)
+    coeffs_all.update(coeffs)
     ri = t.restart_interval
     seg_i = 0
     rd = _EntropyReader(segs[0])
@@ -512,7 +563,7 @@ def _decode_scan(content, pos, seg, frame, t):
                         blk[ZIGZAG[k]] = _extend(rd.read_bits(size), size)
                         k += 1
 
-    return _finish(coeffs, grid, comps, t, w, h, hmax, vmax)
+    return end_pos
 
 
 def _finish(coeffs, grid, comps, t, w, h, hmax, vmax):

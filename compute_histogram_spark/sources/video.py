@@ -71,10 +71,17 @@ class _MJPEGFramesReader(DataSourceReader):
         import os
 
         if os.path.isdir(self._path):
-            pattern = os.path.join(self._path, "*.avi")
+            # case-insensitive extension match: capture tools commonly
+            # emit uppercase 'CLIP0001.AVI'
+            files = sorted(
+                os.path.join(self._path, f)
+                for f in os.listdir(self._path)
+                if f.lower().endswith(".avi")
+            )
+            pattern = os.path.join(self._path, "*.avi (any case)")
         else:
             pattern = self._path  # single file or user-provided glob
-        files = sorted(glob.glob(pattern))
+            files = sorted(glob.glob(pattern))
         if not files:
             raise ValueError(f"mjpegframes: no files match {pattern!r}")
         return files

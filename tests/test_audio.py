@@ -264,3 +264,35 @@ def test_aiff_rejections_and_decode_audio_route():
         decode_aiff(blob[:20])
     y, rate = decode_audio(blob)
     assert rate == 8000 and y.shape == (16, 1)
+
+
+def test_ima_adpcm_short_final_block_decodes():
+    """The WAV spec permits a short FINAL IMA-ADPCM block; its samples
+    must decode rather than silently vanish."""
+    import numpy as np
+
+    from compute_histogram_spark.multimodal.audio import (
+        decode_wav,
+        encode_wav_ima,
+    )
+
+    rng = np.random.default_rng(13)
+    x = rng.uniform(-0.5, 0.5, size=(700, 1))
+    blob = bytearray(encode_wav_ima(x, 8000))
+    full, _ = decode_wav(bytes(blob))
+    # truncate the data chunk mid-final-block: drop the last 40 payload
+    # bytes and patch the RIFF + data sizes accordingly
+    import struct
+
+    cut = 40
+    pos = blob.find(b"data")
+    (dsize,) = struct.unpack_from("<I", blob, pos + 4)
+    struct.pack_into("<I", blob, pos + 4, dsize - cut)
+    struct.pack_into("<I", blob, 4, struct.unpack_from("<I", blob, 4)[0] - cut)
+    short = bytes(blob[: len(blob) - cut])
+    y, rate = decode_wav(short)
+    assert rate == 8000
+    # loses only the cut tail (40 bytes = 80 nibble samples), never a
+    # whole block; and what remains matches the full decode exactly
+    assert len(full) - len(y) <= 80 + 8
+    assert np.array_equal(y, full[: len(y)])

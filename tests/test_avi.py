@@ -171,3 +171,19 @@ def test_mjpegframes_python_datasource(spark, tmp_path):
     assert by_path["broken.avi"][0]["decoded"] is False
     # file-level parallelism: one planned partition per file
     assert df.rdd.getNumPartitions() == 3
+
+
+def test_mjpegframes_uppercase_extension(spark, tmp_path):
+    from compute_histogram_spark.sources.video import MJPEGFramesDataSource
+
+    (tmp_path / "CLIP0001.AVI").write_bytes(
+        encode_avi_mjpeg(gray_frames(3), fps=10)
+    )
+    spark.dataSource.register(MJPEGFramesDataSource)
+    rows = (
+        spark.read.format("mjpegframes")
+        .option("path", str(tmp_path))
+        .load()
+        .collect()
+    )
+    assert sorted(r["frame_idx"] for r in rows) == [0, 1, 2]

@@ -306,3 +306,62 @@ def test_pixel_stats_and_features_decode_jpeg_for_real(spark):
     )
     # header-only metadata decode agrees with the driver-side parse
     assert MM.decode_image(blob) == (48, 32, 1)
+
+
+def test_multi_scan_sequential_bit_exact():
+    """A spec-valid SOF0 3-component file coded as THREE successive
+    single-component scans (libjpeg can emit this shape) must decode
+    bit-identically to the interleaved coding of the same blocks."""
+    from compute_histogram_spark.multimodal import jpeg as J
+
+    rgb = smooth_rgb(24, 32)
+    ql, qc = J._quality_tables(90)
+    rf = rgb.astype(np.float64)
+    y = np.clip(np.round(0.299 * rf[..., 0] + 0.587 * rf[..., 1]
+                         + 0.114 * rf[..., 2]), 0, 255)
+    cb = np.clip(np.round(128 - 0.168736 * rf[..., 0]
+                          - 0.331264 * rf[..., 1] + 0.5 * rf[..., 2]), 0, 255)
+    cr = np.clip(np.round(128 + 0.5 * rf[..., 0] - 0.418688 * rf[..., 1]
+                          - 0.081312 * rf[..., 2]), 0, 255)
+    planes, qids = [y, cb, cr], [0, 1, 1]
+    dc_l = J._build_encode_table(J.DC_LUMA_BITS, J.DC_LUMA_VALS)
+    ac_l = J._build_encode_table(J.AC_LUMA_BITS, J.AC_LUMA_VALS)
+    dc_c = J._build_encode_table(J.DC_CHROMA_BITS, J.DC_CHROMA_VALS)
+    ac_c = J._build_encode_table(J.AC_CHROMA_BITS, J.AC_CHROMA_VALS)
+    dcs, acs = [dc_l, dc_c, dc_c], [ac_l, ac_c, ac_c]
+
+    def seg(m, body):
+        return bytes([0xFF, m]) + struct.pack(">H", len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")
+    zz_l = np.zeros(64, np.uint8); zz_l[:] = ql[J.ZIGZAG]
+    zz_c = np.zeros(64, np.uint8); zz_c[:] = qc[J.ZIGZAG]
+    out += seg(0xDB, b"\x00" + zz_l.tobytes())
+    out += seg(0xDB, b"\x01" + zz_c.tobytes())
+    sof = bytearray(struct.pack(">BHHB", 8, 24, 32, 3))
+    for i in range(3):
+        sof += bytes([i + 1, 0x11, qids[i]])
+    out += seg(0xC0, bytes(sof))
+    out += seg(0xC4, bytes([0x00] + J.DC_LUMA_BITS + J.DC_LUMA_VALS))
+    out += seg(0xC4, bytes([0x10] + J.AC_LUMA_BITS + J.AC_LUMA_VALS))
+    out += seg(0xC4, bytes([0x01] + J.DC_CHROMA_BITS + J.DC_CHROMA_VALS))
+    out += seg(0xC4, bytes([0x11] + J.AC_CHROMA_BITS + J.AC_CHROMA_VALS))
+    for ci in range(3):
+        blocks = J._plane_blocks(planes[ci], [ql, qc][qids[ci]])
+        wtr = J._EntropyWriter()
+        pred = 0
+        for r in range(blocks.shape[0]):
+            for c in range(blocks.shape[1]):
+                pred = J._encode_blocks(wtr, blocks[r, c], pred,
+                                        dcs[ci], acs[ci])
+        wtr.align()
+        out += seg(0xDA, bytes([1, ci + 1, 0x00 if ci == 0 else 0x11,
+                                0, 63, 0]))
+        out += wtr.out
+    out += b"\xff\xd9"
+
+    got = decode_jpeg(bytes(out))
+    base = decode_jpeg(
+        encode_jpeg_baseline(rgb, quality=90, subsampling="4:4:4")
+    )
+    assert np.array_equal(got, base)
