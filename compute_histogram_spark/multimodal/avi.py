@@ -246,10 +246,14 @@ def encode_avi_mjpeg(
 
 
 def video_frame_stats(content: bytes, every: int = 1,
-                      max_frames: int | None = None) -> list[tuple]:
-    """(frame_idx, width, height, mean_luma) per sampled frame — the
-    per-file kernel binary.py:sample_video_frames ships to executors."""
-    out = []
+                      max_frames: int | None = None) -> Iterator[tuple]:
+    """Yield (frame_idx, width, height, mean_luma) per sampled frame — the
+    per-file kernel binary.py:sample_video_frames ships to executors.
+
+    A GENERATOR, not a list, so a clip that corrupts mid-file still
+    delivers its already-decoded frames to the caller before the decode
+    error surfaces (callers keep the good frames and mark only zero-frame
+    files as undecodable)."""
     for idx, px in iter_frames(content, every=every, max_frames=max_frames):
         if px.ndim == 3:
             luma = (
@@ -259,5 +263,4 @@ def video_frame_stats(content: bytes, every: int = 1,
             )
         else:
             luma = px.astype(np.float64)
-        out.append((idx, px.shape[1], px.shape[0], float(luma.mean())))
-    return out
+        yield (idx, px.shape[1], px.shape[0], float(luma.mean()))

@@ -382,13 +382,20 @@ def sample_video_frames(
             rows = []
             for row in pdf.itertuples(index=False):
                 content = bytes(row.content)
+                n_before = len(rows)
                 try:
                     for idx, w, h, luma in video_frame_stats(
                         content, every=every, max_frames=max_frames
                     ):
                         rows.append((row.asset_id, idx, w, h, luma, True))
                 except Exception:
-                    rows.append((row.asset_id, None, None, None, None, False))
+                    # decoded=false only when ZERO frames decoded; a
+                    # mid-clip corruption keeps the good frames and drops
+                    # the tail (one file never mixes success+failure rows)
+                    if len(rows) == n_before:
+                        rows.append(
+                            (row.asset_id, None, None, None, None, False)
+                        )
             yield pd.DataFrame(
                 rows,
                 columns=["asset_id", "frame_idx", "width", "height",

@@ -124,11 +124,10 @@ def decode_gif(content: bytes) -> np.ndarray:
     gct = None
     if flags & 0x80:
         n = 2 << (flags & 0x07)
-        gct = np.frombuffer(
-            content[pos : pos + 3 * n], dtype=np.uint8
-        ).reshape(-1, 3)
-        if len(gct) < n:
+        raw = content[pos : pos + 3 * n]
+        if len(raw) < 3 * n:  # before reshape: slice may not be 3-aligned
             raise ValueError("malformed GIF: truncated color table")
+        gct = np.frombuffer(raw, dtype=np.uint8).reshape(n, 3)
         pos += 3 * n
     while pos < len(content):
         b = content[pos]
@@ -154,11 +153,10 @@ def decode_gif(content: bytes) -> np.ndarray:
         ct = gct
         if iflags & 0x80:
             n = 2 << (iflags & 0x07)
-            ct = np.frombuffer(
-                content[pos : pos + 3 * n], dtype=np.uint8
-            ).reshape(-1, 3)
-            if len(ct) < n:
+            raw = content[pos : pos + 3 * n]
+            if len(raw) < 3 * n:
                 raise ValueError("malformed GIF: truncated color table")
+            ct = np.frombuffer(raw, dtype=np.uint8).reshape(n, 3)
             pos += 3 * n
         if ct is None:
             raise ValueError("malformed GIF: no color table")
@@ -290,10 +288,12 @@ def bmp_info(content: bytes) -> tuple[int, int, int]:
     if len(content) < 26 or content[:2] != b"BM":
         raise ValueError("not a BMP")
     w, h = struct.unpack_from("<ii", content, 18)
-    bpp = struct.unpack_from("<H", content, 28)[0] if len(content) >= 30 else 0
     if w <= 0 or h == 0:
         raise ValueError("malformed BMP: bad dimensions")
-    return w, abs(h), 1 if bpp == 8 else 3
+    # channels reports the DECODED shape: decode_bmp always expands the
+    # palette to (h, w, 3) RGB, so 8-bit palette files are 3, not 1 —
+    # keeps metadata consistent with extract_pixel_stats on the same asset
+    return w, abs(h), 3
 
 
 def decode_bmp(content: bytes) -> np.ndarray:
@@ -337,11 +337,10 @@ def decode_bmp(content: bytes) -> np.ndarray:
     if bpp == 8:
         n_colors = struct.unpack_from("<I", content, 46)[0] or 256
         pal_off = 14 + hdr_size
-        pal = np.frombuffer(
-            content[pal_off : pal_off + 4 * n_colors], dtype=np.uint8
-        ).reshape(-1, 4)
-        if len(pal) < n_colors:
+        raw = content[pal_off : pal_off + 4 * n_colors]
+        if len(raw) < 4 * n_colors:  # before reshape: may not be 4-aligned
             raise ValueError("malformed BMP: truncated palette")
+        pal = np.frombuffer(raw, dtype=np.uint8).reshape(n_colors, 4)
         idx = rows[:, :w]
         if idx.max() >= n_colors:
             raise ValueError("malformed BMP: palette index out of range")

@@ -59,6 +59,23 @@ DQT = 0xDB
 DRI = 0xDD
 DHT = 0xC4
 COM = 0xFE
+TEM = 0x01  # standalone, no length field (T.81 B.1.1.3, like RSTn)
+
+
+def _skip_fill(content: bytes, pos: int) -> int:
+    """Skip T.81 B.1.1.2 fill bytes: any marker may be preceded by any
+    number of 0xFF bytes. ``pos`` points at the first 0xFF of a marker;
+    returns the offset of the LAST 0xFF (so ``content[pos+1]`` is the
+    marker code byte)."""
+    n = len(content)
+    while pos + 1 < n and content[pos + 1] == 0xFF:
+        pos += 1
+    return pos
+
+
+def _standalone(m: int) -> bool:
+    """Markers with no length field: TEM + RSTn (T.81 table B.1)."""
+    return m == TEM or 0xD0 <= m <= 0xD7
 
 # zigzag index -> natural (row-major) index
 ZIGZAG = np.array([
@@ -297,6 +314,8 @@ def _split_ecs(content: bytes, pos: int) -> tuple[list[bytes], int]:
         if m == 0x00:
             cur.append(0xFF)
             pos += 2
+        elif m == 0xFF:  # fill byte before a marker (B.1.1.2)
+            pos += 1
         elif 0xD0 <= m <= 0xD7:  # RSTn
             segs.append(bytes(cur))
             cur = bytearray()
@@ -316,8 +335,9 @@ def jpeg_info(content: bytes) -> tuple[int, int, int]:
     while pos + 4 <= len(content):
         if content[pos] != 0xFF:
             raise ValueError("malformed JPEG: marker expected")
+        pos = _skip_fill(content, pos)
         m = content[pos + 1]
-        if m in (SOI, EOI) or 0xD0 <= m <= 0xD7:
+        if m in (SOI, EOI) or _standalone(m):
             pos += 2
             continue
         ln = _u16(content, pos + 2)
@@ -357,13 +377,18 @@ def _scan_stream(content: bytes, t: _Tables, expect_image: bool):
             return None
         if content[pos] != 0xFF:
             raise ValueError("malformed JPEG: marker expected")
+        pos = _skip_fill(content, pos)
+        if pos + 2 > len(content):
+            if expect_image:
+                raise ValueError("malformed JPEG: missing EOI")
+            return None
         m = content[pos + 1]
         pos += 2
         if m == EOI:
             if expect_image:
                 raise ValueError("malformed JPEG: EOI before SOS")
             return None
-        if m == SOI or 0xD0 <= m <= 0xD7:
+        if m == SOI or _standalone(m):
             continue
         ln = _u16(content, pos)
         seg = content[pos + 2 : pos + ln]
@@ -429,13 +454,16 @@ def _decode_scan(content, pos, seg, frame, t):
                 raise ValueError("malformed JPEG: missing EOI")
             if content[pos] != 0xFF:
                 raise ValueError("malformed JPEG: marker expected")
+            pos = _skip_fill(content, pos)
+            if pos + 2 > len(content):
+                raise ValueError("malformed JPEG: missing EOI")
             m = content[pos + 1]
             pos += 2
             if m == EOI:
                 raise ValueError(
                     "unsupported JPEG: not every component was coded"
                 )
-            if 0xD0 <= m <= 0xD7:
+            if _standalone(m):
                 continue
             ln = _u16(content, pos)
             body = content[pos + 2 : pos + ln]
@@ -653,6 +681,9 @@ def _decode_progressive(content, pos, seg, frame, t):
                 raise ValueError("malformed JPEG: missing EOI")
             if content[pos] != 0xFF:
                 raise ValueError("malformed JPEG: marker expected")
+            pos = _skip_fill(content, pos)
+            if pos + 2 > len(content):
+                raise ValueError("malformed JPEG: missing EOI")
             m = content[pos + 1]
             pos += 2
             if m == EOI:
@@ -660,7 +691,7 @@ def _decode_progressive(content, pos, seg, frame, t):
                     if tq not in t.quant:
                         raise ValueError("malformed JPEG: missing DQT")
                 return _finish(coeffs, grid, comps, t, w, h, hmax, vmax)
-            if 0xD0 <= m <= 0xD7:
+            if _standalone(m):
                 continue
             ln = _u16(content, pos)
             body = content[pos + 2 : pos + ln]
@@ -865,9 +896,13 @@ def split_jpeg_tables(blob: bytes) -> tuple[bytes, bytes]:
     while pos + 4 <= len(blob):
         if blob[pos] != 0xFF:
             raise ValueError("malformed JPEG: marker expected")
+        pos = _skip_fill(blob, pos)
         m = blob[pos + 1]
         if m == EOI:
             break
+        if _standalone(m):  # TEM/RSTn: no length field, belongs to neither
+            pos += 2
+            continue
         ln = _u16(blob, pos + 2)
         seg = blob[pos : pos + 2 + ln]
         if len(seg) != 2 + ln:

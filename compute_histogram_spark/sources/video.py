@@ -95,12 +95,19 @@ class _MJPEGFramesReader(DataSourceReader):
         from compute_histogram_spark.multimodal.avi import video_frame_stats
 
         path = partition.value
+        yielded = False
         try:
             with open(path, "rb") as f:
                 content = f.read()
             for idx, w, h, luma in video_frame_stats(
                 content, every=self._every, max_frames=self._max_frames
             ):
+                yielded = True
                 yield (path, idx, w, h, luma, True)
         except Exception:
-            yield (path, None, None, None, None, False)
+            # decoded=false marks files with ZERO decodable frames; a
+            # mid-file corruption after some frames decoded keeps the
+            # good frames and drops the tail (no mixed success+failure
+            # rows for one file)
+            if not yielded:
+                yield (path, None, None, None, None, False)

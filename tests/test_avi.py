@@ -54,7 +54,7 @@ def test_rgb_frame_stats():
     g = gray_frames(4)
     rgb = [np.stack([f, 255 - f, f // 2], axis=-1) for f in g]
     blob = encode_avi_mjpeg(rgb, fps=10, quality=92)
-    stats = video_frame_stats(blob, every=2)
+    stats = list(video_frame_stats(blob, every=2))
     assert [s[0] for s in stats] == [0, 2]
     for idx, w, h, luma in stats:
         assert (w, h) == (48, 32)
@@ -187,3 +187,67 @@ def test_mjpegframes_uppercase_extension(spark, tmp_path):
         .collect()
     )
     assert sorted(r["frame_idx"] for r in rows) == [0, 1, 2]
+
+
+def corrupt_last_frame(blob: bytes) -> bytes:
+    """Overwrite the JPEG SOI of the LAST video frame chunk inside movi
+    (not the idx1 entries, which also spell '00dc') so that frame — and
+    only that frame — fails to decode."""
+    from compute_histogram_spark.multimodal.avi import (
+        _movi_bounds,
+        _walk_chunks,
+    )
+
+    b = bytearray(blob)
+    lo, hi = _movi_bounds(blob)
+    frame_offs = [
+        off
+        for fourcc, off, _ in _walk_chunks(blob, lo, hi)
+        if fourcc in (b"00dc", b"00db")
+    ]
+    assert frame_offs
+    off = frame_offs[-1]
+    assert b[off : off + 2] == b"\xff\xd8"
+    b[off : off + 2] = b"XX"
+    return bytes(b)
+
+
+def test_partial_corruption_keeps_decoded_frames(spark, tmp_path):
+    """A clip that corrupts mid-file keeps its good frames and emits NO
+    decoded=false row — failure rows mark zero-frame files only
+    (ADVICE r7; sources/video.py + binary.sample_video_frames)."""
+    from compute_histogram_spark.multimodal import binary as MM
+    from compute_histogram_spark.sources.video import MJPEGFramesDataSource
+
+    blob = corrupt_last_frame(encode_avi_mjpeg(gray_frames(4), fps=10))
+    # the raw iterator raises at the bad frame after yielding good ones
+    good = []
+    with pytest.raises(ValueError):
+        for item in video_frame_stats(blob):
+            good.append(item)
+    assert [i for i, *_ in good] == [0, 1, 2]
+
+    assets = spark.createDataFrame(
+        [Row(asset_id=0, kind="video", content=blob, source="s")]
+    )
+    rows = MM.sample_video_frames(assets).collect()
+    assert sorted(r["frame_idx"] for r in rows) == [0, 1, 2]
+    assert all(r["decoded"] for r in rows)
+
+    (tmp_path / "partial.avi").write_bytes(blob)
+    (tmp_path / "broken.avi").write_bytes(b"RIFFxxxxAVI garbage")
+    spark.dataSource.register(MJPEGFramesDataSource)
+    out = (
+        spark.read.format("mjpegframes")
+        .option("path", str(tmp_path))
+        .load()
+        .collect()
+    )
+    by = {}
+    for r in out:
+        by.setdefault(r["path"].rsplit("/", 1)[-1], []).append(r)
+    assert sorted(r["frame_idx"] for r in by["partial.avi"]) == [0, 1, 2]
+    assert all(r["decoded"] for r in by["partial.avi"])
+    # zero-frame file still gets exactly one failure row
+    assert len(by["broken.avi"]) == 1
+    assert by["broken.avi"][0]["decoded"] is False

@@ -126,3 +126,42 @@ def test_pixel_stats_decode_gif_and_bmp(spark):
     assert (feats[1]["width"], feats[1]["height"], feats[1]["n_channels"]) == (32, 24, 3)
     assert MM.decode_image(encode_gif(img)) == (32, 24, 3)
     assert MM.decode_image(encode_bmp(img)) == (32, 24, 3)
+
+
+def test_gif_truncated_color_table_diagnosed():
+    """A color-table slice that is not a multiple of 3 must raise the
+    diagnosed 'truncated color table', not numpy's bare reshape error
+    (ADVICE r7)."""
+    # header declares a 2-entry GCT (6 bytes) but only 4 bytes follow
+    hdr = b"GIF89a" + struct.pack("<HH", 2, 2) + bytes([0x80, 0, 0])
+    with pytest.raises(ValueError, match="truncated color table"):
+        decode_gif(hdr + b"\x01\x02\x03\x04")
+    # same for a local color table: valid header, no GCT, image
+    # descriptor declaring an LCT cut mid-entry
+    hdr2 = b"GIF89a" + struct.pack("<HH", 2, 2) + bytes([0x00, 0, 0])
+    desc = b"\x2c" + struct.pack("<HHHH", 0, 0, 2, 2) + bytes([0x80])
+    with pytest.raises(ValueError, match="truncated color table"):
+        decode_gif(hdr2 + desc + b"\x01\x02\x03\x04")
+
+
+def test_bmp_info_palette_reports_decoded_channels():
+    """bmp_info must agree with decode_bmp's output shape: 8-bit palette
+    files decode to (h, w, 3) RGB, so channels is 3 (ADVICE r7)."""
+    pal = b"\x10\x20\x30\x00" + b"\x40\x50\x60\x00"
+    rows = bytes([0, 1, 0, 1]) + bytes([1, 1, 0, 0])
+    hdr = b"BM" + struct.pack("<IHHI", 54 + 8 + 8, 0, 0, 54 + 8)
+    info = struct.pack("<IiiHHIIiiII", 40, 4, 2, 1, 8, 0, 8, 0, 0, 2, 0)
+    blob = hdr + info + pal + rows
+    assert bmp_info(blob) == (4, 2, 3)
+    assert decode_bmp(blob).shape == (2, 4, 3)
+
+
+def test_bmp_truncated_palette_diagnosed():
+    # declared n_colors=0 -> 256 entries (1024 bytes) but the file ends
+    # after 13 bytes of palette region — and 13 is not a multiple of 4,
+    # so pre-fix this raised numpy's bare reshape error, not the
+    # diagnosed 'truncated palette'
+    hdr = b"BM" + struct.pack("<IHHI", 54 + 13, 0, 0, 54 + 5)
+    info = struct.pack("<IiiHHIIiiII", 40, 4, 2, 1, 8, 0, 8, 0, 0, 0, 0)
+    with pytest.raises(ValueError, match="truncated palette"):
+        decode_bmp(hdr + info + b"\x10\x20\x30\x00\x40" + bytes(8))

@@ -365,3 +365,62 @@ def test_multi_scan_sequential_bit_exact():
         encode_jpeg_baseline(rgb, quality=90, subsampling="4:4:4")
     )
     assert np.array_equal(got, base)
+
+
+# -------------------------------------------- fill bytes + TEM (B.1.1.2)
+
+
+def inject_after_soi(blob: bytes, extra: bytes) -> bytes:
+    assert blob[:2] == b"\xff\xd8"
+    return blob[:2] + extra + blob[2:]
+
+
+@pytest.mark.parametrize(
+    "extra",
+    [
+        b"\xff",  # one fill byte before the next marker's 0xFF
+        b"\xff\xff\xff",  # a run of fill bytes
+        b"\xff\x01",  # standalone TEM marker (no length field)
+        b"\xff\xff\x01\xff",  # fills + TEM + fill
+    ],
+)
+def test_fill_bytes_and_tem_tolerated(extra):
+    """T.81 B.1.1.2: any marker may be preceded by any number of 0xFF
+    fill bytes; TEM (0x01) is standalone like RSTn. Spec-valid streams
+    carrying either must decode identically (ADVICE r7)."""
+    img = smooth_gray(24, 32)
+    for blob in (
+        encode_jpeg_baseline(img, quality=85),
+        encode_jpeg_progressive(img, quality=85),
+    ):
+        padded = inject_after_soi(blob, extra)
+        assert jpeg_info(padded) == jpeg_info(blob)
+        assert np.array_equal(decode_jpeg(padded), decode_jpeg(blob))
+
+
+def test_fill_bytes_before_eoi_in_entropy_data():
+    # fills may precede the terminating marker inside the ECS walk too
+    blob = encode_jpeg_baseline(smooth_gray(16, 16), quality=85)
+    assert blob[-2:] == b"\xff\xd9"
+    padded = blob[:-2] + b"\xff\xff" + blob[-2:]
+    assert np.array_equal(decode_jpeg(padded), decode_jpeg(blob))
+
+
+def test_fill_bytes_in_abbreviated_tables_stream():
+    blob = encode_jpeg_baseline(smooth_gray(16, 16), quality=80)
+    tables, image = split_tables(blob)
+    tables_padded = inject_after_soi(tables, b"\xff\xff\x01")
+    image_padded = inject_after_soi(image, b"\xff\x01\xff")
+    assert np.array_equal(
+        decode_jpeg(image_padded, tables=tables_padded),
+        decode_jpeg(image, tables=tables),
+    )
+
+
+def test_trailing_fill_bytes_still_diagnosed():
+    # a stream that ENDS in bare fill bytes (no marker follows) is
+    # malformed, not an index error
+    blob = encode_jpeg_baseline(smooth_gray(16, 16), quality=80)
+    # strip EOI, append fills only
+    with pytest.raises(ValueError):
+        decode_jpeg(blob[:-2] + b"\xff\xff\xff")
