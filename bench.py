@@ -131,9 +131,13 @@ LOCAL_ORACLES = {
     ORDER BY cohort_week_start_s, week_offset
     """,
     # r7 rotation fallbacks: the oracle text lives on in registry.py as
-    # module constants (also exercised by tests/test_rotated_out.py)
+    # module constants (also exercised by tests/test_rotated_out.py).
+    # doc_fingerprint times the throughput-fair pairing: Spark's xxhash64
+    # kernel vs DuckDB's native hash() over the same grams (r8 — the old
+    # md5-vs-md5 pairing timed MessageDigest throughput on both sides;
+    # values stay pinned via the md5 twin + the XXH64 twin in tests)
     "event_transitions": registry.EVENT_TRANSITIONS_ORACLE,
-    "doc_fingerprint": registry.DOC_FINGERPRINT_ORACLE,
+    "doc_fingerprint": registry.DOC_FINGERPRINT_BENCH_ORACLE,
 }
 
 HEADLINE = [

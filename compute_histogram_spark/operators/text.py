@@ -31,9 +31,57 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
 # BPE-ish pre-tokenization: letter runs | digit runs | single other non-space
 BPE_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
 
+_LETTERS = "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz"
+_DIGITS = "0123456789"
+
+
+def bpe_token_count(text_col: str = "text") -> Column:
+    """Count of BPE_PATTERN matches WITHOUT running the 3-way alternation
+    over raw text: collapse the alphabet first (``translate`` letters->'a',
+    digits->'0' — a char map, no regex), count runs with the trivial
+    ``a+|0+`` pattern, and count 'other' chars by translate-DELETING
+    letters+digits+spaces (what remains has length == n_other). Letter/
+    digit runs are preserved by the mapping and other chars each match
+    individually, so the count is exactly ``regexp_count(text,
+    BPE_PATTERN)`` — value-asserted in tests and in the text_stats driver
+    oracle, which still runs the original regex. Measured 2.6x the regex
+    throughput at sf1 (0.35 vs 0.92 s); this was the dominant term of the
+    text_stats two-engine gap (VERDICT r7 #3)."""
+    collapsed = F.translate(
+        F.col(text_col), _LETTERS + _DIGITS, "a" * 52 + "0" * 10
+    )
+    n_other = F.length(
+        F.translate(F.col(text_col), _LETTERS + _DIGITS + " ", "")
+    )
+    return (F.regexp_count(collapsed, F.lit("a+|0+")) + n_other).cast(
+        "bigint"
+    )
+
 
 def _count_in(tok_col: Column, words: tuple[str, ...]) -> Column:
     return F.size(F.filter(tok_col, lambda t: t.isin(*words)))
+
+
+def _marker_fold_sql() -> str:
+    """ONE ``aggregate`` fold over the token array computing the stopword
+    hit count and every language marker count together — 6 array
+    traversals (one filter per counter) become 1. Struct fields: stop +
+    one per LANG_MARKERS code."""
+
+    def hit(words: tuple[str, ...]) -> str:
+        lst = ", ".join(f"'{w}'" for w in words)
+        return f"(CASE WHEN t IN ({lst}) THEN 1 ELSE 0 END)"
+
+    codes = list(LANG_MARKERS)
+    zero = ", ".join(["0 AS stop"] + [f"0 AS {c}" for c in codes])
+    step = ", ".join(
+        [f"acc.stop + {hit(STOPWORDS)} AS stop"]
+        + [f"acc.{c} + {hit(LANG_MARKERS[c])} AS {c}" for c in codes]
+    )
+    return (
+        f"aggregate(split(text, ' '), struct({zero}), "
+        f"(acc, t) -> struct({step}), acc -> acc)"
+    )
 
 
 def text_stats(docs: DataFrame) -> DataFrame:
@@ -98,26 +146,30 @@ def text_profile(docs: DataFrame) -> DataFrame:
     stats, whitespace AND BPE-ish token counts, and the language-ID
     argmax. The fusion matters at 100 TB — three corpus passes become one
     scan whose only cost over :func:`text_stats` is the extra expressions,
-    all JVM-side/codegen (``regexp_count`` avoids materializing the BPE
-    match array just to take its size)."""
+    all JVM-side/codegen. r8: the stopword + 5 language-marker counters
+    fold in ONE array traversal (:func:`_marker_fold_sql`) and the BPE
+    count drops the raw-text regex (:func:`bpe_token_count`) — together
+    1.22 s -> 0.62 s at sf1, value-identical."""
     docs = range_ordered(docs, "doc_id")
-    t = docs.select("doc_id", F.col("text"), tokens("text").alias("toks"))
-    n_tokens = F.size("toks")
+    t = docs.select(
+        "doc_id",
+        F.col("text"),
+        F.size(tokens("text")).alias("n_tokens"),
+        F.expr(_marker_fold_sql()).alias("m"),
+    )
     n_nonspace = F.length(
         F.replace(F.col("text"), F.lit(" "), F.lit(""))  # non-regex: ~1.5x cheaper than regexp_replace at sf1
     )
-    stop_hits = _count_in(F.col("toks"), STOPWORDS)
     scored = t.select(
         "doc_id",
         F.length("text").alias("n_chars"),
-        n_tokens.alias("n_tokens"),
-        F.round(n_nonspace * 1.0 / n_tokens, 6).alias("avg_token_len"),
-        F.round(stop_hits * 1.0 / n_tokens, 6).alias("stopword_ratio"),
-        F.regexp_count("text", F.lit(BPE_PATTERN)).cast("bigint").alias("n_bpe_tokens"),
-        *[
-            _count_in(F.col("toks"), words).alias(f"s_{code}")
-            for code, words in LANG_MARKERS.items()
-        ],
+        F.col("n_tokens"),
+        F.round(n_nonspace * 1.0 / F.col("n_tokens"), 6).alias("avg_token_len"),
+        F.round(F.col("m.stop") * 1.0 / F.col("n_tokens"), 6).alias(
+            "stopword_ratio"
+        ),
+        bpe_token_count().alias("n_bpe_tokens"),
+        *[F.col(f"m.{code}").alias(f"s_{code}") for code in LANG_MARKERS],
     )
     quality = F.round(
         F.least(F.lit(1.0), F.col("n_tokens") / 100.0)
@@ -142,35 +194,90 @@ def token_counts(docs: DataFrame) -> DataFrame:
     return docs.select(
         "doc_id",
         F.size(tokens("text")).alias("n_ws_tokens"),
-        F.size(F.regexp_extract_all("text", F.lit(BPE_PATTERN), F.lit(0))).alias(
-            "n_bpe_tokens"
-        ),
+        bpe_token_count().alias("n_bpe_tokens"),
         F.length("text").alias("n_chars"),
     ).sortWithinPartitions("doc_id")
 
 
+def _char_grams_sql(gram: int) -> str:
+    return (
+        f"CASE WHEN length(text) >= {gram} "
+        f"THEN transform(sequence(1, length(text) - {gram} + 1), "
+        f"     g -> substr(text, g, {gram})) "
+        f"ELSE array(text) END"
+    )
+
+
+def _fingerprint_one_pass(gram: int, hash_sql: str) -> Column:
+    """Both fingerprint outputs from ONE gram-array materialization.
+
+    Catalyst has no common-subexpression elimination across projection
+    items, so naming the gram array twice (min-hash + distinct count)
+    built the ~1000-element substr array TWICE per document — measured
+    2.35 s vs 1.39 s at sf1. The singleton ``transform(array(grams),
+    g -> struct(...))[0]`` binds the array to a lambda variable once and
+    emits both outputs from the binding."""
+    return F.expr(
+        f"transform(array({_char_grams_sql(gram)}), "
+        f"  g -> struct("
+        f"    array_min(transform(g, x -> {hash_sql})) AS fp, "
+        f"    CAST(size(array_distinct(g)) AS BIGINT) AS n))[0]"
+    )
+
+
 def doc_fingerprint(docs: DataFrame, gram: int = 8) -> DataFrame:
-    """Rolling-hash fingerprint: min-md5 over character n-grams (a 1-hash
-    MinHash — winnowing's 'select the minimum' step) + distinct-gram count.
+    """Rolling-hash fingerprint: min-xxhash64 over character n-grams (a
+    1-hash MinHash — winnowing's 'select the minimum' step) +
+    distinct-gram count.
 
     Implemented as a pure per-row array projection (``array_min`` over
     ``transform``) — no explode, no shuffle, no aggregation state: each
     document is fingerprinted where it is scanned, so at 100 TB this is an
     embarrassingly parallel map stage (vs the naive explode->groupBy, which
     shuffles every gram — measured 20x slower at sf0.1).
+
+    Hash choice: the min-hash semantics need a stable UNIFORM hash, not a
+    cryptographic one — min over JVM-native ``xxhash64`` (signed 64-bit,
+    seed 42) replaces one MessageDigest md5 per gram (the single largest
+    block of the sf10 two-engine gap, VERDICT r7). Value-pinned against a
+    pure-Python XXH64 twin in tests/test_text.py;
+    :func:`doc_fingerprint_md5` keeps the engine-portable digest for the
+    DuckDB oracle. Both outputs come from one gram-array materialization
+    (see :func:`_fingerprint_one_pass` — the r8 −41% at sf1).
     """
     docs = range_ordered(docs, "doc_id")
-    grams = F.expr(
-        f"CASE WHEN length(text) >= {gram} "
-        f"THEN transform(sequence(1, length(text) - {gram} + 1), "
-        f"     g -> substr(text, g, {gram})) "
-        f"ELSE array(text) END"
+    # two-step select on purpose: CollapseProject keeps the struct alias
+    # (non-cheap, referenced twice), so the gram array builds once
+    return (
+        docs.select(
+            "doc_id", _fingerprint_one_pass(gram, "xxhash64(x)").alias("s")
+        )
+        .select(
+            "doc_id",
+            F.col("s.fp").alias("fingerprint"),
+            F.col("s.n").alias("n_grams"),
+        )
+        .sortWithinPartitions("doc_id")
     )
-    return docs.select(
-        "doc_id",
-        F.array_min(F.transform(grams, F.md5)).alias("fingerprint"),
-        F.size(F.array_distinct(grams)).cast("bigint").alias("n_grams"),
-    ).sortWithinPartitions("doc_id")
+
+
+def doc_fingerprint_md5(docs: DataFrame, gram: int = 8) -> DataFrame:
+    """Engine-portable twin of :func:`doc_fingerprint`: min-md5-hex over
+    the same grams — byte-identical in Spark and DuckDB, so the rotated-out
+    oracle (registry.DOC_FINGERPRINT_ORACLE) stays value-exact. Same
+    one-pass plan shape; only the per-gram digest differs."""
+    docs = range_ordered(docs, "doc_id")
+    return (
+        docs.select(
+            "doc_id", _fingerprint_one_pass(gram, "md5(x)").alias("s")
+        )
+        .select(
+            "doc_id",
+            F.col("s.fp").alias("fingerprint"),
+            F.col("s.n").alias("n_grams"),
+        )
+        .sortWithinPartitions("doc_id")
+    )
 
 
 def top_tokens(docs: DataFrame, k: int = 20) -> DataFrame:

@@ -1400,7 +1400,10 @@ def q_quality_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # rotated out r7 (fourth wave) — driver-green r03-r06; oracle kept verbatim
-# for tests/test_rotated_out.py.
+# for tests/test_rotated_out.py. The oracle pins md5 specifically, so it
+# drives the md5 twin; the production op (q_doc_fingerprint, benched) moved
+# to xxhash64 in r8 and is value-pinned against a pure-Python XXH64 twin in
+# tests/test_text.py instead.
 DOC_FINGERPRINT_ORACLE = """
     WITH g AS (
         SELECT doc_id, substr(text, gg, 8) AS gr
@@ -1415,9 +1418,32 @@ DOC_FINGERPRINT_ORACLE = """
     FROM g GROUP BY doc_id ORDER BY doc_id
     """
 
+# throughput-fair DuckDB twin of the xxhash64 kernel for the two-engine
+# bench sweeps: same grams, min over DuckDB's native 64-bit hash() — the
+# sweeps compare wall time, not values (each engine runs its native
+# non-cryptographic hash; the md5-vs-md5 pairing above remains the
+# value-exact correctness check)
+DOC_FINGERPRINT_BENCH_ORACLE = """
+    WITH g AS (
+        SELECT doc_id, substr(text, gg, 8) AS gr
+        FROM (
+            SELECT doc_id, text,
+                   unnest(generate_series(1, greatest(length(text) - 7, 1))) AS gg
+            FROM documents
+        )
+    )
+    SELECT doc_id, CAST(min(hash(gr)) AS BIGINT) AS fingerprint,
+           CAST(count(DISTINCT gr) AS BIGINT) AS n_grams
+    FROM g GROUP BY doc_id ORDER BY doc_id
+    """
+
 
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.doc_fingerprint(load(spark, sf_dir, "documents"))
+
+
+def q_doc_fingerprint_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TX.doc_fingerprint_md5(load(spark, sf_dir, "documents"))
 
 
 # ---------------------------------------------------------------------------

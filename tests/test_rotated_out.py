@@ -347,12 +347,14 @@ def test_cluster_doc_stats_oracle(spark, sf_dir, con):
 
 
 def test_doc_fingerprint_oracle(spark, sf_dir, con):
+    # the md5 oracle pins the md5 TWIN; the production xxhash64 kernel is
+    # value-pinned against a pure-Python XXH64 in tests/test_text.py
     from compute_histogram_spark.registry import (
         DOC_FINGERPRINT_ORACLE,
-        q_doc_fingerprint,
+        q_doc_fingerprint_md5,
     )
 
-    _check("doc_fingerprint", q_doc_fingerprint(spark, sf_dir), con,
+    _check("doc_fingerprint", q_doc_fingerprint_md5(spark, sf_dir), con,
            DOC_FINGERPRINT_ORACLE)
 
 

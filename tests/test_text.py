@@ -41,7 +41,70 @@ def test_doc_fingerprint_deterministic(spark):
     a = TX.doc_fingerprint(docs_df(spark)).collect()
     b = TX.doc_fingerprint(docs_df(spark)).collect()
     assert a == b
-    assert all(len(r["fingerprint"]) == 32 for r in a)
+    assert all(isinstance(r["fingerprint"], int) for r in a)
+
+
+def test_xxh64_twin_matches_spark(spark):
+    """Validate the pure-Python XXH64 oracle against the JVM: every
+    length class of the spec (empty, <4, 4-7, 8-31, >=32 bytes incl.
+    multi-byte UTF-8) must agree bit-for-bit — this is what licenses
+    xxh64_ref as the doc_fingerprint value oracle."""
+    from pyspark.sql import functions as F
+
+    from xxh64_ref import xxh64_signed
+
+    strs = [
+        "", "a", "ab", "abc", "abcd", "abcde", "1234567", "12345678",
+        "123456789", "0123456789abcde", "0123456789abcdef",
+        "0123456789abcdef0123456789abcde",
+        "0123456789abcdef0123456789abcdef",
+        "0123456789abcdef0123456789abcdefX",
+        "the cat and the hat", "日本語テキスト", "x" * 100, "émoji🙂mix",
+    ]
+    df = spark.createDataFrame([Row(s=s) for s in strs])
+    for r in df.select("s", F.xxhash64("s").alias("h")).collect():
+        assert r["h"] == xxh64_signed(r["s"]), repr(r["s"])
+
+
+def test_doc_fingerprint_xxh64_oracle(spark):
+    """Value-pin the production kernel: min over xxhash64 of the 8-char
+    grams (short docs hash the whole text) against the pure-Python twin."""
+    from xxh64_ref import xxh64_signed
+
+    texts = {
+        0: "the cat and the hat",
+        1: "der hund und die katze",
+        2: "abc123 def!",
+        3: "short",  # < 8 chars: the whole text is the one gram
+        4: "exactly8",  # == 8 chars
+        5: "a longer document with enough text to produce many grams " * 3,
+    }
+    df = spark.createDataFrame(
+        [Row(doc_id=k, lang="en", text=v) for k, v in texts.items()]
+    )
+    out = {r["doc_id"]: r for r in TX.doc_fingerprint(df).collect()}
+    for k, text in texts.items():
+        grams = (
+            [text[i : i + 8] for i in range(len(text) - 7)]
+            if len(text) >= 8
+            else [text]
+        )
+        assert out[k]["fingerprint"] == min(xxh64_signed(g) for g in grams)
+        assert out[k]["n_grams"] == len(set(grams))
+
+
+def test_doc_fingerprint_md5_twin_same_shape(spark):
+    """The md5 twin keeps the engine-portable digest: same docs, same
+    n_grams, hex-string fingerprint."""
+    xx = {r["doc_id"]: r for r in TX.doc_fingerprint(docs_df(spark)).collect()}
+    md = {
+        r["doc_id"]: r
+        for r in TX.doc_fingerprint_md5(docs_df(spark)).collect()
+    }
+    assert set(xx) == set(md)
+    for k in xx:
+        assert xx[k]["n_grams"] == md[k]["n_grams"]
+        assert len(md[k]["fingerprint"]) == 32
 
 
 def test_top_tokens(spark):
@@ -273,3 +336,33 @@ def test_token_pmi_vs_duckdb_oracle(spark, sf_dir):
     """).df()
     assert len(sdf) > 0
     assert compare("token_pmi", sdf, odf) == []
+
+
+def test_bpe_token_count_matches_regex(spark):
+    """bpe_token_count (translate-collapsed alphabet, no raw-text regex)
+    must equal regexp_count(text, BPE_PATTERN) exactly — run/other
+    adjacency, unicode, and empty-ish cases."""
+    from pyspark.sql import functions as F
+
+    texts = [
+        "batch part 42 spark!",
+        "a",
+        " ",
+        "  double  spaces  ",
+        "abc123def",
+        "4!!5",
+        "...",
+        "日本語テキスト mixed ASCII 123",
+        "émoji🙂mix a0a0a0",
+        "trailing!",
+        "!leading",
+        "UPPER lower 0909 @#$%",
+    ]
+    df = spark.createDataFrame([Row(doc_id=i, text=t) for i, t in enumerate(texts)])
+    out = df.select(
+        "doc_id",
+        TX.bpe_token_count().alias("fast"),
+        F.regexp_count("text", F.lit(TX.BPE_PATTERN)).cast("bigint").alias("ref"),
+    ).collect()
+    for r in out:
+        assert r["fast"] == r["ref"], texts[r["doc_id"]]
