@@ -66,6 +66,10 @@ LOCAL_QUERIES = {
     "doc_fingerprint": lambda spark, d: TX.doc_fingerprint(
         load(spark, d, "documents")
     ),
+    # r8: Q5 on the bucketed fact layout (defined below; lazy reference)
+    "local_supplier_revenue_layout": lambda spark, d: _q5_layout_served(
+        spark, d
+    ),
 }
 
 # DuckDB twins of the four local queries (the r01 registry oracle SQL,
@@ -138,6 +142,12 @@ LOCAL_ORACLES = {
     # values stay pinned via the md5 twin + the XXH64 twin in tests)
     "event_transitions": registry.EVENT_TRANSITIONS_ORACLE,
     "doc_fingerprint": registry.DOC_FINGERPRINT_BENCH_ORACLE,
+    # layout-served Q5 answers the same query: DuckDB twin is Q5's own
+    # oracle (DuckDB reads its best layout — raw parquet — both engines
+    # serve the identical result)
+    "local_supplier_revenue_layout": registry.ORACLES[
+        "local_supplier_revenue"
+    ],
 }
 
 HEADLINE = [
@@ -197,6 +207,30 @@ def _ivf_index_served(s, d):
         _IDX_CACHE[key] = (path, cent)
     path, cent = _IDX_CACHE[key]
     return CL.cosine_topk_ivf_index(s, path, cent)
+
+
+def _q5_layout_served(s, d):
+    """Q5 on the write-once bucketed fact layout: the cold (untimed) run
+    writes orders+lineitem bucketed/sorted on orderkey into a /tmp-backed
+    database; warm runs measure the query against the layout — the same
+    amortization claim as the served ANN indexes (a 100 TB warehouse keeps
+    its fact tables in join-key buckets; the pre-shuffle is paid once at
+    ingest, not per query)."""
+    from compute_histogram_spark.sources import bucketing as BK
+
+    key = ("q5layout", d)
+    if key not in _IDX_CACHE:
+        db = "bench_q5_" + hashlib.md5(d.encode()).hexdigest()[:10]
+        s.sql(
+            f"CREATE DATABASE IF NOT EXISTS {db} LOCATION '/tmp/{db}_wh'"
+        )
+        _IDX_CACHE[key] = BK.write_q5_layout(s, d, buckets=32, database=db)
+    ot, lt = _IDX_CACHE[key]
+    return R.local_supplier_revenue_bucketed(
+        s, ot, lt,
+        load(s, d, "region"), load(s, d, "nation"),
+        load(s, d, "customer"), load(s, d, "supplier"),
+    )
 
 
 def _ivfpq_index_served(s, d):
@@ -443,6 +477,10 @@ SF10_QUERIES = [
     "text_stats",
     "dedup_minhash",
     "local_supplier_revenue",
+    # Q5 on the bucketed fact layout (r8): same result + same DuckDB twin
+    # as local_supplier_revenue; the layout write is the untimed cold run
+    # (see _q5_layout_served) — measures what the storage-side lever buys
+    "local_supplier_revenue_layout",
     # the fused end-to-end removal op (LSH -> connected components ->
     # anti-join). SPARK-ONLY at sf10: DuckDB's recursive-CTE component
     # resolution did NOT finish at this scale (killed after 25+ min and

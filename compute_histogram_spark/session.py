@@ -64,6 +64,23 @@ def get_session(
         # for the first session in the JVM (spark-submit on a real cluster).
         .config("spark.task.maxFailures", "7")
         .config("spark.sql.files.ignoreCorruptFiles", "false")
+        # Subset-key co-partitioning: tables bucketed on a join key may
+        # join WITHOUT re-shuffling even when the join adds more equi-keys
+        # (Q5's fact join is orderkey + the co-nationality key; the layout
+        # buckets on orderkey alone — rows with equal orderkey are already
+        # co-located, which is sufficient for correctness). The
+        # conservative default (true) re-shuffles on ALL keys and threw
+        # away the bucketed layout's whole point; headline A/B showed no
+        # regression from relaxing it (BASELINE.md r8).
+        .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
+        # Bucketed scans report their sortBy ordering again (SPARK-28346
+        # turned this off by default so huge bucket files could split into
+        # finer tasks). Our layouts write exactly ONE key-sorted file per
+        # bucket (sources/bucketing.py), so reporting the order removes
+        # the per-bucket re-Sort from merge joins and the task split the
+        # default protects never applies; bucket count is chosen to match
+        # core count. Plan-asserted in tests/test_bucketing.py.
+        .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
         # NOTE: takes effect only for the FIRST session in a process —
         # getOrCreate() on an already-running JVM silently ignores builder
         # memory configs. For an existing process use spark-submit /

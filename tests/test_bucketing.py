@@ -91,3 +91,61 @@ def test_merge_schema_evolution(spark, tmp_path):
     df = spark.read.option("mergeSchema", "true").parquet(p)
     rows = {r["id"]: (r["a"], r["b"]) for r in df.collect()}
     assert rows == {1: ("x", None), 2: ("y", 3.5)}
+
+
+def test_q5_on_bucketed_layout_plan_and_values(spark, sf_dir, tmp_path):
+    """Q5 on the write-once bucketed fact layout: the orders⋈lineitem join
+    must plan with ZERO Exchange and ZERO Sort on either fact (one sorted
+    file per bucket), and values must match the raw-parquet plan exactly."""
+    from compute_histogram_spark.operators import relational as R
+
+    spark.sql(
+        f"CREATE DATABASE IF NOT EXISTS q5test LOCATION '{tmp_path / 'wh'}'"
+    )
+    spark.catalog.setCurrentDatabase("q5test")
+    try:
+        ot, lt = B.write_q5_layout(spark, sf_dir, buckets=8)
+        # idempotent: second call returns the same tables, no rewrite
+        assert B.write_q5_layout(spark, sf_dir, buckets=8) == (ot, lt)
+
+        dims = {
+            t: load(spark, sf_dir, t)
+            for t in ("region", "nation", "customer", "supplier")
+        }
+        bucketed = R.local_supplier_revenue_bucketed(
+            spark, ot, lt, dims["region"], dims["nation"],
+            dims["customer"], dims["supplier"],
+        )
+        raw = R.local_supplier_revenue(
+            dims["region"], dims["nation"], dims["customer"],
+            dims["supplier"], load(spark, sf_dir, "orders"),
+            load(spark, sf_dir, "lineitem"),
+        )
+        assert bucketed.collect() == raw.collect()
+
+        # the FINAL AQE plan never re-shuffles LINEITEM (the big fact,
+        # always the streamed side) on its orderkey. The orders side is
+        # scale-inverted at sf0.001 — AQE broadcasts tiny orders INTO the
+        # customer join, which discards its bucketing; at bench scale
+        # customer broadcasts instead and both facts keep their buckets
+        # (plan recorded at sf10 in BASELINE.md). The layout property
+        # itself is pinned deterministically below.
+        plan = _plan(bucketed).split("== Initial Plan ==")[0]
+        assert "hashpartitioning(l_orderkey" not in plan, plan
+
+        # the layout property itself, with broadcast off so the join
+        # would OTHERWISE be shuffle+sort SMJ: same-bucketed sorted scans
+        # plan with ZERO Exchange and ZERO Sort (one file per bucket is
+        # what lets Spark trust the sortBy metadata)
+        ot_df, lt_df = spark.table(ot), spark.table(lt)
+        j = ot_df.join(lt_df, ot_df["o_orderkey"] == lt_df["l_orderkey"])
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            jplan = _plan(j)
+        finally:
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        assert "Exchange hashpartitioning" not in jplan, jplan
+        assert "SortMergeJoin" in jplan
+        assert "Sort [" not in jplan, jplan
+    finally:
+        spark.catalog.setCurrentDatabase("default")
