@@ -336,6 +336,8 @@ def jpeg_info(content: bytes) -> tuple[int, int, int]:
         if content[pos] != 0xFF:
             raise ValueError("malformed JPEG: marker expected")
         pos = _skip_fill(content, pos)
+        if pos + 2 > len(content):  # tail was all fill bytes
+            raise ValueError("malformed JPEG: truncated after fill bytes")
         m = content[pos + 1]
         if m in (SOI, EOI) or _standalone(m):
             pos += 2
@@ -897,6 +899,8 @@ def split_jpeg_tables(blob: bytes) -> tuple[bytes, bytes]:
         if blob[pos] != 0xFF:
             raise ValueError("malformed JPEG: marker expected")
         pos = _skip_fill(blob, pos)
+        if pos + 2 > len(blob):  # tail was all fill bytes
+            raise ValueError("malformed JPEG: truncated after fill bytes")
         m = blob[pos + 1]
         if m == EOI:
             break

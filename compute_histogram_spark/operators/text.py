@@ -69,7 +69,8 @@ def _marker_fold_sql() -> str:
     one per LANG_MARKERS code."""
 
     def hit(words: tuple[str, ...]) -> str:
-        lst = ", ".join(f"'{w}'" for w in words)
+        # SQL-escape: a marker like French "l'" must not break the IN list
+        lst = ", ".join("'" + w.replace("'", "''") + "'" for w in words)
         return f"(CASE WHEN t IN ({lst}) THEN 1 ELSE 0 END)"
 
     codes = list(LANG_MARKERS)

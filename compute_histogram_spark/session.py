@@ -71,7 +71,11 @@ def get_session(
         # co-located, which is sufficient for correctness). The
         # conservative default (true) re-shuffles on ALL keys and threw
         # away the bucketed layout's whole point; headline A/B showed no
-        # regression from relaxing it (BASELINE.md r8).
+        # regression from relaxing it (BASELINE.md "Measured (round 8)",
+        # flags subsection). Global because lazy registry plans resolve
+        # SQL confs at action time, so a set/unset scope around plan
+        # construction would not stick; only catalog-bucketed scans are
+        # affected either way.
         .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
         # Bucketed scans report their sortBy ordering again (SPARK-28346
         # turned this off by default so huge bucket files could split into

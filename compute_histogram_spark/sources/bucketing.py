@@ -90,8 +90,15 @@ def write_q5_layout(
         names[tbl] = name
         if spark.catalog.tableExists(name):
             continue
-        # a prior run that died mid-write leaves the managed location on
-        # disk with no catalog entry; saveAsTable refuses to reuse it
+        # The warehouse dir can outlive the metastore (fresh in-process
+        # derby catalog, persistent spark-warehouse): a COMPLETE prior
+        # layout (marked by _SUCCESS) is re-registered over its existing
+        # files — bucket ids are parsed from the file names Spark wrote —
+        # instead of being deleted and rebuilt every process (ADVICE r8).
+        # Only an incomplete write (died mid-write, no _SUCCESS) is
+        # removed; saveAsTable refuses to reuse such a location.
+        # Single-writer assumption: concurrent processes building the
+        # same (sf_dir, buckets) tag race on this directory.
         loc = spark.sql(f"DESCRIBE DATABASE {db}").where(
             "info_name = 'Location'"
         ).first()["info_value"]
@@ -99,6 +106,21 @@ def write_q5_layout(
             loc.removeprefix("file:"), name.rsplit(".", 1)[-1]
         )
         if os.path.isdir(orphan):
+            if os.path.exists(os.path.join(orphan, "_SUCCESS")):
+                try:
+                    sch = spark.read.parquet(orphan).schema
+                    cols = ", ".join(
+                        f"`{f.name}` {f.dataType.simpleString()}"
+                        for f in sch.fields
+                    )
+                    spark.sql(
+                        f"CREATE TABLE {name} ({cols}) USING parquet "
+                        f"CLUSTERED BY ({key}) SORTED BY ({key}) "
+                        f"INTO {buckets} BUCKETS LOCATION '{orphan}'"
+                    )
+                    continue
+                except Exception:  # noqa: BLE001 - fall through to rebuild
+                    pass
             import shutil
 
             shutil.rmtree(orphan)

@@ -149,3 +149,53 @@ def test_q5_on_bucketed_layout_plan_and_values(spark, sf_dir, tmp_path):
         assert "Sort [" not in jplan, jplan
     finally:
         spark.catalog.setCurrentDatabase("default")
+
+
+def test_q5_layout_reregisters_complete_prior_layout(spark, sf_dir, tmp_path):
+    """A complete prior layout (files + _SUCCESS, no catalog entry — the
+    fresh-metastore/persistent-warehouse case) is re-registered over its
+    existing files instead of deleted and rebuilt (ADVICE r8), and the
+    re-registered tables keep the exchange-free sorted-bucket plan."""
+    import os
+    import shutil
+
+    spark.sql(
+        f"CREATE DATABASE IF NOT EXISTS q5rereg LOCATION '{tmp_path / 'wh'}'"
+    )
+    spark.catalog.setCurrentDatabase("q5rereg")
+    try:
+        ot, lt = B.write_q5_layout(spark, sf_dir, buckets=8)
+        before = spark.table(lt).count()
+        loc = spark.sql("DESCRIBE DATABASE q5rereg").where(
+            "info_name = 'Location'"
+        ).first()["info_value"].removeprefix("file:")
+        # drop the catalog entries but keep the files (DROP TABLE on a
+        # managed table deletes them — move aside, drop, move back)
+        mtimes = {}
+        for t in (ot, lt):
+            d = os.path.join(loc, t.split(".")[-1])
+            shutil.move(d, d + ".keep")
+            spark.sql(f"DROP TABLE {t}")
+            shutil.move(d + ".keep", d)
+            mtimes[t] = os.path.getmtime(d)
+
+        ot2, lt2 = B.write_q5_layout(spark, sf_dir, buckets=8)
+        assert (ot2, lt2) == (ot, lt)
+        assert spark.table(lt2).count() == before
+        for t in (ot, lt):  # re-registered, NOT rewritten
+            d = os.path.join(loc, t.split(".")[-1])
+            assert os.path.getmtime(d) == mtimes[t]
+
+        # bucket+sort metadata survived re-registration: exchange-free SMJ
+        ot_df, lt_df = spark.table(ot2), spark.table(lt2)
+        j = ot_df.join(lt_df, ot_df["o_orderkey"] == lt_df["l_orderkey"])
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            jplan = _plan(j)
+        finally:
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        assert "Exchange hashpartitioning" not in jplan, jplan
+        assert "SortMergeJoin" in jplan
+        assert "Sort [" not in jplan, jplan
+    finally:
+        spark.catalog.setCurrentDatabase("default")
