@@ -452,11 +452,18 @@ def repeated_span_coverage(
         F.posexplode(word_shingles("toks", n)).alias("pos", "gram"),
     ).select(id_col, "pos", F.md5("gram").alias("g"))
 
+    # SHUFFLE_HASH on the hot side: after groupBy+filter the static
+    # estimator's size guess for the hot-digest set degenerates to a
+    # constant and it broadcasts a set that GROWS with the corpus (the r6
+    # ngram misplan class, gated by plan_audit BCAST_OVER_SHUFFLE). The
+    # digest equi-join shuffles both sides on g; hot is the (much
+    # smaller) build side.
     hot = (
         grams.groupBy("g")
         .agg(F.count_distinct(F.col(id_col)).alias("df"))
         .where(F.col("df") >= min_df)
         .select("g")
+        .hint("shuffle_hash")
     )
     spans = grams.join(hot, "g").select(id_col, "pos")
 
@@ -467,10 +474,13 @@ def repeated_span_coverage(
             F.lit(n), F.coalesce(F.lead("pos").over(w) - F.col("pos"), F.lit(n))
         ).alias("cov"),
     )
+    # per_doc is ONE ROW PER HOT DOC — data-scaled, so the static
+    # broadcast the estimator picks after two aggregation levels is the
+    # same misplan class as `hot` above; hash-join it on doc_id instead
     per_doc = swept.groupBy(id_col).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_hot_spans"),
         F.sum("cov").cast("bigint").alias("covered_tokens"),
-    )
+    ).hint("shuffle_hash")
     return (
         base.join(per_doc, id_col, "left")
         .select(
@@ -567,7 +577,15 @@ def semantic_dedup(
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
         .where(
-            V.cosine(F.col("a.v"), F.col("b.v"), F.col("a.nrm"), F.col("b.nrm"))
+            # 6-decimal rounding before the threshold: summation-order
+            # last-bit noise must not flip a pair in or out across engines
+            # (the DuckDB twin rounds identically; same as dedup_embedding)
+            F.round(
+                V.cosine(
+                    F.col("a.v"), F.col("b.v"), F.col("a.nrm"), F.col("b.nrm")
+                ),
+                6,
+            )
             >= threshold
         )
         .select(

@@ -508,6 +508,10 @@ def cosine_topk_sq(
             ).alias("cosine"),
         )
     )
+    # the final orderBy's range sampler re-runs the rerank cosines, but
+    # over the post-WindowGroupLimit shortlist only (<= |queries| x rerank
+    # rows read back from the shortlist's materialized exchange) — bounded
+    # by construction, listed in plan_audit SORT_RESAMPLE_BOUNDED
     return _ranked(pairs, k)
 
 

@@ -191,15 +191,16 @@ def q_histogram_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register(
-    "equi_depth_histogram",
-    # Histogram-inverted equi-depth (deciles.py:equi_depth_histogram_binned)
-    # — every decision is integer arithmetic on per-bin counts, so the two
-    # engines agree bit-for-bit. `//` is DuckDB integer division, matching
-    # Spark's `div`. The raw-exact global-ntile twin lives in pytest
-    # (tests/test_deciles.py) — it is deliberately NOT registered: its plan
-    # is a single-partition sort of the whole table.
-    """
+# rotated out r9 (fifth wave, for semantic_dedup / repeated_span_coverage /
+# similarity_topk_sq) — driver-green r02-r08; oracle kept verbatim for
+# tests/test_rotated_out.py.
+# Histogram-inverted equi-depth (deciles.py:equi_depth_histogram_binned)
+# — every decision is integer arithmetic on per-bin counts, so the two
+# engines agree bit-for-bit. `//` is DuckDB integer division, matching
+# Spark's `div`. The raw-exact global-ntile twin lives in pytest
+# (tests/test_deciles.py) — it is deliberately NOT registered: its plan
+# is a single-partition sort of the whole table.
+EQUI_DEPTH_ORACLE = """
     WITH src AS (
         SELECT value AS v FROM events
         WHERE value IS NOT NULL AND NOT isnan(value)
@@ -226,8 +227,9 @@ def q_histogram_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(sum(n) AS BIGINT) AS n_rows,
            min(mn) AS min_value, max(mx) AS max_value
     FROM m GROUP BY bucket ORDER BY bucket
-    """,
-)
+    """
+
+
 def q_equi_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.equi_depth_histogram_binned(
         load(spark, sf_dir, "events"), "value"
@@ -382,9 +384,10 @@ def q_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return R.fuzzy_name_pairs(load(spark, sf_dir, "part"))
 
 
-@register(
-    "priority_year_grouping_sets",
-    """
+# rotated out r9 (fifth wave) — driver-green since r02; oracle kept for
+# tests/test_rotated_out.py (grouping-sets family stays driver-covered by
+# rollup_revenue).
+GROUPING_SETS_ORACLE = """
     SELECT coalesce(CAST(order_year AS VARCHAR), 'ALL') AS order_year,
            coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
            CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) / 100.0
@@ -394,8 +397,9 @@ def q_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
           FROM orders)
     GROUP BY GROUPING SETS ((order_year, o_orderpriority), (o_orderpriority), ())
     ORDER BY order_year, o_orderpriority
-    """,
-)
+    """
+
+
 def q_priority_year_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return R.priority_year_grouping_sets(load(spark, sf_dir, "orders"))
 
@@ -948,6 +952,159 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.embedding_neardup_pairs(load(spark, sf_dir, "embeddings"), threshold=0.35)
 
 
+@register(
+    "semantic_dedup",
+    # SemDeDup (dedup.py:semantic_dedup, arXiv:2303.09540) driver-exposed
+    # r9 (5th rotation — the one named LLM-pipeline op never under the
+    # gate, VERDICT r08 #3). Deterministic configuration for the oracle:
+    # centroids = the k-means SEED (10 lowest vec_ids, coords rounded to 6
+    # decimals — exactly clustering.kmeans(iters=0)), keep="min_id". The
+    # full Lloyd's-trained path + "closest" policy stay pinned by the
+    # NumPy-twin equality test (tests/test_dedup.py). Assignment twin:
+    # d = |x|^2 - 2x.c + |c|^2 rounded to 6 decimals, argmin ties to the
+    # lowest cid (clustering.assign_udf); pair twin: within-cluster cosine
+    # rounded to 6 >= 0.35 (same rounding both engines; measured value gap
+    # around the threshold is ~9e-4 at sf0.01 — see BASELINE.md r9);
+    # component resolution: min-reachable-label fixpoint as a recursive
+    # CTE (pattern: dedup_clusters).
+    """
+    WITH RECURSIVE
+    u AS (
+        SELECT vec_id, g, CAST(embedding[g] AS DOUBLE) AS x
+        FROM (
+            SELECT vec_id, embedding,
+                   unnest(generate_series(1, len(embedding))) AS g
+            FROM embeddings
+        )
+    ),
+    seed AS (SELECT DISTINCT vec_id FROM u ORDER BY vec_id LIMIT 10),
+    cent AS (
+        SELECT dense_rank() OVER (ORDER BY u.vec_id) - 1 AS cid, g,
+               round(x, 6) AS c
+        FROM u JOIN seed ON seed.vec_id = u.vec_id
+    ),
+    csq AS (SELECT cid, sum(c * c) AS c2 FROM cent GROUP BY cid),
+    vsq AS (
+        SELECT vec_id, sum(x * x) AS v2, sqrt(sum(x * x)) AS nrm
+        FROM u GROUP BY vec_id
+    ),
+    xc AS (
+        SELECT u.vec_id, cent.cid, sum(u.x * cent.c) AS dot
+        FROM u JOIN cent ON cent.g = u.g GROUP BY 1, 2
+    ),
+    dist AS (
+        SELECT xc.vec_id, xc.cid, round(v2 - 2 * dot + c2, 6) AS d2
+        FROM xc JOIN vsq USING (vec_id) JOIN csq USING (cid)
+    ),
+    asg AS (
+        SELECT vec_id, CAST(cid AS INT) AS cid FROM (
+            SELECT vec_id, cid, row_number() OVER (
+                PARTITION BY vec_id ORDER BY d2, cid
+            ) AS rk
+            FROM dist
+        ) WHERE rk = 1
+    ),
+    pd AS (
+        SELECT a.vec_id AS v1, b.vec_id AS v2x, sum(ua.x * ub.x) AS dot
+        FROM asg a
+        JOIN asg b ON a.cid = b.cid AND a.vec_id < b.vec_id
+        JOIN u ua ON ua.vec_id = a.vec_id
+        JOIN u ub ON ub.vec_id = b.vec_id AND ub.g = ua.g
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT v1, v2x FROM pd
+        JOIN vsq n1 ON n1.vec_id = v1
+        JOIN vsq n2 ON n2.vec_id = v2x
+        WHERE round(dot / (n1.nrm * n2.nrm), 6) >= 0.35
+    ),
+    e AS (
+        SELECT v1 AS a, v2x AS b FROM pairs
+        UNION SELECT v2x, v1 FROM pairs
+    ),
+    reach(node, r) AS (
+        SELECT a, a FROM e
+        UNION
+        SELECT e.b, reach.r FROM e JOIN reach ON e.a = reach.node
+    ),
+    comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node),
+    keepers AS (
+        SELECT component, min(node) AS keep_id FROM comp GROUP BY component
+    )
+    SELECT asg.vec_id, asg.cid,
+           coalesce(comp.node = k.keep_id, TRUE) AS kept
+    FROM asg
+    LEFT JOIN comp ON comp.node = asg.vec_id
+    LEFT JOIN keepers k ON k.component = comp.component
+    ORDER BY asg.vec_id
+    """,
+)
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from compute_histogram_spark.operators.clustering import kmeans
+
+    emb = load(spark, sf_dir, "embeddings")
+    cents = kmeans(emb, n_clusters=10, iters=0)  # deterministic seed
+    return DD.semantic_dedup(
+        emb, threshold=0.35, centroids=cents, keep="min_id"
+    )
+
+
+@register(
+    "repeated_span_coverage",
+    # Cross-document boilerplate coverage (dedup.py:repeated_span_coverage)
+    # driver-exposed r9 (5th rotation); the oracle is the DuckDB twin that
+    # lived in tests/test_dedup.py since r6, lifted verbatim — interval
+    # sweep semantics: span i covers min(n, next_start - start) tokens.
+    """
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks,
+               len(string_split(text, ' ')) AS n_tokens
+        FROM documents
+    ),
+    g AS (
+        SELECT doc_id, n_tokens,
+               unnest(generate_series(1, n_tokens - 4)) AS pos, toks
+        FROM t WHERE n_tokens >= 5
+    ),
+    grams AS (
+        SELECT doc_id, n_tokens, pos,
+               toks[pos] || ' ' || toks[pos+1] || ' ' || toks[pos+2] || ' '
+                   || toks[pos+3] || ' ' || toks[pos+4] AS gram
+        FROM g
+    ),
+    hot AS (
+        SELECT gram FROM grams GROUP BY gram
+        HAVING count(DISTINCT doc_id) >= 2
+    ),
+    spans AS (SELECT doc_id, n_tokens, pos FROM grams JOIN hot USING (gram)),
+    swept AS (
+        SELECT doc_id, n_tokens,
+               least(5, coalesce(
+                   lead(pos) OVER (PARTITION BY doc_id ORDER BY pos) - pos, 5
+               )) AS cov
+        FROM spans
+    ),
+    per_doc AS (
+        SELECT doc_id, count(*) AS n_hot_spans,
+               CAST(sum(cov) AS BIGINT) AS covered_tokens
+        FROM swept GROUP BY doc_id
+    )
+    SELECT t.doc_id, t.n_tokens,
+           coalesce(n_hot_spans, 0) AS n_hot_spans,
+           coalesce(covered_tokens, 0) AS covered_tokens,
+           round(coalesce(covered_tokens, 0) * 1.0 / t.n_tokens, 6)
+               AS dup_frac
+    FROM t LEFT JOIN per_doc USING (doc_id)
+    WHERE t.n_tokens >= 5
+    ORDER BY t.doc_id
+    """,
+)
+def q_repeated_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return DD.repeated_span_coverage(
+        load(spark, sf_dir, "documents"), n=5, min_df=2
+    )
+
+
 # ---------------------------------------------------------------------------
 # similarity search (operators/similarity.py) — embeddings table
 # ---------------------------------------------------------------------------
@@ -998,9 +1155,10 @@ def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.cosine_topk(load(spark, sf_dir, "embeddings"))
 
 
-@register(
-    "similarity_topk_ivf",
-    f"""
+# rotated out r9 (fifth wave) — driver-green r01-r08; oracle kept for
+# tests/test_rotated_out.py (similarity family stays driver-covered by
+# similarity_topk, similarity_topk_lsh and the new similarity_topk_sq).
+SIMILARITY_IVF_ORACLE = f"""
     WITH {_EMB_CTES},
     d AS (
         SELECT q.vec_id AS query_id, c.vec_id AS vec_id, sum(q.x * c.x) AS dot
@@ -1024,10 +1182,92 @@ def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT query_id, rnk, vec_id, cosine FROM r WHERE rnk <= 5
     ORDER BY query_id, rnk
-    """,
-)
+    """
+
+
 def q_similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.cosine_topk_ivf(load(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "similarity_topk_sq",
+    # int8 scalar-quantization ANN (operators/pq.py:cosine_topk_sq): the
+    # middle rung of the compression ladder, driver-exposed r9 (5th
+    # rotation). Every quantization decision is replicated arithmetic:
+    # per-vector scale = max|x|/127 floored at 1e-30, q_i = round(x/scale)
+    # (both engines round half away from zero), integer dot, approx cosine
+    # rounded to 6 decimals BEFORE the shortlist rank — so shortlist order
+    # (ties broken by vec_id) is cross-engine deterministic; exact rerank
+    # mirrors similarity_topk.
+    """
+    WITH u AS (
+        SELECT vec_id, g, CAST(embedding[g] AS DOUBLE) AS x
+        FROM (
+            SELECT vec_id, embedding,
+                   unnest(generate_series(1, len(embedding))) AS g
+            FROM embeddings
+        )
+    ),
+    n AS (
+        SELECT vec_id, sqrt(sum(x * x)) AS nrm,
+               greatest(max(abs(x)) / 127.0, 1e-30) AS scale
+        FROM u GROUP BY vec_id
+    ),
+    q AS (
+        SELECT u.vec_id, g, CAST(round(x / n.scale) AS INT) AS qv
+        FROM u JOIN n ON n.vec_id = u.vec_id
+    ),
+    idot AS (
+        SELECT a.vec_id AS query_id, b.vec_id AS vec_id,
+               CAST(sum(a.qv * b.qv) AS DOUBLE) AS dot
+        FROM q a JOIN q b ON a.g = b.g AND a.vec_id != b.vec_id
+        WHERE a.vec_id < 10
+        GROUP BY 1, 2
+    ),
+    approx AS (
+        SELECT query_id, idot.vec_id,
+               round(dot * nq.scale * nc.scale / (nq.nrm * nc.nrm), 6)
+                   AS approx
+        FROM idot
+        JOIN n nq ON nq.vec_id = idot.query_id
+        JOIN n nc ON nc.vec_id = idot.vec_id
+    ),
+    short AS (
+        SELECT query_id, vec_id FROM (
+            SELECT query_id, vec_id, row_number() OVER (
+                PARTITION BY query_id ORDER BY approx DESC, vec_id
+            ) AS srk
+            FROM approx
+        ) WHERE srk <= 50
+    ),
+    d AS (
+        SELECT s.query_id, s.vec_id, sum(qa.x * ca.x) AS dot
+        FROM short s
+        JOIN u qa ON qa.vec_id = s.query_id
+        JOIN u ca ON ca.vec_id = s.vec_id AND ca.g = qa.g
+        GROUP BY 1, 2
+    ),
+    cs AS (
+        SELECT query_id, d.vec_id,
+               round(dot / (nq.nrm * nc.nrm), 6) AS cosine
+        FROM d
+        JOIN n nq ON nq.vec_id = d.query_id
+        JOIN n nc ON nc.vec_id = d.vec_id
+    ),
+    r AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, vec_id
+        ) AS rnk
+        FROM cs
+    )
+    SELECT query_id, rnk, vec_id, cosine FROM r WHERE rnk <= 5
+    ORDER BY query_id, rnk
+    """,
+)
+def q_similarity_topk_sq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from compute_histogram_spark.operators import pq as PQ
+
+    return PQ.cosine_topk_sq(load(spark, sf_dir, "embeddings"))
 
 
 # rotated out r7 (fourth wave, for the r6 LM/mix/concurrency/neardup ops) —

@@ -192,48 +192,10 @@ def test_repeated_span_coverage_golden(spark):
     assert out[4] == (5, 0, 0, 0.0)
 
 
-SPAN_ORACLE = """
-WITH t AS (
-    SELECT doc_id, string_split(text, ' ') AS toks,
-           len(string_split(text, ' ')) AS n_tokens
-    FROM documents
-),
-g AS (
-    SELECT doc_id, n_tokens,
-           unnest(generate_series(1, n_tokens - 4)) AS pos, toks
-    FROM t WHERE n_tokens >= 5
-),
-grams AS (
-    SELECT doc_id, n_tokens, pos,
-           toks[pos] || ' ' || toks[pos+1] || ' ' || toks[pos+2] || ' '
-               || toks[pos+3] || ' ' || toks[pos+4] AS gram
-    FROM g
-),
-hot AS (
-    SELECT gram FROM grams GROUP BY gram
-    HAVING count(DISTINCT doc_id) >= 2
-),
-spans AS (SELECT doc_id, n_tokens, pos FROM grams JOIN hot USING (gram)),
-swept AS (
-    SELECT doc_id, n_tokens,
-           least(5, coalesce(
-               lead(pos) OVER (PARTITION BY doc_id ORDER BY pos) - pos, 5
-           )) AS cov
-    FROM spans
-),
-per_doc AS (
-    SELECT doc_id, count(*) AS n_hot_spans,
-           CAST(sum(cov) AS BIGINT) AS covered_tokens
-    FROM swept GROUP BY doc_id
-)
-SELECT t.doc_id, t.n_tokens,
-       coalesce(n_hot_spans, 0) AS n_hot_spans,
-       coalesce(covered_tokens, 0) AS covered_tokens,
-       round(coalesce(covered_tokens, 0) * 1.0 / t.n_tokens, 6) AS dup_frac
-FROM t LEFT JOIN per_doc USING (doc_id)
-WHERE t.n_tokens >= 5
-ORDER BY t.doc_id
-"""
+# the span-coverage DuckDB twin moved INTO the registry in r9 (5th
+# rotation wave); single source of truth there.
+from compute_histogram_spark.registry import ORACLES as _ORACLES
+SPAN_ORACLE = _ORACLES["repeated_span_coverage"]
 
 
 def test_repeated_span_coverage_vs_duckdb_oracle(spark, sf_dir):

@@ -376,3 +376,40 @@ def test_similarity_topk_gemm_oracle(spark, sf_dir, con):
 
     _check("similarity_topk_gemm", q_similarity_topk_gemm(spark, sf_dir), con,
            SIMILARITY_GEMM_ORACLE)
+
+
+# --- fifth rotation wave (r9): equi_depth_histogram /
+# --- priority_year_grouping_sets / similarity_topk_ivf swap out for
+# --- semantic_dedup / repeated_span_coverage / similarity_topk_sq; their
+# --- full oracles continue here.
+
+
+def test_equi_depth_histogram_oracle(spark, sf_dir, con):
+    from compute_histogram_spark.registry import (
+        EQUI_DEPTH_ORACLE,
+        q_equi_depth_histogram,
+    )
+
+    _check("equi_depth_histogram", q_equi_depth_histogram(spark, sf_dir),
+           con, EQUI_DEPTH_ORACLE)
+
+
+def test_priority_year_grouping_sets_oracle(spark, sf_dir, con):
+    from compute_histogram_spark.registry import (
+        GROUPING_SETS_ORACLE,
+        q_priority_year_grouping_sets,
+    )
+
+    _check("priority_year_grouping_sets",
+           q_priority_year_grouping_sets(spark, sf_dir), con,
+           GROUPING_SETS_ORACLE)
+
+
+def test_similarity_topk_ivf_oracle(spark, sf_dir, con):
+    from compute_histogram_spark.registry import (
+        SIMILARITY_IVF_ORACLE,
+        q_similarity_topk_ivf,
+    )
+
+    _check("similarity_topk_ivf", q_similarity_topk_ivf(spark, sf_dir), con,
+           SIMILARITY_IVF_ORACLE)

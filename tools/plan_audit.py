@@ -50,6 +50,11 @@ NLJ_ALLOWED = {
     "range_band_join",
     "histogram_deciles",
     "similarity_topk",
+    # same deliberate brute-force shape as similarity_topk: the broadcast
+    # side is the tiny filtered QUERY set (vec_id < 10) against the int8
+    # candidate scan (pq.py:cosine_topk_sq — the point is that the scan
+    # touches only the quantized quarter-width payload)
+    "similarity_topk_sq",
     "equi_depth_histogram_approx",
     "bm25_topk",
     "token_pmi",
@@ -186,6 +191,13 @@ SORT_RESAMPLE_BOUNDED: dict[str, str] = {
     # group-bounded aggregates: the region above the final sort is a
     # post-shuffle reduce over few rows (AQE materializes the agg's map
     # side; the resample re-runs only the reduce)
+    #
+    # similarity_topk_sq: the region between the final orderBy and the
+    # shortlist's materialized hash exchange re-runs the rerank cosine
+    # folds, but its input is the post-WindowGroupLimit shortlist —
+    # <= |queries| x rerank (= 500) rows regardless of corpus size, read
+    # back from the exchange, never the scan (pq.py:cosine_topk_sq)
+    "similarity_topk_sq": "rerank region input <= queries x rerank rows",
 }
 
 
