@@ -361,9 +361,11 @@ AUDIO_FEATURE_SCHEMA = (
 
 def extract_audio_features(assets: DataFrame) -> DataFrame:
     """Per-asset audio features via Arrow-batched ``mapInPandas``: REAL
-    decode for WAV and FLAC payloads, ``decoded=false`` passthrough
-    otherwise. rms/peak are over all channels; payload bytes never cross a
-    shuffle."""
+    decode for WAV and FLAC payloads; MP3 payloads report real HEADER
+    metadata (rate/channels/frames/duration from the frame walk,
+    multimodal/mp3.py) with ``decoded=false`` and null PCM features;
+    ``decoded=false`` all-null passthrough otherwise. rms/peak are over
+    all channels; payload bytes never cross a shuffle."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -373,12 +375,26 @@ def extract_audio_features(assets: DataFrame) -> DataFrame:
             FLAC_MAGIC,
             decode_flac,
         )
+        from compute_histogram_spark.multimodal.mp3 import mp3_info
+
+        def _is_mp3(c: bytes) -> bool:
+            if c[:3] == b"ID3":
+                return True
+            return len(c) >= 2 and c[0] == 0xFF and (c[1] & 0xE0) == 0xE0
 
         for pdf in batches:
             rows = []
             for row in pdf.itertuples(index=False):
                 content = bytes(row.content)
                 try:
+                    if _is_mp3(content):
+                        info = mp3_info(content)
+                        rows.append(
+                            (row.asset_id, info["sample_rate"],
+                             info["n_channels"], info["n_samples"],
+                             info["duration_s"], None, None, False)
+                        )
+                        continue
                     if content[:4] == FLAC_MAGIC:
                         x, rate = decode_flac(content)
                     else:

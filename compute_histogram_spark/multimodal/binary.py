@@ -258,8 +258,10 @@ def decode_audio(content: bytes) -> Any:
         return decode_flac(content)
     raise NotImplementedError(
         "lossy audio decode needs soundfile/librosa; WAV and FLAC decode "
-        "for real (multimodal/audio.py, flac.py), and the mapInPandas "
-        "plumbing (extract_audio_features) is shared by all paths"
+        "for real (multimodal/audio.py, flac.py), MP3 gets real HEADER "
+        "metadata (multimodal/mp3.py: frame walk, Xing, ID3) without PCM, "
+        "and the mapInPandas plumbing (extract_audio_features) is shared "
+        "by all paths"
     )
 
 
