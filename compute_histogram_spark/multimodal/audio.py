@@ -375,20 +375,32 @@ def extract_audio_features(assets: DataFrame) -> DataFrame:
             FLAC_MAGIC,
             decode_flac,
         )
+        from compute_histogram_spark.multimodal.aac import aac_info
         from compute_histogram_spark.multimodal.mp3 import mp3_info
+        from compute_histogram_spark.multimodal.ogg import OGG_MAGIC, ogg_info
 
-        def _is_mp3(c: bytes) -> bool:
-            if c[:3] == b"ID3":
-                return True
-            return len(c) >= 2 and c[0] == 0xFF and (c[1] & 0xE0) == 0xE0
+        def _lossy_info(c: bytes):
+            # ADTS vs MP3 sync is disambiguated by the layer bits: ADTS
+            # requires layer 00 (second byte F0/F1/F8/F9), which is the
+            # RESERVED layer for MPEG audio frames, so the patterns are
+            # disjoint
+            if c[:4] == OGG_MAGIC:
+                return ogg_info(c)
+            if len(c) >= 2 and c[0] == 0xFF and (c[1] & 0xF6) == 0xF0:
+                return aac_info(c)
+            if c[:3] == b"ID3" or (
+                len(c) >= 2 and c[0] == 0xFF and (c[1] & 0xE0) == 0xE0
+            ):
+                return mp3_info(c)
+            return None
 
         for pdf in batches:
             rows = []
             for row in pdf.itertuples(index=False):
                 content = bytes(row.content)
                 try:
-                    if _is_mp3(content):
-                        info = mp3_info(content)
+                    info = _lossy_info(content)
+                    if info is not None:
                         rows.append(
                             (row.asset_id, info["sample_rate"],
                              info["n_channels"], info["n_samples"],
