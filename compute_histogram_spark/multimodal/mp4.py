@@ -126,6 +126,27 @@ def mp4_info(content: bytes) -> dict[str, Any]:
                     track["codec"] = content[s0 + 12 : s0 + 16].decode(
                         "latin-1"
                     )
+                    if track["codec"] in ("avc1", "avc3"):
+                        # the visual sample entry's fixed part is 78
+                        # bytes; child boxes (avcC, pasp, ...) follow.
+                        # SPS dims are AUTHORITATIVE (tkhd is display
+                        # size); parse failures leave container metadata
+                        # intact rather than poisoning the track
+                        try:
+                            for bt, c0, c1 in _boxes(
+                                content, s0 + 16 + 78, s1
+                            ):
+                                if bt == b"avcC":
+                                    from compute_histogram_spark.multimodal.h264 import (  # noqa: E501
+                                        parse_avcc,
+                                    )
+
+                                    track["sps"] = parse_avcc(
+                                        content[c0:c1]
+                                    )
+                                    break
+                        except ValueError:
+                            pass
             info["tracks"].append(track)
     info["n_tracks"] = len(info["tracks"])
     if "duration_s" not in info:
@@ -185,6 +206,9 @@ def extract_video_info(assets: DataFrame) -> DataFrame:
                         (t for t in i["tracks"] if t["handler"] == "soun"),
                         None,
                     )
+                    # SPS coded dimensions (avcC) are authoritative over
+                    # the tkhd display size when present (h264.py, r9)
+                    sps = vid.get("sps") if vid else None
                     rows.append(
                         (
                             row.asset_id,
@@ -193,8 +217,8 @@ def extract_video_info(assets: DataFrame) -> DataFrame:
                             i["timescale"],
                             i["n_tracks"],
                             vid["codec"] if vid else None,
-                            vid["width"] if vid else 0,
-                            vid["height"] if vid else 0,
+                            (sps or vid)["width"] if vid else 0,
+                            (sps or vid)["height"] if vid else 0,
                             aud["codec"] if aud else None,
                             True,
                         )
@@ -235,11 +259,14 @@ def encode_mp4(
     brand: str = "isom",
     version1: bool = False,
     large_moov: bool = False,
+    video_avcc: bytes | None = None,
 ) -> bytes:
     """Minimal ISO-BMFF writer for parser fixtures: ftyp + moov with mvhd
     and per-track tkhd/hdlr/stsd chains (no media data — the parser's
     scope is container metadata). ``version1`` emits 64-bit mvhd times;
-    ``large_moov`` forces a 64-bit largesize moov box header."""
+    ``large_moov`` forces a 64-bit largesize moov box header;
+    ``video_avcc`` embeds an avcC record in a real-shaped (78-byte fixed
+    part) visual sample entry."""
     dur = int(round(duration_s * timescale))
     if version1:
         mvhd = (
@@ -255,7 +282,12 @@ def encode_mp4(
     def trak(handler: str, codec: str, w: int, h: int) -> bytes:
         tkhd = b"\x00" * 4 + b"\x00" * 72 + struct.pack(">II", w << 16, h << 16)
         hdlr = b"\x00" * 8 + handler.encode() + b"\x00" * 13
-        entry = _box(codec.encode(), b"\x00" * 70)
+        if handler == "vide" and video_avcc is not None:
+            entry = _box(
+                codec.encode(), b"\x00" * 78 + _box(b"avcC", video_avcc)
+            )
+        else:
+            entry = _box(codec.encode(), b"\x00" * 70)
         stsd = _box(b"stsd", b"\x00" * 4 + struct.pack(">I", 1) + entry)
         stbl = _box(b"stbl", stsd)
         minf = _box(b"minf", stbl)
