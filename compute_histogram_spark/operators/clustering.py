@@ -230,6 +230,25 @@ def write_ivf_index(
     ).partitionBy("cid").parquet(path)
 
 
+def append_to_ivf_index(
+    new_emb: DataFrame,
+    centroids: np.ndarray,
+    path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """Incremental ingest into a persisted IVF index: assign NEW vectors
+    to the EXISTING centroids and APPEND their partitions — no retrain,
+    no rewrite of prior data. A map-only job touching only the assigned
+    ``cid=`` directories; probe queries see old+new rows with unchanged
+    partition pruning (value-equivalence and pruning asserted in
+    tests/test_clustering.py). Rebuild when assignment drift says the
+    trained centroids no longer fit the data."""
+    assign_clusters(new_emb, centroids, vec_col=vec_col, id_col=id_col).write.mode(
+        "append"
+    ).partitionBy("cid").parquet(path)
+
+
 def cosine_topk_ivf_index(
     spark,
     path: str,

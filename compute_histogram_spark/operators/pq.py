@@ -283,6 +283,29 @@ def ivfpq_index(
     )
     codebooks = pq_train(resid, m=m, ksub=ksub, iters=iters, vec_col="r",
                          id_col="vec_id")
+    return ivfpq_encode(emb, centroids, codebooks), centroids, codebooks
+
+
+def ivfpq_encode(
+    emb: DataFrame,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Encode vectors against EXISTING IVFPQ meta (coarse assign ->
+    residual -> per-subspace codes) — the shared map-only step behind
+    initial builds and incremental appends; deterministic given
+    (centroids, codebooks)."""
+    cand = CL.assign_clusters(emb, centroids, vec_col=vec_col, id_col=id_col)
+    spark = emb.sparkSession
+    cdf = spark.createDataFrame(
+        [(int(i), [float(x) for x in c]) for i, c in enumerate(centroids)],
+        "cid int, cvec array<double>",
+    )
+    resid = cand.join(F.broadcast(cdf), "cid").withColumn(
+        "r", F.zip_with("v", "cvec", lambda x, y: x - y)
+    )
 
     cb = np.ascontiguousarray(codebooks, dtype=np.float64)
     mm, _, dsub = cb.shape
@@ -305,11 +328,10 @@ def ivfpq_index(
             out["code"] = list(codes)
             yield out
 
-    index = resid.select("vec_id", "v", "nrm", "cid", "r").mapInPandas(
+    return resid.select("vec_id", "v", "nrm", "cid", "r").mapInPandas(
         kernel,
         "vec_id bigint, v array<double>, nrm double, cid int, code array<int>",
     )
-    return index, centroids, codebooks
 
 
 def cosine_topk_ivfpq(
@@ -547,6 +569,26 @@ def write_ivfpq_index(
         ],
         "s int, j int, cvec array<double>",
     ).write.mode("overwrite").parquet(f"{path}/codebooks")
+
+
+def append_to_ivfpq_index(new_emb: DataFrame, path: str) -> None:
+    """Incremental ingest into a persisted IVFPQ index: encode NEW vectors
+    against the index's OWN persisted meta (no retrain) and APPEND their
+    code partitions — prior data is never rewritten.
+
+    100 TB story: ingest is a map-only job (assign + residual + PQ codes)
+    that writes only the touched ``cid=`` directories; the amortized
+    train-at-write claim extends to a train-ONCE claim across the index's
+    whole append lifetime. Quality degrades only as the data distribution
+    drifts from the trained centroids/codebooks — monitor with
+    profile.distribution_drift over the assignment histogram and rebuild
+    (write_ivfpq_index) when it flags; recall floors for appended indexes
+    are pinned in tests/test_pq.py."""
+    spark = new_emb.sparkSession
+    centroids, codebooks = load_ivfpq_meta(spark, path)
+    ivfpq_encode(new_emb, centroids, codebooks).write.mode(
+        "append"
+    ).partitionBy("cid").parquet(f"{path}/codes")
 
 
 def load_ivfpq_meta(spark, path: str) -> tuple[np.ndarray, np.ndarray]:

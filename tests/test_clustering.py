@@ -120,3 +120,35 @@ def test_persisted_ivf_index_prunes_partitions_and_matches(emb, vecs, spark, tmp
     assert sorted(map(tuple, persisted.collect())) == sorted(
         map(tuple, in_memory.collect())
     )
+
+
+def test_ivf_index_append_matches_full_build(emb, vecs, spark, tmp_path):
+    """Incremental ingest (clustering.append_to_ivf_index): building on
+    half the corpus and appending the rest must answer every probe
+    identically to a one-shot full build over the same centroids, and
+    the appended files must land only in their assigned cid dirs."""
+    import os
+
+    c = _numpy_kmeans(vecs, n_clusters=10, iters=2)
+    inc = str(tmp_path / "ivf_inc")
+    full = str(tmp_path / "ivf_full")
+    CL.write_ivf_index(emb.where("vec_id < 250"), c, inc)
+    CL.append_to_ivf_index(emb.where("vec_id >= 250"), c, inc)
+    CL.write_ivf_index(emb, c, full)
+
+    got = CL.cosine_topk_ivf_index(spark, inc, c, k=5, nprobe=2)
+    want = CL.cosine_topk_ivf_index(spark, full, c, k=5, nprobe=2)
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+    # appended rows live under the same partitioned layout (cid= dirs
+    # only, no top-level files beyond _SUCCESS)
+    top = set(os.listdir(inc))
+    assert all(
+        e.startswith("cid=") or e.startswith("_") or e.startswith(".")
+        for e in top
+    )
+    # pruning still applies after the append
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "cid" in plan.split("PartitionFilters")[1][:200]

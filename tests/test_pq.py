@@ -204,3 +204,33 @@ def test_persisted_ivfpq_index_prunes_and_matches(emb, spark, tmp_path):
     assert "PartitionFilters: [" in plan and "cid" in plan.split(
         "PartitionFilters"
     )[1][:200]
+
+
+def test_ivfpq_index_append_matches_full_encode(emb, spark, tmp_path):
+    """Incremental ingest (pq.append_to_ivfpq_index): write on half the
+    corpus, append the other half against the PERSISTED meta — served
+    answers must equal a full index encoded with the same meta (encode is
+    deterministic given centroids+codebooks; no retrain on append)."""
+    inc = str(tmp_path / "ivfpq_inc")
+    PQ.write_ivfpq_index(
+        emb.where("vec_id < 250"), inc, n_clusters=10, iters=2
+    )
+    PQ.append_to_ivfpq_index(emb.where("vec_id >= 250"), inc)
+
+    # reference: encode the FULL corpus with the meta the half-build
+    # trained, through the same serve path
+    centroids, codebooks = PQ.load_ivfpq_meta(spark, inc)
+    full = str(tmp_path / "ivfpq_full")
+    PQ.ivfpq_encode(emb, centroids, codebooks).write.mode(
+        "overwrite"
+    ).partitionBy("cid").parquet(f"{full}/codes")
+    import shutil
+
+    shutil.copytree(f"{inc}/centroids", f"{full}/centroids")
+    shutil.copytree(f"{inc}/codebooks", f"{full}/codebooks")
+
+    got = PQ.cosine_topk_ivfpq_index(spark, inc, k=5, nprobe=2, rerank=30)
+    want = PQ.cosine_topk_ivfpq_index(spark, full, k=5, nprobe=2, rerank=30)
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
