@@ -518,3 +518,113 @@ def test_wav_corrupt_bytes_never_crash_weirdly(data):
         assert x.ndim == 2  # decoded despite the flip (payload corruption)
     except (ValueError, _struct.error, KeyError):
         pass  # diagnosed rejection paths
+
+
+# --- r9 metadata parsers: parametric round-trips + single-bit corruption
+
+
+@settings(max_examples=80, deadline=None)
+@given(data=st.data())
+def test_mp3_header_roundtrip_any_params(data):
+    """Any valid (version, layer, bitrate, rate, mono, padding, crc)
+    combination round-trips bit-exactly through build_mp3 -> mp3_info."""
+    from compute_histogram_spark.multimodal.mp3 import (
+        _RATES,
+        _VERSION_FIELD,
+        _bitrate_table,
+        _LAYER_FIELD,
+        build_mp3,
+        mp3_info,
+    )
+
+    version = data.draw(st.sampled_from(sorted(_VERSION_FIELD)))
+    layer = data.draw(st.sampled_from(sorted(_LAYER_FIELD)))
+    v = _VERSION_FIELD[version]
+    kbps = data.draw(st.sampled_from(_bitrate_table(v, _LAYER_FIELD[layer])))
+    rate = data.draw(st.sampled_from(_RATES[v]))
+    mono = data.draw(st.booleans())
+    crc = data.draw(st.booleans())
+    pad = data.draw(st.integers(0, 3))
+    n = data.draw(st.integers(1, 6))
+    blob = build_mp3(version, layer, kbps, rate, n_frames=n, mono=mono,
+                     crc=crc, padding_every=pad)
+    info = mp3_info(blob)
+    assert info["version"] == version and info["layer"] == layer
+    assert info["sample_rate"] == rate and info["n_frames"] == n
+    assert info["n_channels"] == (1 if mono else 2)
+    assert info["bitrate_kbps"] == float(kbps)
+
+
+@settings(max_examples=60, deadline=None)
+@given(data=st.data())
+def test_sps_roundtrip_any_dims(data):
+    """Any mb-expressible (profile, dims, scan type, chroma, depth)
+    combination round-trips through build_sps -> parse_sps."""
+    from compute_histogram_spark.multimodal.h264 import build_sps, parse_sps
+
+    prof, cf, bd = data.draw(st.sampled_from([
+        (66, 1, 8), (77, 1, 8), (100, 1, 8), (110, 1, 10), (122, 2, 10),
+        (244, 3, 12),
+    ]))
+    fmo = data.draw(st.booleans())
+    # crop-unit divisibility: SubWidthC | crop_w, SubHeightC*(2-fmo) | crop_h
+    ux = 2 if cf in (1, 2) else 1
+    uy = (2 if cf == 1 else 1) * (1 if fmo else 2)
+    width = data.draw(st.integers(1, 256)) * ux
+    height = data.draw(st.integers(1, 128)) * uy
+    sps = build_sps(prof, 41, width, height, fmo, cf, bd)
+    info = parse_sps(sps)
+    assert (info["width"], info["height"]) == (width, height)
+    assert info["interlaced"] == (not fmo)
+    assert info["bit_depth_luma"] == bd
+
+
+@settings(max_examples=60, deadline=None)
+@given(data=st.data())
+def test_lossy_audio_corrupt_bytes_never_crash_weirdly(data):
+    """Single-bit corruption of an MP3 / ADTS / Ogg fixture must either
+    still parse coherently or raise a clean ValueError — never hang or
+    throw an unrelated exception type."""
+    from compute_histogram_spark.multimodal.aac import aac_info, build_adts
+    from compute_histogram_spark.multimodal.mp3 import build_mp3, mp3_info
+    from compute_histogram_spark.multimodal.ogg import (
+        build_ogg_opus,
+        build_ogg_vorbis,
+        ogg_info,
+    )
+
+    kind = data.draw(st.sampled_from(["mp3", "adts", "vorbis", "opus"]))
+    if kind == "mp3":
+        blob, fn = bytearray(build_mp3(n_frames=4, id3v2_bytes=16)), mp3_info
+    elif kind == "adts":
+        blob, fn = bytearray(build_adts(n_frames=4)), aac_info
+    elif kind == "vorbis":
+        blob, fn = bytearray(build_ogg_vorbis()), ogg_info
+    else:
+        blob, fn = bytearray(build_ogg_opus()), ogg_info
+    pos = data.draw(st.integers(0, len(blob) - 1))
+    bit = data.draw(st.integers(0, 7))
+    blob[pos] ^= 1 << bit
+    try:
+        fn(bytes(blob))
+    except ValueError:
+        pass
+
+
+@settings(max_examples=60, deadline=None)
+@given(data=st.data())
+def test_sps_corrupt_bytes_never_crash_weirdly(data):
+    from compute_histogram_spark.multimodal.h264 import (
+        build_avcc,
+        build_sps,
+        parse_avcc,
+    )
+
+    blob = bytearray(build_avcc(build_sps(100, 41, 1920, 1080)))
+    pos = data.draw(st.integers(0, len(blob) - 1))
+    bit = data.draw(st.integers(0, 7))
+    blob[pos] ^= 1 << bit
+    try:
+        parse_avcc(bytes(blob))
+    except ValueError:
+        pass
