@@ -242,11 +242,41 @@ def append_to_ivf_index(
     no rewrite of prior data. A map-only job touching only the assigned
     ``cid=`` directories; probe queries see old+new rows with unchanged
     partition pruning (value-equivalence and pruning asserted in
-    tests/test_clustering.py). Rebuild when assignment drift says the
-    trained centroids no longer fit the data."""
+    tests/test_clustering.py). Rebuild when :func:`ivf_assignment_drift`
+    says the trained centroids no longer fit the data."""
     assign_clusters(new_emb, centroids, vec_col=vec_col, id_col=id_col).write.mode(
         "append"
     ).partitionBy("cid").parquet(path)
+
+
+def ivf_assignment_drift(
+    spark,
+    path: str,
+    centroids: np.ndarray,
+    new_emb: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """The rebuild trigger the append operators point at: PSI drift
+    between the persisted index's cluster-occupancy histogram and the
+    NEW batch's assignment under the SAME centroids.
+
+    Reuses :func:`profile.distribution_drift` with the cid as the bin
+    (bin_width=1): -> (bin, bin_value, n_ref, n_cur, psi_term);
+    ``sum(psi_term)`` is the PSI (<0.1 stable — keep appending; >0.25
+    the trained centroids no longer fit the incoming data — retrain and
+    rewrite). Cost: one column-pruned scan of the index's cid partition
+    column (count-only), one map-only assignment of the new batch, two
+    bin-sized aggregations; nothing row-sized shuffles."""
+    from compute_histogram_spark.operators.profile import distribution_drift
+
+    ref = spark.read.parquet(path).select(
+        F.col("cid").cast("double").alias("cid")
+    )
+    cur = assign_clusters(
+        new_emb, centroids, vec_col=vec_col, id_col=id_col
+    ).select(F.col("cid").cast("double").alias("cid"))
+    return distribution_drift(ref, cur, value_col="cid", bin_width=1.0)
 
 
 def cosine_topk_ivf_index(

@@ -581,7 +581,7 @@ def append_to_ivfpq_index(new_emb: DataFrame, path: str) -> None:
     train-at-write claim extends to a train-ONCE claim across the index's
     whole append lifetime. Quality degrades only as the data distribution
     drifts from the trained centroids/codebooks — monitor with
-    profile.distribution_drift over the assignment histogram and rebuild
+    clustering.ivf_assignment_drift over path/codes and rebuild
     (write_ivfpq_index) when it flags; recall floors for appended indexes
     are pinned in tests/test_pq.py."""
     spark = new_emb.sparkSession

@@ -152,3 +152,34 @@ def test_ivf_index_append_matches_full_build(emb, vecs, spark, tmp_path):
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan
     assert "cid" in plan.split("PartitionFilters")[1][:200]
+
+
+def test_ivf_assignment_drift_flags_shifted_batches(emb, vecs, spark, tmp_path):
+    """The rebuild trigger: a same-distribution batch reads stable PSI, a
+    batch forced into few clusters reads major-shift PSI."""
+    from pyspark.sql import functions as F
+
+    c = _numpy_kmeans(vecs, n_clusters=10, iters=2)
+    path = str(tmp_path / "ivf_drift")
+    CL.write_ivf_index(emb.where("vec_id < 400"), c, path)
+
+    same = CL.ivf_assignment_drift(
+        spark, path, c, emb.where("vec_id >= 400")
+    ).agg(F.round(F.sum("psi_term"), 6).alias("psi")).first()["psi"]
+    assert same < 0.25, same  # held-out slice of the SAME distribution
+
+    # adversarial batch: every vector is centroid 0 + tiny noise -> the
+    # whole batch lands in one cluster
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    rows = [
+        (int(10_000 + i), [float(x) for x in c[0] + rng.normal(0, 1e-3, c.shape[1])])
+        for i in range(100)
+    ]
+    shifted = spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<DOUBLE>")
+    bad = CL.ivf_assignment_drift(spark, path, c, shifted).agg(
+        F.round(F.sum("psi_term"), 6).alias("psi")
+    ).first()["psi"]
+    assert bad > 0.25, bad
+    assert bad > same
