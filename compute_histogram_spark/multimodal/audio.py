@@ -376,22 +376,28 @@ def extract_audio_features(assets: DataFrame) -> DataFrame:
             decode_flac,
         )
         from compute_histogram_spark.multimodal.aac import aac_info
-        from compute_histogram_spark.multimodal.mp3 import mp3_info
+        from compute_histogram_spark.multimodal.mp3 import id3v2_size, mp3_info
         from compute_histogram_spark.multimodal.ogg import OGG_MAGIC, ogg_info
 
         def _lossy_info(c: bytes):
             # ADTS vs MP3 sync is disambiguated by the layer bits: ADTS
             # requires layer 00 (second byte F0/F1/F8/F9), which is the
             # RESERVED layer for MPEG audio frames, so the patterns are
-            # disjoint
+            # disjoint. An ID3v2 tag can front either stream — sniff the
+            # first post-tag frame to route (ID3 is an MP3 convention but
+            # taggers put it on ADTS files too).
             if c[:4] == OGG_MAGIC:
                 return ogg_info(c)
-            if len(c) >= 2 and c[0] == 0xFF and (c[1] & 0xF6) == 0xF0:
-                return aac_info(c)
-            if c[:3] == b"ID3" or (
-                len(c) >= 2 and c[0] == 0xFF and (c[1] & 0xE0) == 0xE0
+            body, skip = c, 0
+            if c[:3] == b"ID3":
+                skip = id3v2_size(c)
+                body = c[skip:]
+            if len(body) >= 2 and body[0] == 0xFF and (body[1] & 0xF6) == 0xF0:
+                return aac_info(body)  # ADTS (with any leading tag cut)
+            if skip or (
+                len(body) >= 2 and body[0] == 0xFF and (body[1] & 0xE0) == 0xE0
             ):
-                return mp3_info(c)
+                return mp3_info(c)  # mp3_info does its own ID3 handling
             return None
 
         for pdf in batches:

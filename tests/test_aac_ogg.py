@@ -213,3 +213,23 @@ def test_extract_audio_features_routes_all_lossy(spark):
     for i in (1, 2, 3, 4):
         assert out[i]["decoded"] is False
         assert out[i]["rms"] is None
+
+
+def test_kernel_routes_id3_tagged_adts(spark):
+    """Taggers put ID3v2 on ADTS files too: the kernel must sniff the
+    first post-tag frame and route to the AAC parser, not MP3."""
+    from pyspark.sql import Row
+
+    from compute_histogram_spark.multimodal.audio import (
+        extract_audio_features,
+    )
+
+    adts = build_adts("LC", 44100, 2, n_frames=6)
+    id3 = b"ID3" + bytes((4, 0, 0)) + bytes((0, 0, 0, 20)) + bytes(20)
+    df = spark.createDataFrame(
+        [Row(asset_id=1, kind="audio", content=bytearray(id3 + adts))]
+    )
+    r = extract_audio_features(df).collect()[0]
+    assert r["decoded"] is False
+    assert r["sample_rate"] == 44100
+    assert r["n_frames"] == 6 * 1024  # AAC samples, not MP3's 1152/frame
