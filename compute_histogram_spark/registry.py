@@ -1270,6 +1270,115 @@ def q_similarity_topk_sq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return PQ.cosine_topk_sq(load(spark, sf_dir, "embeddings"))
 
 
+# ROTATION-READY (staged for the 6th wave, r10): full arithmetic DuckDB
+# twin for PQ ANN under the deterministic SEED-codebook configuration
+# (pq_train iters=0: codebooks = the first ksub vectors' subspace slices
+# rounded to 6 decimals — the same iters=0 twin pattern as
+# semantic_dedup's seed centroids). Code assignment replicates the
+# expansion-form distance rounded to 6 with lowest-j ties; ADC approx and
+# exact-rerank cosines round to 6 before ranking. Value-exact at sf0.001
+# AND sf0.01 (tests/test_pq.py pins it until it enters the window).
+SIMILARITY_PQ_ORACLE = """
+    WITH u AS (
+        SELECT vec_id, g, CAST(embedding[g] AS DOUBLE) AS x
+        FROM (
+            SELECT vec_id, embedding,
+                   unnest(generate_series(1, len(embedding))) AS g
+            FROM embeddings
+        )
+    ),
+    n AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM u GROUP BY vec_id),
+    us AS (
+        SELECT vec_id, (g - 1) // 8 AS s, (g - 1) % 8 AS d, x FROM u
+    ),
+    seed AS (SELECT DISTINCT vec_id FROM u ORDER BY vec_id LIMIT 16),
+    book AS (
+        SELECT us.s,
+               dense_rank() OVER (PARTITION BY us.s ORDER BY us.vec_id) - 1
+                   AS j,
+               us.d, round(us.x, 6) AS b
+        FROM us JOIN seed ON seed.vec_id = us.vec_id
+    ),
+    v2s AS (SELECT vec_id, s, sum(x * x) AS v2 FROM us GROUP BY 1, 2),
+    b2s AS (SELECT s, j, sum(b * b) AS b2 FROM book GROUP BY 1, 2),
+    xb AS (
+        SELECT us.vec_id, us.s, book.j, sum(us.x * book.b) AS dot
+        FROM us JOIN book ON book.s = us.s AND book.d = us.d
+        GROUP BY 1, 2, 3
+    ),
+    dist AS (
+        SELECT xb.vec_id, xb.s, xb.j, round(v2 - 2 * dot + b2, 6) AS d2
+        FROM xb
+        JOIN v2s ON v2s.vec_id = xb.vec_id AND v2s.s = xb.s
+        JOIN b2s ON b2s.s = xb.s AND b2s.j = xb.j
+    ),
+    code AS (
+        SELECT vec_id, s, j FROM (
+            SELECT vec_id, s, j, row_number() OVER (
+                PARTITION BY vec_id, s ORDER BY d2, j
+            ) AS rk
+            FROM dist
+        ) WHERE rk = 1
+    ),
+    usq AS (SELECT vec_id, s, d, x FROM us WHERE vec_id < 10),
+    adc AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+               sum(q.x * book.b) AS adot
+        FROM code c
+        JOIN book ON book.s = c.s AND book.j = c.j
+        JOIN usq q ON q.s = book.s AND q.d = book.d
+        WHERE q.vec_id != c.vec_id
+        GROUP BY 1, 2
+    ),
+    approx AS (
+        SELECT query_id, adc.vec_id,
+               round(adot / (nq.nrm * nc.nrm), 6) AS approx
+        FROM adc
+        JOIN n nq ON nq.vec_id = adc.query_id
+        JOIN n nc ON nc.vec_id = adc.vec_id
+    ),
+    short AS (
+        SELECT query_id, vec_id FROM (
+            SELECT query_id, vec_id, row_number() OVER (
+                PARTITION BY query_id ORDER BY approx DESC, vec_id
+            ) AS srk
+            FROM approx
+        ) WHERE srk <= 50
+    ),
+    d AS (
+        SELECT s.query_id, s.vec_id, sum(qa.x * ca.x) AS dot
+        FROM short s
+        JOIN u qa ON qa.vec_id = s.query_id
+        JOIN u ca ON ca.vec_id = s.vec_id AND ca.g = qa.g
+        GROUP BY 1, 2
+    ),
+    cs AS (
+        SELECT query_id, d.vec_id,
+               round(dot / (nq.nrm * nc.nrm), 6) AS cosine
+        FROM d
+        JOIN n nq ON nq.vec_id = d.query_id
+        JOIN n nc ON nc.vec_id = d.vec_id
+    ),
+    r AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, vec_id
+        ) AS rnk
+        FROM cs
+    )
+    SELECT query_id, rnk, vec_id, cosine FROM r WHERE rnk <= 5
+    ORDER BY query_id, rnk
+    """
+
+
+def q_similarity_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from compute_histogram_spark.operators import pq as PQ
+
+    # iters=0: seed codebooks, the oracle-deterministic configuration;
+    # Lloyd's-trained codebooks stay pinned by the NumPy twin + recall
+    # floor in tests/test_pq.py
+    return PQ.cosine_topk_pq(load(spark, sf_dir, "embeddings"), iters=0)
+
+
 # rotated out r7 (fourth wave, for the r6 LM/mix/concurrency/neardup ops) —
 # driver-green r02-r06; shares similarity_topk's oracle (value-identical by
 # construction), re-checked in tests/test_rotated_out.py.

@@ -234,3 +234,26 @@ def test_ivfpq_index_append_matches_full_encode(emb, spark, tmp_path):
     assert sorted(map(tuple, got.collect())) == sorted(
         map(tuple, want.collect())
     )
+
+
+def test_similarity_topk_pq_seed_oracle(spark, sf_dir):
+    """Rotation-ready DuckDB twin (registry.SIMILARITY_PQ_ORACLE): PQ ANN
+    with seed codebooks (iters=0) is value-exact cross-engine — staged
+    for the 6th registry rotation."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from check_oracle import compare, duck_connection
+
+    from compute_histogram_spark.registry import (
+        SIMILARITY_PQ_ORACLE,
+        q_similarity_topk_pq,
+    )
+
+    sdf = q_similarity_topk_pq(spark, sf_dir).toPandas()
+    con = duck_connection(sf_dir)  # keep the connection referenced: the
+    # relation's .df() runs after the temporary would have been GC'd
+    odf = con.sql(SIMILARITY_PQ_ORACLE).df()
+    assert len(sdf) == 50
+    assert compare("similarity_topk_pq", sdf, odf) == []
