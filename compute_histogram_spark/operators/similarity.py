@@ -26,6 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 from compute_histogram_spark.functions import vectors as V
+from compute_histogram_spark.sources.tables import ensure_parallelism
 
 
 def _with_norms(emb: DataFrame) -> DataFrame:
@@ -61,9 +62,16 @@ def cosine_topk(
         F.col("v").alias("qv"),
         F.col("nrm").alias("qn"),
     )
+    # candidate side only: the embeddings fixture scans as 1-2 splits, which
+    # would serialize the pair-explosion dot fold onto 2 of 32 cores; the
+    # query side stays exchange-free (it is collected for broadcast anyway).
+    # At warehouse scale the guard makes this a no-op (no gratuitous
+    # shuffle). Measured sf1: 1.01 -> 0.55 s; sf0.1: 0.47 -> 0.42 s
+    # (BASELINE.md r9). Values are partition-independent: the dot fold is
+    # per-row in index order.
     pairs = (
         F.broadcast(q)
-        .crossJoin(e)
+        .crossJoin(ensure_parallelism(e))
         .where(F.col("query_id") != F.col("vec_id"))
         .select(
             "query_id",

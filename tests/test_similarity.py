@@ -100,3 +100,17 @@ def test_multiprobe_recall_dominates_single_probe_at_equal_tables(spark, sf_dir)
     assert r_multi >= r_single, (r_multi, r_single)
     # probing must actually buy recall on this data, not just tie
     assert r_multi >= 0.5, r_multi
+
+
+def test_cosine_topk_fans_out_single_split_candidates(spark, sf_dir):
+    """The candidate side of the pair explosion must not ride a 1-2 split
+    scan onto 2 cores: cosine_topk routes it through ensure_parallelism,
+    which fans a below-core-count input out to defaultParallelism (and is
+    a no-op on already-wide inputs, so big scans never pay the exchange)."""
+    from compute_histogram_spark.sources.tables import load
+
+    emb = load(spark, sf_dir, "embeddings")
+    assert emb.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism
+    plan = SIM.cosine_topk(emb)._jdf.queryExecution().executedPlan().toString()
+    # exactly one round-robin exchange, on the candidate (streamed) side
+    assert plan.count("REPARTITION_BY_NUM") == 1
