@@ -1,0 +1,213 @@
+"""WARC source: record framing, HTTP split, HTML text, Spark scan."""
+
+import gzip
+
+import pytest
+
+from compute_histogram_spark.sources.warc import (
+    WarcDocsDataSource,
+    build_http_response,
+    build_warc,
+    build_warc_record,
+    html_to_text,
+    iter_warc_records,
+    read_warc,
+    split_http_response,
+)
+
+HTML = (
+    b"<html><head><title>T</title><style>p{color:red}</style>"
+    b"<script>var x=1;</script></head>"
+    b"<body><h1>Head&amp;line</h1><p>one  two</p><p>three</p></body></html>"
+)
+
+
+def _resp_record(body=HTML, uri="http://example.com/a", **http_kw):
+    return build_warc_record(
+        warc_type="response",
+        uri=uri,
+        content=build_http_response(body, **http_kw),
+    )
+
+
+# ------------------------------------------------------------ record layer
+
+
+def test_roundtrip_plain_and_gzip_layouts():
+    recs = [
+        build_warc_record(warc_type="warcinfo", uri=None, content=b"k: v"),
+        _resp_record(),
+        _resp_record(uri="http://example.com/b"),
+    ]
+    for raw in (
+        build_warc(recs),
+        build_warc(recs, gzip_per_record=True),
+        gzip.compress(build_warc(recs)),  # single-member whole file
+    ):
+        got = list(read_warc(raw))
+        assert [h["warc-type"] for _, h, _ in got] == [
+            "warcinfo", "response", "response",
+        ]
+        # offsets are into the DECOMPRESSED stream: strictly increasing
+        assert [o for o, _, _ in got] == sorted({o for o, _, _ in got})
+
+
+def test_header_folding_and_case_insensitivity():
+    rec = build_warc_record(
+        content=b"xy", extra_headers={"X-Long": "part1\r\n  part2"}
+    )
+    [(_, h, c)] = list(iter_warc_records(rec))
+    assert h["x-long"] == "part1 part2"
+    assert "content-length" in h  # lower-cased names
+    assert c == b"xy"
+
+
+def test_final_record_tolerates_missing_terminator():
+    rec = build_warc_record(content=b"abc")
+    assert list(iter_warc_records(rec[:-4]))[0][2] == b"abc"
+
+
+@pytest.mark.parametrize(
+    "mutate",
+    [
+        lambda raw: b"WARC/9.9" + raw[8:],             # bad version
+        lambda raw: raw[:-7],                          # truncated content
+        lambda raw: raw.replace(b"Content-Length", b"X-L", 1),  # missing CL
+        lambda raw: raw + b"garbage-after-terminator",  # trailing junk
+    ],
+)
+def test_malformed_archives_raise(mutate):
+    raw = mutate(build_warc([_resp_record(), _resp_record()]))
+    with pytest.raises(ValueError, match="malformed WARC"):
+        list(iter_warc_records(raw))
+
+
+# -------------------------------------------------------------- HTTP layer
+
+
+def test_http_split_content_length_trims():
+    payload = build_http_response(b"hello") + b"over-read-tail"
+    status, headers, body = split_http_response(payload)
+    assert (status, body) == (200, b"hello")
+    assert headers["content-type"].startswith("text/html")
+
+
+def test_http_split_chunked():
+    payload = build_http_response(b"hello world", chunked=True)
+    status, headers, body = split_http_response(payload)
+    assert (status, body) == (200, b"hello world")
+
+
+def test_http_split_rejects_junk():
+    with pytest.raises(ValueError, match="malformed HTTP"):
+        split_http_response(b"not an http message at all")
+    with pytest.raises(ValueError, match="chunk"):
+        split_http_response(
+            b"HTTP/1.1 200 X\r\nTransfer-Encoding: chunked\r\n\r\nzz\r\n"
+        )
+
+
+# -------------------------------------------------------------- HTML layer
+
+
+def test_html_to_text_strips_and_collapses():
+    text = html_to_text(HTML.decode())
+    assert "var x=1" not in text and "color:red" not in text
+    assert "Head&line" in text          # entity decoded
+    assert "one two" in text            # intra-line whitespace collapsed
+    lines = text.split("\n")
+    assert "one two" in lines and "three" in lines  # block boundaries
+
+
+def test_html_to_text_charset_header():
+    from compute_histogram_spark.sources.warc import _decode_charset
+
+    body = "héllo".encode("latin-1")
+    assert "héllo" in _decode_charset(body, "text/html; charset=latin-1")
+    # unknown label falls back instead of raising
+    assert _decode_charset(b"abc", "text/html; charset=bogus-enc") == "abc"
+
+
+# ------------------------------------------------------------ Spark source
+
+
+@pytest.fixture()
+def warc_dir(tmp_path):
+    a = build_warc(
+        [
+            build_warc_record(warc_type="warcinfo", uri=None, content=b"k: v"),
+            _resp_record(uri="http://example.com/a"),
+            _resp_record(
+                b"plain body", uri="http://example.com/t",
+                content_type="text/plain",
+            ),
+        ]
+    )
+    b = build_warc(
+        [_resp_record(uri="http://example.com/gz", chunked=True)],
+        gzip_per_record=True,
+    )
+    (tmp_path / "seg-00000.warc").write_bytes(a)
+    (tmp_path / "seg-00001.warc.gz").write_bytes(b)
+    (tmp_path / "ignored.txt").write_bytes(b"not a warc")
+    return str(tmp_path)
+
+
+def test_source_reads_responses_with_text(spark, warc_dir):
+    spark.dataSource.register(WarcDocsDataSource)
+    df = spark.read.format("warcdocs").option("path", warc_dir).load()
+    rows = {r["target_uri"]: r for r in df.collect()}
+    # warcinfo filtered out by the default types=response
+    assert set(rows) == {
+        "http://example.com/a", "http://example.com/t", "http://example.com/gz",
+    }
+    a = rows["http://example.com/a"]
+    assert a["http_status"] == 200 and a["parsed"]
+    assert "Head&line" in a["text"] and "var x=1" not in a["text"]
+    assert rows["http://example.com/t"]["text"] == "plain body"
+    assert rows["http://example.com/gz"]["content_length"] == len(HTML)
+    # one partition per archive file
+    assert df.rdd.getNumPartitions() == 2
+
+
+def test_source_type_filter_and_no_extract(spark, warc_dir):
+    spark.dataSource.register(WarcDocsDataSource)
+    df = (
+        spark.read.format("warcdocs")
+        .option("path", warc_dir)
+        .option("types", "warcinfo")
+        .option("extract", "false")
+        .load()
+    )
+    rows = df.collect()
+    assert [r["warc_type"] for r in rows] == ["warcinfo"]
+    assert rows[0]["payload"] == b"k: v" and rows[0]["text"] is None
+
+
+def test_source_marks_unparseable_file(spark, tmp_path):
+    (tmp_path / "bad.warc").write_bytes(b"WARC/9.9\r\njunk")
+    spark.dataSource.register(WarcDocsDataSource)
+    df = spark.read.format("warcdocs").option("path", str(tmp_path)).load()
+    [row] = df.collect()
+    assert row["parsed"] is False and row["target_uri"] is None
+
+
+def test_source_feeds_text_pipeline(spark, warc_dir):
+    """The point of the source: crawl text drops straight into the
+    existing operators (here: the fused text profile)."""
+    from pyspark.sql import functions as F
+
+    from compute_histogram_spark.operators.text import text_profile
+
+    spark.dataSource.register(WarcDocsDataSource)
+    docs = (
+        spark.read.format("warcdocs").option("path", warc_dir).load()
+        .where(F.col("text").isNotNull())
+        .select(
+            F.abs(F.xxhash64("target_uri")).alias("doc_id"),
+            F.col("text"),
+        )
+    )
+    out = text_profile(docs)
+    assert out.count() == 3
+    assert {"doc_id", "n_tokens"} <= set(out.columns)
