@@ -211,3 +211,117 @@ def test_source_feeds_text_pipeline(spark, warc_dir):
     out = text_profile(docs)
     assert out.count() == 3
     assert {"doc_id", "n_tokens"} <= set(out.columns)
+
+
+# ---------------------------------------------------------------- WET sink
+
+
+def _corpus(spark, n=40):
+    from pyspark.sql import Row
+
+    return spark.createDataFrame(
+        [Row(uri=f"http://ex.com/{i}", text=f"doc {i} body " * (i % 5 + 1))
+         for i in range(n)]
+    )
+
+
+def test_wet_sink_roundtrips_through_source(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from compute_histogram_spark.sources.sinks import write_wet_shards
+
+    out = str(tmp_path / "wet")
+    write_wet_shards(_corpus(spark), out, n_shards=4)
+    spark.dataSource.register(WarcDocsDataSource)
+    back = (
+        spark.read.format("warcdocs")
+        .option("path", out)
+        .option("types", "conversion")
+        .load()
+    )
+    rows = back.collect()
+    assert len(rows) == 40
+    got = {r["target_uri"]: r["text"] for r in rows}
+    assert got["http://ex.com/7"] == "doc 7 body " * 3  # trailing space kept
+    assert all(r["warc_type"] == "conversion" for r in rows)
+    # deterministic record ids derive from the uri digest, never RNG/clock
+    assert all(r["record_id"].startswith("<urn:md5:") for r in rows)
+
+
+def test_wet_sink_byte_deterministic(spark, tmp_path):
+    import os
+
+    from compute_histogram_spark.sources.sinks import write_wet_shards
+
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    # different ingest order, same corpus
+    write_wet_shards(_corpus(spark), a, n_shards=3)
+    write_wet_shards(_corpus(spark).orderBy("text"), b, n_shards=3)
+    fa = sorted(os.listdir(a))
+    assert fa == sorted(os.listdir(b)) and fa
+    for f in fa:
+        assert (
+            open(os.path.join(a, f), "rb").read()
+            == open(os.path.join(b, f), "rb").read()
+        ), f"shard {f} not rerun-invariant"
+
+
+# ------------------------------------------------------------- properties
+
+
+def test_framing_survives_adversarial_bodies():
+    """Content-Length framing must carry bodies containing CRLFs, version
+    lines, header-lookalikes and terminator byte sequences verbatim."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    evil = st.binary(max_size=200) | st.sampled_from(
+        [b"\r\n\r\n", b"WARC/1.0\r\n", b"Content-Length: 0\r\n\r\n\r\n\r\n"]
+    )
+
+    @given(st.lists(evil, min_size=1, max_size=5), st.booleans())
+    @settings(max_examples=60, deadline=None)
+    def check(bodies, per_record_gzip):
+        recs = [
+            build_warc_record(
+                warc_type="resource", uri=f"http://e/{i}", content=b
+            )
+            for i, b in enumerate(bodies)
+        ]
+        got = list(read_warc(build_warc(recs, gzip_per_record=per_record_gzip)))
+        assert [c for _, _, c in got] == bodies
+
+    check()
+
+
+def test_corrupt_warc_bytes_never_crash_weirdly():
+    """Arbitrary junk raises ValueError (or parses, for junk that happens
+    to be valid) — never IndexError/KeyError/UnboundLocal (the multimodal
+    parser contract, tests/test_properties.py)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    seed = build_warc([_resp_record()])
+
+    @given(st.data())
+    @settings(max_examples=120, deadline=None)
+    def check(data):
+        mode = data.draw(st.sampled_from(["junk", "mutate", "truncate"]))
+        if mode == "junk":
+            raw = data.draw(st.binary(max_size=120))
+        elif mode == "truncate":
+            raw = seed[: data.draw(st.integers(0, len(seed)))]
+        else:
+            pos = data.draw(st.integers(0, len(seed) - 1))
+            byte = data.draw(st.integers(0, 255))
+            raw = seed[:pos] + bytes([byte]) + seed[pos + 1 :]
+        try:
+            list(read_warc(raw))
+        except ValueError:
+            pass
+        except Exception as e:  # gzip junk after magic bytes
+            import gzip
+
+            assert isinstance(e, (EOFError, gzip.BadGzipFile)), repr(e)
+
+    check()
