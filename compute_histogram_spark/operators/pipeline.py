@@ -585,3 +585,58 @@ def weighted_sample(
         keyed.orderBy(F.desc("sample_key"), F.col(id_col).asc())
         .limit(n)
     )
+
+
+def crawl_corpus(
+    spark,
+    warc_path: str,
+    out_path: str | None = None,
+    min_chars: int = 50,
+    n_shards: int = 16,
+) -> DataFrame:
+    """Crawl archives -> deduplicated training corpus, end to end.
+
+    The one-call composition of the ingestion chain every web-corpus
+    build runs (the C4/FineWeb skeleton): read ``warc_path`` through the
+    ``warcdocs`` source (HTTP 200 text records, HTML already extracted),
+    drop short documents, EXACT-dedup by content (first occurrence by
+    (path, offset) wins — crawl order, so re-crawled duplicates keep
+    their earliest capture), and optionally export WET shards to
+    ``out_path``. Returns the corpus DataFrame
+    ``(doc_id, uri, text, n_chars)`` either way.
+
+    Scale shape: every stage is a registered source scan, a map, or one
+    hash shuffle (the dedup groupBy); nothing touches the driver. The
+    heavy lifting lives in the composed parts — this function adds no
+    machinery of its own, which is the point: the pipeline suite
+    composes.
+    """
+    from compute_histogram_spark.sources.warc import WarcDocsDataSource
+
+    spark.dataSource.register(WarcDocsDataSource)
+    docs = (
+        spark.read.format("warcdocs").option("path", warc_path).load()
+        .where(F.col("parsed") & (F.col("http_status") == 200))
+        .where(F.col("text").isNotNull() & (F.length("text") >= min_chars))
+        .select(
+            "target_uri", "record_offset", F.col("path").alias("_seg"),
+            "text",
+        )
+    )
+    kept = (
+        docs.groupBy(F.sha2("text", 256).alias("_ch"))
+        .agg(
+            F.min(F.struct("_seg", "record_offset", "target_uri", "text")).alias("first")
+        )
+        .select(
+            F.abs(F.xxhash64("_ch")).alias("doc_id"),
+            F.col("first.target_uri").alias("uri"),
+            F.col("first.text").alias("text"),
+        )
+        .withColumn("n_chars", F.length("text"))
+    )
+    if out_path is not None:
+        from compute_histogram_spark.sources.sinks import write_wet_shards
+
+        write_wet_shards(kept, out_path, n_shards=n_shards)
+    return kept

@@ -325,3 +325,40 @@ def test_corrupt_warc_bytes_never_crash_weirdly():
             assert isinstance(e, (EOFError, gzip.BadGzipFile)), repr(e)
 
     check()
+
+
+# ------------------------------------------------------------ composition
+
+
+def test_crawl_corpus_end_to_end(spark, tmp_path):
+    """crawl archives -> dedup'd corpus -> WET export -> re-ingest."""
+    from compute_histogram_spark.operators.pipeline import crawl_corpus
+
+    body_long = b"<p>" + b"interesting training text " * 4 + b"</p>"
+    recs = [
+        _resp_record(body_long, uri="http://a/1"),
+        _resp_record(body_long, uri="http://a/1-recrawl"),   # exact dup
+        _resp_record(b"<p>short</p>", uri="http://a/2"),     # too short
+        _resp_record(body_long, uri="http://a/404", status=404),
+        _resp_record(
+            b"other page content that is long enough to keep around",
+            uri="http://a/3", content_type="text/plain",
+        ),
+    ]
+    src = tmp_path / "crawl"
+    src.mkdir()
+    (src / "seg.warc.gz").write_bytes(build_warc(recs, gzip_per_record=True))
+    out = str(tmp_path / "wet")
+
+    corpus = crawl_corpus(spark, str(src), out, min_chars=30, n_shards=2)
+    rows = {r["uri"]: r for r in corpus.collect()}
+    # dup collapsed to first capture, short + 404 dropped
+    assert set(rows) == {"http://a/1", "http://a/3"}
+    # html_to_text collapses the trailing whitespace, hence .strip()
+    assert rows["http://a/1"]["n_chars"] == len(("interesting training text " * 4).strip())
+
+    back = (
+        spark.read.format("warcdocs")
+        .option("path", out).option("types", "conversion").load()
+    )
+    assert back.count() == 2
