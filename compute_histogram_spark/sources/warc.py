@@ -38,6 +38,7 @@ import io
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     InputPartition,
 )
 
@@ -296,8 +297,15 @@ class WarcDocsDataSource(DataSource):
     def reader(self, schema):  # noqa: ANN001 — framework signature
         return _WarcDocsReader(self.options)
 
+    def streamReader(self, schema):  # noqa: ANN001 — framework signature
+        return _WarcDocsStreamReader(self.options)
 
-class _WarcDocsReader(DataSourceReader):
+
+class _WarcOptions:
+    """Option parsing + per-file scan shared by the batch and stream
+    readers (both are pickled to executors, so this must stay
+    self-contained)."""
+
     def __init__(self, options):
         path = options.get("path")
         if not path:
@@ -328,13 +336,7 @@ class _WarcDocsReader(DataSourceReader):
             raise ValueError(f"warcdocs: no files match {pattern!r}")
         return files
 
-    def partitions(self):
-        # one partition per ARCHIVE: crawl dumps ship thousands of ~1 GB
-        # segment files; the driver touches only the listing
-        return [InputPartition(p) for p in self._list()]
-
-    def read(self, partition):
-        path = partition.value
+    def _scan_file(self, path):
         yielded = False
         try:
             with open(path, "rb") as f:
@@ -390,6 +392,56 @@ class _WarcDocsReader(DataSourceReader):
             text,
             True,
         )
+
+
+class _WarcDocsReader(_WarcOptions, DataSourceReader):
+    def partitions(self):
+        # one partition per ARCHIVE: crawl dumps ship thousands of ~1 GB
+        # segment files; the driver touches only the listing
+        return [InputPartition(p) for p in self._list()]
+
+    def read(self, partition):
+        return self._scan_file(partition.value)
+
+
+class _WarcDocsStreamReader(_WarcOptions, DataSourceStreamReader):
+    """Micro-batch tail of a growing crawl directory.
+
+    Each batch covers the segment files that appeared since the last
+    offset; a file is still one InputPartition, scanned executor-side by
+    the shared per-file walk, so the streaming path has the batch path's
+    exact scale shape. The offset is the lexicographically LARGEST file
+    name processed so far — O(1) state, no per-file ledger — which
+    relies on the crawl-dump convention that segment names grow
+    monotonically (``seg-00000``, ``seg-00001``, ...; Common Crawl and
+    every WARC writer here follow it). A late file sorting BELOW the
+    watermark is never picked up; name your segments monotonically or
+    use the batch reader."""
+
+    def initialOffset(self):
+        return {"last": ""}
+
+    def _listing(self):
+        try:
+            return self._list()
+        except ValueError:
+            return []  # an empty directory is a quiet tail, not an error
+
+    def latestOffset(self):
+        names = self._listing()
+        return {"last": names[-1] if names else ""}
+
+    def partitions(self, start, end):
+        lo, hi = start.get("last", ""), end.get("last", "")
+        return [
+            InputPartition(p) for p in self._listing() if lo < p <= hi
+        ]
+
+    def read(self, partition):
+        return self._scan_file(partition.value)
+
+    def commit(self, end):
+        pass  # the watermark offset is the whole state
 
 
 # --------------------------------------------------------------- fixtures

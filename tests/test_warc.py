@@ -362,3 +362,74 @@ def test_crawl_corpus_end_to_end(spark, tmp_path):
         .option("path", out).option("types", "conversion").load()
     )
     assert back.count() == 2
+
+
+# ------------------------------------------------------------- streaming
+
+
+def test_stream_reader_tails_directory_exactly_once(spark, tmp_path):
+    """readStream over warcdocs: each segment lands in exactly one
+    micro-batch; files added while the query runs are picked up; the
+    name-watermark offset never re-reads a processed segment."""
+    src = tmp_path / "crawl"
+    src.mkdir()
+    (src / "seg-00000.warc").write_bytes(
+        build_warc([_resp_record(uri="http://s/0")])
+    )
+    spark.dataSource.register(WarcDocsDataSource)
+    seen = []
+
+    def sink(df, epoch):
+        seen.extend(r["target_uri"] for r in df.collect())
+
+    q = (
+        spark.readStream.format("warcdocs")
+        .option("path", str(src))
+        .load()
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert seen == ["http://s/0"]
+        (src / "seg-00001.warc.gz").write_bytes(
+            build_warc([_resp_record(uri="http://s/1"),
+                        _resp_record(uri="http://s/2")], gzip_per_record=True)
+        )
+        q.processAllAvailable()
+        assert sorted(seen) == ["http://s/0", "http://s/1", "http://s/2"]
+        q.processAllAvailable()  # no new files -> no re-reads
+        assert len(seen) == 3
+    finally:
+        q.stop()
+
+
+def test_stream_reader_restarts_from_checkpoint(spark, tmp_path):
+    src = tmp_path / "crawl"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    spark.dataSource.register(WarcDocsDataSource)
+    seen = []
+
+    def sink(df, epoch):
+        seen.extend(r["target_uri"] for r in df.collect())
+
+    def run_once():
+        q = (
+            spark.readStream.format("warcdocs")
+            .option("path", str(src)).load()
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    (src / "seg-00000.warc").write_bytes(build_warc([_resp_record(uri="http://s/0")]))
+    run_once()
+    (src / "seg-00001.warc").write_bytes(build_warc([_resp_record(uri="http://s/1")]))
+    run_once()  # restart: watermark comes from the checkpoint
+    assert sorted(seen) == ["http://s/0", "http://s/1"]
