@@ -163,3 +163,78 @@ def connected_components_star(
                 .orderBy("node")
             )
     raise RuntimeError(f"star CC did not converge in {max_iter} rounds")
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str | None = None,
+    iters: int = 10,
+    damping: float = 0.85,
+    round_to: int = 9,
+) -> DataFrame:
+    """Weighted PageRank by fixed-iteration power method -> (node, pr).
+
+    The iterative-ranking complement to the connected-components pair:
+    rank flows along out-edges in proportion to edge weight,
+    ``pr = (1-d)/N + d * sum_in(pr_src * w/out_w)``. Node ids are left
+    untyped (strings work — the driver instantiation ranks event types
+    on the behavior transition graph).
+
+    Spark shape per iteration: ONE equi-join of the (static,
+    checkpointed) fraction table with the rank table on src + ONE
+    groupBy(dst) sum + ONE left join back to the node set — all hash-
+    partitioned on node ids, rank state is exactly N rows, and the plan
+    lineage is cut per round (the localCheckpoint iteration idiom of
+    :func:`connected_components`). Driver involvement: the single node
+    count N.
+
+    Determinism contract: ranks are rounded to ``round_to`` decimals
+    after every iteration, so cross-engine float-summation noise
+    (~1e-16 relative) is absorbed before it can compound — the same
+    argument as the 6-decimal cosine ranking (operators/similarity.py).
+    ``iters`` is FIXED, not convergence-tested: identical work in every
+    engine. Dangling-node mass is dropped (the common simplified
+    formulation; the oracle and the NumPy twin replicate it exactly).
+    """
+    e = edges.select(
+        F.col(src).alias("src"),
+        F.col(dst).alias("dst"),
+        (F.col(weight) if weight else F.lit(1)).cast("double").alias("w"),
+    )
+    out_w = e.groupBy("src").agg(F.sum("w").alias("ow"))
+    frac = (
+        e.join(out_w, "src")
+        .select("src", "dst", (F.col("w") / F.col("ow")).alias("f"))
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    ranks = nodes.select(
+        "node", F.round(F.lit(1.0) / n, round_to).alias("pr")
+    ).localCheckpoint(eager=True)
+    base = (1 - damping) / n
+    for _ in range(iters):
+        contrib = (
+            frac.join(ranks, frac["src"] == ranks["node"])
+            .groupBy("dst")
+            .agg(F.sum(F.col("pr") * F.col("f")).alias("c"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes["node"] == contrib["dst"], "left")
+            .select(
+                "node",
+                F.round(
+                    F.lit(base) + damping * F.coalesce(F.col("c"), F.lit(0.0)),
+                    round_to,
+                ).alias("pr"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.orderBy("node")

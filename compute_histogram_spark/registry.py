@@ -2484,3 +2484,74 @@ def q_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_neardup_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.neardup_dedup(load(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+# ROTATION-READY (staged for the 6th wave, r10, alongside
+# SIMILARITY_PQ_ORACLE): PageRank over the event-type transition graph.
+# Iterative operators are normally no-SQL (BPE, Lloyd's k-means), but a
+# FIXED-iteration power method with per-iteration round-9 is pure
+# arithmetic — the iterations unroll into chained CTEs generated below,
+# and the per-iteration rounding absorbs cross-engine summation noise
+# before it can compound (the 6-decimal-cosine argument). Value-exact at
+# sf0.001 and sf0.01 (tests/test_graph.py pins it until it enters the
+# window).
+def _pagerank_oracle(iters: int = 10) -> str:
+    head = """
+    WITH t AS (
+        SELECT event_type AS from_type,
+               lead(event_type) OVER (
+                   PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+               ) AS to_type
+        FROM events
+    ),
+    e AS (
+        SELECT from_type AS src, to_type AS dst,
+               CAST(count(*) AS DOUBLE) AS w
+        FROM t WHERE to_type IS NOT NULL GROUP BY 1, 2
+    ),
+    ow AS (SELECT src, sum(w) AS ow FROM e GROUP BY src),
+    frac AS (
+        SELECT e.src, e.dst, e.w / ow.ow AS f
+        FROM e JOIN ow ON ow.src = e.src
+    ),
+    nodes AS (
+        SELECT DISTINCT src AS node FROM e
+        UNION SELECT DISTINCT dst FROM e
+    ),
+    nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+    r0 AS (SELECT node, round(1.0 / nn.n, 9) AS pr FROM nodes CROSS JOIN nn)"""
+    steps = []
+    for i in range(1, iters + 1):
+        steps.append(f""",
+    c{i} AS (
+        SELECT frac.dst AS node, sum(r{i - 1}.pr * frac.f) AS c
+        FROM frac JOIN r{i - 1} ON r{i - 1}.node = frac.src
+        GROUP BY frac.dst
+    ),
+    r{i} AS (
+        SELECT nodes.node,
+               round((1 - 0.85) / nn.n + 0.85 * coalesce(c{i}.c, 0.0), 9)
+                   AS pr
+        FROM nodes CROSS JOIN nn
+        LEFT JOIN c{i} ON c{i}.node = nodes.node
+    )""")
+    return head + "".join(steps) + f"""
+    SELECT node, pr FROM r{iters} ORDER BY node"""
+
+
+EVENT_PAGERANK_ORACLE = _pagerank_oracle(10)
+
+
+def q_event_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # behavior.event_transitions (driver-green since r01) supplies the
+    # weighted digraph; graph.pagerank ranks event types by steady-state
+    # visit mass — the iterative-ranking showcase next to dedup_clusters'
+    # fixpoint CC. Fixed 10 iterations, damping 0.85, round-9 per
+    # iteration (determinism contract in the operator docstring).
+    from compute_histogram_spark.operators import behavior as BH
+    from compute_histogram_spark.operators import graph as G
+
+    trans = BH.event_transitions(load(spark, sf_dir, "events"))
+    return G.pagerank(
+        trans, src="from_type", dst="to_type", weight="n_transitions"
+    )

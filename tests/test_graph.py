@@ -99,3 +99,107 @@ def test_cc_empty_edges(spark):
     )
     assert G.connected_components(empty).count() == 0
     assert G.connected_components_star(empty).count() == 0
+
+
+# ------------------------------------------------------------- pagerank
+
+
+def _round_half_up(a, nd=9):
+    """Spark/DuckDB round(): HALF_UP away from zero — NOT np.round's
+    half-even (same replication as similarity.lsh_buckets_kernel)."""
+    import numpy as np
+
+    m = a * (10.0 ** nd)
+    return np.where(m >= 0, np.floor(m + 0.5), np.ceil(m - 0.5)) / (10.0 ** nd)
+
+
+def _numpy_pagerank(edges, iters=10, d=0.85, nd=9):
+    """Sequential twin with the operator's exact arithmetic: per-iteration
+    HALF_UP rounding, dangling mass dropped."""
+    import numpy as np
+
+    nodes = sorted({u for u, _, _ in edges} | {v for _, v, _ in edges})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    ow = {}
+    for u, _, w in edges:
+        ow[u] = ow.get(u, 0.0) + float(w)
+    pr = _round_half_up(np.full(n, 1.0 / n), nd)
+    base = (1 - d) / n
+    for _ in range(iters):
+        c = np.zeros(n)
+        for u, v, w in edges:
+            c[idx[v]] += pr[idx[u]] * (float(w) / ow[u])
+        pr = _round_half_up(base + d * c, nd)
+    return {v: pr[idx[v]] for v in nodes}
+
+
+def _synthetic_edges(n_nodes=120, out_deg=4):
+    """Deterministic digraph: hash-derived targets and weights."""
+    import hashlib
+
+    edges = []
+    for u in range(n_nodes):
+        for j in range(out_deg):
+            h = hashlib.md5(f"{u}:{j}".encode()).hexdigest()
+            v = int(h[:6], 16) % n_nodes
+            if v != u:
+                edges.append((f"n{u:03d}", f"n{v:03d}", int(h[6:8], 16) % 5 + 1))
+    return edges
+
+
+def test_pagerank_matches_numpy_twin(spark):
+    edges = _synthetic_edges()
+    df = spark.createDataFrame(edges, "src string, dst string, w int")
+    got = {
+        r["node"]: r["pr"]
+        for r in G.pagerank(df, weight="w", iters=10).collect()
+    }
+    want = _numpy_pagerank(edges)
+    assert got.keys() == want.keys()
+    assert all(got[k] == want[k] for k in want), {
+        k: (got[k], want[k]) for k in want if got[k] != want[k]
+    }
+
+
+def test_pagerank_uniform_cycle_stays_uniform(spark):
+    n = 8
+    edges = [(f"v{i}", f"v{(i + 1) % n}", 1) for i in range(n)]
+    df = spark.createDataFrame(edges, "src string, dst string, w int")
+    out = G.pagerank(df, weight="w", iters=5).collect()
+    assert {r["pr"] for r in out} == {0.125}
+
+
+def test_pagerank_sink_attracts_mass(spark):
+    # every node points at 'hub'; hub points back at one node
+    edges = [(f"v{i}", "hub", 1) for i in range(5)] + [("hub", "v0", 1)]
+    df = spark.createDataFrame(edges, "src string, dst string, w int")
+    out = {r["node"]: r["pr"] for r in G.pagerank(df, weight="w").collect()}
+    # the hub <-> v0 2-cycle trades the mass between them per iteration,
+    # so assert the parity-robust property: those two dominate, the
+    # leaf nodes sit at the teleport floor (1-d)/N
+    assert min(out["hub"], out["v0"]) > 10 * out["v1"]
+    assert out["v1"] == out["v2"] == out["v3"] == out["v4"] == 0.025
+
+
+def test_event_pagerank_oracle_staged(spark, sf_dir):
+    """Rotation-ready DuckDB twin (registry.EVENT_PAGERANK_ORACLE):
+    fixed-iteration unrolled-CTE power method is value-exact
+    cross-engine — staged for the 6th registry rotation."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from check_oracle import compare, duck_connection
+
+    from compute_histogram_spark.registry import (
+        EVENT_PAGERANK_ORACLE,
+        q_event_pagerank,
+    )
+
+    for sf in (sf_dir, "/root/testdata/sf0.01"):
+        sdf = q_event_pagerank(spark, sf).toPandas()
+        con = duck_connection(sf)
+        odf = con.sql(EVENT_PAGERANK_ORACLE).df()
+        assert len(sdf) > 0
+        assert compare("event_pagerank", sdf, odf) == [], sf
