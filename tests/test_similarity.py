@@ -114,3 +114,20 @@ def test_cosine_topk_fans_out_single_split_candidates(spark, sf_dir):
     plan = SIM.cosine_topk(emb)._jdf.queryExecution().executedPlan().toString()
     # exactly one round-robin exchange, on the candidate (streamed) side
     assert plan.count("REPARTITION_BY_NUM") == 1
+
+
+def test_cosine_topk_no_exchange_on_wide_input(spark, sf_dir):
+    """The other half of the guard: an input already at least core-count
+    wide must NOT pay the fan-out exchange (the 100-TB case — a big scan
+    arrives in many splits)."""
+    from compute_histogram_spark.sources.tables import load
+
+    from compute_histogram_spark.sources.tables import ensure_parallelism, load
+
+    emb = load(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    # guard no-ops: the SAME DataFrame comes back, so no exchange enters
+    # any plan built on it (a plan-string count would see the caller's
+    # own exchange once per join subtree and prove nothing)
+    assert ensure_parallelism(emb) is emb
