@@ -640,3 +640,58 @@ def crawl_corpus(
 
         write_wet_shards(kept, out_path, n_shards=n_shards)
     return kept
+
+
+def crawl_corpus_stream(
+    spark,
+    warc_path: str,
+    out_path: str,
+    checkpoint: str,
+    min_chars: int = 50,
+    n_shards: int = 4,
+):
+    """Streaming :func:`crawl_corpus`: incremental corpus building.
+
+    Tails ``warc_path`` through the streaming ``warcdocs`` reader, keeps
+    the same HTTP-200/min-length slice, dedups by content hash ACROSS
+    batches (streaming ``dropDuplicates`` state — unbounded by design:
+    corpus dedup has no time horizon; the state row is a 32-byte digest,
+    so even 10^10 documents is ~320 GB of state across a cluster, and
+    the batch pipeline remains the right tool for a full rebuild), and
+    appends each micro-batch as WET shards named
+    ``batch-<epoch>-<shard>`` — monotonic, so the OUTPUT directory is
+    itself tailable by the streaming reader (pipelines chain).
+
+    Exactly-once to the filesystem: a replayed epoch rewrites the same
+    deterministic file names with identical bytes (digest-derived
+    content, atomic rename), so retries are idempotent rather than
+    duplicating. Returns the StreamingQuery; callers own its lifecycle.
+    """
+    from compute_histogram_spark.sources.sinks import write_wet_shards
+    from compute_histogram_spark.sources.warc import WarcDocsDataSource
+
+    spark.dataSource.register(WarcDocsDataSource)
+    docs = (
+        spark.readStream.format("warcdocs").option("path", warc_path).load()
+        .where(F.col("parsed") & (F.col("http_status") == 200))
+        .where(F.col("text").isNotNull() & (F.length("text") >= min_chars))
+        .select(
+            F.col("target_uri").alias("uri"),
+            "text",
+            F.sha2("text", 256).alias("content_hash"),
+        )
+        .dropDuplicates(["content_hash"])
+    )
+
+    def _sink(batch_df, epoch_id):
+        write_wet_shards(
+            batch_df, out_path, n_shards=n_shards,
+            prefix=f"batch-{epoch_id:09d}-",
+        )
+
+    return (
+        docs.writeStream.foreachBatch(_sink)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )

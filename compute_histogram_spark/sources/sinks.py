@@ -70,6 +70,7 @@ def write_wet_shards(
     uri_col: str = "uri",
     text_col: str = "text",
     date: str = "2026-01-01T00:00:00Z",
+    prefix: str = "shard-",
 ) -> None:
     """Training-corpus export as WET-style WARC ``conversion`` records
     (the Common Crawl extracted-text convention): ``n_shards`` files of
@@ -106,7 +107,7 @@ def write_wet_shards(
         from pyspark import TaskContext
 
         pid = TaskContext.get().partitionId()
-        final = os.path.join(path, f"shard-{pid:05d}.warc.gz")
+        final = os.path.join(path, f"{prefix}{pid:05d}.warc.gz")
         tmp = final + f".inprogress-{TaskContext.get().taskAttemptId()}"
         wrote = False
         with open(tmp, "wb") as f:

@@ -433,3 +433,39 @@ def test_stream_reader_restarts_from_checkpoint(spark, tmp_path):
     (src / "seg-00001.warc").write_bytes(build_warc([_resp_record(uri="http://s/1")]))
     run_once()  # restart: watermark comes from the checkpoint
     assert sorted(seen) == ["http://s/0", "http://s/1"]
+
+
+def test_crawl_corpus_stream_dedups_across_batches(spark, tmp_path):
+    """Streaming crawl -> cross-batch content dedup -> WET append; the
+    output dir (monotonic batch-prefixed names) is itself re-readable."""
+    from compute_histogram_spark.operators.pipeline import crawl_corpus_stream
+
+    src = tmp_path / "crawl"
+    src.mkdir()
+    out, ckpt = str(tmp_path / "wet"), str(tmp_path / "ckpt")
+    long_a = b"<p>" + b"first corpus document body " * 3 + b"</p>"
+    long_b = b"<p>" + b"second corpus document body " * 3 + b"</p>"
+
+    (src / "seg-00000.warc").write_bytes(build_warc([
+        _resp_record(long_a, uri="http://s/a"),
+        _resp_record(long_a, uri="http://s/a-dup"),   # in-batch dup
+    ]))
+    q = crawl_corpus_stream(spark, str(src), out, ckpt, min_chars=30)
+    try:
+        q.processAllAvailable()
+        (src / "seg-00001.warc").write_bytes(build_warc([
+            _resp_record(long_a, uri="http://s/a-again"),  # cross-batch dup
+            _resp_record(long_b, uri="http://s/b"),
+        ]))
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    spark.dataSource.register(WarcDocsDataSource)
+    back = (
+        spark.read.format("warcdocs")
+        .option("path", out).option("types", "conversion").load()
+    )
+    texts = [r["text"] for r in back.collect()]
+    assert len(texts) == 2  # one survivor per distinct content
+    assert {t.split()[0] for t in texts} == {"first", "second"}
