@@ -284,3 +284,53 @@ def hll_estimate(sketch: DataFrame, p: int = 12) -> float:
     if raw <= 2.5 * m and zeros:
         return m * math.log(m / zeros)  # linear counting regime
     return raw
+
+
+def kmv_distinct_portable(
+    df: DataFrame, value_col: str, k: int = 64, round_to: int = 6
+) -> DataFrame:
+    """One-row KMV distinct estimate with PORTABLE hashing -> the
+    cross-engine-checkable face of the KMV family.
+
+    The production sketch (:func:`kmv_build`) hashes with JVM xxhash64,
+    which no other engine reproduces; this variant uses the repo's
+    portable-digest convention (functions/texthash.py) — ``md5('kmv:' ||
+    value)``, k smallest in LEXICOGRAPHIC hex order (order-isomorphic to
+    uniform integers), estimate ``(k-1)/u_k`` with ``u_k`` from the
+    first 48 digest bits — so a SQL twin replicates the estimate to the
+    digit and the sketch family gets a value-exact oracle instead of
+    bounds-only pytest coverage. With fewer than k distinct values the
+    estimate IS the exact count (standard KMV degenerate case; hit at
+    the small test SF, while the larger SF exercises the estimator path
+    — both sides of the CASE see coverage).
+
+    Plan shape: map-side digest -> partial dedup -> global dedup ->
+    ``orderBy(h).limit(k)``, which Spark compiles to
+    TakeOrderedAndProject — each partition forwards at most k digests,
+    never the distinct domain. NULLs are dropped explicitly (engines
+    disagree on NULL sort placement).
+    """
+    h = (
+        df.where(F.col(value_col).isNotNull())
+        .select(
+            F.md5(
+                F.concat(F.lit("kmv:"), F.col(value_col).cast("string"))
+            ).alias("h")
+        )
+        .dropDuplicates(["h"])
+    )
+    topk = h.orderBy("h").limit(k)
+    agg = topk.agg(F.max("h").alias("kth_hex"), F.count(F.lit(1)).alias("n"))
+    u = (
+        F.conv(F.substring("kth_hex", 1, 12), 16, 10).cast("bigint") + 1
+    ) / F.lit(float(2**48))
+    return agg.select(
+        F.col("n").cast("int").alias("k_used"),
+        "kth_hex",
+        F.round(
+            F.when(F.col("n") < k, F.col("n").cast("double")).otherwise(
+                (k - 1) / u
+            ),
+            round_to,
+        ).alias("distinct_est"),
+    )

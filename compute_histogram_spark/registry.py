@@ -2555,3 +2555,33 @@ def q_event_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return G.pagerank(
         trans, src="from_type", dst="to_type", weight="n_transitions"
     )
+
+
+# ROTATION-READY (staged for the 6th wave, r10, with SIMILARITY_PQ_ORACLE
+# and EVENT_PAGERANK_ORACLE): the sketch family's first value-exact twin.
+# The production KMV hashes with JVM xxhash64 (no cross-engine
+# reproduction); the portable variant hashes md5('kmv:' || value) per the
+# texthash convention, so DuckDB replicates digest order, the k-th
+# minimum, and the (k-1)/u_k estimate to the digit. k=64 straddles the
+# test SFs: sf0.001 has < 64 distinct users (exact-count branch),
+# sf0.01 has more (estimator branch) — both CASE arms oracle-covered.
+DISTINCT_USERS_KMV_ORACLE = """
+    WITH hs AS (
+        SELECT DISTINCT md5('kmv:' || CAST(user_id AS VARCHAR)) AS h
+        FROM events WHERE user_id IS NOT NULL
+    ),
+    k AS (SELECT h FROM hs ORDER BY h LIMIT 64),
+    a AS (SELECT max(h) AS kth_hex, count(*) AS n FROM k)
+    SELECT CAST(n AS INT) AS k_used, kth_hex,
+           round(CASE WHEN n < 64 THEN CAST(n AS DOUBLE)
+                 ELSE 63 / ((CAST(('0x' || substring(kth_hex, 1, 12))
+                                  AS BIGINT) + 1) / 281474976710656.0)
+                 END, 6) AS distinct_est
+    FROM a
+    """
+
+
+def q_distinct_users_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from compute_histogram_spark.operators import sketches as SK
+
+    return SK.kmv_distinct_portable(load(spark, sf_dir, "events"), "user_id")

@@ -159,3 +159,48 @@ def test_hll_duplicates_do_not_move_the_sketch(spark):
     sa = {(r["reg"], r["max_rank"]) for r in SK.hll_build(a, "v").collect()}
     sd = {(r["reg"], r["max_rank"]) for r in SK.hll_build(dup, "v").collect()}
     assert sa == sd
+
+
+def test_distinct_users_kmv_oracle_staged(spark, sf_dir):
+    """Rotation-ready DuckDB twin (registry.DISTINCT_USERS_KMV_ORACLE):
+    the portable-md5 KMV estimate is value-exact cross-engine at BOTH
+    test SFs — exact-count branch at sf0.001 (< k distinct users),
+    estimator branch at sf0.01 — staged for the 6th registry rotation."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from check_oracle import compare, duck_connection
+
+    from compute_histogram_spark.registry import (
+        DISTINCT_USERS_KMV_ORACLE,
+        q_distinct_users_kmv,
+    )
+
+    for sf, branch in ((sf_dir, "exact"), ("/root/testdata/sf0.01", "est")):
+        sdf = q_distinct_users_kmv(spark, sf).toPandas()
+        con = duck_connection(sf)
+        odf = con.sql(DISTINCT_USERS_KMV_ORACLE).df()
+        assert compare("distinct_users_kmv", sdf, odf) == [], sf
+        row = sdf.iloc[0]
+        if branch == "exact":
+            assert row["k_used"] < 64 and row["distinct_est"] == row["k_used"]
+        else:
+            assert row["k_used"] == 64
+
+
+def test_kmv_portable_estimator_accuracy(spark, sf_dir):
+    """On the estimator branch the portable KMV must land near the true
+    distinct count (standard error ~1/sqrt(k-2) ~ 13% at k=64; assert a
+    generous 3-sigma band)."""
+    from pyspark.sql import functions as F
+
+    from compute_histogram_spark.operators.sketches import kmv_distinct_portable
+    from compute_histogram_spark.sources.tables import load
+
+    events = load(spark, "/root/testdata/sf0.01", "events")
+    exact = events.where(F.col("user_id").isNotNull()).select(
+        "user_id"
+    ).distinct().count()
+    est = kmv_distinct_portable(events, "user_id").collect()[0]["distinct_est"]
+    assert abs(est - exact) / exact < 0.4, (est, exact)
