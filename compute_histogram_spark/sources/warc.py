@@ -86,8 +86,14 @@ def iter_warc_records(data: bytes):
     pos = 0
     end = len(data)
     while pos < end:
-        if data[pos:end].strip() == b"":
-            return  # trailing blank tail
+        # trailing blank tail: writers end on extra CRLFs. Bounded check —
+        # an unbounded data[pos:end].strip() here would re-scan the whole
+        # remaining buffer per record (O(n^2) on a many-record archive);
+        # any real record needs >= 30 bytes, so a short all-whitespace
+        # remainder is the only legitimate tail, and a LONG whitespace run
+        # falls through to the version check and raises like other junk.
+        if end - pos < 30 and data[pos:end].strip() == b"":
+            return
         eol = data.find(_CRLF, pos)
         if eol < 0:
             raise ValueError("malformed WARC: truncated version line")
