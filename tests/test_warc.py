@@ -469,3 +469,45 @@ def test_crawl_corpus_stream_dedups_across_batches(spark, tmp_path):
     texts = [r["text"] for r in back.collect()]
     assert len(texts) == 2  # one survivor per distinct content
     assert {t.split()[0] for t in texts} == {"first", "second"}
+
+
+def test_fast_extractor_matches_parser_on_wellformed():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from compute_histogram_spark.sources.warc import html_to_text_fast
+
+    # deterministic well-formed pages from generated fragments
+    word = st.text("abcdefg &", min_size=1, max_size=8).map(
+        lambda s: s.replace("&", "&amp;"))
+    frag = st.sampled_from(
+        ["<p>{w} one</p>", "<div><h2>{w}</h2>two</div>",
+         "<li>{w}</li>", "<span>{w} inline</span>",
+         "<script>var a = 1 &amp;&amp; 2;</script>", "<pre>{w}</pre>"]
+    )
+
+    @given(st.lists(st.tuples(frag, word), min_size=1, max_size=12))
+    @settings(max_examples=80, deadline=None)
+    def check(parts):
+        page = ("<html><head><title>t</title><style>a{color:red}</style>"
+                "</head><body>"
+                + "".join(f.format(w=w) for f, w in parts)
+                + "</body></html>")
+        assert html_to_text_fast(page) == html_to_text(page)
+
+    check()
+
+
+def test_fast_extractor_source_option(spark, warc_dir):
+    spark.dataSource.register(WarcDocsDataSource)
+    fast = (
+        spark.read.format("warcdocs").option("path", warc_dir)
+        .option("extractor", "fast").load()
+    )
+    slow = spark.read.format("warcdocs").option("path", warc_dir).load()
+    f = {r["target_uri"]: r["text"] for r in fast.collect()}
+    s = {r["target_uri"]: r["text"] for r in slow.collect()}
+    assert f == s  # identical on the (well-formed) fixtures
+    with pytest.raises(Exception):
+        (spark.read.format("warcdocs").option("path", warc_dir)
+         .option("extractor", "bogus").load().collect())
