@@ -216,6 +216,8 @@ def pagerank(
         .localCheckpoint(eager=True)
     )
     n = nodes.count()
+    if n == 0:  # empty edge set: no nodes, not a division by zero
+        return nodes.select("node", F.lit(0.0).alias("pr"))
     ranks = nodes.select(
         "node", F.round(F.lit(1.0) / n, round_to).alias("pr")
     ).localCheckpoint(eager=True)

@@ -334,3 +334,92 @@ def kmv_distinct_portable(
             round_to,
         ).alias("distinct_est"),
     )
+
+
+def _bucket_portable(col: Column, row: int, width: int) -> Column:
+    """Portable twin of :func:`_bucket`: first 32 digest bits of
+    ``md5('cms<row>:' || value)`` folded to [0, width) — replicable in
+    any engine with md5 (the texthash convention)."""
+    v = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(f"cms{row}:"), col)), 1, 8
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    return F.pmod(v, F.lit(width)).cast("int")
+
+
+def cms_point_estimates_portable(
+    docs: DataFrame,
+    text_col: str = "text",
+    depth: int = 4,
+    width: int = 1024,
+    top_n: int = 10,
+) -> DataFrame:
+    """CMS point queries with PORTABLE hashing, next to the exact counts
+    -> ``(tok, n_exact, cms_est)`` for the ``top_n`` most frequent
+    tokens (exact top by (count desc, token asc) — a deterministic probe
+    set both engines derive identically).
+
+    Same role as :func:`kmv_distinct_portable`: the production sketch
+    (:func:`cms_build`) hashes JVM-side xxhash64; this md5 variant makes
+    every cell count and every min-over-rows estimate engine-neutral
+    arithmetic, so the CMS family gets a value-exact oracle on top of
+    its pytest error bounds. The CMS overestimate-only invariant
+    (``cms_est >= n_exact``) is also visible to the oracle as data.
+
+    Plan shape: one token scan feeds BOTH the d-row cell explode
+    (groupBy (r, b): d*width cells max, the mergeable sketch state) and
+    the exact top-n (token groupBy + TakeOrderedAndProject); the probe
+    join is a broadcast of top_n rows against the cell table.
+    """
+    from compute_histogram_spark.functions.texthash import tokens
+
+    toks = ensure_parallelism(
+        docs.select(F.explode(tokens(text_col)).alias("tok"))
+    )
+    cells = toks.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("r"),
+                        _bucket_portable(F.col("tok"), r, width).alias("b"),
+                    )
+                    for r in range(depth)
+                ]
+            )
+        ).alias("cell")
+    )
+    cms = cells.groupBy(
+        F.col("cell.r").alias("r"), F.col("cell.b").alias("b")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    top = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+        .orderBy(F.desc("n_exact"), F.asc("tok"))
+        .limit(top_n)
+    )
+    probes = top.select(
+        "tok",
+        "n_exact",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("r"),
+                        _bucket_portable(F.col("tok"), r, width).alias("b"),
+                    )
+                    for r in range(depth)
+                ]
+            )
+        ).alias("p"),
+    ).select("tok", "n_exact", F.col("p.r").alias("r"), F.col("p.b").alias("b"))
+    return (
+        F.broadcast(probes)
+        .join(cms, ["r", "b"])
+        .groupBy("tok", "n_exact")
+        .agg(F.min("cnt").alias("cms_est"))
+        .orderBy("tok")
+    )

@@ -2585,3 +2585,44 @@ def q_distinct_users_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     from compute_histogram_spark.operators import sketches as SK
 
     return SK.kmv_distinct_portable(load(spark, sf_dir, "events"), "user_id")
+
+
+# ROTATION-READY (staged for the 6th wave, r10 — fourth twin): CMS point
+# estimates with portable md5 bucketing, probed at the deterministic
+# exact top-10 tokens. The overestimate-only CMS invariant shows up IN
+# the oracle-checked data (cms_est >= n_exact on every row).
+TOKEN_CMS_ORACLE = """
+    WITH toks AS (
+        SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    cells AS (
+        SELECT i.i AS r,
+               CAST(('0x' || substring(
+                   md5('cms' || CAST(i.i AS VARCHAR) || ':' || tok), 1, 8))
+                   AS BIGINT) % 1024 AS b
+        FROM toks
+        CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS i) i
+    ),
+    cms AS (SELECT r, b, count(*) AS cnt FROM cells GROUP BY 1, 2),
+    top AS (
+        SELECT tok, count(*) AS n_exact FROM toks
+        GROUP BY tok ORDER BY n_exact DESC, tok LIMIT 10
+    ),
+    probes AS (
+        SELECT tok, n_exact, i.i AS r,
+               CAST(('0x' || substring(
+                   md5('cms' || CAST(i.i AS VARCHAR) || ':' || tok), 1, 8))
+                   AS BIGINT) % 1024 AS b
+        FROM top CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS i) i
+    )
+    SELECT probes.tok, probes.n_exact, min(cms.cnt) AS cms_est
+    FROM probes JOIN cms ON cms.r = probes.r AND cms.b = probes.b
+    GROUP BY 1, 2
+    ORDER BY probes.tok
+    """
+
+
+def q_token_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from compute_histogram_spark.operators import sketches as SK
+
+    return SK.cms_point_estimates_portable(load(spark, sf_dir, "documents"))

@@ -203,3 +203,8 @@ def test_event_pagerank_oracle_staged(spark, sf_dir):
         odf = con.sql(EVENT_PAGERANK_ORACLE).df()
         assert len(sdf) > 0
         assert compare("event_pagerank", sdf, odf) == [], sf
+
+
+def test_pagerank_empty_edges(spark):
+    df = spark.createDataFrame([], "src string, dst string, w int")
+    assert G.pagerank(df, weight="w").collect() == []

@@ -204,3 +204,25 @@ def test_kmv_portable_estimator_accuracy(spark, sf_dir):
     ).distinct().count()
     est = kmv_distinct_portable(events, "user_id").collect()[0]["distinct_est"]
     assert abs(est - exact) / exact < 0.4, (est, exact)
+
+
+def test_token_cms_oracle_staged(spark, sf_dir):
+    """Rotation-ready DuckDB twin (registry.TOKEN_CMS_ORACLE): portable-md5
+    CMS point estimates at the deterministic exact top-10 tokens are
+    value-exact cross-engine at both test SFs — fourth staged twin."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from check_oracle import compare, duck_connection
+
+    from compute_histogram_spark.registry import TOKEN_CMS_ORACLE, q_token_cms
+
+    for sf in (sf_dir, "/root/testdata/sf0.01"):
+        sdf = q_token_cms(spark, sf).toPandas()
+        con = duck_connection(sf)
+        odf = con.sql(TOKEN_CMS_ORACLE).df()
+        assert len(sdf) == 10
+        assert compare("token_cms", sdf, odf) == [], sf
+        # the CMS never undercounts — visible in the oracle-checked data
+        assert (sdf["cms_est"] >= sdf["n_exact"]).all()
