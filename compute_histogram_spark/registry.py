@@ -364,9 +364,11 @@ def q_local_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "fuzzy_name_pairs",
-    """
+# rotated out r10 (sixth wave, for the PageRank/KMV/CMS/PQ twins) —
+# driver-green r01-r09; oracle kept verbatim for
+# tests/test_rotated_out.py (blocked-join fuzzy matching stays
+# driver-covered by dedup_ngram_jaccard's blocked exact-pairs shape).
+FUZZY_NAME_PAIRS_ORACLE = """
     WITH s AS (
         SELECT p_partkey AS id, p_name AS nm,
                substring(p_name, 1, 1) AS blk, length(p_name) AS ln
@@ -378,8 +380,9 @@ def q_local_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
       ON a.blk = b.blk AND a.id < b.id AND abs(a.ln - b.ln) <= 2
     WHERE levenshtein(a.nm, b.nm) <= 2
     ORDER BY id_1, id_2
-    """,
-)
+    """
+
+
 def q_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return R.fuzzy_name_pairs(load(spark, sf_dir, "part"))
 
@@ -454,13 +457,12 @@ def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "promo_revenue_share",
-    # first registry appearance (previously untested): TPC-H Q14 shape —
-    # one broadcast dimension join + conditional aggregation in a single
-    # pass. promo_pct divides two exact integer cents*1e2 sums, so the
-    # double is bit-identical cross-engine.
-    """
+# rotated out r10 (sixth wave) — driver-green r01-r09; oracle kept
+# verbatim for tests/test_rotated_out.py (the broadcast-dim + conditional
+# aggregation family stays driver-covered by rollup_revenue and
+# local_supplier_revenue). TPC-H Q14 shape; promo_pct divides two exact
+# integer cents*1e2 sums, so the double is bit-identical cross-engine.
+PROMO_REVENUE_SHARE_ORACLE = """
     WITH li AS (
         SELECT l_partkey,
                CAST(round(l_extendedprice * 100) AS BIGINT)
@@ -473,8 +475,9 @@ def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
                * 100.0 / sum(li.disc_pc) AS promo_pct,
            sum(li.disc_pc) / 10000.0 AS total_revenue
     FROM li JOIN part p ON li.l_partkey = p.p_partkey
-    """,
-)
+    """
+
+
 def q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     return R.promo_revenue_share(
         load(spark, sf_dir, "part"), load(spark, sf_dir, "lineitem")
@@ -919,9 +922,11 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.simhash(load(spark, sf_dir, "documents"))
 
 
-@register(
-    "dedup_embedding",
-    """
+# rotated out r10 (sixth wave) — driver-green r01-r09; oracle kept
+# verbatim for tests/test_rotated_out.py (the embedding-cosine family
+# stays driver-covered by similarity_topk / semantic_dedup and gains
+# similarity_topk_pq this round).
+DEDUP_EMBEDDING_ORACLE = """
     WITH u AS (
         SELECT vec_id, label, g, CAST(embedding[g] AS DOUBLE) AS x
         FROM (
@@ -946,8 +951,9 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT vec_id_1, vec_id_2, cosine FROM c
     WHERE cosine >= 0.35 ORDER BY vec_id_1, vec_id_2
-    """,
-)
+    """
+
+
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.embedding_neardup_pairs(load(spark, sf_dir, "embeddings"), threshold=0.35)
 
@@ -1270,7 +1276,7 @@ def q_similarity_topk_sq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return PQ.cosine_topk_sq(load(spark, sf_dir, "embeddings"))
 
 
-# ROTATION-READY (staged for the 6th wave, r10): full arithmetic DuckDB
+# ROTATED IN r10 (sixth wave): full arithmetic DuckDB
 # twin for PQ ANN under the deterministic SEED-codebook configuration
 # (pq_train iters=0: codebooks = the first ksub vectors' subspace slices
 # rounded to 6 decimals — the same iters=0 twin pattern as
@@ -1370,6 +1376,7 @@ SIMILARITY_PQ_ORACLE = """
     """
 
 
+@register("similarity_topk_pq", SIMILARITY_PQ_ORACLE)
 def q_similarity_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     from compute_histogram_spark.operators import pq as PQ
 
@@ -1809,9 +1816,11 @@ def _mm_nib(i: int) -> str:
     return f"(instr('0123456789abcdef', substr(h, {i}, 1)) - 1)"
 
 
-@register(
-    "multimodal_features",
-    f"""
+# rotated out r10 (sixth wave) — driver-green r02-r09; oracle kept
+# verbatim for tests/test_rotated_out.py (the multimodal tier stays
+# pytest-covered by the full codec fixture grids in tests/test_binary.py,
+# test_geotiff.py, test_mp3.py, test_aac_ogg.py, test_h264.py).
+MULTIMODAL_FEATURES_ORACLE = f"""
     WITH a AS (
         SELECT doc_id AS asset_id, 'image' AS kind, text FROM documents
     ),
@@ -1822,8 +1831,9 @@ def _mm_nib(i: int) -> str:
            CAST(16 + ({_mm_nib(3)} * 16 + {_mm_nib(4)}) % 240 AS INT) AS height,
            CAST(1 + ({_mm_nib(5)} * 16 + {_mm_nib(6)}) % 3 AS INT) AS n_channels
     FROM f ORDER BY asset_id
-    """,
-)
+    """
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     assets = MM.assets_from_documents(load(spark, sf_dir, "documents"))
     return MM.extract_features(assets).orderBy("asset_id")
@@ -2486,7 +2496,7 @@ def q_neardup_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.neardup_dedup(load(spark, sf_dir, "documents")).orderBy("doc_id")
 
 
-# ROTATION-READY (staged for the 6th wave, r10, alongside
+# ROTATED IN r10 (sixth wave, alongside
 # SIMILARITY_PQ_ORACLE): PageRank over the event-type transition graph.
 # Iterative operators are normally no-SQL (BPE, Lloyd's k-means), but a
 # FIXED-iteration power method with per-iteration round-9 is pure
@@ -2542,6 +2552,7 @@ def _pagerank_oracle(iters: int = 10) -> str:
 EVENT_PAGERANK_ORACLE = _pagerank_oracle(10)
 
 
+@register("event_pagerank", EVENT_PAGERANK_ORACLE)
 def q_event_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # behavior.event_transitions (driver-green since r01) supplies the
     # weighted digraph; graph.pagerank ranks event types by steady-state
@@ -2557,7 +2568,7 @@ def q_event_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# ROTATION-READY (staged for the 6th wave, r10, with SIMILARITY_PQ_ORACLE
+# ROTATED IN r10 (sixth wave, with SIMILARITY_PQ_ORACLE
 # and EVENT_PAGERANK_ORACLE): the sketch family's first value-exact twin.
 # The production KMV hashes with JVM xxhash64 (no cross-engine
 # reproduction); the portable variant hashes md5('kmv:' || value) per the
@@ -2581,13 +2592,14 @@ DISTINCT_USERS_KMV_ORACLE = """
     """
 
 
+@register("distinct_users_kmv", DISTINCT_USERS_KMV_ORACLE)
 def q_distinct_users_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     from compute_histogram_spark.operators import sketches as SK
 
     return SK.kmv_distinct_portable(load(spark, sf_dir, "events"), "user_id")
 
 
-# ROTATION-READY (staged for the 6th wave, r10 — fourth twin): CMS point
+# ROTATED IN r10 (sixth wave — fourth twin): CMS point
 # estimates with portable md5 bucketing, probed at the deterministic
 # exact top-10 tokens. The overestimate-only CMS invariant shows up IN
 # the oracle-checked data (cms_est >= n_exact on every row).
@@ -2622,6 +2634,7 @@ TOKEN_CMS_ORACLE = """
     """
 
 
+@register("token_cms", TOKEN_CMS_ORACLE)
 def q_token_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from compute_histogram_spark.operators import sketches as SK
 

@@ -413,3 +413,49 @@ def test_similarity_topk_ivf_oracle(spark, sf_dir, con):
 
     _check("similarity_topk_ivf", q_similarity_topk_ivf(spark, sf_dir), con,
            SIMILARITY_IVF_ORACLE)
+
+
+# --- sixth rotation wave (r10): fuzzy_name_pairs / promo_revenue_share /
+# --- dedup_embedding / multimodal_features swap out for event_pagerank /
+# --- distinct_users_kmv / token_cms / similarity_topk_pq; their full
+# --- oracles continue here.
+
+
+def test_fuzzy_name_pairs_oracle(spark, sf_dir, con):
+    from compute_histogram_spark.registry import (
+        FUZZY_NAME_PAIRS_ORACLE,
+        q_fuzzy_name_pairs,
+    )
+
+    _check("fuzzy_name_pairs", q_fuzzy_name_pairs(spark, sf_dir), con,
+           FUZZY_NAME_PAIRS_ORACLE)
+
+
+def test_promo_revenue_share_oracle(spark, sf_dir, con):
+    from compute_histogram_spark.registry import (
+        PROMO_REVENUE_SHARE_ORACLE,
+        q_promo_revenue_share,
+    )
+
+    _check("promo_revenue_share", q_promo_revenue_share(spark, sf_dir), con,
+           PROMO_REVENUE_SHARE_ORACLE)
+
+
+def test_dedup_embedding_oracle(spark, sf_dir, con):
+    from compute_histogram_spark.registry import (
+        DEDUP_EMBEDDING_ORACLE,
+        q_dedup_embedding,
+    )
+
+    _check("dedup_embedding", q_dedup_embedding(spark, sf_dir), con,
+           DEDUP_EMBEDDING_ORACLE)
+
+
+def test_multimodal_features_oracle(spark, sf_dir, con):
+    from compute_histogram_spark.registry import (
+        MULTIMODAL_FEATURES_ORACLE,
+        q_multimodal_features,
+    )
+
+    _check("multimodal_features", q_multimodal_features(spark, sf_dir), con,
+           MULTIMODAL_FEATURES_ORACLE)
