@@ -92,7 +92,13 @@ def parse_sps(nal: bytes) -> dict:
     if not nal:
         raise ValueError("malformed SPS: empty NAL")
     data = nal
-    if data[0] & 0x1F == 7:  # NAL header present (forbidden_zero+type 7)
+    # NAL header detection must require the FULL header pattern —
+    # forbidden_zero_bit 0, any nal_ref_idc, type 7 — i.e. one of
+    # 0x07/0x27/0x47/0x67. Testing only the low 5 bits misfires on a
+    # HEADERLESS SPS whose profile_idc has low5 == 7 (e.g. 135 = 0x87,
+    # High 4:4:4 Intra): no standard profile_idc collides with the four
+    # header bytes, so this dispatch is unambiguous (ADVICE r9 h264.py:95).
+    if data[0] in (0x07, 0x27, 0x47, 0x67):
         data = data[1:]
     br = _BitReader(strip_emulation_prevention(data))
     profile_idc = br.u(8)

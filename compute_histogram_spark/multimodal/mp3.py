@@ -177,7 +177,11 @@ def mp3_info(content: bytes) -> dict:
         bitrate = round(byte_total * 8 / duration / 1000, 3)
     else:
         bitrate = float(first.bitrate_kbps)
-    if xing_frames is not None and xing_frames != n_frames:
+    # Encoders disagree on whether the Xing/Info header frame itself is
+    # counted: LAME-style writers exclude it (count = audio frames only),
+    # others include it. Both are valid real-world streams — accept the
+    # off-by-one and only raise on a genuinely inconsistent index.
+    if xing_frames is not None and xing_frames not in (n_frames, n_frames - 1):
         raise ValueError("malformed MP3: Xing frame count mismatch")
     return {
         "sample_rate": first.sample_rate,

@@ -120,7 +120,16 @@ def write_q5_layout(
                     )
                     continue
                 except Exception:  # noqa: BLE001 - fall through to rebuild
-                    pass
+                    # CREATE TABLE may have HALF-registered the name (or a
+                    # concurrent writer won the race) before failing; a
+                    # lingering entry would make the saveAsTable below die
+                    # with 'table already exists'. Re-check and drop it so
+                    # the rebuild path starts clean (ADVICE r9). Note the
+                    # re-registered table above is EXTERNAL (DROP keeps its
+                    # files, unlike the managed saveAsTable path) — the
+                    # deliberate trade for surviving a fresh metastore.
+                    if spark.catalog.tableExists(name):
+                        spark.sql(f"DROP TABLE IF EXISTS {name}")
             import shutil
 
             shutil.rmtree(orphan)

@@ -54,58 +54,99 @@ def _parse_header_block(block: bytes) -> dict[str, str]:
     folding (a line starting with SP/HT extends the previous value).
     Names are case-insensitivized to lower-case; first occurrence wins."""
     headers: dict[str, str] = {}
-    last: str | None = None
+    last: str | None = None  # last PHYSICAL header name seen
+    stored = False  # whether that header's value was kept (first occurrence)
     for raw in block.split(_CRLF):
         if not raw:
             continue
         if raw[:1] in (b" ", b"\t"):
             if last is None:
                 raise ValueError("malformed WARC: continuation before any header")
-            headers[last] += " " + raw.strip().decode("utf-8", "replace")
+            if stored:
+                headers[last] += " " + raw.strip().decode("utf-8", "replace")
+            # else: the continuation belongs to an IGNORED duplicate header
+            # — folding it into the first occurrence would corrupt that
+            # value, so it is dropped with its owner
             continue
         name, sep, value = raw.partition(b":")
         if not sep:
             raise ValueError("malformed WARC: header line without ':'")
         key = name.strip().decode("ascii", "replace").lower()
-        if key not in headers:
+        last = key
+        stored = key not in headers
+        if stored:
             headers[key] = value.strip().decode("utf-8", "replace")
-            last = key
-        else:
-            last = key
     return headers
 
 
-def iter_warc_records(data: bytes):
-    """Yield ``(offset, headers_dict, content_bytes)`` per record.
+_READ_CHUNK = 1 << 20  # 1 MiB refill unit for the streaming parser
+
+
+def iter_warc_stream(fobj, chunk_size: int = _READ_CHUNK):
+    """Yield ``(offset, headers_dict, content_bytes)`` per record from a
+    binary file object, INCREMENTALLY.
 
     ``offset`` is the record's byte position in the (decompressed)
     stream. Framing is spec-strict: version line, header block, blank
     line, exactly ``Content-Length`` content bytes, then the two-CRLF
     record terminator. Trailing empty bytes after the last record are
-    tolerated (writers commonly end the file on the terminator)."""
-    pos = 0
-    end = len(data)
-    while pos < end:
-        # trailing blank tail: writers end on extra CRLFs. Bounded check —
-        # an unbounded data[pos:end].strip() here would re-scan the whole
-        # remaining buffer per record (O(n^2) on a many-record archive);
-        # any real record needs >= 30 bytes, so a short all-whitespace
-        # remainder is the only legitimate tail, and a LONG whitespace run
-        # falls through to the version check and raises like other junk.
-        if end - pos < 30 and data[pos:end].strip() == b"":
+    tolerated (writers commonly end the file on the terminator).
+
+    Memory contract (the reason this is a stream, not a slurp): the
+    rolling buffer holds at most one record plus one refill chunk, so a
+    ~1 GB Common Crawl segment costs O(largest record) per task — not
+    5 GB+ of raw-bytes + full-decompressed copies. Each parsed record is
+    dropped from the buffer before the next is framed."""
+    buf = bytearray()
+    base = 0  # stream offset of buf[0]
+    eof = False
+
+    def _fill(need: int) -> None:
+        """Grow buf to >= need bytes (or EOF)."""
+        nonlocal eof
+        while not eof and len(buf) < need:
+            chunk = fobj.read(max(chunk_size, need - len(buf)))
+            if not chunk:
+                eof = True
+            else:
+                buf.extend(chunk)
+
+    def _find(sub: bytes, start: int) -> int:
+        """Index of sub in buf, refilling until found or EOF. The next
+        probe resumes just before the previous buffer end (overlap of
+        len(sub)-1), so header scanning never re-walks consumed bytes."""
+        probe = start
+        while True:
+            i = buf.find(sub, probe)
+            if i >= 0:
+                return i
+            if eof:
+                return -1
+            probe = max(start, len(buf) - len(sub) + 1)
+            _fill(len(buf) + 1)
+
+    while True:
+        _fill(30)
+        if not buf and eof:
             return
-        eol = data.find(_CRLF, pos)
+        # trailing blank tail: writers end on extra CRLFs. Any real record
+        # needs >= 30 bytes, so a short all-whitespace remainder at EOF is
+        # the only legitimate tail; a LONG whitespace run falls through to
+        # the version check and raises like other junk.
+        if eof and len(buf) < 30 and bytes(buf).strip() == b"":
+            return
+        eol = _find(_CRLF, 0)
         if eol < 0:
             raise ValueError("malformed WARC: truncated version line")
-        version = data[pos:eol]
+        version = bytes(buf[:eol])
         if version not in _VERSIONS:
             raise ValueError(
                 f"malformed WARC: bad version line {version[:20]!r}"
             )
-        hdr_end = data.find(_CRLF + _CRLF, eol)
+        hdr_end = _find(_CRLF + _CRLF, eol)
         if hdr_end < 0:
             raise ValueError("malformed WARC: truncated header block")
-        headers = _parse_header_block(data[eol + 2 : hdr_end])
+        headers = _parse_header_block(bytes(buf[eol + 2 : hdr_end]))
         try:
             length = int(headers["content-length"])
         except KeyError:
@@ -116,28 +157,49 @@ def iter_warc_records(data: bytes):
             raise ValueError("malformed WARC: negative Content-Length")
         body_start = hdr_end + 4
         body_end = body_start + length
-        if body_end + 4 > end:
+        _fill(body_end + 4)
+        if body_end + 4 > len(buf):
             # the record terminator is part of the mandatory framing
-            if body_end <= end and data[body_end:].rstrip(b"\r\n") == b"":
+            if body_end <= len(buf) and bytes(buf[body_end:]).rstrip(b"\r\n") == b"":
                 # last record, terminator possibly short — accept the
                 # common writer truncation of the final two CRLFs
-                yield pos, headers, data[body_start:body_end]
+                yield base, headers, bytes(buf[body_start:body_end])
                 return
             raise ValueError("malformed WARC: truncated content block")
-        if data[body_end : body_end + 4] != _CRLF + _CRLF:
+        if bytes(buf[body_end : body_end + 4]) != _CRLF + _CRLF:
             raise ValueError("malformed WARC: missing record terminator")
-        yield pos, headers, data[body_start:body_end]
-        pos = body_end + 4
+        yield base, headers, bytes(buf[body_start:body_end])
+        del buf[: body_end + 4]  # drop the consumed record — the O(1) claim
+        base += body_end + 4
+
+
+def iter_warc_records(data: bytes):
+    """Yield ``(offset, headers_dict, content_bytes)`` per record of an
+    in-memory archive — the byte-buffer twin of ``iter_warc_stream``
+    (single implementation; this is a thin adapter kept for fixtures and
+    tests that already hold the bytes)."""
+    return iter_warc_stream(io.BytesIO(data))
+
+
+def open_warc_stream(fobj):
+    """Wrap a binary file object so gzip'd archives decompress
+    INCREMENTALLY. Per-record gzip members (the spec's recommended
+    layout, §D.2) and a single whole-file member both land here:
+    ``gzip.GzipFile`` walks concatenated members transparently, and
+    reading through it keeps peak memory at O(read window) instead of
+    materializing the whole decompressed stream."""
+    head = fobj.peek(2)[:2] if hasattr(fobj, "peek") else b""
+    if head == b"\x1f\x8b":
+        return _gzip.GzipFile(fileobj=fobj)
+    return fobj
 
 
 def read_warc(raw: bytes):
-    """Dispatch plain vs gzip'd archives and iterate records.
-
-    Per-record gzip members (the spec's recommended layout, §D.2) and a
-    single whole-file member both land here: stdlib ``gzip.decompress``
-    concatenates members, yielding the plain byte stream either way."""
+    """Dispatch plain vs gzip'd archive BYTES and iterate records (the
+    in-memory convenience entry; the source itself streams from the file
+    object via ``open_warc_stream`` + ``iter_warc_stream``)."""
     if raw[:2] == b"\x1f\x8b":
-        raw = _gzip.decompress(raw)
+        return iter_warc_stream(_gzip.GzipFile(fileobj=io.BytesIO(raw)))
     return iter_warc_records(raw)
 
 
@@ -394,15 +456,15 @@ class _WarcOptions:
         yielded = False
         try:
             with open(path, "rb") as f:
-                raw = f.read()
-            for offset, headers, content in read_warc(raw):
-                wtype = headers.get("warc-type", "").lower()
-                if self._types and wtype not in self._types:
-                    continue
-                row = self._row(path, offset, headers, wtype, content)
-                if row is not None:
-                    yielded = True
-                    yield row
+                stream = open_warc_stream(f)
+                for offset, headers, content in iter_warc_stream(stream):
+                    wtype = headers.get("warc-type", "").lower()
+                    if self._types and wtype not in self._types:
+                        continue
+                    row = self._row(path, offset, headers, wtype, content)
+                    if row is not None:
+                        yielded = True
+                        yield row
         except Exception:
             # keep records parsed before a mid-file corruption; a file
             # with ZERO parsed records yields one parsed=false marker

@@ -119,3 +119,13 @@ def test_mp4_avcc_integration(spark):
     assert (out[1]["width"], out[1]["height"]) == (854, 480)
     assert out[1]["video_codec"] == "avc1" and out[1]["parsed"] is True
     assert (out[2]["width"], out[2]["height"]) == (640, 360)
+
+
+def test_headerless_high444_intra_sps():
+    """profile_idc 135 (High 4:4:4 Intra) has low5 == 7; a HEADERLESS SPS
+    starting with it must not be mistaken for a NAL header byte
+    (ADVICE r9 h264.py:95)."""
+    sps = build_sps(135, 31, 640, 480, nal_header=False)
+    info = parse_sps(sps)
+    assert info["profile_idc"] == 135
+    assert (info["width"], info["height"]) == (640, 480)

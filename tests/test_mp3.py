@@ -171,3 +171,14 @@ def test_extract_audio_features_mp3_metadata(spark):
     assert m["rms"] is None and m["peak"] is None
     w = out[2]
     assert w["decoded"] is True and w["sample_rate"] == 8000
+
+
+def test_xing_count_excluding_header_frame_tolerated():
+    """LAME-style encoders write the Xing count EXCLUDING the header
+    frame itself; that off-by-one is a valid stream, not corruption
+    (ADVICE r9 mp3.py:181)."""
+    blob = bytearray(build_mp3(n_frames=5, xing=True))
+    struct.pack_into(">I", blob, 4 + 32 + 8, 4)  # 4 audio frames + Xing
+    info = mp3_info(bytes(blob))
+    assert info["n_frames"] == 5
+    assert info["vbr"] is True
