@@ -2639,3 +2639,141 @@ def q_token_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from compute_histogram_spark.operators import sketches as SK
 
     return SK.cms_point_estimates_portable(load(spark, sf_dir, "documents"))
+
+
+# ROTATION-READY (staged for the 7th wave, r11): the BPE family's first
+# value-exact DuckDB twins. The blocker was never the arithmetic — it was
+# expressing the left-to-right NON-OVERLAPPING merge fold in SQL. The
+# portable encoding: a word's symbol list becomes a chr(31)-framed string
+# (SEP SEP s1 SEP SEP s2 ... SEP SEP); merging pair (a, b) is then ONE
+# standard `replace(s, SEP a SEP SEP b SEP, SEP ab SEP)` — SQL replace
+# scans left to right, never rescans its own replacement, and the
+# asymmetric separator consumption makes consecutive merges chain exactly
+# like the Catalyst `aggregate` fold in operators/bpe.py:_merge_expr
+# (equivalence pinned on the adversarial cases — 'xxxx'/(x,x),
+# 'banana'/chained merges — in tests/test_bpe.py).
+
+_BPE_SEP = "chr(31)"
+_BPE_SEP2 = "chr(31)||chr(31)"
+
+# fixed merge list for the SEGMENT twin: exercises single merges, chained
+# merges (a+g then ag+g), and merges whose operands are themselves merge
+# products (tab+le) — the order-sensitivity the fold semantics live on
+BPE_SEGMENT_MERGES = [
+    ("a", "g"), ("ag", "g"), ("l", "e"),
+    ("t", "a"), ("ta", "b"), ("tab", "le"),
+]
+
+
+def _bpe_enc(col: str) -> str:
+    """word -> SEP SEP c1 SEP SEP c2 ... SEP SEP (DuckDB expression)."""
+    return (
+        f"{_BPE_SEP2}||regexp_replace({col}, '(.)', "
+        f"'\\1'||{_BPE_SEP2}, 'g')"
+    )
+
+
+def _bpe_apply(expr: str, a: str, b: str) -> str:
+    pat = f"{_BPE_SEP}||'{a}'||{_BPE_SEP2}||'{b}'||{_BPE_SEP}"
+    rep = f"{_BPE_SEP}||'{a}{b}'||{_BPE_SEP}"
+    return f"replace({expr}, {pat}, {rep})"
+
+
+def _bpe_segment_oracle() -> str:
+    expr = _bpe_enc("word")
+    for a, b in BPE_SEGMENT_MERGES:
+        expr = _bpe_apply(expr, a, b)
+    return f"""
+    WITH wf AS (
+        SELECT DISTINCT word FROM (
+            SELECT unnest(string_split(text, ' ')) AS word FROM documents
+        ) WHERE word != ''
+    ),
+    seg AS (
+        SELECT word,
+               string_split(trim({expr}, {_BPE_SEP}), {_BPE_SEP2}) AS l
+        FROM wf
+    )
+    SELECT word, CAST(len(l) AS INT) AS n_syms,
+           array_to_string(l, ' ') AS segmented
+    FROM seg ORDER BY word
+    """
+
+
+BPE_SEGMENT_ORACLE = _bpe_segment_oracle()
+
+
+def q_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from compute_histogram_spark.operators import bpe as BPE
+
+    words = BPE.word_freqs(load(spark, sf_dir, "documents")).select("word")
+    seg = BPE.bpe_segment(words, BPE_SEGMENT_MERGES)
+    return seg.select(
+        "word",
+        F.size("syms").alias("n_syms"),
+        F.concat_ws(" ", "syms").alias("segmented"),
+    ).orderBy("word")
+
+
+def _bpe_train_oracle(num_merges: int = 6) -> str:
+    """The TRAINING loop unrolled — per round: weighted adjacent-pair
+    counts over the current segmentation state, argmax with the
+    (cnt DESC, a, b) tie-break, then the data-driven merge applied via
+    the same replace encoding (pattern built FROM the argmax row). An
+    early stop (no pair >= min_freq 2) cascades naturally: the empty
+    argmax CTE empties every later round, so both engines emit exactly
+    the merges found."""
+    head = f"""
+    WITH wf AS (
+        SELECT word, count(*) AS weight FROM (
+            SELECT unnest(string_split(text, ' ')) AS word FROM documents
+        ) WHERE word != '' GROUP BY word
+    ),
+    v0 AS (SELECT word, weight, {_bpe_enc("word")} AS s FROM wf)"""
+    steps = []
+    for i in range(1, num_merges + 1):
+        steps.append(f""",
+    l{i} AS (
+        SELECT weight,
+               string_split(trim(s, {_BPE_SEP}), {_BPE_SEP2}) AS l
+        FROM v{i - 1}
+    ),
+    p{i} AS (
+        SELECT a, b, sum(weight) AS cnt FROM (
+            SELECT weight, l[g] AS a, l[g + 1] AS b FROM (
+                SELECT weight, l,
+                       unnest(generate_series(1, len(l) - 1)) AS g
+                FROM l{i} WHERE len(l) >= 2
+            )
+        ) GROUP BY a, b
+    ),
+    m{i} AS (
+        SELECT a, b FROM p{i} WHERE cnt >= 2
+        ORDER BY cnt DESC, a, b LIMIT 1
+    ),
+    v{i} AS (
+        SELECT v.word, v.weight,
+               replace(v.s, {_BPE_SEP}||m.a||{_BPE_SEP2}||m.b||{_BPE_SEP},
+                       {_BPE_SEP}||m.a||m.b||{_BPE_SEP}) AS s
+        FROM v{i - 1} v CROSS JOIN m{i} m
+    )""")
+    union = "\n    UNION ALL ".join(
+        f"SELECT {i} AS step, a, b FROM m{i}"
+        for i in range(1, num_merges + 1)
+    )
+    return head + "".join(steps) + f"""
+    SELECT step, a, b FROM ({union}) ORDER BY step"""
+
+
+BPE_TRAIN_ORACLE = _bpe_train_oracle(6)
+
+
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from compute_histogram_spark.operators import bpe as BPE
+
+    words = BPE.word_freqs(load(spark, sf_dir, "documents"))
+    merges, _ = BPE.bpe_train(words, num_merges=6, min_freq=2)
+    return spark.createDataFrame(
+        [(i + 1, a, b) for i, (a, b) in enumerate(merges)],
+        "step INT, a STRING, b STRING",
+    ).orderBy("step")

@@ -147,3 +147,76 @@ def test_bpe_encode_real_corpus_roundtrip_counts(spark, sf_dir):
     enc0 = enc.where(B.F.col("doc_id") == doc0["doc_id"]).first()
     decoded = "".join(vocab[i] for i in enc0["token_ids"])
     assert decoded == "".join(doc0["text"].split())
+
+
+# ------------------------------------------- staged DuckDB twins (r10)
+
+
+def _duck_check(name, sdf, sf_dir, sql):
+    import os
+    import sys
+
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(__file__), "..", "tools")
+    )
+    from check_oracle import compare, duck_connection
+
+    pdf = sdf.toPandas()
+    con = duck_connection(sf_dir)  # keep a ref: the relation borrows it
+    odf = con.sql(sql).df()
+    assert len(pdf) > 0
+    assert compare(name, pdf, odf) == []
+
+
+def test_bpe_segment_duckdb_twin(spark, sf_dir):
+    """Staged rotation twin: the replace-encoded fold oracle matches the
+    Catalyst aggregate fold value-exact on the real corpus."""
+    from compute_histogram_spark.registry import (
+        BPE_SEGMENT_ORACLE,
+        q_bpe_segment,
+    )
+
+    _duck_check("bpe_segment", q_bpe_segment(spark, sf_dir), sf_dir,
+                BPE_SEGMENT_ORACLE)
+
+
+def test_bpe_train_duckdb_twin(spark, sf_dir):
+    """Staged rotation twin: 6 unrolled training rounds (pair counts ->
+    argmax -> data-driven replace) reproduce the Spark merge list."""
+    from compute_histogram_spark.registry import (
+        BPE_TRAIN_ORACLE,
+        q_bpe_train,
+    )
+
+    _duck_check("bpe_train", q_bpe_train(spark, sf_dir), sf_dir,
+                BPE_TRAIN_ORACLE)
+
+
+def test_replace_encoding_equals_fold_adversarial(spark):
+    """The separator-replace encoding == the Catalyst fold on the cases
+    where naive encodings diverge: self-pairs over runs ('xxxx', 'aaa'),
+    consecutive eligible pairs, and merges whose operands are merge
+    products (banana chain)."""
+    import duckdb
+
+    cases = [
+        ("xxxx", [("x", "x")]),
+        ("aaa", [("a", "a")]),
+        ("xxyy", [("x", "y")]),
+        ("banana", [("a", "n"), ("b", "an"), ("ban", "an")]),
+        ("aggregate", [("a", "g"), ("ag", "g"), ("g", "a"), ("t", "e")]),
+    ]
+    con = duckdb.connect()
+    from compute_histogram_spark.registry import _bpe_apply, _bpe_enc
+
+    for word, merges in cases:
+        expr = _bpe_enc(f"'{word}'")
+        for a, b in merges:
+            expr = _bpe_apply(expr, a, b)
+        duck = con.sql(
+            f"SELECT string_split(trim({expr}, chr(31)), "
+            f"chr(31)||chr(31))"
+        ).fetchone()[0]
+        sdf = spark.createDataFrame([Row(word=word)])
+        got = B.bpe_segment(sdf, merges).first()["syms"]
+        assert list(got) == list(duck), (word, merges, got, duck)
