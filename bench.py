@@ -65,7 +65,13 @@ LOCAL_QUERIES = {
     "event_transitions": lambda spark, d: BH.event_transitions(
         load(spark, d, "events")
     ),
-    "doc_fingerprint": lambda spark, d: TX.doc_fingerprint(
+    # r10: the vectorized Arrow kernel (text.py:doc_fingerprint_arrow) —
+    # same operator contract (min uniform 64-bit gram hash + EXACT
+    # distinct-gram count; splitmix64 spec + n_grams equality pinned in
+    # tests/test_text.py). Interleaved A/B: sf1 0.70 vs 1.67 s JVM,
+    # sf10 2.07 vs 15.63 s (and vs DuckDB 4.98 s — a Spark win); the
+    # ~+0.11 s Python-worker overhead at sf0.1 is the documented trade.
+    "doc_fingerprint": lambda spark, d: TX.doc_fingerprint_arrow(
         load(spark, d, "documents")
     ),
     # r8: Q5 on the bucketed fact layout (defined below; lazy reference)
@@ -138,10 +144,11 @@ LOCAL_ORACLES = {
     """,
     # r7 rotation fallbacks: the oracle text lives on in registry.py as
     # module constants (also exercised by tests/test_rotated_out.py).
-    # doc_fingerprint times the throughput-fair pairing: Spark's xxhash64
-    # kernel vs DuckDB's native hash() over the same grams (r8 — the old
-    # md5-vs-md5 pairing timed MessageDigest throughput on both sides;
-    # values stay pinned via the md5 twin + the XXH64 twin in tests)
+    # doc_fingerprint times the throughput-fair pairing: Spark's best
+    # kernel (r10: the Arrow splitmix64 kernel; r8: JVM xxhash64) vs
+    # DuckDB's native hash() over the same grams — each engine's fastest
+    # uniform-hash formulation of the same operator; values stay pinned
+    # via the md5 twin + the splitmix64/XXH64 spec twins in tests
     "event_transitions": registry.EVENT_TRANSITIONS_ORACLE,
     "doc_fingerprint": registry.DOC_FINGERPRINT_BENCH_ORACLE,
     # layout-served Q5 answers the same query: DuckDB twin is Q5's own

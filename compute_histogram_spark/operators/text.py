@@ -262,6 +262,115 @@ def doc_fingerprint(docs: DataFrame, gram: int = 8) -> DataFrame:
     )
 
 
+def _splitmix64(x):
+    """splitmix64 finalizer over a uint64 ndarray — the avalanche that
+    makes the raw 8-byte gram value a uniform hash. Public-domain
+    constants (Steele et al., 'Fast splittable pseudorandom number
+    generators', OOPSLA 2014)."""
+    import numpy as np
+
+    x = x.copy()
+    x ^= x >> np.uint64(30)
+    x *= np.uint64(0xBF58476D1CE4E5B9)
+    x ^= x >> np.uint64(27)
+    x *= np.uint64(0x94D049BB133111EB)
+    x ^= x >> np.uint64(31)
+    return x
+
+
+def _gram_bytes8(g: str) -> bytes:
+    """Hash input for one gram: first 8 UTF-8 bytes, zero-padded."""
+    return g.encode("utf-8")[:8].ljust(8, b"\0")
+
+
+def _fp_one_doc(text: str, gram: int):
+    """(fingerprint, n_grams) for one document — the kernel's per-row
+    step, vectorized end to end for the ASCII common case.
+
+    Fast path (pure-ASCII, len >= gram): every char-gram is exactly 8
+    bytes, so the sliding byte windows VIEW as uint64 — min-hash is one
+    vectorized splitmix64 + min, and the EXACT distinct-gram count is
+    np.unique on the same uint64 view (bijective with the gram strings).
+    Fallback (unicode / short): per-gram set + the same 8-byte hash
+    spec, so the output contract is one spec, two speeds."""
+    import numpy as np
+
+    b = text.encode("utf-8")
+    if len(b) == len(text) and len(text) >= gram:
+        a = np.frombuffer(b, dtype=np.uint8)
+        n = len(a) - gram + 1
+        w = np.lib.stride_tricks.sliding_window_view(a, gram)
+        u = w.reshape(n, gram).copy().view(np.uint64).ravel()
+        # min over the SIGNED reinterpretation (the spec's signed-64
+        # contract); .view, not .astype — bits, not values
+        return (
+            _splitmix64(u).view(np.int64).min(),
+            int(np.unique(u).size),
+        )
+    grams = [text[i : i + gram] for i in range(max(len(text) - gram + 1, 1))]
+    if not grams:
+        grams = [text]
+    u = np.frombuffer(
+        np.array([_gram_bytes8(g) for g in grams], dtype="S8").tobytes(),
+        dtype=np.uint64,
+    )
+    return _splitmix64(u).view(np.int64).min(), len(set(grams))
+
+
+def doc_fingerprint_arrow(
+    docs: DataFrame, gram: int = 8, id_col: str = "doc_id"
+) -> DataFrame:
+    """Vectorized Arrow twin of :func:`doc_fingerprint` — the measured
+    fast path for the fingerprint kernel, and the repo's one deliberate
+    break from JVM-expression-first.
+
+    Why Python here: the declarative form is an embarrassingly parallel
+    map (right plan shape), but Spark evaluates higher-order-function
+    lambdas INTERPRETED, never whole-stage-codegen — and r10's sf10
+    decomposition proved the ~83 ns/gram closure+substr+hash walk is the
+    whole cost (gram-array 12.7 s of the 15.6 s total; removing the
+    intermediate arrays via inline/aggregate folds moved nothing:
+    13.4 -> 12.6/13.2 s). This kernel replaces ~1000 interpreted
+    evaluations per document with four NumPy passes over the raw bytes
+    (uint64 view of the 8-byte windows -> splitmix64 -> min; np.unique
+    for the EXACT distinct count): sf10 2.07 s vs 15.63 s JVM (7.5x)
+    and vs 4.98 s DuckDB — the one headline kernel where the Arrow
+    batch path beats both engines' native forms.
+
+    Hash spec (pinned in tests/test_text.py against a pure-Python twin):
+    splitmix64 of the gram's first 8 UTF-8 bytes zero-padded, signed
+    64-bit result. n_grams is the exact distinct char-gram count —
+    value-identical to :func:`doc_fingerprint`'s array_distinct (the
+    uint64 view is bijective with 8-byte grams; property-checked).
+
+    Scale shape: identical to the JVM form — no shuffle, no state, one
+    Arrow batch stream per input split; 100 TB fans out as pure map
+    tasks. Use :func:`doc_fingerprint` where a no-Python-deps plan
+    matters more than the 7.5x."""
+    import pandas as pd
+
+    def kernel(batches):
+        import numpy as np
+
+        for pdf in batches:
+            fps = np.empty(len(pdf), dtype=np.int64)
+            ns = np.empty(len(pdf), dtype=np.int64)
+            for i, t in enumerate(pdf["text"].values):
+                fps[i], ns[i] = _fp_one_doc(t, gram)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].values,
+                    "fingerprint": fps,
+                    "n_grams": ns,
+                }
+            )
+
+    d = range_ordered(docs, id_col).select(id_col, "text")
+    return d.mapInPandas(
+        kernel, f"{id_col} bigint, fingerprint bigint, n_grams bigint"
+    )
+
+
 def doc_fingerprint_md5(docs: DataFrame, gram: int = 8) -> DataFrame:
     """Engine-portable twin of :func:`doc_fingerprint`: min-md5-hex over
     the same grams — byte-identical in Spark and DuckDB, so the rotated-out

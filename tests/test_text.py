@@ -366,3 +366,86 @@ def test_bpe_token_count_matches_regex(spark):
     ).collect()
     for r in out:
         assert r["fast"] == r["ref"], texts[r["doc_id"]]
+
+
+# ------------------------------------------ Arrow fingerprint kernel (r10)
+
+
+def _splitmix64_ref(b8: bytes) -> int:
+    """Independent pure-Python splitmix64 twin over 8 little-endian
+    bytes -> signed 64-bit (the doc_fingerprint_arrow hash spec)."""
+    import struct
+
+    m = (1 << 64) - 1
+    x = struct.unpack("<Q", b8)[0]
+    x ^= x >> 30
+    x = (x * 0xBF58476D1CE4E5B9) & m
+    x ^= x >> 27
+    x = (x * 0x94D049BB133111EB) & m
+    x ^= x >> 31
+    return x - (1 << 64) if x >= 1 << 63 else x
+
+
+def _fp_ref(text: str, gram: int = 8):
+    grams = [text[i:i + gram] for i in range(max(len(text) - gram + 1, 1))]
+    if not grams:
+        grams = [text]
+    hs = [
+        _splitmix64_ref(g.encode("utf-8")[:8].ljust(8, b"\0"))
+        for g in grams
+    ]
+    return min(hs), len(set(grams))
+
+
+def test_fingerprint_arrow_hash_spec():
+    """Kernel per-doc step == the independent pure-Python spec twin, on
+    ASCII (vectorized path), unicode and short docs (fallback path)."""
+    from compute_histogram_spark.operators.text import _fp_one_doc
+
+    cases = [
+        "the quick brown fox jumps over the lazy dog",
+        "aaaaaaaaaaaaaaaa",            # all-identical grams
+        "abcdefgh",                    # exactly one gram
+        "short",                       # < gram chars
+        "",                            # empty
+        "héllo wörld ünïcode dòc",     # multi-byte fallback
+        "emoji \U0001f600 tail text",  # astral fallback
+    ]
+    for t in cases:
+        got = _fp_one_doc(t, 8)
+        want = _fp_ref(t, 8)
+        assert (int(got[0]), int(got[1])) == want, repr(t)
+
+
+def test_fingerprint_arrow_ngrams_matches_jvm(spark, sf_dir):
+    """n_grams (exact distinct char-grams) is value-identical between
+    the Arrow kernel and the JVM array_distinct formulation on the real
+    corpus — the bijectivity-of-uint64-view property at data scale."""
+    from compute_histogram_spark.operators.text import (
+        doc_fingerprint,
+        doc_fingerprint_arrow,
+    )
+    from compute_histogram_spark.sources.tables import load
+
+    docs = load(spark, sf_dir, "documents")
+    jvm = doc_fingerprint(docs).select("doc_id", "n_grams")
+    arw = doc_fingerprint_arrow(docs).selectExpr(
+        "doc_id", "n_grams AS n2"
+    )
+    assert jvm.join(arw, "doc_id").where("n_grams != n2").count() == 0
+
+
+def test_fingerprint_arrow_plan_is_pure_map(spark, sf_dir):
+    """No shuffle: the kernel must stay an embarrassingly parallel map
+    stage (the 100 TB contract of the JVM form, preserved)."""
+    from compute_histogram_spark.operators.text import doc_fingerprint_arrow
+    from compute_histogram_spark.sources.tables import load
+
+    plan = doc_fingerprint_arrow(
+        load(spark, sf_dir, "documents")
+    )._jdf.queryExecution().executedPlan().toString()
+    # the one allowed Exchange is range_ordered's deliberate parallelism
+    # fan-out (same as the JVM form); no aggregation/join machinery
+    assert plan.count("Exchange") <= 1
+    assert "hashpartitioning" not in plan
+    assert "HashAggregate" not in plan and "Join" not in plan
