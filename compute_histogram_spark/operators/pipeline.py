@@ -593,6 +593,7 @@ def crawl_corpus(
     out_path: str | None = None,
     min_chars: int = 50,
     n_shards: int = 16,
+    extractor: str = "parser",
 ) -> DataFrame:
     """Crawl archives -> deduplicated training corpus, end to end.
 
@@ -615,7 +616,9 @@ def crawl_corpus(
 
     spark.dataSource.register(WarcDocsDataSource)
     docs = (
-        spark.read.format("warcdocs").option("path", warc_path).load()
+        spark.read.format("warcdocs").option("path", warc_path)
+        .option("extractor", extractor)  # 'fast' = the opt-in regex path
+        .load()
         .where(F.col("parsed") & (F.col("http_status") == 200))
         .where(F.col("text").isNotNull() & (F.length("text") >= min_chars))
         .select(

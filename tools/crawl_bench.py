@@ -36,7 +36,9 @@ WORDS = (
 
 def _doc_html(seg: int, rec: int, dup_every: int = 11) -> tuple[str, bytes]:
     """Deterministic tag-dense HTML ~30 KB; every ``dup_every``-th record
-    repeats an earlier body so the dedup stage has real work (~9%)."""
+    shares an earlier record's EXTRACTED text (only script content —
+    stripped by extraction — differs), so content dedup has real work
+    (~9% of records collapse)."""
     base = (seg * 7919 + rec) if rec % dup_every else (seg * 7919 // 2)
     paras = []
     for p in range(60):
@@ -46,9 +48,10 @@ def _doc_html(seg: int, rec: int, dup_every: int = 11) -> tuple[str, bytes]:
             % (p % 7, " ".join(ws[:20]), p, " ".join(ws[20:]))
         )
     html = (
-        "<html><head><title>doc %d/%d</title><style>p{margin:0}</style>"
+        "<html><head><title>doc %d</title><style>p{margin:0}</style>"
         "<script>var unused=%d;</script></head><body><nav>home</nav>%s"
-        "<footer>end</footer></body></html>" % (seg, rec, rec, "".join(paras))
+        "<footer>end</footer></body></html>"
+        % (base, seg * 100000 + rec, "".join(paras))
     )
     return f"http://bench.example/{seg}/{rec}", html.encode()
 
@@ -91,8 +94,8 @@ def build_crawl(spark, out_dir: str, n_segments: int, n_records: int) -> int:
 
 
 def main() -> None:
-    n_segments = int(sys.argv[1]) if len(sys.argv) > 1 else 64
-    n_records = int(sys.argv[2]) if len(sys.argv) > 2 else 400
+    n_segments = int(sys.argv[1]) if len(sys.argv) > 1 else 128
+    n_records = int(sys.argv[2]) if len(sys.argv) > 2 else 1000
 
     from pyspark.sql import functions as F
 
@@ -134,13 +137,17 @@ def main() -> None:
 
     shutil.rmtree(wet_dir, ignore_errors=True)
 
+    extractor = os.environ.get("SPARK_GRAFT_CRAWL_EXTRACTOR", "parser")
     t0 = time.time()
-    corpus = crawl_corpus(spark, raw_dir, out_path=wet_dir, n_shards=32)
-    n_docs = corpus.count()  # crawl_corpus already materialized via sink
+    crawl_corpus(
+        spark, raw_dir, out_path=wet_dir, n_shards=32, extractor=extractor
+    )
+    # the WET sink IS the materialization — no second pipeline run;
+    # n_docs_out comes from the cheap re-scan of the output below
     t_pipeline = time.time() - t0
     out["crawl_corpus"] = {
+        "extractor": extractor,
         "wall_s": round(t_pipeline, 2),
-        "n_docs_out": n_docs,
         "gz_mb_per_s": round(out["input_bytes"] / 1e6 / t_pipeline, 1),
         "raw_mb_per_s": round(out["decompressed_bytes"] / 1e6 / t_pipeline, 1),
         "raw_mb_per_s_per_core": round(
@@ -170,6 +177,8 @@ def main() -> None:
         "n_docs": n_stats,
         "n_unique": uniq,
     }
+    out["crawl_corpus"]["n_docs_out"] = n_stats
+    out["dedup_removed"] = n_segments * n_records - n_stats
     out["end_to_end_s"] = round(t_pipeline + t_downstream, 2)
     print(json.dumps(out))
 
