@@ -2777,3 +2777,77 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(i + 1, a, b) for i, (a, b) in enumerate(merges)],
         "step INT, a STRING, b STRING",
     ).orderBy("step")
+
+
+# ROTATION-READY (staged for the 7th wave, r11, with the BPE twins):
+# SimHash — the one dedup-family operator never driver-exposed. Bit i is
+# the sign of the count-weighted +/-1 parity of md5-hex nibble i per
+# token; integer arithmetic end to end, so the 16-bit signature is
+# engine-exact (ties resolve to bit 1 via >= 0 on an integer sum).
+SIMHASH_ORACLE = """
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+    ),
+    cnt AS (SELECT doc_id, t, count(*) AS c FROM tok GROUP BY doc_id, t),
+    h AS (SELECT doc_id, c, md5(t) AS h FROM cnt),
+    s AS (
+        SELECT doc_id,
+               {sums}
+        FROM h GROUP BY doc_id
+    )
+    SELECT doc_id,
+           CAST({bits_expr} AS BIGINT) AS simhash
+    FROM s ORDER BY doc_id
+    """.format(
+    sums=",\n               ".join(
+        f"sum(c * (2 * (CAST(('0x' || substring(h, {i}, 1)) AS BIGINT) % 2)"
+        f" - 1)) AS s{i}"
+        for i in range(1, 17)
+    ),
+    bits_expr=" + ".join(
+        f"(CASE WHEN s{i} >= 0 THEN {2 ** (i - 1)} ELSE 0 END)"
+        for i in range(1, 17)
+    ),
+)
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from compute_histogram_spark.operators import dedup as DD2
+
+    return DD2.simhash(load(spark, sf_dir, "documents"))
+
+
+# ROTATION-READY (staged for the 7th wave, r11): sequence packing. The
+# Spark side computes the global running token total with the
+# distributed two-phase prefix sum (bucket by md5-key prefix ->
+# parallel per-bucket cumsum -> O(n_buckets) driver exclusive scan);
+# the oracle is the NAIVE form — one global ORDER BY window — so the
+# twin PROVES the scan decomposition equals the straight SQL semantics
+# row for row. n_buckets invariance is separately pinned in
+# tests/test_pipeline.py.
+PACK_SHARDS_ORACLE = """
+    WITH b AS (
+        SELECT doc_id,
+               md5('pack:' || CAST(doc_id AS VARCHAR)) AS key,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        FROM documents
+    ),
+    r AS (
+        SELECT doc_id, n_tok,
+               sum(n_tok) OVER (
+                   ORDER BY key, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) - n_tok AS start_offset
+        FROM b
+    )
+    SELECT doc_id, n_tok,
+           CAST(start_offset // 4096 AS BIGINT) AS shard_id,
+           CAST(start_offset AS BIGINT) AS start_offset
+    FROM r ORDER BY doc_id
+    """
+
+
+def q_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from compute_histogram_spark.operators import pipeline as PL2
+
+    return PL2.pack_shards(load(spark, sf_dir, "documents"))

@@ -322,3 +322,21 @@ def test_semantic_dedup_matches_numpy_twin(spark):
         assert got_cid == {int(ids[i]): int(cid[i]) for i in range(len(ids))}
         # families collapse: kept count == number of groups
         assert len(got_kept) == len(groups)
+
+
+def test_simhash_duckdb_twin(spark, sf_dir):
+    """Staged rotation twin (r10): the 16-bit weighted-parity signature
+    is integer-exact cross-engine."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from check_oracle import compare, duck_connection
+
+    from compute_histogram_spark.registry import SIMHASH_ORACLE, q_simhash
+
+    pdf = q_simhash(spark, sf_dir).toPandas()
+    con = duck_connection(sf_dir)
+    odf = con.sql(SIMHASH_ORACLE).df()
+    assert len(pdf) > 0
+    assert compare("simhash", pdf, odf) == []

@@ -480,3 +480,25 @@ def test_temperature_mix_is_deterministic_and_shifts_shares(spark, sf_dir):
         drift_before = abs(before[lang] - 1 / g)
         drift_after = abs(after[lang] - 1 / g)
         assert drift_after <= drift_before + 0.02, lang
+
+
+def test_pack_shards_duckdb_twin(spark, sf_dir):
+    """Staged rotation twin (r10): the distributed two-phase prefix sum
+    (bucket -> parallel cumsum -> driver offset scan) equals the naive
+    single-window global running sum row for row."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from check_oracle import compare, duck_connection
+
+    from compute_histogram_spark.registry import (
+        PACK_SHARDS_ORACLE,
+        q_pack_shards,
+    )
+
+    pdf = q_pack_shards(spark, sf_dir).toPandas()
+    con = duck_connection(sf_dir)
+    odf = con.sql(PACK_SHARDS_ORACLE).df()
+    assert len(pdf) > 0
+    assert compare("pack_shards", pdf, odf) == []
