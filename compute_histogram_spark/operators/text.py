@@ -707,3 +707,186 @@ def token_pmi(
         .select("a", "b", "n_pair", "pmi")
         .orderBy(F.desc("pmi"), "a", "b")
     )
+
+
+# --------------------------------------------------------------------------
+# Arrow text-profile kernel (r10): the fused per-doc text stats, batch-
+# vectorized. The r9 "Arrow bound" experiment rejected a pandas-string
+# kernel (85% of the JVM cost); this is a different class — NumPy over
+# ONE concatenated byte buffer per Arrow batch with np.add.reduceat for
+# per-doc reductions, so per-batch cost is ~a dozen vector passes
+# regardless of document count. Value parity is BIT-exact with
+# text_profile (incl. Spark's HALF_UP round-6) on the real corpus —
+# pinned in tests/test_text.py.
+# --------------------------------------------------------------------------
+
+_TP_CODES = list(LANG_MARKERS)
+
+
+def _tok64_const(w: str):
+    import numpy as np
+
+    b = w.encode("utf-8")[:8].ljust(8, b"\0")
+    return np.frombuffer(b, dtype=np.uint64)[0]
+
+
+def _rhu6(x):
+    """Spark round(x, 6) = BigDecimal HALF_UP; floor(x*1e6+0.5)/1e6
+    reproduces it bit-exact on the corpus (parity-pinned; the fallback
+    path uses the same formula so both speeds share one spec)."""
+    import numpy as np
+
+    return np.floor(x * 1e6 + 0.5) / 1e6
+
+
+def _tp_fallback(text: str):
+    """Reference-semantics scalar path for docs the vectorized path
+    excludes (empty, non-ASCII, leading/trailing/double spaces). Spark's
+    ``split(text, ' ')`` is limit=-1 — ALL empty tokens kept, including
+    trailing ones — which is exactly Python ``str.split(" ")``."""
+    import re
+
+    import numpy as np
+
+    toks = text.split(" ")
+    n_tokens = len(toks)
+    n_chars = len(text)
+    n_spaces = text.count(" ")
+    stop = sum(1 for t in toks if t in STOPWORDS)
+    scores = [
+        sum(1 for t in toks if t in LANG_MARKERS[c]) for c in _TP_CODES
+    ]
+    avg = _rhu6(np.float64(n_chars - n_spaces) / n_tokens)
+    sr = _rhu6(np.float64(stop) / n_tokens)
+    q = _rhu6(min(1.0, n_tokens / 100.0) * (1.0 - 0.5 * sr))
+    nb = len(re.findall(BPE_PATTERN, text))
+    pred = _TP_CODES[-1]
+    for i, c in enumerate(_TP_CODES):
+        if all(
+            scores[i] >= scores[j] for j in range(len(_TP_CODES)) if j != i
+        ):
+            pred = c
+            break
+    return n_chars, n_tokens, avg, sr, q, nb, pred
+
+
+def _tp_batch(texts):
+    """Vectorized batch step: one byte buffer, reduceat per-doc sums,
+    uint64-view token matching (every ASCII marker/stopword is <= 8
+    bytes), run-start masks for the BPE count."""
+    import numpy as np
+
+    stop64 = np.array([_tok64_const(w) for w in STOPWORDS], dtype=np.uint64)
+    mark64 = {
+        c: np.array(
+            [_tok64_const(w) for w in ws if w.isascii()], dtype=np.uint64
+        )
+        for c, ws in LANG_MARKERS.items()
+    }
+    n = len(texts)
+    o_chars = np.zeros(n, np.int64)
+    o_tok = np.zeros(n, np.int64)
+    o_avg = np.zeros(n)
+    o_sr = np.zeros(n)
+    o_q = np.zeros(n)
+    o_bpe = np.zeros(n, np.int64)
+    o_pred = np.empty(n, object)
+    clean, bufs, lens = [], [], []
+    for i, t in enumerate(texts):
+        if t and t.isascii() and t[0] != " " and t[-1] != " " and "  " not in t:
+            clean.append(i)
+            bufs.append(t.encode())
+            lens.append(len(t))
+        else:
+            (
+                o_chars[i], o_tok[i], o_avg[i], o_sr[i], o_q[i],
+                o_bpe[i], o_pred[i],
+            ) = _tp_fallback(t)
+    if not clean:
+        return o_chars, o_tok, o_avg, o_sr, o_q, o_bpe, o_pred
+    lens = np.array(lens, np.int64)
+    starts = np.zeros(len(lens), np.int64)
+    np.cumsum(lens[:-1], out=starts[1:])
+    ends = starts + lens
+    a = np.frombuffer(b"".join(bufs), np.uint8)
+    ci = np.array(clean)
+    space = a == 32
+    nsp = np.add.reduceat(space, starts)
+    ntok = nsp + 1  # clean docs: no empty tokens
+    o_chars[ci] = lens
+    o_tok[ci] = ntok
+    o_avg[ci] = _rhu6((lens - nsp).astype(np.float64) / ntok)
+    sp = np.flatnonzero(space)
+    tstart = np.sort(np.concatenate([starts, sp + 1]))
+    tend = np.sort(np.concatenate([sp, ends]))
+    tlen = tend - tstart
+    tdoc = np.searchsorted(starts, tstart, side="right") - 1
+    ap = np.concatenate([a, np.zeros(8, np.uint8)])
+    vals = ap[tstart[:, None] + np.arange(8)]
+    vals = vals * (np.arange(8) < tlen[:, None])
+    t64 = vals.copy().view(np.uint64).ravel()
+    t64 = np.where(tlen <= 8, t64, np.uint64(0xFFFFFFFFFFFFFFFF))
+    nd = len(lens)
+    stop_cnt = np.bincount(tdoc[np.isin(t64, stop64)], minlength=nd)
+    sr = _rhu6(stop_cnt.astype(np.float64) / ntok)
+    o_sr[ci] = sr
+    o_q[ci] = _rhu6(np.minimum(1.0, ntok / 100.0) * (1.0 - 0.5 * sr))
+    scores = np.zeros((nd, len(_TP_CODES)), np.int64)
+    for j, c in enumerate(_TP_CODES):
+        if len(mark64[c]):
+            scores[:, j] = np.bincount(
+                tdoc[np.isin(t64, mark64[c])], minlength=nd
+            )
+    # argmax returns the FIRST max — exactly the en>de>fr>es>zh priority
+    pred_i = np.argmax(scores, axis=1)
+    for j, c in enumerate(_TP_CODES):
+        for i2 in np.flatnonzero(pred_i == j):
+            o_pred[ci[i2]] = c
+    letter = ((a >= 65) & (a <= 90)) | ((a >= 97) & (a <= 122))
+    digit = (a >= 48) & (a <= 57)
+    other = ~(letter | digit | space)
+    prev_l = np.concatenate([[False], letter[:-1]])
+    prev_l[starts] = False  # runs never span documents
+    prev_d = np.concatenate([[False], digit[:-1]])
+    prev_d[starts] = False
+    runs = (letter & ~prev_l) | (digit & ~prev_d)
+    o_bpe[ci] = np.add.reduceat(runs | other, starts)
+    return o_chars, o_tok, o_avg, o_sr, o_q, o_bpe, o_pred
+
+
+def text_profile_arrow(docs: DataFrame) -> DataFrame:
+    """Batch-vectorized twin of :func:`text_profile` — identical output,
+    measured faster where the JVM string-kernel floor lives (the r9
+    'documented kernel floor' re-adjudicated: the floor belonged to the
+    JVM expression path, not to Spark).
+
+    Same schema, same values (bit-exact parity pinned incl. HALF_UP
+    rounding), same scale shape: pure map over Arrow batches, no
+    shuffle; 100 TB fans out with the scan."""
+    import pandas as pd
+
+    def kernel(batches):
+        for pdf in batches:
+            c, t, avg, sr, q, nb, pred = _tp_batch(
+                pdf["text"].values.tolist()
+            )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "n_chars": c,
+                    "n_tokens": t,
+                    "avg_token_len": avg,
+                    "stopword_ratio": sr,
+                    "quality_score": q,
+                    "n_bpe_tokens": nb,
+                    "lang_pred": pred,
+                }
+            )
+
+    d = range_ordered(docs, "doc_id").select("doc_id", "text")
+    return d.mapInPandas(
+        kernel,
+        "doc_id bigint, n_chars bigint, n_tokens bigint, "
+        "avg_token_len double, stopword_ratio double, "
+        "quality_score double, n_bpe_tokens bigint, lang_pred string",
+    )

@@ -449,3 +449,51 @@ def test_fingerprint_arrow_plan_is_pure_map(spark, sf_dir):
     assert plan.count("Exchange") <= 1
     assert "hashpartitioning" not in plan
     assert "HashAggregate" not in plan and "Join" not in plan
+
+
+def test_text_profile_arrow_bit_exact(spark, sf_dir):
+    """The vectorized Arrow text kernel is BIT-exact with the JVM
+    text_profile on the real corpus — every column, including the
+    HALF_UP round-6 doubles."""
+    from compute_histogram_spark.operators.text import (
+        text_profile,
+        text_profile_arrow,
+    )
+    from compute_histogram_spark.sources.tables import load
+
+    docs = load(spark, sf_dir, "documents")
+    a = text_profile(docs).orderBy("doc_id").toPandas()
+    b = text_profile_arrow(docs).orderBy("doc_id").toPandas()
+    assert list(a.columns) == list(b.columns)
+    for c in a.columns:
+        assert (a[c].values == b[c].values).all(), c
+
+
+def test_text_profile_arrow_fallback_edges(spark):
+    """Docs the vectorized path excludes (unicode, double/leading/
+    trailing spaces, empty) take the scalar fallback and still match the
+    JVM form exactly — incl. Spark split's limit=-1 rule (ALL empty
+    tokens kept, trailing included)."""
+    from pyspark.sql import Row
+
+    from compute_histogram_spark.operators.text import (
+        text_profile,
+        text_profile_arrow,
+    )
+
+    rows = [
+        Row(doc_id=1, text="the quick brown fox"),
+        Row(doc_id=2, text="  leading double"),
+        Row(doc_id=3, text="trailing space "),
+        Row(doc_id=4, text="double  space inside"),
+        Row(doc_id=5, text="héllo wörld der die und"),
+        Row(doc_id=6, text="的 是 了 的"),
+        Row(doc_id=7, text="le la et les et"),
+        Row(doc_id=8, text="a"),
+        Row(doc_id=9, text="123 abc !? mixed42runs"),
+    ]
+    df = spark.createDataFrame(rows)
+    a = text_profile(df).orderBy("doc_id").toPandas()
+    b = text_profile_arrow(df).orderBy("doc_id").toPandas()
+    for c in a.columns:
+        assert (a[c].values == b[c].values).all(), (c, a[c].values, b[c].values)
