@@ -353,9 +353,13 @@ def doc_fingerprint_arrow(
         import numpy as np
 
         for pdf in batches:
-            fps = np.empty(len(pdf), dtype=np.int64)
-            ns = np.empty(len(pdf), dtype=np.int64)
+            # object arrays so NULL text yields NULL outputs (crawl data
+            # has nulls; matches the JVM form's null propagation)
+            fps = np.empty(len(pdf), dtype=object)
+            ns = np.empty(len(pdf), dtype=object)
             for i, t in enumerate(pdf["text"].values):
+                if t is None:
+                    continue
                 fps[i], ns[i] = _fp_one_doc(t, gram)
             yield pd.DataFrame(
                 {
@@ -791,9 +795,14 @@ def _tp_batch(texts):
     o_q = np.zeros(n)
     o_bpe = np.zeros(n, np.int64)
     o_pred = np.empty(n, object)
-    clean, bufs, lens = [], [], []
+    clean, bufs, lens, nulls = [], [], [], []
     for i, t in enumerate(texts):
-        if t and t.isascii() and t[0] != " " and t[-1] != " " and "  " not in t:
+        if t is None:
+            nulls.append(i)  # NULL text -> NULL row (JVM null propagation)
+        elif (
+            t and t.isascii() and t[0] != " " and t[-1] != " "
+            and "  " not in t
+        ):
             clean.append(i)
             bufs.append(t.encode())
             lens.append(len(t))
@@ -802,8 +811,19 @@ def _tp_batch(texts):
                 o_chars[i], o_tok[i], o_avg[i], o_sr[i], o_q[i],
                 o_bpe[i], o_pred[i],
             ) = _tp_fallback(t)
+    def _finalize():
+        if not nulls:
+            return o_chars, o_tok, o_avg, o_sr, o_q, o_bpe, o_pred
+        outs = []
+        for arr in (o_chars, o_tok, o_avg, o_sr, o_q, o_bpe, o_pred):
+            obj = arr.astype(object)
+            for i in nulls:
+                obj[i] = None
+            outs.append(obj)
+        return tuple(outs)
+
     if not clean:
-        return o_chars, o_tok, o_avg, o_sr, o_q, o_bpe, o_pred
+        return _finalize()
     lens = np.array(lens, np.int64)
     starts = np.zeros(len(lens), np.int64)
     np.cumsum(lens[:-1], out=starts[1:])
@@ -851,7 +871,7 @@ def _tp_batch(texts):
     prev_d[starts] = False
     runs = (letter & ~prev_l) | (digit & ~prev_d)
     o_bpe[ci] = np.add.reduceat(runs | other, starts)
-    return o_chars, o_tok, o_avg, o_sr, o_q, o_bpe, o_pred
+    return _finalize()
 
 
 def text_profile_arrow(docs: DataFrame) -> DataFrame:

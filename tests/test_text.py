@@ -497,3 +497,27 @@ def test_text_profile_arrow_fallback_edges(spark):
     b = text_profile_arrow(df).orderBy("doc_id").toPandas()
     for c in a.columns:
         assert (a[c].values == b[c].values).all(), (c, a[c].values, b[c].values)
+
+
+def test_arrow_kernels_null_text(spark):
+    """NULL text propagates as NULL output rows in both Arrow kernels
+    (crawl-scale data has nulls), matching the JVM forms."""
+    from pyspark.sql import Row
+
+    from compute_histogram_spark.operators.text import (
+        doc_fingerprint_arrow,
+        text_profile_arrow,
+    )
+
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text="the quick brown fox"),
+         Row(doc_id=2, text=None),
+         Row(doc_id=3, text="another normal document")],
+        "doc_id bigint, text string",
+    )
+    fp = {r.doc_id: r for r in doc_fingerprint_arrow(df).collect()}
+    assert fp[2].fingerprint is None and fp[2].n_grams is None
+    assert fp[1].fingerprint is not None
+    tp = {r.doc_id: r for r in text_profile_arrow(df).collect()}
+    assert tp[2].n_tokens is None and tp[2].lang_pred is None
+    assert tp[1].n_tokens == 4 and tp[3].n_tokens == 3
