@@ -698,3 +698,86 @@ def crawl_corpus_stream(
         .option("checkpointLocation", checkpoint)
         .start()
     )
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization + URL-level dedup (the C4/FineWeb crawl-dedup
+# stage that runs BEFORE content dedup: re-crawled pages differ only in
+# tracking params / fragments / host case, and collapsing them by
+# canonical URL is a cheap map + one hash shuffle vs content-hashing the
+# full payload)
+# ---------------------------------------------------------------------------
+
+# tracking params dropped by the canonicalizer (name, with or without a
+# value). Regex stays in the Java-regex/RE2 shared subset.
+_TRACKING_PARAM_RE = r"^(utm_[^=&]*|fbclid|gclid|msclkid|igshid|ref)(=.*)?$"
+_SCHEME_RE = r"^([A-Za-z][A-Za-z0-9+.-]*)://"
+_AUTH_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)"
+_PATH_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)"
+_QUERY_RE = r"\?([^#]*)"
+
+
+def canonical_url(col: Column) -> Column:
+    """Deterministic canonical form of an absolute http(s)-style URL —
+    pure JVM expressions, engine-portable (DuckDB twin in registry.py).
+
+    Rules (each deterministic and documented; the point is a STABLE
+    dedup key, not RFC 3986 completeness):
+    1. scheme and host lowercase; path/query case preserved
+    2. fragment dropped
+    3. leading ``www.`` stripped from the host
+    4. default ports stripped (``:80`` for http, ``:443`` for https)
+    5. tracking params dropped (utm_*, fbclid, gclid, msclkid, igshid,
+       ref), remaining params sorted byte-order; ``?`` dropped when none
+       remain
+    6. trailing ``/`` stripped from the path
+
+    Non-URL input (no ``scheme://``) passes through unchanged — the
+    crawl chain can canonicalize blindly."""
+    scheme = F.lower(F.regexp_extract(col, _SCHEME_RE, 1))
+    auth = F.lower(F.regexp_extract(col, _AUTH_RE, 1))
+    host = F.regexp_replace(auth, r"^www\.", "")
+    host = (
+        F.when(scheme == "http", F.regexp_replace(host, ":80$", ""))
+        .when(scheme == "https", F.regexp_replace(host, ":443$", ""))
+        .otherwise(host)
+    )
+    path = F.regexp_extract(col, _PATH_RE, 1)
+    path = F.regexp_replace(path, r"/$", "")
+    query = F.regexp_extract(col, _QUERY_RE, 1)
+    kept = F.array_join(
+        F.array_sort(
+            F.filter(
+                F.split(query, "&"),
+                lambda p: (p != "") & ~p.rlike(_TRACKING_PARAM_RE),
+            )
+        ),
+        "&",
+    )
+    rebuilt = F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path,
+        F.when(kept != "", F.concat(F.lit("?"), kept)).otherwise(F.lit("")),
+    )
+    return F.when(scheme == "", col).otherwise(rebuilt)
+
+
+def url_dedup(
+    docs: DataFrame, url_col: str = "uri", id_col: str = "doc_id"
+) -> DataFrame:
+    """One row per canonical URL: the earliest (min id) capture survives,
+    with the variant count. A map + ONE hash shuffle on the canonical
+    string — at crawl scale this runs before content dedup and never
+    touches payload bytes."""
+    return (
+        docs.withColumn("canonical_url", canonical_url(F.col(url_col)))
+        .groupBy("canonical_url")
+        .agg(
+            F.min(id_col).alias(id_col),
+            F.count(F.lit(1)).alias("n_variants"),
+        )
+        .select(id_col, "canonical_url", "n_variants")
+        .orderBy(id_col)
+    )

@@ -2851,3 +2851,76 @@ def q_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     from compute_histogram_spark.operators import pipeline as PL2
 
     return PL2.pack_shards(load(spark, sf_dir, "documents"))
+
+
+# ROTATION-READY (staged for the 7th wave, r11): URL-level crawl dedup.
+# Raw URLs are constructed deterministically from documents (the
+# multimodal_features derive-from-table pattern) with every
+# canonicalization hazard present — uppercase scheme/host, www., :443,
+# tracking params out of order, fragment, trailing slash — and the
+# oracle replicates the canonicalization STEPS (same regexes, list
+# lambda filter, byte-order sort), not the precomputed answer.
+URL_DEDUP_ORACLE = r"""
+    WITH u AS (
+        SELECT doc_id,
+               'HTTPS://WWW.' || source || '.example.com:443/Docs/'
+                   || CAST(doc_id % 5 AS VARCHAR)
+                   || '/?utm_campaign=c&ref=r&page='
+                   || CAST(doc_id % 3 AS VARCHAR) || '&b=2#frag' AS uri
+        FROM documents
+    ),
+    parts AS (
+        SELECT doc_id,
+            lower(regexp_extract(uri, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+                AS scheme,
+            lower(regexp_extract(uri,
+                '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS auth,
+            regexp_extract(uri,
+                '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path0,
+            regexp_extract(uri, '\?([^#]*)', 1) AS query0
+        FROM u
+    ),
+    canon AS (
+        SELECT doc_id,
+            scheme || '://'
+            || CASE
+                 WHEN scheme = 'http' THEN
+                     regexp_replace(regexp_replace(auth, '^www\.', ''),
+                                    ':80$', '')
+                 WHEN scheme = 'https' THEN
+                     regexp_replace(regexp_replace(auth, '^www\.', ''),
+                                    ':443$', '')
+                 ELSE regexp_replace(auth, '^www\.', '')
+               END
+            || regexp_replace(path0, '/$', '')
+            || CASE WHEN kept = '' THEN '' ELSE '?' || kept END
+                AS canonical_url
+        FROM (
+            SELECT doc_id, scheme, auth, path0,
+                array_to_string(list_sort(list_filter(
+                    string_split(query0, '&'),
+                    x -> x != '' AND NOT regexp_matches(x,
+                        '^(utm_[^=&]*|fbclid|gclid|msclkid|igshid|ref)(=.*)?$')
+                )), '&') AS kept
+            FROM parts
+        )
+    )
+    SELECT min(doc_id) AS doc_id, canonical_url,
+           count(*) AS n_variants
+    FROM canon GROUP BY canonical_url ORDER BY doc_id
+    """
+
+
+def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from compute_histogram_spark.operators import pipeline as PL3
+
+    docs = load(spark, sf_dir, "documents")
+    uri = F.concat(
+        F.lit("HTTPS://WWW."), F.col("source"),
+        F.lit(".example.com:443/Docs/"),
+        (F.col("doc_id") % 5).cast("string"),
+        F.lit("/?utm_campaign=c&ref=r&page="),
+        (F.col("doc_id") % 3).cast("string"),
+        F.lit("&b=2#frag"),
+    )
+    return PL3.url_dedup(docs.select("doc_id", uri.alias("uri")))

@@ -502,3 +502,117 @@ def test_pack_shards_duckdb_twin(spark, sf_dir):
     odf = con.sql(PACK_SHARDS_ORACLE).df()
     assert len(pdf) > 0
     assert compare("pack_shards", pdf, odf) == []
+
+
+def test_canonical_url_rules(spark):
+    """Each documented canonicalization rule, pinned."""
+    from pyspark.sql import Row, functions as F
+
+    from compute_histogram_spark.operators.pipeline import canonical_url
+
+    cases = [
+        # (input, expected)
+        ("HTTP://WWW.Example.COM/Page/", "http://example.com/Page"),
+        ("https://example.com:443/a", "https://example.com/a"),
+        ("http://example.com:80/a", "http://example.com/a"),
+        ("http://example.com:8080/a", "http://example.com:8080/a"),
+        ("https://example.com/a?utm_source=x&id=2&b=1",
+         "https://example.com/a?b=1&id=2"),
+        ("https://example.com/a?utm_campaign=z&fbclid=123&gclid=4&ref=hn",
+         "https://example.com/a"),
+        ("https://example.com/a#section", "https://example.com/a"),
+        ("https://example.com/", "https://example.com"),
+        ("https://example.com/a?z=1&a=2", "https://example.com/a?a=2&z=1"),
+        ("not a url", "not a url"),  # passthrough
+    ]
+    df = spark.createDataFrame([Row(u=u) for u, _ in cases])
+    got = {
+        r["u"]: r["c"]
+        for r in df.select("u", canonical_url(F.col("u")).alias("c")).collect()
+    }
+    for u, want in cases:
+        assert got[u] == want, (u, got[u], want)
+
+
+def test_url_dedup_collapses_variants(spark):
+    """Tracking-param / case / fragment variants of one page collapse to
+    the earliest capture with the variant count."""
+    from pyspark.sql import Row
+
+    from compute_histogram_spark.operators.pipeline import url_dedup
+
+    rows = [
+        Row(doc_id=1, uri="https://www.example.com/a?utm_source=feed"),
+        Row(doc_id=2, uri="https://EXAMPLE.com/a#frag"),
+        Row(doc_id=3, uri="https://example.com/a/"),
+        Row(doc_id=4, uri="https://example.com/b"),
+    ]
+    out = {r.canonical_url: r for r in url_dedup(spark.createDataFrame(rows)).collect()}
+    assert out["https://example.com/a"].doc_id == 1
+    assert out["https://example.com/a"].n_variants == 3
+    assert out["https://example.com/b"].n_variants == 1
+
+
+def test_url_dedup_on_crawl_chain(spark, tmp_path):
+    """End-to-end with the WARC source: re-crawls of one page under
+    tracking-param URL variants collapse by canonical URL before any
+    payload byte is hashed."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from compute_histogram_spark.operators.pipeline import url_dedup
+    from compute_histogram_spark.sources.warc import (
+        WarcDocsDataSource,
+        build_http_response,
+        build_warc,
+        build_warc_record,
+    )
+
+    spark.dataSource.register(WarcDocsDataSource)
+    recs = [
+        build_warc_record(
+            warc_type="response",
+            uri=u,
+            content=build_http_response(b"<html><p>same page body</p></html>"),
+        )
+        for u in (
+            "https://www.example.com/page?utm_source=a",
+            "https://example.com/page?utm_source=b",
+            "https://example.com/page/",
+            "https://example.com/other",
+        )
+    ]
+    p = os.path.join(str(tmp_path), "seg-00000.warc.gz")
+    with open(p, "wb") as f:
+        f.write(build_warc(recs, gzip_per_record=True))
+    docs = (
+        spark.read.format("warcdocs").option("path", str(tmp_path)).load()
+        .where(F.col("parsed"))
+        .select(
+            F.monotonically_increasing_id().alias("doc_id"),
+            F.col("target_uri").alias("uri"),
+        )
+    )
+    out = url_dedup(docs)
+    assert out.count() == 2  # page (3 variants) + other
+    assert out.agg(F.sum("n_variants")).first()[0] == 4
+
+
+def test_url_dedup_duckdb_twin(spark, sf_dir):
+    """Staged rotation twin (r10): the oracle replicates the
+    canonicalization STEPS (same regexes, lambda param filter,
+    byte-order sort) from the same raw URLs."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from check_oracle import compare, duck_connection
+
+    from compute_histogram_spark.registry import URL_DEDUP_ORACLE, q_url_dedup
+
+    pdf = q_url_dedup(spark, sf_dir).toPandas()
+    con = duck_connection(sf_dir)
+    odf = con.sql(URL_DEDUP_ORACLE).df()
+    assert len(pdf) > 0
+    assert compare("url_dedup", pdf, odf) == []
