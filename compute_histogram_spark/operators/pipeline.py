@@ -594,6 +594,7 @@ def crawl_corpus(
     min_chars: int = 50,
     n_shards: int = 16,
     extractor: str = "parser",
+    url_dedup_first: bool = False,
 ) -> DataFrame:
     """Crawl archives -> deduplicated training corpus, end to end.
 
@@ -626,6 +627,26 @@ def crawl_corpus(
             "text",
         )
     )
+    if url_dedup_first:
+        # the C4/FineWeb pre-stage: collapse re-crawl URL variants
+        # (tracking params, case, fragments) to the earliest capture
+        # BEFORE content hashing — one shuffle on the canonical string,
+        # and the (usually much larger) duplicate payloads never reach
+        # the sha2 stage
+        docs = (
+            docs.groupBy(canonical_url(F.col("target_uri")).alias("_cu"))
+            .agg(
+                F.min(
+                    F.struct("_seg", "record_offset", "target_uri", "text")
+                ).alias("first")
+            )
+            .select(
+                F.col("first.target_uri").alias("target_uri"),
+                F.col("first.record_offset").alias("record_offset"),
+                F.col("first._seg").alias("_seg"),
+                F.col("first.text").alias("text"),
+            )
+        )
     kept = (
         docs.groupBy(F.sha2("text", 256).alias("_ch"))
         .agg(

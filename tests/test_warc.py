@@ -584,3 +584,43 @@ def test_duplicate_header_continuation_dropped():
     h = _parse_header_block(block)
     assert h["x-multi"] == "first"  # first occurrence wins, uncorrupted
     assert h["warc-type"] == "response"
+
+
+def test_crawl_corpus_url_dedup_first(spark, tmp_path):
+    """crawl_corpus(url_dedup_first=True): URL variants of one page
+    collapse BEFORE content hashing; distinct-content pages survive."""
+    import os
+
+    from compute_histogram_spark.operators.pipeline import crawl_corpus
+
+    page = b"<html><p>stable page body content here</p></html>"
+    other = b"<html><p>a different page body entirely okay</p></html>"
+    recs = [
+        build_warc_record(
+            warc_type="response", uri=u, content=build_http_response(page)
+        )
+        for u in (
+            "https://www.example.com/p?utm_source=a",
+            "https://example.com/p?utm_source=b",
+            "https://example.com/p/",
+        )
+    ] + [
+        build_warc_record(
+            warc_type="response",
+            uri="https://example.com/q",
+            content=build_http_response(other),
+        )
+    ]
+    d = str(tmp_path / "warc")
+    os.makedirs(d)
+    with open(os.path.join(d, "seg-00000.warc.gz"), "wb") as f:
+        f.write(build_warc(recs, gzip_per_record=True))
+    out = crawl_corpus(spark, d, min_chars=10, url_dedup_first=True)
+    rows = out.collect()
+    assert len(rows) == 2
+    uris = sorted(r.uri for r in rows)
+    # the earliest capture of the variant group survives
+    assert uris == [
+        "https://example.com/q",
+        "https://www.example.com/p?utm_source=a",
+    ]
