@@ -83,6 +83,12 @@ LOCAL_QUERIES = {
     "text_stats": lambda spark, d: TX.text_profile_arrow(
         load(spark, d, "documents")
     ),
+    # rotated out in r11 (seventh wave); headline comparability fallback.
+    "shipping_priority": lambda spark, d: R.shipping_priority(
+        load(spark, d, "customer"),
+        load(spark, d, "orders"),
+        load(spark, d, "lineitem"),
+    ),
     # r8: Q5 on the bucketed fact layout (defined below; lazy reference)
     "local_supplier_revenue_layout": lambda spark, d: _q5_layout_served(
         spark, d
@@ -160,6 +166,9 @@ LOCAL_ORACLES = {
     # via the md5 twin + the splitmix64/XXH64 spec twins in tests
     "event_transitions": registry.EVENT_TRANSITIONS_ORACLE,
     "doc_fingerprint": registry.DOC_FINGERPRINT_BENCH_ORACLE,
+    # r11 rotation fallback (oracle text lives on in registry.py and
+    # tests/test_rotated_out.py)
+    "shipping_priority": registry.SHIPPING_PRIORITY_ORACLE,
     # layout-served Q5 answers the same query: DuckDB twin is Q5's own
     # oracle (DuckDB reads its best layout — raw parquet — both engines
     # serve the identical result)

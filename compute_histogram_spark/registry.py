@@ -307,9 +307,12 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return R.pricing_summary(load(spark, sf_dir, "lineitem"))
 
 
-@register(
-    "shipping_priority",
-    """
+# rotated out r11 (seventh wave, for the BPE/simhash/pack/url twins) —
+# driver-green r01-r10; oracle kept verbatim for
+# tests/test_rotated_out.py and bench.LOCAL_ORACLES (headline member).
+# The 3-table TPC-H join family stays driver-covered by pricing_summary,
+# local_supplier_revenue, late_order_priority and rollup_revenue.
+SHIPPING_PRIORITY_ORACLE = """
     SELECT l.l_orderkey, o.o_orderdate, o.o_orderpriority,
            CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
                     * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
@@ -323,8 +326,9 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
     ORDER BY revenue DESC, l.l_orderkey
     LIMIT 10
-    """,
-)
+    """
+
+
 def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     return R.shipping_priority(
         load(spark, sf_dir, "customer"),
@@ -1195,8 +1199,11 @@ def q_similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.cosine_topk_ivf(load(spark, sf_dir, "embeddings"))
 
 
-@register(
-    "similarity_topk_sq",
+# rotated out r11 (seventh wave) — driver-green r09-r10; oracle kept
+# verbatim for tests/test_rotated_out.py. The ANN compression ladder stays
+# driver-covered by similarity_topk, similarity_topk_lsh and
+# similarity_topk_pq (PQ subsumes SQ's quantize-shortlist-rerank shape).
+SIMILARITY_SQ_ORACLE = (
     # int8 scalar-quantization ANN (operators/pq.py:cosine_topk_sq): the
     # middle rung of the compression ladder, driver-exposed r9 (5th
     # rotation). Every quantization decision is replicated arithmetic:
@@ -1268,8 +1275,10 @@ def q_similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT query_id, rnk, vec_id, cosine FROM r WHERE rnk <= 5
     ORDER BY query_id, rnk
-    """,
+    """
 )
+
+
 def q_similarity_topk_sq(spark: SparkSession, sf_dir: str) -> DataFrame:
     from compute_histogram_spark.operators import pq as PQ
 
@@ -2088,11 +2097,15 @@ def q_rolling_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return W.rolling_user_stats(load(spark, sf_dir, "events"))
 
 
-@register(
-    "sessionize_salted",
+# rotated out r11 (seventh wave) — driver-green r06-r10; oracle kept
+# verbatim for tests/test_rotated_out.py. `sessionize` (same answer,
+# unsalted plan) stays in the window; the salted plan's output-equality
+# proof lives in tests/test_sessionize_salted.py.
+SESSIONIZE_SALTED_ORACLE = (
     # identical answer to `sessionize` (the salt is a physical-plan change,
     # proven output-identical in tests/test_sessionize_salted.py), so the
-    # oracle SQL is the same text — BOTH plans now carry driver evidence.
+    # oracle SQL is the same text — BOTH plans carried driver evidence
+    # r06-r10.
     """
     WITH t AS (SELECT user_id, event_id, epoch_us(ts) AS tsu FROM events),
     l AS (
@@ -2114,8 +2127,10 @@ def q_rolling_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
            min(tsu) AS start_us, max(tsu) AS end_us,
            (max(tsu) - min(tsu)) / 1000000 AS duration_s
     FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id
-    """,
+    """
 )
+
+
 def q_sessionize_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     # hot-key-safe sessionization (operators/windows.py:sessionize_salted):
     # per-(user, day-bucket) local pass + per-user stitch over session
@@ -2123,10 +2138,12 @@ def q_sessionize_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return W.sessionize_salted(load(spark, sf_dir, "events"))
 
 
-@register(
-    "asof_join_salted",
-    # identical answer to `asof_join` (stitching proof in
-    # tests/test_temporal.py), same oracle text.
+# rotated out r11 (seventh wave) — driver-green r06-r10; oracle kept
+# verbatim for tests/test_rotated_out.py. `asof_join` (same answer,
+# unsalted plan) stays in the window; stitching proof in
+# tests/test_temporal.py.
+ASOF_JOIN_SALTED_ORACLE = (
+    # identical answer to `asof_join`, same oracle text.
     """
     WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS tsu FROM events),
     o AS (
@@ -2146,8 +2163,10 @@ def q_sessionize_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
            odu AS asof_order_us,
            o_totalprice AS asof_totalprice
     FROM j WHERE rn = 1 ORDER BY event_id
-    """,
+    """
 )
+
+
 def q_asof_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     # hot-key-safe as-of enrichment (temporal.py:asof_join_salted): the
     # union+carry window runs per (key, day-bucket), then per-key stitch
@@ -2321,8 +2340,10 @@ def q_doc_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return LM.doc_perplexity(load(spark, sf_dir, "documents"))
 
 
-@register(
-    "doc_perplexity_backoff",
+# rotated out r11 (seventh wave) — driver-green r05-r10; oracle kept
+# verbatim for tests/test_rotated_out.py. The LM-scoring family stays
+# driver-covered by doc_perplexity (add-k bigram).
+DOC_PERPLEXITY_BACKOFF_ORACLE = (
     # stupid-backoff trigram self-score (operators/lm.py:
     # doc_perplexity_backoff). Self-scoring means the trigram branch always
     # fires, so the oracle needs only the trigram/context count tables —
@@ -2351,8 +2372,10 @@ def q_doc_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(exp(-per.nls / per.n_trigrams), 6) AS score
     FROM toks k LEFT JOIN per USING (doc_id)
     ORDER BY doc_id
-    """,
+    """
 )
+
+
 def q_doc_perplexity_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return LM.doc_perplexity_backoff(load(spark, sf_dir, "documents"))
 
@@ -2703,6 +2726,10 @@ def _bpe_segment_oracle() -> str:
 BPE_SEGMENT_ORACLE = _bpe_segment_oracle()
 
 
+# ROTATED IN r11 (seventh wave, replacing shipping_priority /
+# similarity_topk_sq / sessionize_salted / asof_join_salted /
+# doc_perplexity_backoff): first driver exposure for the tokenizer family.
+@register("bpe_segment", BPE_SEGMENT_ORACLE)
 def q_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     from compute_histogram_spark.operators import bpe as BPE
 
@@ -2768,6 +2795,8 @@ def _bpe_train_oracle(num_merges: int = 6) -> str:
 BPE_TRAIN_ORACLE = _bpe_train_oracle(6)
 
 
+# ROTATED IN r11 (seventh wave): the full 6-round training loop, unrolled.
+@register("bpe_train", BPE_TRAIN_ORACLE)
 def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     from compute_histogram_spark.operators import bpe as BPE
 
@@ -2811,6 +2840,7 @@ SIMHASH_ORACLE = """
 )
 
 
+@register("simhash", SIMHASH_ORACLE)
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from compute_histogram_spark.operators import dedup as DD2
 
@@ -2847,6 +2877,7 @@ PACK_SHARDS_ORACLE = """
     """
 
 
+@register("pack_shards", PACK_SHARDS_ORACLE)
 def q_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     from compute_histogram_spark.operators import pipeline as PL2
 
@@ -2911,6 +2942,7 @@ URL_DEDUP_ORACLE = r"""
     """
 
 
+@register("url_dedup", URL_DEDUP_ORACLE)
 def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from compute_histogram_spark.operators import pipeline as PL3
 

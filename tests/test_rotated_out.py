@@ -459,3 +459,60 @@ def test_multimodal_features_oracle(spark, sf_dir, con):
 
     _check("multimodal_features", q_multimodal_features(spark, sf_dir), con,
            MULTIMODAL_FEATURES_ORACLE)
+
+
+# --- seventh rotation wave (r11): shipping_priority / similarity_topk_sq /
+# --- sessionize_salted / asof_join_salted / doc_perplexity_backoff swap out
+# --- for bpe_segment / bpe_train / simhash / pack_shards / url_dedup; their
+# --- full oracles continue here.
+
+
+def test_shipping_priority_oracle(spark, sf_dir, con):
+    from compute_histogram_spark.registry import (
+        SHIPPING_PRIORITY_ORACLE,
+        q_shipping_priority,
+    )
+
+    _check("shipping_priority", q_shipping_priority(spark, sf_dir), con,
+           SHIPPING_PRIORITY_ORACLE)
+
+
+def test_similarity_topk_sq_oracle(spark, sf_dir, con):
+    from compute_histogram_spark.registry import (
+        SIMILARITY_SQ_ORACLE,
+        q_similarity_topk_sq,
+    )
+
+    _check("similarity_topk_sq", q_similarity_topk_sq(spark, sf_dir), con,
+           SIMILARITY_SQ_ORACLE)
+
+
+def test_sessionize_salted_oracle(spark, sf_dir, con):
+    from compute_histogram_spark.registry import (
+        SESSIONIZE_SALTED_ORACLE,
+        q_sessionize_salted,
+    )
+
+    _check("sessionize_salted", q_sessionize_salted(spark, sf_dir), con,
+           SESSIONIZE_SALTED_ORACLE)
+
+
+def test_asof_join_salted_oracle(spark, sf_dir, con):
+    from compute_histogram_spark.registry import (
+        ASOF_JOIN_SALTED_ORACLE,
+        q_asof_join_salted,
+    )
+
+    _check("asof_join_salted", q_asof_join_salted(spark, sf_dir), con,
+           ASOF_JOIN_SALTED_ORACLE)
+
+
+def test_doc_perplexity_backoff_oracle(spark, sf_dir, con):
+    from compute_histogram_spark.registry import (
+        DOC_PERPLEXITY_BACKOFF_ORACLE,
+        q_doc_perplexity_backoff,
+    )
+
+    _check("doc_perplexity_backoff",
+           q_doc_perplexity_backoff(spark, sf_dir), con,
+           DOC_PERPLEXITY_BACKOFF_ORACLE)
