@@ -632,9 +632,18 @@ def crawl_corpus(
         # (tracking params, case, fragments) to the earliest capture
         # BEFORE content hashing — one shuffle on the canonical string,
         # and the (usually much larger) duplicate payloads never reach
-        # the sha2 stage
+        # the sha2 stage. Records with NO WARC-Target-URI (the source
+        # emits NULL) get a per-row unique (_seg, offset) fallback key so
+        # they pass through to content dedup instead of collapsing into
+        # one NULL group (r10 advice — that silently dropped distinct
+        # null-URI documents).
+        _key = F.coalesce(
+            F.nullif(canonical_url(F.col("target_uri")), F.lit("")),
+            F.concat_ws(":", F.lit("\x00nouri"), "_seg",
+                        F.col("record_offset").cast("string")),
+        )
         docs = (
-            docs.groupBy(canonical_url(F.col("target_uri")).alias("_cu"))
+            docs.groupBy(_key.alias("_cu"))
             .agg(
                 F.min(
                     F.struct("_seg", "record_offset", "target_uri", "text")
@@ -735,7 +744,10 @@ _TRACKING_PARAM_RE = r"^(utm_[^=&]*|fbclid|gclid|msclkid|igshid|ref)(=.*)?$"
 _SCHEME_RE = r"^([A-Za-z][A-Za-z0-9+.-]*)://"
 _AUTH_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)"
 _PATH_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)"
-_QUERY_RE = r"\?([^#]*)"
+# the query starts at the first '?' BEFORE any '#': a '?' inside the
+# fragment ('https://x/p#a?b=1') is fragment text, not a query (r10
+# advice — the old r"\?([^#]*)" matched it and resurrected the fragment)
+_QUERY_RE = r"^[^#?]*\?([^#]*)"
 
 
 def canonical_url(col: Column) -> Column:
@@ -786,13 +798,21 @@ def canonical_url(col: Column) -> Column:
 
 
 def url_dedup(
-    docs: DataFrame, url_col: str = "uri", id_col: str = "doc_id"
+    docs: DataFrame,
+    url_col: str = "uri",
+    id_col: str = "doc_id",
+    ordered: bool = False,
 ) -> DataFrame:
     """One row per canonical URL: the earliest (min id) capture survives,
     with the variant count. A map + ONE hash shuffle on the canonical
     string — at crawl scale this runs before content dedup and never
-    touches payload bytes."""
-    return (
+    touches payload bytes.
+
+    ``ordered`` adds a global sort on ``id_col`` for presentation /
+    oracle comparison ONLY; composed pipeline use keeps the default
+    (False) so the pre-stage never pays a range exchange at crawl scale
+    (plan-asserted in tests/test_pipeline.py)."""
+    out = (
         docs.withColumn("canonical_url", canonical_url(F.col(url_col)))
         .groupBy("canonical_url")
         .agg(
@@ -800,5 +820,5 @@ def url_dedup(
             F.count(F.lit(1)).alias("n_variants"),
         )
         .select(id_col, "canonical_url", "n_variants")
-        .orderBy(id_col)
     )
+    return out.orderBy(id_col) if ordered else out

@@ -111,7 +111,10 @@ def text_stats(docs: DataFrame) -> DataFrame:
 
 def _lang_pred_from_scores() -> Column:
     """Argmax prediction over ``s_<code>`` score columns (fixed priority
-    en > de > fr > es > zh on ties — deterministic)."""
+    en > de > fr > es > zh on ties — deterministic). NULL scores (NULL
+    text) predict NULL — without the outer guard the when-chain's
+    conditions are all NULL-falsy and the .otherwise leaked the LAST
+    code for NULL rows, diverging from the Arrow twin (r10 advice)."""
     codes = list(LANG_MARKERS)
     pred = None
     for code in codes:
@@ -123,7 +126,10 @@ def _lang_pred_from_scores() -> Column:
             cond = c if cond is None else (cond & c)
         branch = F.when(cond, F.lit(code))
         pred = branch if pred is None else pred.when(cond, F.lit(code))
-    return pred.otherwise(F.lit(codes[-1]))
+    return F.when(
+        F.col(f"s_{codes[0]}").isNotNull(),
+        pred.otherwise(F.lit(codes[-1])),
+    )
 
 
 def lang_id(docs: DataFrame) -> DataFrame:
@@ -155,7 +161,11 @@ def text_profile(docs: DataFrame) -> DataFrame:
     t = docs.select(
         "doc_id",
         F.col("text"),
-        F.size(tokens("text")).alias("n_tokens"),
+        # NULL-guarded: size(NULL array) is -1 under non-ANSI sessions,
+        # which would leak a phantom token count for null-text crawl
+        # rows (the Arrow twin emits NULL — pinned in tests)
+        F.when(F.col("text").isNotNull(), F.size(tokens("text")))
+        .alias("n_tokens"),
         F.expr(_marker_fold_sql()).alias("m"),
     )
     n_nonspace = F.length(
@@ -217,12 +227,18 @@ def _fingerprint_one_pass(gram: int, hash_sql: str) -> Column:
     built the ~1000-element substr array TWICE per document — measured
     2.35 s vs 1.39 s at sf1. The singleton ``transform(array(grams),
     g -> struct(...))[0]`` binds the array to a lambda variable once and
-    emits both outputs from the binding."""
+    emits both outputs from the binding.
+
+    NULL text propagates NULL outputs (the Arrow twin's contract):
+    without the guard the ELSE array(text) branch made g = [NULL] and
+    xxhash64(NULL) returned its SEED (42) — a phantom fingerprint for
+    every null-text crawl row."""
     return F.expr(
+        f"CASE WHEN text IS NULL THEN NULL ELSE "
         f"transform(array({_char_grams_sql(gram)}), "
         f"  g -> struct("
         f"    array_min(transform(g, x -> {hash_sql})) AS fp, "
-        f"    CAST(size(array_distinct(g)) AS BIGINT) AS n))[0]"
+        f"    CAST(size(array_distinct(g)) AS BIGINT) AS n))[0] END"
     )
 
 
@@ -300,13 +316,27 @@ def _fp_one_doc(text: str, gram: int):
         a = np.frombuffer(b, dtype=np.uint8)
         n = len(a) - gram + 1
         w = np.lib.stride_tricks.sliding_window_view(a, gram)
-        u = w.reshape(n, gram).copy().view(np.uint64).ravel()
+        if gram == 8:
+            # 8-byte windows view DIRECTLY as uint64 (the common case)
+            u = w.reshape(n, gram).copy().view(np.uint64).ravel()
+            n_distinct = int(np.unique(u).size)
+        else:
+            # general gram (r10 advice: the old path silently mis-hashed
+            # gram != 8): hash input is the first min(gram, 8) bytes
+            # zero-padded to 8 — the same _gram_bytes8 spec — while the
+            # EXACT distinct count stays over FULL gram windows
+            k = min(gram, 8)
+            z = np.zeros((n, 8), dtype=np.uint8)
+            z[:, :k] = w[:, :k]
+            u = z.view(np.uint64).ravel()
+            n_distinct = (
+                int(np.unique(u).size)  # <= 8 bytes: view is bijective
+                if gram <= 8
+                else int(np.unique(w, axis=0).shape[0])
+            )
         # min over the SIGNED reinterpretation (the spec's signed-64
         # contract); .view, not .astype — bits, not values
-        return (
-            _splitmix64(u).view(np.int64).min(),
-            int(np.unique(u).size),
-        )
+        return _splitmix64(u).view(np.int64).min(), n_distinct
     grams = [text[i : i + gram] for i in range(max(len(text) - gram + 1, 1))]
     if not grams:
         grams = [text]
@@ -801,8 +831,12 @@ def _tp_batch(texts):
             nulls.append(i)  # NULL text -> NULL row (JVM null propagation)
         elif (
             t and t.isascii() and t[0] != " " and t[-1] != " "
-            and "  " not in t
+            and "  " not in t and min(t) >= " "
         ):
+            # min(t) >= " " excludes control bytes: isascii() admits NUL,
+            # and a token like 'the\x00' would collide with stopword
+            # 'the' after zero-padding in the uint64 token match (r10
+            # advice) — such texts take the exact scalar fallback
             clean.append(i)
             bufs.append(t.encode())
             lens.append(len(t))

@@ -2908,7 +2908,7 @@ URL_DEDUP_ORACLE = r"""
                 '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS auth,
             regexp_extract(uri,
                 '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path0,
-            regexp_extract(uri, '\?([^#]*)', 1) AS query0
+            regexp_extract(uri, '^[^#?]*\?([^#]*)', 1) AS query0
         FROM u
     ),
     canon AS (
@@ -2955,4 +2955,8 @@ def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") % 3).cast("string"),
         F.lit("&b=2#frag"),
     )
-    return PL3.url_dedup(docs.select("doc_id", uri.alias("uri")))
+    # ordered=True is oracle-presentation only (ORDER BY doc_id twin);
+    # composed pipeline use keeps the default unordered plan
+    return PL3.url_dedup(
+        docs.select("doc_id", uri.alias("uri")), ordered=True
+    )

@@ -521,6 +521,9 @@ def test_canonical_url_rules(spark):
         ("https://example.com/a?utm_campaign=z&fbclid=123&gclid=4&ref=hn",
          "https://example.com/a"),
         ("https://example.com/a#section", "https://example.com/a"),
+        # a '?' INSIDE the fragment is fragment text, not a query (r10
+        # advice: the old query regex matched it and kept '?b=1')
+        ("https://example.com/p#a?b=1", "https://example.com/p"),
         ("https://example.com/", "https://example.com"),
         ("https://example.com/a?z=1&a=2", "https://example.com/a?a=2&z=1"),
         ("not a url", "not a url"),  # passthrough

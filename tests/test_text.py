@@ -417,6 +417,30 @@ def test_fingerprint_arrow_hash_spec():
         assert (int(got[0]), int(got[1])) == want, repr(t)
 
 
+def test_fingerprint_arrow_general_gram():
+    """gram != 8 takes the generalized vectorized path (r10 advice: the
+    old kernel silently mis-hashed gram 16 and raised on non-multiples
+    of 8): hash = first min(gram, 8) bytes zero-padded, n_grams = exact
+    distinct FULL grams — same spec twin at every gram size."""
+    from compute_histogram_spark.operators.text import _fp_one_doc
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "abcabcabcabcabcabcabc",
+        # two 9-grams sharing their first 8 bytes ("abcdefgh1" vs
+        # "abcdefgh2"): full-gram distincts > 8-byte-prefix distincts,
+        # so a prefix-based count would fail here
+        "abcdefgh1abcdefgh2",
+        "aaaaaaaaaaaaaaaaaaaaaa",
+        "héllo wörld ünïcode dòc fallback path",
+    ]
+    for t in texts:
+        for gram in (3, 4, 7, 9, 12, 16):
+            got = _fp_one_doc(t, gram)
+            want = _fp_ref(t, gram)
+            assert (int(got[0]), int(got[1])) == want, (repr(t), gram)
+
+
 def test_fingerprint_arrow_ngrams_matches_jvm(spark, sf_dir):
     """n_grams (exact distinct char-grams) is value-identical between
     the Arrow kernel and the JVM array_distinct formulation on the real
@@ -521,3 +545,15 @@ def test_arrow_kernels_null_text(spark):
     tp = {r.doc_id: r for r in text_profile_arrow(df).collect()}
     assert tp[2].n_tokens is None and tp[2].lang_pred is None
     assert tp[1].n_tokens == 4 and tp[3].n_tokens == 3
+    # and the JVM forms agree on the NULL row (r10 advice: this parity
+    # was claimed but never checked — the old when-chain leaked 'zh')
+    from compute_histogram_spark.operators.text import (
+        doc_fingerprint,
+        text_profile,
+    )
+
+    jf = {r.doc_id: r for r in doc_fingerprint(df).collect()}
+    assert jf[2].fingerprint is None and jf[2].n_grams is None
+    jp = {r.doc_id: r for r in text_profile(df).collect()}
+    assert jp[2].n_tokens is None and jp[2].lang_pred is None
+    assert jp[1].lang_pred == tp[1].lang_pred

@@ -624,3 +624,50 @@ def test_crawl_corpus_url_dedup_first(spark, tmp_path):
         "https://example.com/q",
         "https://www.example.com/p?utm_source=a",
     ]
+
+
+def test_crawl_corpus_url_dedup_keeps_null_uri_docs(spark, tmp_path):
+    """Records with NO WARC-Target-URI must pass THROUGH the URL-dedup
+    pre-stage untouched (per-row fallback key), not collapse into one
+    NULL group — distinct null-URI contents all reach content dedup
+    (r10 advice finding). The composed plan also must not pay a global
+    sort (the oracle-only orderBy stays out of the pipeline path)."""
+    import os
+
+    from compute_histogram_spark.operators.pipeline import crawl_corpus
+
+    bodies = [
+        b"<html><p>first distinct anonymous body text</p></html>",
+        b"<html><p>second distinct anonymous body text</p></html>",
+        b"<html><p>third distinct anonymous body text</p></html>",
+    ]
+    recs = [
+        build_warc_record(
+            warc_type="response", uri=None, content=build_http_response(b)
+        )
+        for b in bodies
+    ] + [
+        # plus one URI'd pair that must still collapse
+        build_warc_record(
+            warc_type="response",
+            uri=u,
+            content=build_http_response(
+                b"<html><p>shared page body content</p></html>"
+            ),
+        )
+        for u in (
+            "https://example.com/p?utm_source=a",
+            "https://example.com/p#frag",
+        )
+    ]
+    d = str(tmp_path / "warc")
+    os.makedirs(d)
+    with open(os.path.join(d, "seg-00000.warc.gz"), "wb") as f:
+        f.write(build_warc(recs, gzip_per_record=True))
+    out = crawl_corpus(spark, d, min_chars=10, url_dedup_first=True)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" not in plan  # no global sort when composed
+    rows = out.collect()
+    # 3 distinct null-URI docs survive + 1 collapsed URI group
+    assert len(rows) == 4
+    assert sum(1 for r in rows if r.uri is None) == 3
