@@ -339,24 +339,51 @@ def _ext_queries():
 
 
 def _bench_set(spark, sf_dir, queries, times, errors) -> None:
+    """Cold pass in listed order, then 5 warm PASSES over the whole set,
+    each pass in a different seeded permutation; per-query time is the
+    min across passes.
+
+    Why passes, not back-to-back runs (r10 aging finding, VERDICT r10
+    #8): JVM expression kernels degrade ~1.5x as the session ages while
+    Arrow kernels run FASTER warm — back-to-back min-of-5 sampled every
+    query at ONE session age determined by its list position, so
+    round-over-round deltas were confounded by ordering. Randomizing the
+    order per pass spreads each query's 5 samples across session ages;
+    the min is an order-independent steady-state estimate. Seeded RNG:
+    the schedule is reproducible run to run."""
+    import random
+
+    ok: dict = {}
     for name, fn in queries.items():
         # per-query isolation: one broken query must never zero the whole
         # round's perf signal — record its error and keep benching the rest
         try:
             materialize(fn(spark, sf_dir))  # cold / warm-up
-            warm = []
-            # min-of-5: same-box run-to-run noise measured at 1.5-2x in
-            # round 2 (GC/scheduler), so 3 samples under-damped it
-            for _ in range(5):
-                t0 = time.time()
-                materialize(fn(spark, sf_dir))
-                warm.append(time.time() - t0)
-            times[name] = round(min(warm), 3)
+            ok[name] = fn
         except Exception as e:  # noqa: BLE001 - report, don't die
             msg = f"{type(e).__name__}: {e}"
             errors[name] = msg[:500]
             print(f"bench: {name} FAILED: {msg.splitlines()[0][:200]}",
                   file=sys.stderr)
+    samples: dict[str, list[float]] = {n: [] for n in ok}
+    rng = random.Random(0xB11C)
+    for _ in range(5):
+        order = list(ok)
+        rng.shuffle(order)
+        for name in order:
+            try:
+                t0 = time.time()
+                materialize(ok[name](spark, sf_dir))
+                samples[name].append(time.time() - t0)
+            except Exception as e:  # noqa: BLE001
+                msg = f"{type(e).__name__}: {e}"
+                errors[name] = msg[:500]
+                del ok[name], samples[name]
+                print(f"bench: {name} FAILED warm: "
+                      f"{msg.splitlines()[0][:200]}", file=sys.stderr)
+    for name, s in samples.items():
+        if s:
+            times[name] = round(min(s), 3)
 
 
 # Crossover sweeps: the sf1 sweep (default ON, SPARK_GRAFT_BENCH_SF1=0 to
@@ -544,18 +571,22 @@ def _bench_sf1(spark, out: dict) -> None:
     )
 
 
-# sf10 second-decade sweep (opt-in: SPARK_GRAFT_BENCH_SF10=1): 100x tiles
-# of sf0.1 (60M lineitem, 500k documents) through the 5 heaviest sf1
-# queries on both engines. One decade of measurement (sf0.1 -> sf1) showed
-# the crossover; this extends the ratio trend a second decade — the basis
-# of the 100 TB extrapolation in BASELINE.md. ~2 GB of /tmp parquet,
-# ~1 min build, budget-guarded.
-SF10_QUERIES = [
+# sf10 second-decade sweep — THE TRACKED PERF GATE since r11 (VERDICT
+# r10 #2): 100x tiles of sf0.1 (60M lineitem, 500k documents) through
+# the FULL 26-query headline set on both engines at the scale the
+# engine exists for; the sf1 sweep stays as a one-line regression
+# tripwire. Ordering is heavy-trend-first so a budget truncation can
+# never cut the r10-comparable trend queries; SF10_TREND5 reproduces
+# the r08-r10 5-query totals for cross-round trend continuity.
+# ~2 GB of /tmp parquet, ~1 min build, budget-guarded.
+SF10_TREND5 = [
     "doc_fingerprint",
     "dedup_ngram_jaccard",
     "text_stats",
     "dedup_minhash",
     "local_supplier_revenue",
+]
+SF10_QUERIES = SF10_TREND5 + [
     # the fused end-to-end removal op (LSH -> connected components ->
     # anti-join). SPARK-ONLY at sf10: DuckDB's recursive-CTE component
     # resolution did NOT finish at this scale (killed after 25+ min and
@@ -563,7 +594,7 @@ SF10_QUERIES = [
     # the crossover, recorded in BASELINE.md; the Spark side is timed so
     # the scale trend of the fused pipeline stays visible.
     "neardup_dedup",
-]
+] + [n for n in HEADLINE if n not in SF10_TREND5]
 SF10_SPARK_ONLY = {"neardup_dedup"}
 
 
@@ -575,7 +606,7 @@ def _bench_sf10(spark, out: dict) -> None:
         100,
         os.environ.get("SPARK_GRAFT_SF10_DIR", "/tmp/sf10"),
         SF10_QUERIES,
-        float(os.environ.get("SPARK_GRAFT_SF10_BUDGET_S", "1200")),
+        float(os.environ.get("SPARK_GRAFT_SF10_BUDGET_S", "1800")),
         spark_only=SF10_SPARK_ONLY,
         # Q5 on the bucketed fact layout (r8): same result + same DuckDB
         # twin as local_supplier_revenue; the layout write is the untimed
@@ -583,6 +614,23 @@ def _bench_sf10(spark, out: dict) -> None:
         # double-count Q5 in the trend ratio.
         extra_names=("local_supplier_revenue_layout",),
     )
+    # r08-r10 comparability: the old 5-query trend totals, recomputed
+    # from the same per-query rows
+    q = out.get("sf10", {}).get("queries", {})
+    both = [
+        (q[n]["spark"], q[n]["duckdb"])
+        for n in SF10_TREND5
+        if n in q and "spark" in q[n] and "duckdb" in q[n]
+    ]
+    if both:
+        s5 = round(sum(s for s, _ in both), 3)
+        d5 = round(sum(d for _, d in both), 3)
+        out["sf10"]["trend5"] = {
+            "spark_total_s": s5,
+            "duckdb_total_s": d5,
+            "ratio": round(s5 / d5, 3) if d5 else None,
+            "n_both": len(both),
+        }
 
 
 def main() -> None:
@@ -648,27 +696,31 @@ def main() -> None:
     except OSError:
         full_path = None
 
+    # compact line LEADS with the sf10 block — the tracked perf gate
+    # since r11 (full headline set at the design scale); sf1 follows as
+    # the regression tripwire, per-query sf0.1 detail last.
     compact = {
         "metric": out["metric"],
         "value": out["value"],
         "unit": "sec",
-        "queries": out["queries"],
         "sf": out["sf"],
         "n_ok": out["n_ok"],
         "n_err": out["n_err"],
     }
-    if full_path:
-        compact["full"] = os.path.relpath(full_path)
-    for k in ("sf1", "sf10"):
+    for k in ("sf10", "sf1"):
         if k in out:
             compact[k] = {
                 kk: out[k][kk]
                 for kk in (
                     "spark_total_s", "duckdb_total_s", "ratio",
-                    "floor_adjusted_ratio", "n_both", "truncated", "error",
+                    "floor_adjusted_ratio", "trend5", "n_both",
+                    "truncated", "error",
                 )
                 if kk in out[k]
             }
+    if full_path:
+        compact["full"] = os.path.relpath(full_path)
+    compact["queries"] = out["queries"]
     line = json.dumps(compact)
     if len(line) > 1900:
         # belt-and-braces: shed per-query detail (it lives whole in the
