@@ -25,6 +25,7 @@ from pyspark.sql import functions as _F
 from compute_histogram_spark.session import get_session
 from compute_histogram_spark import registry
 from compute_histogram_spark.operators import behavior as BH
+from compute_histogram_spark.operators import dedup as DD
 from compute_histogram_spark.operators import relational as R
 from compute_histogram_spark.operators import text as TX
 from compute_histogram_spark.sources.tables import load
@@ -82,6 +83,17 @@ LOCAL_QUERIES = {
     # times each engine's fastest value-identical formulation.
     "text_stats": lambda spark, d: TX.text_profile_arrow(
         load(spark, d, "documents")
+    ),
+    # r11: the Arrow pair-kernel form of the exact Jaccard operator —
+    # value-identical to the window's declarative plan (equality pinned
+    # in tests/test_dedup.py at both test SFs and on hub-binding
+    # synthetics). Interleaved sf10 A/B: 22.7 vs 34.6 s declarative
+    # (DuckDB 18.0 s same box/day) — the bench times each engine's
+    # fastest value-identical formulation, as with doc_fingerprint and
+    # text_stats.
+    "dedup_ngram_jaccard": lambda spark, d: DD.ngram_jaccard_pairs_arrow(
+        load(spark, d, "documents"), threshold=0.5,
+        max_df=registry._NGRAM_MAX_DF,
     ),
     # rotated out in r11 (seventh wave); headline comparability fallback.
     "shipping_priority": lambda spark, d: R.shipping_priority(

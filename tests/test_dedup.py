@@ -340,3 +340,41 @@ def test_simhash_duckdb_twin(spark, sf_dir):
     odf = con.sql(SIMHASH_ORACLE).df()
     assert len(pdf) > 0
     assert compare("simhash", pdf, odf) == []
+
+
+def test_ngram_jaccard_arrow_equals_declarative(spark, sf_dir):
+    """The r11 fast form (checkpointed postings + vectorized pair kernel
+    + necessary-condition filter) is value-identical to the declarative
+    plan on the real corpus — the bench swaps it in like
+    doc_fingerprint_arrow, so equality is the contract."""
+    from compute_histogram_spark.sources.tables import load
+
+    docs = load(spark, sf_dir, "documents")
+    a = DD.ngram_jaccard_pairs(docs, threshold=0.5, max_df=100).collect()
+    b = DD.ngram_jaccard_pairs_arrow(docs, threshold=0.5, max_df=100).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    assert len(a) > 0
+
+
+def test_ngram_jaccard_arrow_hub_cap_regimes(spark):
+    """Equality across a binding cap (boilerplate removed, group pairs
+    survive), an over-binding cap (empty output) and no cap at all."""
+    rows = [
+        Row(
+            doc_id=i,
+            text=(
+                "common boiler plate intro text here "
+                f"group{i % 3} body{i % 3} tail{i % 3} extra{i % 3} "
+                f"word{i % 3} uniq{i}"
+            ),
+        )
+        for i in range(30)
+    ]
+    docs = spark.createDataFrame(rows)
+    for max_df, expect_nonempty in ((15, True), (5, False), (None, True)):
+        a = DD.ngram_jaccard_pairs(docs, threshold=0.2, max_df=max_df).collect()
+        b = DD.ngram_jaccard_pairs_arrow(
+            docs, threshold=0.2, max_df=max_df
+        ).collect()
+        assert [tuple(r) for r in a] == [tuple(r) for r in b], max_df
+        assert bool(a) == expect_nonempty, max_df
