@@ -56,7 +56,38 @@ def _doc_html(seg: int, rec: int, dup_every: int = 11) -> tuple[str, bytes]:
     return f"http://bench.example/{seg}/{rec}", html.encode()
 
 
-def build_crawl(spark, out_dir: str, n_segments: int, n_records: int) -> int:
+def _doc_html_recrawl(
+    seg: int, rec: int, dup_every: int = 11, recrawl_every: int = 4
+) -> tuple[str, bytes]:
+    """Fixture with a realistic re-crawl mix (VERDICT r10 #5): every
+    ``recrawl_every``-th record is a RE-CRAWL of an earlier URL — the
+    URI is a canonicalization variant (scheme/host case, www., :80,
+    tracking params, fragment, trailing slash) and the body carries a
+    mutated crawl-tick paragraph, so the pair is INVISIBLE to exact
+    content dedup and only the URL stage can collapse it. The
+    ``dup_every`` exact-content dups (different URL, same extracted
+    text) stay from the base fixture, so the two dedup stages have
+    disjoint, countable work."""
+    is_recrawl = recrawl_every and rec % recrawl_every == recrawl_every - 1
+    base_rec = rec - (recrawl_every - 1) if is_recrawl else rec
+    uri, html = _doc_html(seg, base_rec, dup_every=dup_every)
+    if is_recrawl:
+        path = uri.removeprefix("http://bench.example")
+        uri = (
+            "HTTP://WWW.bench.example:80%s/?utm_source=recrawl&ref=x#frag"
+            % path
+        )
+        html = html.replace(
+            b"<footer>end</footer>",
+            b"<footer>end</footer><p>crawl tick %d</p>" % rec,
+        )
+    return uri, html
+
+
+def build_crawl(
+    spark, out_dir: str, n_segments: int, n_records: int,
+    doc_fn=_doc_html,
+) -> int:
     """Write the synthetic archive set executor-side; returns total bytes."""
     os.makedirs(out_dir, exist_ok=True)
 
@@ -69,7 +100,7 @@ def build_crawl(spark, out_dir: str, n_segments: int, n_records: int) -> int:
 
         recs = []
         for r in range(n_records):
-            uri, body = _doc_html(seg, r)
+            uri, body = doc_fn(seg, r)
             recs.append(
                 build_warc_record(
                     warc_type="response",
@@ -91,6 +122,107 @@ def build_crawl(spark, out_dir: str, n_segments: int, n_records: int) -> int:
         .collect()
     )
     return sum(sizes)
+
+
+def main_url() -> None:
+    """URL-dedup pre-stage proof at protocol scale (VERDICT r10 #5):
+    times crawl_corpus WITHOUT and WITH url_dedup_first on a fixture
+    whose dup mix is realistic and split-countable — 25% re-crawl URL
+    variants (canonicalization hazards + mutated body: only the URL
+    stage can remove them) on top of the base fixture's ~9%
+    exact-content dups (different URL, same text: only the content
+    stage can). Prints one JSON line with wall/MB/s per configuration
+    and the removal split.
+
+    Usage: python tools/crawl_bench.py --url-dedup [n_segments] [records]
+    """
+    import shutil
+
+    n_segments = int(sys.argv[2]) if len(sys.argv) > 2 else 64
+    n_records = int(sys.argv[3]) if len(sys.argv) > 3 else 1000
+
+    from compute_histogram_spark.operators.pipeline import crawl_corpus
+    from compute_histogram_spark.session import get_session
+
+    spark = get_session("crawl-bench-url")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    base = os.environ.get("SPARK_GRAFT_CRAWL_DIR", "/tmp/crawl_bench") + "_url"
+    raw_dir = os.path.join(base, "raw")
+    out: dict = {
+        "mode": "url_dedup",
+        "n_segments": n_segments,
+        "records_per_segment": n_records,
+        "recrawl_every": 4,
+        "content_dup_every": 11,
+    }
+    if not os.path.exists(
+        os.path.join(raw_dir, f"seg-{n_segments - 1:05d}.warc.gz")
+    ):
+        t0 = time.time()
+        out["input_bytes"] = build_crawl(
+            spark, raw_dir, n_segments, n_records, doc_fn=_doc_html_recrawl
+        )
+        out["build_s"] = round(time.time() - t0, 2)
+    else:
+        out["input_bytes"] = sum(
+            os.path.getsize(os.path.join(raw_dir, f))
+            for f in os.listdir(raw_dir)
+            if f.endswith(".warc.gz")
+        )
+
+    import gzip
+
+    sample = os.path.join(raw_dir, f"seg-{0:05d}.warc.gz")
+    with open(sample, "rb") as f:
+        ratio = len(gzip.decompress(f.read())) / os.path.getsize(sample)
+    out["decompressed_bytes"] = int(out["input_bytes"] * ratio)
+
+    n_in = n_segments * n_records
+    # two alternating rounds per configuration (min): the first pass of a
+    # fresh session is systematically slower, and a single A-then-B order
+    # would gift the later config the warm JVM
+    walls: dict = {"content_only": [], "url_first": []}
+    for _ in range(2):
+        for label, url_first in (("content_only", False), ("url_first", True)):
+            wet_dir = os.path.join(base, f"wet_{label}")
+            shutil.rmtree(wet_dir, ignore_errors=True)
+            t0 = time.time()
+            crawl_corpus(
+                spark, raw_dir, out_path=wet_dir, n_shards=32,
+                url_dedup_first=url_first,
+            )
+            walls[label].append(time.time() - t0)
+    for label in ("content_only", "url_first"):
+        wet_dir = os.path.join(base, f"wet_{label}")
+        wall = min(walls[label])
+        from compute_histogram_spark.sources.warc import WarcDocsDataSource
+
+        spark.dataSource.register(WarcDocsDataSource)
+        n_out = (
+            spark.read.format("warcdocs")
+            .option("path", wet_dir)
+            .option("types", "conversion")
+            .load()
+            .count()
+        )
+        out[label] = {
+            "wall_s": round(wall, 2),
+            "runs": [round(w, 2) for w in walls[label]],
+            "gz_mb_per_s": round(out["input_bytes"] / 1e6 / wall, 1),
+            "raw_mb_per_s": round(
+                out["decompressed_bytes"] / 1e6 / wall, 1
+            ),
+            "n_docs_out": n_out,
+            "removed": n_in - n_out,
+        }
+    # the split: URL-stage-only dups are exactly the extra removals the
+    # url_first run achieves over content-only
+    out["url_stage_removed"] = (
+        out["content_only"]["n_docs_out"] - out["url_first"]["n_docs_out"]
+    )
+    out["content_stage_removed"] = out["content_only"]["removed"]
+    print(json.dumps(out))
 
 
 def main() -> None:
@@ -184,4 +316,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "--url-dedup":
+        main_url()
+    else:
+        main()
