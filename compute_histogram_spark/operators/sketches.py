@@ -336,6 +336,41 @@ def kmv_distinct_portable(
     )
 
 
+def hll_register_table_portable(
+    values: DataFrame, value_col: str, p: int = 12
+) -> DataFrame:
+    """Portable-hash face of :func:`hll_build` — the HLL register table
+    from the repo's md5 digest convention (``md5('hll:' || value)``,
+    functions/texthash.py), so a SQL twin reproduces every register
+    value exactly (staged rotation twin, VERDICT r10 #7).
+
+    Register = first ``p/4`` hex digits (``p`` must be a multiple of 4
+    so the register boundary falls on a hex digit); rank = number of
+    leading zero bits in the NEXT 52 bits (13 hex digits) + 1, i.e.
+    ``53 - bit_length(rest)`` with the all-zeros case pinned to 53.
+    bit_length is the base-2 string length (``conv``) — exact integer
+    arithmetic, no float log anywhere. Same partial->final max groupBy
+    shape as the production xxhash64 build: the shuffle carries at most
+    ``partitions x 2^p`` rows; output is <= 2^p integer rows.
+    """
+    if p % 4:
+        raise ValueError(f"p must be a multiple of 4, got {p}")
+    h = F.md5(F.concat(F.lit("hll:"), F.col(value_col).cast("string")))
+    reg = F.conv(F.substring(h, 1, p // 4), 16, 10).cast("int")
+    rest = F.conv(
+        F.substring(h, p // 4 + 1, 13), 16, 10
+    ).cast("bigint")
+    rank = F.when(
+        rest > 0, F.lit(53) - F.length(F.conv(rest, 10, 2)).cast("int")
+    ).otherwise(F.lit(53))
+    return (
+        values.where(F.col(value_col).isNotNull())
+        .select(reg.alias("reg"), rank.alias("rank"))
+        .groupBy("reg")
+        .agg(F.max("rank").alias("max_rank"))
+    )
+
+
 def _bucket_portable(col: Column, row: int, width: int) -> Column:
     """Portable twin of :func:`_bucket`: first 32 digest bits of
     ``md5('cms<row>:' || value)`` folded to [0, width) — replicable in

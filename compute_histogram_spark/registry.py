@@ -2960,3 +2960,108 @@ def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return PL3.url_dedup(
         docs.select("doc_id", uri.alias("uri")), ordered=True
     )
+
+
+# ---------------------------------------------------------------------------
+# Staged-twin bank for the 8th rotation (r11, VERDICT r10 #7): three more
+# value-exact DuckDB twins sit rotation-ready — pytest-pinned at both test
+# SFs (tests/test_staged_twins.py) until they enter the window.
+# ---------------------------------------------------------------------------
+
+# Overlapping token-window chunking (pipeline.py:chunk_documents): window
+# arithmetic (ceil stride count, least-bounded tail) and the 1-based
+# inclusive array slice replicated step for step; chunk_text compared as
+# full strings.
+CHUNK_DOCUMENTS_ORACLE = """
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    n AS (SELECT doc_id, toks, len(toks) AS n_toks FROM t),
+    c AS (
+        SELECT doc_id, toks, n_toks,
+               unnest(generate_series(
+                   0,
+                   greatest(1, CAST(ceil((n_toks - 64) / 48.0) AS INT) + 1) - 1
+               )) AS chunk_id
+        FROM n
+    )
+    SELECT doc_id,
+           CAST(chunk_id AS INT) AS chunk_id,
+           CAST(chunk_id * 48 AS INT) AS start_tok,
+           CAST(least(64, n_toks - chunk_id * 48) AS INT) AS n_chunk_tokens,
+           array_to_string(toks[chunk_id * 48 + 1 : chunk_id * 48 + 64], ' ')
+               AS chunk_text
+    FROM c ORDER BY doc_id, chunk_id
+    """
+
+
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from compute_histogram_spark.operators import pipeline as PL4
+
+    return PL4.chunk_documents(
+        load(spark, sf_dir, "documents"), chunk_tokens=64, overlap=16
+    ).orderBy("doc_id", "chunk_id")
+
+
+# Train->test contamination report (pipeline.py:contamination_report):
+# the oracle joins on the shingle STRING where the engine joins on
+# md5(shingle) — identical counts absent a digest collision (the same
+# equivalence every md5-keyed twin in this file rests on); the md5 split
+# buckets replicate split_assign's.
+CONTAMINATION_ORACLE = f"""
+    WITH {{ctes}},
+    b AS (
+        SELECT doc_id, s,
+               ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                   % 100 AS bk
+        FROM sh
+    ),
+    train AS (SELECT doc_id AS train_doc, s FROM b WHERE bk < 80),
+    test AS (SELECT doc_id AS test_doc_id, s FROM b WHERE bk >= 90)
+    SELECT test_doc_id,
+           count(DISTINCT s) AS n_shared_shingles,
+           count(DISTINCT train_doc) AS n_train_docs
+    FROM test JOIN train USING (s)
+    GROUP BY test_doc_id ORDER BY test_doc_id
+    """.format(ctes=_SHINGLE_CTES)
+
+
+def q_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from compute_histogram_spark.operators import pipeline as PL5
+
+    return PL5.contamination_report(load(spark, sf_dir, "documents"))
+
+
+# HyperLogLog register table over the distinct-token domain
+# (sketches.py:hll_register_table_portable): md5('hll:'||token), register
+# = first 3 hex digits (p=12), rank = 53 - bit_length(next 52 bits) —
+# exact integer arithmetic end to end (bit_length via the base-2 string,
+# never float log), so every one of the <= 4096 register rows is
+# engine-exact. The sketch FAMILY got its first driver rows in r10
+# (KMV, CMS); this stages the third classic sketch.
+TOKEN_HLL_ORACLE = """
+    WITH tok AS (
+        SELECT unnest(string_split(text, ' ')) AS t FROM documents
+    ),
+    h AS (SELECT md5('hll:' || t) AS h FROM tok),
+    r AS (
+        SELECT ('0x' || substring(h, 1, 3))::BIGINT AS reg,
+               ('0x' || substring(h, 4, 13))::BIGINT AS rest
+        FROM h
+    )
+    SELECT CAST(reg AS INT) AS reg,
+           CAST(max(CASE WHEN rest > 0
+                         THEN 53 - length(ltrim(bin(rest), '0'))
+                         ELSE 53 END) AS INT) AS max_rank
+    FROM r GROUP BY reg ORDER BY reg
+    """
+
+
+def q_token_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from compute_histogram_spark.functions.texthash import tokens as _toks
+    from compute_histogram_spark.operators import sketches as SK2
+
+    t = load(spark, sf_dir, "documents").select(
+        F.explode(_toks("text")).alias("t")
+    )
+    return SK2.hll_register_table_portable(t, "t", p=12).orderBy("reg")

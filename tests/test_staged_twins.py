@@ -1,0 +1,72 @@
+"""Value-exact pins for the 8th-rotation staged-twin bank (r11): the
+DuckDB oracles live in registry.py as module constants, rotation-ready;
+these tests are the driver-gate stand-in until the names enter the
+50-entry window (the same arrangement every staged wave used)."""
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+from check_oracle import compare, duck_connection  # noqa: E402
+
+
+def _check(name, sdf, con, sql):
+    pdf = sdf.toPandas()
+    odf = con.sql(sql).df()
+    assert len(pdf) > 0
+    assert compare(name, pdf, odf) == []
+
+
+@pytest.fixture(scope="module")
+def con(sf_dir):
+    return duck_connection(sf_dir)
+
+
+def test_chunk_documents_twin(spark, sf_dir, con):
+    from compute_histogram_spark.registry import (
+        CHUNK_DOCUMENTS_ORACLE,
+        q_chunk_documents,
+    )
+
+    _check("chunk_documents", q_chunk_documents(spark, sf_dir), con,
+           CHUNK_DOCUMENTS_ORACLE)
+
+
+def test_contamination_report_twin(spark, sf_dir, con):
+    from compute_histogram_spark.registry import (
+        CONTAMINATION_ORACLE,
+        q_contamination_report,
+    )
+
+    _check("contamination_report", q_contamination_report(spark, sf_dir),
+           con, CONTAMINATION_ORACLE)
+
+
+def test_token_hll_twin(spark, sf_dir, con):
+    from compute_histogram_spark.registry import (
+        TOKEN_HLL_ORACLE,
+        q_token_hll,
+    )
+
+    _check("token_hll", q_token_hll(spark, sf_dir), con, TOKEN_HLL_ORACLE)
+
+
+def test_hll_portable_estimate_tracks_exact(spark, sf_dir):
+    """The portable register table feeds the standard estimator within
+    HLL's expected error (~1.04/sqrt(m) ~ 1.6% at p=12; assert 10%)."""
+    from pyspark.sql import functions as F
+
+    from compute_histogram_spark.operators.sketches import (
+        hll_estimate,
+        hll_register_table_portable,
+    )
+    from compute_histogram_spark.sources.tables import load
+
+    t = load(spark, sf_dir, "documents").select(
+        F.explode(F.split("text", " ")).alias("t")
+    )
+    exact = t.distinct().count()
+    est = hll_estimate(hll_register_table_portable(t, "t", p=12), p=12)
+    assert abs(est - exact) / exact < 0.10, (est, exact)
