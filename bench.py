@@ -350,19 +350,19 @@ def _ext_queries():
     }
 
 
-def _bench_set(spark, sf_dir, queries, times, errors) -> None:
-    """Cold pass in listed order, then 5 warm PASSES over the whole set,
-    each pass in a different seeded permutation; per-query time is the
-    min across passes.
-
-    Why passes, not back-to-back runs (r10 aging finding, VERDICT r10
-    #8): JVM expression kernels degrade ~1.5x as the session ages while
-    Arrow kernels run FASTER warm — back-to-back min-of-5 sampled every
-    query at ONE session age determined by its list position, so
-    round-over-round deltas were confounded by ordering. Randomizing the
-    order per pass spreads each query's 5 samples across session ages;
-    the min is an order-independent steady-state estimate. Seeded RNG:
-    the schedule is reproducible run to run."""
+def _bench_set(spark, sf_dir, queries, times, errors,
+               mixed: dict | None = None) -> None:
+    """DUAL-STATE protocol (VERDICT r10 #8). Per query: one cold run,
+    then five back-to-back warm runs — min goes to ``times`` exactly as
+    r01-r10 measured it (max cache/JIT locality, cross-round
+    comparable). Then, if ``mixed`` is given, two seeded
+    order-randomized passes over the whole set — per-query min goes to
+    ``mixed`` — the steady-state mixed-workload reading where each
+    query's samples land at different session ages (JVM expression
+    kernels degrade ~1.5x aged while Arrow kernels run FASTER warm, so
+    a single back-to-back total mixes two opposite aging slopes; the
+    r11 first cut replaced the protocol outright and the headline
+    jumped +30% from lost locality — both readings are needed)."""
     import random
 
     ok: dict = {}
@@ -371,15 +371,25 @@ def _bench_set(spark, sf_dir, queries, times, errors) -> None:
         # round's perf signal — record its error and keep benching the rest
         try:
             materialize(fn(spark, sf_dir))  # cold / warm-up
+            warm = []
+            # min-of-5: same-box run-to-run noise measured at 1.5-2x in
+            # round 2 (GC/scheduler), so 3 samples under-damped it
+            for _ in range(5):
+                t0 = time.time()
+                materialize(fn(spark, sf_dir))
+                warm.append(time.time() - t0)
+            times[name] = round(min(warm), 3)
             ok[name] = fn
         except Exception as e:  # noqa: BLE001 - report, don't die
             msg = f"{type(e).__name__}: {e}"
             errors[name] = msg[:500]
             print(f"bench: {name} FAILED: {msg.splitlines()[0][:200]}",
                   file=sys.stderr)
+    if mixed is None:
+        return
     samples: dict[str, list[float]] = {n: [] for n in ok}
     rng = random.Random(0xB11C)
-    for _ in range(5):
+    for _ in range(2):
         order = list(ok)
         rng.shuffle(order)
         for name in order:
@@ -388,14 +398,11 @@ def _bench_set(spark, sf_dir, queries, times, errors) -> None:
                 materialize(ok[name](spark, sf_dir))
                 samples[name].append(time.time() - t0)
             except Exception as e:  # noqa: BLE001
-                msg = f"{type(e).__name__}: {e}"
-                errors[name] = msg[:500]
+                errors[f"{name}.mixed"] = f"{type(e).__name__}: {e}"[:300]
                 del ok[name], samples[name]
-                print(f"bench: {name} FAILED warm: "
-                      f"{msg.splitlines()[0][:200]}", file=sys.stderr)
     for name, s in samples.items():
         if s:
-            times[name] = round(min(s), 3)
+            mixed[name] = round(min(s), 3)
 
 
 # Crossover sweeps: the sf1 sweep (default ON, SPARK_GRAFT_BENCH_SF1=0 to
@@ -653,6 +660,7 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     times: dict[str, float] = {}
+    mixed: dict[str, float] = {}
     errors: dict[str, str] = {}
     _bench_set(
         spark,
@@ -660,6 +668,7 @@ def main() -> None:
         {n: LOCAL_QUERIES.get(n) or registry.QUERIES[n] for n in HEADLINE},
         times,
         errors,
+        mixed=mixed,
     )
     ext: dict[str, float] = {}
     if os.environ.get("SPARK_GRAFT_BENCH_EXT"):
@@ -674,6 +683,11 @@ def main() -> None:
         "n_ok": len(times),
         "n_err": len(errors),
     }
+    if mixed:
+        # the aging-robust companion reading (order-randomized passes);
+        # the headline `value` stays back-to-back for r01 comparability
+        out["mixed_total"] = round(sum(mixed.values()), 3)
+        out["mixed_queries"] = mixed
     if ext:
         out["ext"] = ext
     if errors:
@@ -719,6 +733,8 @@ def main() -> None:
         "n_ok": out["n_ok"],
         "n_err": out["n_err"],
     }
+    if "mixed_total" in out:
+        compact["mixed_total"] = out["mixed_total"]
     for k in ("sf10", "sf1"):
         if k in out:
             compact[k] = {

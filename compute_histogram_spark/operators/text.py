@@ -831,12 +831,16 @@ def _tp_batch(texts):
             nulls.append(i)  # NULL text -> NULL row (JVM null propagation)
         elif (
             t and t.isascii() and t[0] != " " and t[-1] != " "
-            and "  " not in t and min(t) >= " "
+            and "  " not in t and "\x00" not in t
         ):
-            # min(t) >= " " excludes control bytes: isascii() admits NUL,
-            # and a token like 'the\x00' would collide with stopword
-            # 'the' after zero-padding in the uint64 token match (r10
-            # advice) — such texts take the exact scalar fallback
+            # NUL exclusion (r10 advice): isascii() admits NUL, and a
+            # token like 'the\x00' would collide with stopword 'the'
+            # after zero-padding in the uint64 token match — such texts
+            # take the exact scalar fallback. ONLY the zero byte can
+            # collide with the padding (any other control byte differs
+            # byte-exact in the view), and the substring test is a
+            # C-level memchr — the r11 first cut (min(t) >= ' ') scanned
+            # chars at Python speed and cost 10x at sf10.
             clean.append(i)
             bufs.append(t.encode())
             lens.append(len(t))
