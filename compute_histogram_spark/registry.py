@@ -3065,3 +3065,52 @@ def q_token_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(_toks("text")).alias("t")
     )
     return SK2.hll_register_table_portable(t, "t", p=12).orderBy("reg")
+
+
+# TPC-H Q10 shape (relational.py:returned_item_customers) — value-pinned
+# in tests since r1 but never driver-exposed; staged r11. Cents-exact
+# revenue arithmetic matches every other money twin in this file; the
+# top-k tie-break is (revenue DESC, c_custkey ASC), deterministic.
+RETURNED_ITEM_CUSTOMERS_ORACLE = """
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+                AS BIGINT) / 10000.0 AS revenue
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY revenue DESC, c.c_custkey
+    LIMIT 20
+    """
+
+
+def q_returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.returned_item_customers(
+        load(spark, sf_dir, "customer"),
+        load(spark, sf_dir, "nation"),
+        load(spark, sf_dir, "orders"),
+        load(spark, sf_dir, "lineitem"),
+    )
+
+
+# Order-insensitive corpus checksum (pipeline.py:corpus_checksum) — the
+# migration-validation primitive is portable BY CONSTRUCTION (md5-derived
+# 24-bit integers summed exactly in int64), so the twin is a one-liner.
+CORPUS_CHECKSUM_ORACLE = """
+    SELECT count(*) AS n_docs,
+           CAST(sum(('0x' || substring(
+               md5(CAST(doc_id AS VARCHAR) || ':' || text), 1, 6
+           ))::BIGINT) AS BIGINT) AS checksum
+    FROM documents
+    """
+
+
+def q_corpus_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from compute_histogram_spark.operators import pipeline as PL6
+
+    return PL6.corpus_checksum(load(spark, sf_dir, "documents"))

@@ -70,3 +70,24 @@ def test_hll_portable_estimate_tracks_exact(spark, sf_dir):
     exact = t.distinct().count()
     est = hll_estimate(hll_register_table_portable(t, "t", p=12), p=12)
     assert abs(est - exact) / exact < 0.10, (est, exact)
+
+
+def test_returned_item_customers_twin(spark, sf_dir, con):
+    from compute_histogram_spark.registry import (
+        RETURNED_ITEM_CUSTOMERS_ORACLE,
+        q_returned_item_customers,
+    )
+
+    _check("returned_item_customers",
+           q_returned_item_customers(spark, sf_dir), con,
+           RETURNED_ITEM_CUSTOMERS_ORACLE)
+
+
+def test_corpus_checksum_twin(spark, sf_dir, con):
+    from compute_histogram_spark.registry import (
+        CORPUS_CHECKSUM_ORACLE,
+        q_corpus_checksum,
+    )
+
+    _check("corpus_checksum", q_corpus_checksum(spark, sf_dir), con,
+           CORPUS_CHECKSUM_ORACLE)
