@@ -63,7 +63,13 @@ NLJ_ALLOWED = {
     "doc_perplexity_backoff",
 }
 # pure-Python kernel paths: no codegen span expected
-PY_KERNEL = {"multimodal_features", "similarity_topk_gemm"}
+PY_KERNEL = {
+    "multimodal_features",
+    "similarity_topk_gemm",
+    "doc_fingerprint_arrow",
+    "text_profile_arrow",
+    "ngram_jaccard_arrow",
+}
 
 # queries whose plan carries a GLOBAL ordered window (single-partition sort)
 # over input that is BOUNDED by construction — never raw table rows:
@@ -93,7 +99,22 @@ def _extra_queries():
     from compute_histogram_spark.operators.windows import sessionize
     from compute_histogram_spark.sources.tables import load
 
+    from compute_histogram_spark.operators import dedup as DD
+    from compute_histogram_spark.operators import text as TXa
+
     return {
+        # the three Arrow bench-swap forms (r10-r11): value-identical to
+        # their declarative window twins, so their plan SHAPES are gated
+        # here even though the driver window carries the JVM forms
+        "doc_fingerprint_arrow": lambda s, d: TXa.doc_fingerprint_arrow(
+            load(s, d, "documents")
+        ),
+        "text_profile_arrow": lambda s, d: TXa.text_profile_arrow(
+            load(s, d, "documents")
+        ),
+        "ngram_jaccard_arrow": lambda s, d: DD.ngram_jaccard_pairs_arrow(
+            load(s, d, "documents"), threshold=0.5, max_df=100
+        ),
         "doc_perplexity": lambda s, d: LM.doc_perplexity(
             load(s, d, "documents")
         ),

@@ -15,6 +15,7 @@ comparator can thrash or die (the sf10 neardup DNF burned 25+ min and
 honestly without losing the rest of the run.
 
 Usage: python tools/scale_probe.py [scale_dir] [timeout_s_per_duck_query]
+       [query ...]   (query names override the default PROBE set)
 """
 
 from __future__ import annotations
@@ -67,6 +68,7 @@ def _duck_once(sql: str, scale_dir: str, timeout_s: float) -> float | None:
 def main() -> None:
     scale_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf100"
     duck_timeout = float(sys.argv[2]) if len(sys.argv) > 2 else 600.0
+    probe = sys.argv[3:] or PROBE
 
     from compute_histogram_spark.session import get_session
     from compute_histogram_spark import registry
@@ -79,7 +81,7 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
 
     out: dict = {"scale_dir": scale_dir, "queries": {}}
-    for name in PROBE:
+    for name in probe:
         fn = LOCAL_QUERIES.get(name) or registry.QUERIES[name]
         sql = registry.ORACLES.get(name) or LOCAL_ORACLES.get(name)
         row: dict = {}
