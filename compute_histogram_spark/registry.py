@@ -3114,3 +3114,56 @@ def q_corpus_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     from compute_histogram_spark.operators import pipeline as PL6
 
     return PL6.corpus_checksum(load(spark, sf_dir, "documents"))
+
+
+# fastText-style hashed linear scorer (operators/classify.py) — the
+# model-based filter stage every production web pipeline runs (CCNet/
+# FineWeb). The oracle rebuilds the deterministic demo weight table,
+# replicates the md5 feature hashing (unigrams + space-joined bigrams)
+# and the EXACT integer milli-weight accumulation; float enters only at
+# the final division + sigmoid, rounded to 6 on both sides (the
+# doc_perplexity precedent). Staged rotation-ready (r11).
+QUALITY_MODEL_SCORE_ORACLE = """
+    WITH w AS (
+        SELECT CAST(id AS INT) AS bucket,
+               CAST((id * 2654435761 + 40503) % 1000 - 500 AS BIGINT)
+                   AS w_milli
+        FROM range(4096) t(id)
+    ),
+    toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    uni AS (SELECT doc_id, unnest(t) AS f FROM toks),
+    bi AS (
+        SELECT doc_id, t[i] || ' ' || t[i + 1] AS f
+        FROM (
+            SELECT doc_id, t,
+                   unnest(generate_series(1, len(t) - 1)) AS i
+            FROM toks WHERE len(t) >= 2
+        )
+    ),
+    feats AS (SELECT * FROM uni UNION ALL SELECT * FROM bi),
+    b AS (
+        SELECT doc_id,
+               CAST(('0x' || substring(md5('ft:' || f), 1, 8))::BIGINT
+                    % 4096 AS INT) AS bucket
+        FROM feats
+    ),
+    agg AS (
+        SELECT doc_id, count(*) AS n_features,
+               sum(w_milli) AS sum_w
+        FROM b JOIN w USING (bucket) GROUP BY doc_id
+    )
+    SELECT doc_id,
+           CAST(n_features AS BIGINT) AS n_features,
+           round(sum_w / n_features, 6) AS logit_milli,
+           round(1.0 / (1.0 + exp(-(sum_w / n_features) / 1000.0)), 6)
+               AS score
+    FROM agg ORDER BY doc_id
+    """
+
+
+def q_quality_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from compute_histogram_spark.operators import classify as CLS
+
+    return CLS.linear_text_score(
+        load(spark, sf_dir, "documents"), CLS.demo_weights(spark)
+    )

@@ -91,3 +91,13 @@ def test_corpus_checksum_twin(spark, sf_dir, con):
 
     _check("corpus_checksum", q_corpus_checksum(spark, sf_dir), con,
            CORPUS_CHECKSUM_ORACLE)
+
+
+def test_quality_model_score_twin(spark, sf_dir, con):
+    from compute_histogram_spark.registry import (
+        QUALITY_MODEL_SCORE_ORACLE,
+        q_quality_model_score,
+    )
+
+    _check("quality_model_score", q_quality_model_score(spark, sf_dir),
+           con, QUALITY_MODEL_SCORE_ORACLE)
