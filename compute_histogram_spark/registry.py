@@ -3167,3 +3167,48 @@ def q_quality_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return CLS.linear_text_score(
         load(spark, sf_dir, "documents"), CLS.demo_weights(spark)
     )
+
+
+# Z-order (Morton) clustering key (sources/zorder.py:zorder_key) — the
+# layout family's staged twin: the oracle rebuilds the identical
+# 32-term shift/mask/or interleave over bounded integer inputs derived
+# from events (user_id and cents(value), both pmod-folded to 16 bits),
+# so every key is engine-exact integer arithmetic. The layout's
+# data-skipping property is separately MEASURED from written row-group
+# stats in tests/test_zorder.py.
+def _zorder_oracle() -> str:
+    terms = []
+    for j, col in enumerate(("u", "v")):
+        for i in range(16):
+            terms.append(f"((({col} >> {i}) & 1) << {i * 2 + j})")
+    expr = " | ".join(terms)
+    return f"""
+    WITH b AS (
+        SELECT event_id,
+               user_id % 65536 AS u,
+               ((CAST(round(value * 100) AS BIGINT) % 65536) + 65536)
+                   % 65536 AS v
+        FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+    )
+    SELECT event_id, CAST({expr} AS BIGINT) AS zkey
+    FROM b ORDER BY event_id
+    """
+
+
+ZORDER_KEY_ORACLE = _zorder_oracle()
+
+
+def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from compute_histogram_spark.operators.relational import cents
+    from compute_histogram_spark.sources.zorder import zorder_key
+
+    ev = load(spark, sf_dir, "events")
+    v = F.col("value")
+    b = ev.where(v.isNotNull() & ~F.isnan(v)).select(
+        "event_id",
+        (F.col("user_id") % 65536).alias("u"),
+        F.pmod(cents("value"), F.lit(65536)).cast("bigint").alias("v"),
+    )
+    return b.select(
+        "event_id", zorder_key(["u", "v"], 16).alias("zkey")
+    ).orderBy("event_id")

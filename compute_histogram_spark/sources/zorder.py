@@ -1,108 +1,111 @@
-"""Z-order (Morton-curve) clustered layout for multi-dimensional skipping.
+"""Z-order (Morton) clustering layout — multi-dimensional data skipping.
 
-Directory partitioning (bucketing.py) prunes on ONE low-cardinality column;
-range-sorting the files prunes on ONE ordered column. A query that filters
-two continuous dimensions at once (``WHERE x BETWEEN ... AND y BETWEEN ...``
-— the histogram_2d / pixel-box access pattern) gets no help from either: a
-layout sorted by x scatters every y range across all files. The standard
-warehouse answer is Z-ORDER clustering: map each row to the interleaved-bit
-Morton code of its (quantized) dimensions and range-partition the write on
-that code. Rows close in (x, y) land in the same files, so every file's
-parquet footer min/max covers a small RECTANGLE of the (x, y) plane and a
-box predicate overlaps only O(perimeter) files instead of all of them.
-Engines read the same files back with plain predicate pushdown — the layout
-is invisible to queries, it only makes row-group/file statistics selective.
+The third member of the layout family (bucketing.py: co-located joins;
+partitionBy: directory pruning): interleaving the bits of several
+columns into one sort key clusters rows so that a range predicate on
+ANY of the interleaved columns touches a small fraction of files /
+row groups — the property Delta's OPTIMIZE ZORDER and Iceberg's
+sort-order rewrite sell, built here from plain DataFrame ops:
 
-Everything here is JVM-side integer expression math (shift/mask Morton
-spreading — no UDFs); the quantization bounds come from one tiny min/max
-agg, the same planning-time scalar pull as the reference's two-pass bin
-scheme (main.py:54 min/max before binning).
+    key = interleave(bits of c1, c2, ...)      (pure JVM expressions)
+    repartitionByRange(n_files, key)           (one range exchange)
+    sortWithinPartitions(key) -> write         (tight row-group stats)
 
-At 100 TB: ``repartitionByRange(z)`` samples the z distribution and gives
-each output task an equal z-slice — balanced files regardless of data skew,
-one full shuffle at write time, amortized over every later box query (the
-identical trade bucketing makes for equi-joins).
+At 100 TB this is a write-once ingest/compaction decision exactly like
+bucketing: the range exchange is paid when the table is laid down, and
+every later scan with a predicate on any clustered column reads the
+min/max-pruned subset. The pruning property is asserted from the
+written files' parquet row-group statistics in tests/test_zorder.py —
+measured skipping, not a claim.
+
+Normalization: interleaving needs non-negative ints of fixed width.
+``minmax_normalize`` maps arbitrary numeric columns onto [0, 2^bits)
+with one global min/max aggregate (O(cols) driver scalars — the
+model-state collect class); already-bounded ints can skip it.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-# Morton spreading constants: 16-bit value -> its bits in the even
-# positions of a 32-bit word ("magic numbers" bit twiddling, public domain).
-_SPREAD = (
-    (8, 0x00FF00FF),
-    (4, 0x0F0F0F0F),
-    (2, 0x33333333),
-    (1, 0x55555555),
-)
+
+def zorder_key(cols: list[str | Column], bits: int = 16) -> Column:
+    """Morton-interleave ``bits`` low bits of each column (non-negative
+    ints) into one BIGINT: bit ``i`` of column ``j`` lands at position
+    ``i * n + j``. n * bits must fit a signed 64-bit key (<= 62).
+
+    Pure shift/mask/or arithmetic — whole-stage codegen, and simple
+    enough that a SQL twin replicates the key verbatim (the staged
+    ``zorder_key`` oracle builds the identical expression)."""
+    n = len(cols)
+    if n * bits > 62:
+        raise ValueError(f"{n} cols x {bits} bits exceeds a signed int64")
+    key = F.lit(0).cast("bigint")
+    for j, c in enumerate(cols):
+        col = F.col(c) if isinstance(c, str) else c
+        col = col.cast("bigint")
+        for i in range(bits):
+            key = key.bitwiseOR(
+                F.shiftleft(
+                    F.shiftright(col, i).bitwiseAND(F.lit(1)), i * n + j
+                )
+            )
+    return key
 
 
-def _spread16(c: Column) -> Column:
-    for shift, mask in _SPREAD:
-        c = (c.bitwiseOR(F.shiftleft(c, shift))).bitwiseAND(F.lit(mask))
-    return c
-
-
-def quantize16(c: Column, lo: float, hi: float) -> Column:
-    """Scale [lo, hi] to the 16-bit grid (clamped; degenerate range -> 0)."""
-    if hi <= lo:
-        return F.lit(0).cast("bigint")
-    scaled = (c.cast("double") - F.lit(lo)) / F.lit(hi - lo) * 65535.0
-    return F.least(
-        F.lit(65535), F.greatest(F.lit(0), scaled.cast("bigint"))
-    )
-
-
-def morton2(x: Column, y: Column) -> Column:
-    """Interleave two 16-bit quantized columns into the 32-bit Z-code."""
-    return _spread16(x).bitwiseOR(F.shiftleft(_spread16(y), 1))
-
-
-def zorder_code(
-    df: DataFrame, x_col: str, y_col: str, bounds: tuple[float, float, float, float]
-) -> Column:
-    xlo, xhi, ylo, yhi = bounds
-    return morton2(
-        quantize16(F.col(x_col), xlo, xhi), quantize16(F.col(y_col), ylo, yhi)
-    )
-
-
-def column_bounds(
-    df: DataFrame, x_col: str, y_col: str
-) -> tuple[float, float, float, float]:
-    """One tiny agg -> (xlo, xhi, ylo, yhi) quantization bounds (4 scalars
-    to the driver — planning-time, same as the reference's min/max pass)."""
-    r = df.agg(
-        F.min(x_col), F.max(x_col), F.min(y_col), F.max(y_col)
-    ).first()
-    return (float(r[0]), float(r[1]), float(r[2]), float(r[3]))
+def minmax_normalize(
+    df: DataFrame, cols: list[str], bits: int = 16
+) -> tuple[DataFrame, list[str]]:
+    """Add ``_z_<col>`` columns scaling each input onto [0, 2^bits) by
+    its global min/max (one aggregate, O(cols) scalars to the driver).
+    Ties at the max clamp to 2^bits - 1. Returns (df, normalized names)."""
+    aggs = []
+    for c in cols:
+        aggs += [F.min(c).alias(f"mn_{c}"), F.max(c).alias(f"mx_{c}")]
+    stats = df.agg(*aggs).collect()[0]
+    m = (1 << bits) - 1
+    out = df
+    names = []
+    for c in cols:
+        lo, hi = float(stats[f"mn_{c}"]), float(stats[f"mx_{c}"])
+        span = (hi - lo) or 1.0
+        name = f"_z_{c}"
+        out = out.withColumn(
+            name,
+            F.least(
+                F.lit(m),
+                F.floor(
+                    (F.col(c).cast("double") - F.lit(lo))
+                    / F.lit(span) * F.lit(m + 1)
+                ),
+            ).cast("bigint"),
+        )
+        names.append(name)
+    return out, names
 
 
 def write_zordered(
     df: DataFrame,
     path: str,
-    x_col: str,
-    y_col: str,
-    num_files: int = 16,
-    bounds: tuple[float, float, float, float] | None = None,
-) -> tuple[float, float, float, float]:
-    """Write ``df`` as parquet clustered on the Z-code of (x, y).
+    cols: list[str],
+    n_files: int = 16,
+    bits: int = 16,
+    normalize: bool = True,
+) -> None:
+    """Write ``df`` as parquet clustered by the Z-order of ``cols``.
 
-    ``repartitionByRange`` on the code yields one contiguous z-slice per
-    file; the code column itself is dropped before writing (derivable, and
-    keeping the files schema-identical to the input). Returns the bounds
-    used (persist them next to the table to z-order later appends onto the
-    same grid — appends quantized under different bounds would interleave
-    incompatibly).
-    """
-    b = bounds or column_bounds(df, x_col, y_col)
-    z = zorder_code(df, x_col, y_col, b).alias("__z")
+    One range exchange on the interleaved key (+ an in-partition sort
+    so row-group min/max stats stay tight), then the key is dropped —
+    the layout is invisible to readers except through their pruning."""
+    if normalize:
+        df, zcols = minmax_normalize(df, cols, bits)
+    else:
+        zcols = list(cols)
+    key = zorder_key(zcols, bits)
     (
-        df.select("*", z)
-        .repartitionByRange(num_files, F.col("__z"))
-        .drop("__z")
-        .write.mode("overwrite")
-        .parquet(path)
+        df.withColumn("_zkey", key)
+        .repartitionByRange(n_files, "_zkey")
+        .sortWithinPartitions("_zkey")
+        .drop("_zkey", *[c for c in zcols if c.startswith("_z_")])
+        .write.mode("overwrite").parquet(path)
     )
-    return b

@@ -101,3 +101,13 @@ def test_quality_model_score_twin(spark, sf_dir, con):
 
     _check("quality_model_score", q_quality_model_score(spark, sf_dir),
            con, QUALITY_MODEL_SCORE_ORACLE)
+
+
+def test_zorder_key_twin(spark, sf_dir, con):
+    from compute_histogram_spark.registry import (
+        ZORDER_KEY_ORACLE,
+        q_zorder_key,
+    )
+
+    _check("zorder_key", q_zorder_key(spark, sf_dir), con,
+           ZORDER_KEY_ORACLE)
