@@ -91,6 +91,7 @@ def linear_text_score(
     bias_milli: int = 0,
     text_col: str = "text",
     id_col: str = "doc_id",
+    ordered: bool = False,
 ) -> DataFrame:
     """Per-document linear score + sigmoid calibration.
 
@@ -102,27 +103,33 @@ def linear_text_score(
     fastText averages its input vectors, then the sigmoid maps to (0,1).
 
     -> (doc_id, n_features, logit_milli, score)
-    Plan: map -> broadcast join on the bucket-bounded weight table ->
+    Plan: map -> broadcast LEFT join on the bucket-bounded weight table
+    (missing buckets count as zero-weight features — a sparse trained
+    table must not shrink the n_features denominator; ADVICE r11) ->
     one doc-keyed hash agg; nothing driver-side, nothing data-scaled in
-    the build side."""
+    the build side. ``ordered=True`` adds a presentation sort for the
+    oracle/driver compare only — the pipeline-facing default is
+    unordered, so composed plans (score_filter) never inherit a range
+    exchange (the url_dedup precedent, r11)."""
     feats = hashed_features(docs, n_buckets, text_col, id_col)
-    j = feats.join(F.broadcast(weights), "bucket")
+    j = feats.join(F.broadcast(weights), "bucket", "left")
     agg = j.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_features"),
-        F.sum("w_milli").alias("sum_w_milli"),
+        F.sum(F.coalesce(F.col("w_milli"), F.lit(0))).alias("sum_w_milli"),
     )
     # mean milli-weight + bias, computed exactly; float enters only here
     logit_milli = (
         F.col("sum_w_milli") / F.col("n_features") + F.lit(bias_milli)
     )
-    return agg.select(
+    out = agg.select(
         id_col,
         F.col("n_features").cast("bigint").alias("n_features"),
         F.round(logit_milli, 6).alias("logit_milli"),
         F.round(
             1.0 / (1.0 + F.exp(-logit_milli / 1000.0)), 6
         ).alias("score"),
-    ).orderBy(id_col)
+    )
+    return out.orderBy(id_col) if ordered else out
 
 
 def score_filter(

@@ -343,7 +343,12 @@ def ngram_jaccard_pairs_arrow(
     )
     if max_df is not None:
         posts = posts.where(F.size("ds") <= max_df)
-    posts = posts.select("ds").localCheckpoint()
+    # lazy checkpoint: materializes ONCE at the first action and is
+    # reused by both consumers (sizes + pairs), but building the plan —
+    # plan_audit's shape gate, fn() construction — stays free (the r11
+    # eager form ran the shingle+postings job at DataFrame-build time,
+    # breaking the lazy contract; ADVICE r11).
+    posts = posts.select("ds").localCheckpoint(eager=False)
     sizes = (
         posts.select(F.explode("ds").alias("doc_id"))
         .groupBy("doc_id")

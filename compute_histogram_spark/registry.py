@@ -3165,7 +3165,8 @@ def q_quality_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     from compute_histogram_spark.operators import classify as CLS
 
     return CLS.linear_text_score(
-        load(spark, sf_dir, "documents"), CLS.demo_weights(spark)
+        load(spark, sf_dir, "documents"), CLS.demo_weights(spark),
+        ordered=True,  # presentation sort for the oracle compare only
     )
 
 

@@ -58,7 +58,12 @@ def minmax_normalize(
 ) -> tuple[DataFrame, list[str]]:
     """Add ``_z_<col>`` columns scaling each input onto [0, 2^bits) by
     its global min/max (one aggregate, O(cols) scalars to the driver).
-    Ties at the max clamp to 2^bits - 1. Returns (df, normalized names)."""
+    Ties at the max clamp to 2^bits - 1. NULL input values map to
+    bucket 0 (NULLs cluster together at the low corner rather than
+    silently riding least()'s null-skipping up to the max corner and
+    poisoning that region's row-group stats). An all-NULL column has
+    no min/max to normalize by and raises a clear error — the caller
+    should drop it from the clustering key. Returns (df, names)."""
     aggs = []
     for c in cols:
         aggs += [F.min(c).alias(f"mn_{c}"), F.max(c).alias(f"mx_{c}")]
@@ -67,18 +72,26 @@ def minmax_normalize(
     out = df
     names = []
     for c in cols:
+        if stats[f"mn_{c}"] is None or stats[f"mx_{c}"] is None:
+            raise ValueError(
+                f"cannot Z-order on all-NULL column {c!r}: no min/max "
+                "to normalize by — drop it from the clustering columns"
+            )
         lo, hi = float(stats[f"mn_{c}"]), float(stats[f"mx_{c}"])
         span = (hi - lo) or 1.0
         name = f"_z_{c}"
         out = out.withColumn(
             name,
-            F.least(
-                F.lit(m),
-                F.floor(
-                    (F.col(c).cast("double") - F.lit(lo))
-                    / F.lit(span) * F.lit(m + 1)
+            F.when(
+                F.col(c).isNotNull(),
+                F.least(
+                    F.lit(m),
+                    F.floor(
+                        (F.col(c).cast("double") - F.lit(lo))
+                        / F.lit(span) * F.lit(m + 1)
+                    ),
                 ),
-            ).cast("bigint"),
+            ).otherwise(F.lit(0)).cast("bigint"),
         )
         names.append(name)
     return out, names

@@ -71,3 +71,36 @@ def test_scale_shape_broadcast_weights_no_sort(spark, sf_dir):
     )
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_default_unordered_no_range_exchange(spark, sf_dir):
+    """ordered=False default (the url_dedup precedent): neither the
+    score table nor the composed score_filter gate may carry a range
+    exchange — plan-asserted, not left to EliminateSorts."""
+    from compute_histogram_spark.sources.tables import load
+
+    docs = load(spark, sf_dir, "documents")
+    w = CLS.demo_weights(spark)
+    for df in (
+        CLS.linear_text_score(docs, w),
+        CLS.score_filter(docs, w, threshold=0.5),
+    ):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "rangepartitioning" not in plan.lower(), plan
+
+
+def test_sparse_weights_keep_denominator(spark):
+    """Missing buckets are zero-weight features, not dropped ones: a
+    sparse trained table must not shrink n_features (ADVICE r11)."""
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text="alpha beta gamma alpha")]
+    )
+    empty_w = spark.range(0).select(
+        F.col("id").cast("int").alias("bucket"),
+        F.col("id").alias("w_milli"),
+    )
+    got = CLS.linear_text_score(docs, empty_w).collect()[0]
+    # 4 unigrams + 3 bigrams, all unmatched -> logit 0, score 0.5
+    assert got.n_features == 7
+    assert got.logit_milli == 0.0
+    assert got.score == 0.5

@@ -53,3 +53,43 @@ def test_compact_empty_dir_raises(spark, tmp_path):
     d.mkdir()
     with pytest.raises(ValueError):
         compact_parquet(spark, str(d), str(tmp_path / "o"))
+
+
+def test_compact_partitioned_layout_preserved(spark, tmp_path):
+    """Hive-partitioned (nested) datasets: recursive Hadoop-FS listing
+    finds the files, and the rewrite preserves the partition columns."""
+    src = str(tmp_path / "part_src")
+    dst = str(tmp_path / "part_dst")
+    spark.range(6000).select(
+        F.col("id"), (F.col("id") % 3).alias("k"),
+        F.sha2(F.col("id").cast("string"), 256).alias("pad"),
+    ).repartition(24).write.partitionBy("k").parquet(src)
+
+    files, total, _ = plan_compaction(src, target_mb=1, spark=spark)
+    assert len(files) > 3 and total > 0
+    assert all("k=" in f for f in files)
+
+    report = compact_parquet(spark, src, dst, target_mb=64)
+    assert report["rows"] == 6000
+    assert report["partition_columns"] == ["k"]
+    assert report["files_out"] < report["files_in"]
+    b = spark.read.parquet(dst)
+    assert sorted(b.columns) == ["id", "k", "pad"]
+    a = spark.read.parquet(src)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_compact_repartition_fallback_when_reader_packs(spark, tmp_path):
+    """When the reader packs the inputs into fewer splits than the
+    target file count, coalesce can't reach it — the rewrite must fall
+    back to repartition instead of silently writing oversized files."""
+    src = str(tmp_path / "tiny_src")
+    dst = str(tmp_path / "tiny_dst")
+    spark.range(50000).select(
+        F.col("id"), F.sha2(F.col("id").cast("string"), 256).alias("pad"),
+    ).coalesce(1).write.parquet(src)
+    # ~5 MB in one file; ask for ~1 MB files -> n_out > 1 read split
+    report = compact_parquet(spark, src, dst, target_mb=1)
+    assert report["strategy"] == "repartition"
+    assert report["files_out"] > 1
+    assert report["rows"] == 50000

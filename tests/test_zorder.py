@@ -51,6 +51,31 @@ def test_minmax_normalize_bounds(spark):
     assert all(0 <= v <= 255 for v in vals)
 
 
+def test_minmax_normalize_null_values_bucket_zero(spark):
+    """NULL input values map to bucket 0 (not least()'s null-skip to the
+    max corner); the normalized column is never NULL."""
+    df = spark.createDataFrame(
+        [Row(x=None), Row(x=0.0), Row(x=100.0), Row(x=None)],
+        "x double",
+    )
+    out, names = minmax_normalize(df, ["x"], bits=8)
+    rows = out.select("x", names[0]).collect()
+    for r in rows:
+        if r.x is None:
+            assert r[names[0]] == 0
+        else:
+            assert 0 <= r[names[0]] <= 255
+    assert all(r[names[0]] is not None for r in rows)
+
+
+def test_minmax_normalize_all_null_column_raises(spark):
+    import pytest
+
+    df = spark.createDataFrame([Row(x=None), Row(x=None)], "x double")
+    with pytest.raises(ValueError, match="all-NULL"):
+        minmax_normalize(df, ["x"], bits=8)
+
+
 def _overlap_fraction(path, col, lo, hi):
     """Fraction of row groups whose [min, max] for `col` intersects
     [lo, hi] — what a stats-pruning reader must touch."""
