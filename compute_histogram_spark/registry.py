@@ -236,13 +236,13 @@ def q_equi_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "paragraph_dedup",
-    # space as the separator: the synthetic corpus has no newlines, so
-    # "paragraphs" degenerate to words — same machinery, maximal
-    # duplication stress. Oracle partitions by the paragraph text itself;
-    # Spark partitions by md5(para) — identical keep decisions.
-    """
+# rotated out r12 (eighth wave, for the staged r11 twins) — driver-green
+# r05-r11; oracle kept verbatim for tests/test_rotated_out.py.
+# Space as the separator: the synthetic corpus has no newlines, so
+# "paragraphs" degenerate to words — same machinery, maximal
+# duplication stress. Oracle partitions by the paragraph text itself;
+# Spark partitions by md5(para) — identical keep decisions.
+PARAGRAPH_DEDUP_ORACLE = """
     WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
     p AS (
         SELECT doc_id, unnest(generate_series(1, len(toks))) AS pos, toks
@@ -260,8 +260,9 @@ def q_equi_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*) AS n_paras,
            CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
     FROM f GROUP BY doc_id HAVING n_kept > 0 ORDER BY doc_id
-    """,
-)
+    """
+
+
 def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # C4-style global first-occurrence paragraph dedup with document
     # reassembly (operators/dedup.py:paragraph_dedup). Replaced the
@@ -670,15 +671,15 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return W.sessionize(load(spark, sf_dir, "events"))
 
 
-@register(
-    "session_concurrency",
-    # rotated IN late r6 (third wave): the sweep-line load curve over the
-    # sessionized events — all-integer output (change-point micros +
-    # running active-session count), so the oracle is hash-exact. The
-    # Spark side computes the running sum per time BUCKET with a bounded
-    # bucket-prefix stitch (behavior.py docstring: no global sort);
-    # DuckDB's single-node global window is the oracle shape.
-    """
+# rotated IN late r6 (third wave); rotated out r12 (eighth wave) —
+# driver-green r06-r11; oracle kept verbatim for
+# tests/test_rotated_out.py. The sweep-line load curve over the
+# sessionized events — all-integer output (change-point micros +
+# running active-session count), so the oracle is hash-exact. The
+# Spark side computes the running sum per time BUCKET with a bounded
+# bucket-prefix stitch (behavior.py docstring: no global sort);
+# DuckDB's single-node global window is the oracle shape.
+SESSION_CONCURRENCY_ORACLE = """
     WITH t AS (SELECT user_id, event_id, epoch_us(ts) AS tsu FROM events),
     l AS (
         SELECT *, lag(tsu) OVER (PARTITION BY user_id ORDER BY tsu, event_id) AS prev
@@ -706,8 +707,9 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     g AS (SELECT ts_us, sum(d) AS d FROM d GROUP BY ts_us)
     SELECT ts_us, CAST(sum(d) OVER (ORDER BY ts_us) AS BIGINT) AS n_active
     FROM g ORDER BY ts_us
-    """,
-)
+    """
+
+
 def q_session_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     from compute_histogram_spark.operators import behavior as BH
 
@@ -2038,9 +2040,9 @@ def q_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "robust_outliers",
-    """
+# rotated out r12 (eighth wave) — driver-green r07-r11; oracle kept
+# verbatim for tests/test_rotated_out.py.
+ROBUST_OUTLIERS_ORACLE = """
     WITH clean AS (
         SELECT event_type AS "group", value AS x FROM events
         WHERE value IS NOT NULL AND NOT isnan(value)
@@ -2064,8 +2066,9 @@ def q_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS n_outliers
     FROM dev d JOIN mad md USING ("group")
     GROUP BY 1 ORDER BY 1
-    """,
-)
+    """
+
+
 def q_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     # median/MAD modified z-score outlier report per event_type
     # (operators/profile.py:robust_outliers) — group-bounded aggregations
@@ -2073,9 +2076,9 @@ def q_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return PR.robust_outliers(load(spark, sf_dir, "events"))
 
 
-@register(
-    "rolling_user_stats",
-    """
+# rotated out r12 (eighth wave) — driver-green r07-r11; oracle kept
+# verbatim for tests/test_rotated_out.py.
+ROLLING_USER_STATS_ORACLE = """
     WITH b AS (
         SELECT user_id, event_id, epoch_us(ts) AS tsu,
                CASE WHEN value IS NOT NULL AND NOT isnan(value)
@@ -2089,8 +2092,9 @@ def q_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     WINDOW w AS (PARTITION BY user_id ORDER BY tsu
                  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
     ORDER BY user_id, tsu, event_id
-    """,
-)
+    """
+
+
 def q_rolling_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # trailing-1h RANGE-frame per-user count/sum (operators/windows.py):
     # exact integer-micros frame bounds, integer-cents money sums.
@@ -2225,9 +2229,9 @@ def q_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.phrase_match(idx, "sort merge")
 
 
-@register(
-    "scd2_intervals",
-    """
+# rotated out r12 (eighth wave) — driver-green r07-r11; oracle kept
+# verbatim for tests/test_rotated_out.py.
+SCD2_INTERVALS_ORACLE = """
     WITH e AS (
         SELECT user_id, event_type, event_id, epoch_us(ts) AS tsu FROM events
     ),
@@ -2244,8 +2248,9 @@ def q_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
            lead(tsu) OVER (PARTITION BY user_id ORDER BY tsu, event_id) AS valid_to
     FROM runs
     ORDER BY user_id, valid_from
-    """,
-)
+    """
+
+
 def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     # gaps-and-islands SCD2 history of each user's event_type state
     # (temporal.py:scd2_intervals via user_state_history): per-key windows
@@ -2995,6 +3000,7 @@ CHUNK_DOCUMENTS_ORACLE = """
     """
 
 
+@register("chunk_documents", CHUNK_DOCUMENTS_ORACLE)  # rotated IN r12
 def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     from compute_histogram_spark.operators import pipeline as PL4
 
@@ -3026,6 +3032,7 @@ CONTAMINATION_ORACLE = f"""
     """.format(ctes=_SHINGLE_CTES)
 
 
+@register("contamination_report", CONTAMINATION_ORACLE)  # rotated IN r12
 def q_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from compute_histogram_spark.operators import pipeline as PL5
 
@@ -3057,6 +3064,7 @@ TOKEN_HLL_ORACLE = """
     """
 
 
+@register("token_hll", TOKEN_HLL_ORACLE)  # rotated IN r12
 def q_token_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     from compute_histogram_spark.functions.texthash import tokens as _toks
     from compute_histogram_spark.operators import sketches as SK2
@@ -3161,6 +3169,7 @@ QUALITY_MODEL_SCORE_ORACLE = """
     """
 
 
+@register("quality_model_score", QUALITY_MODEL_SCORE_ORACLE)  # rotated IN r12
 def q_quality_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     from compute_histogram_spark.operators import classify as CLS
 
@@ -3199,6 +3208,7 @@ def _zorder_oracle() -> str:
 ZORDER_KEY_ORACLE = _zorder_oracle()
 
 
+@register("zorder_key", ZORDER_KEY_ORACLE)  # rotated IN r12
 def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     from compute_histogram_spark.operators.relational import cents
     from compute_histogram_spark.sources.zorder import zorder_key

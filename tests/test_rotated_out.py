@@ -516,3 +516,59 @@ def test_doc_perplexity_backoff_oracle(spark, sf_dir, con):
     _check("doc_perplexity_backoff",
            q_doc_perplexity_backoff(spark, sf_dir), con,
            DOC_PERPLEXITY_BACKOFF_ORACLE)
+
+
+# --- eighth rotation wave (r12): paragraph_dedup / session_concurrency /
+# --- robust_outliers / rolling_user_stats / scd2_intervals swap out for
+# --- chunk_documents / contamination_report / token_hll /
+# --- quality_model_score / zorder_key; their full oracles continue here.
+
+
+def test_paragraph_dedup_oracle(spark, sf_dir, con):
+    from compute_histogram_spark.registry import (
+        PARAGRAPH_DEDUP_ORACLE,
+        q_paragraph_dedup,
+    )
+
+    _check("paragraph_dedup", q_paragraph_dedup(spark, sf_dir), con,
+           PARAGRAPH_DEDUP_ORACLE)
+
+
+def test_session_concurrency_oracle(spark, sf_dir, con):
+    from compute_histogram_spark.registry import (
+        SESSION_CONCURRENCY_ORACLE,
+        q_session_concurrency,
+    )
+
+    _check("session_concurrency", q_session_concurrency(spark, sf_dir),
+           con, SESSION_CONCURRENCY_ORACLE)
+
+
+def test_robust_outliers_oracle(spark, sf_dir, con):
+    from compute_histogram_spark.registry import (
+        ROBUST_OUTLIERS_ORACLE,
+        q_robust_outliers,
+    )
+
+    _check("robust_outliers", q_robust_outliers(spark, sf_dir), con,
+           ROBUST_OUTLIERS_ORACLE)
+
+
+def test_rolling_user_stats_oracle(spark, sf_dir, con):
+    from compute_histogram_spark.registry import (
+        ROLLING_USER_STATS_ORACLE,
+        q_rolling_user_stats,
+    )
+
+    _check("rolling_user_stats", q_rolling_user_stats(spark, sf_dir), con,
+           ROLLING_USER_STATS_ORACLE)
+
+
+def test_scd2_intervals_oracle(spark, sf_dir, con):
+    from compute_histogram_spark.registry import (
+        SCD2_INTERVALS_ORACLE,
+        q_scd2_intervals,
+    )
+
+    _check("scd2_intervals", q_scd2_intervals(spark, sf_dir), con,
+           SCD2_INTERVALS_ORACLE)

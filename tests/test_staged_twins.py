@@ -1,7 +1,13 @@
-"""Value-exact pins for the 8th-rotation staged-twin bank (r11): the
-DuckDB oracles live in registry.py as module constants, rotation-ready;
-these tests are the driver-gate stand-in until the names enter the
-50-entry window (the same arrangement every staged wave used)."""
+"""Value-exact pins for the staged-twin bank: the DuckDB oracles live in
+registry.py as module constants, rotation-ready; these tests are the
+driver-gate stand-in until the names enter the 50-entry window (the same
+arrangement every staged wave used).
+
+r12 status: five of the seven r11-staged twins rotated IN
+(chunk_documents, contamination_report, token_hll, quality_model_score,
+zorder_key — now driver-gated every round; their pins here stay as the
+sf0.001 fast check). The two spares (returned_item_customers,
+corpus_checksum) remain staged for the 9th rotation."""
 
 import os
 import sys
