@@ -148,3 +148,169 @@ def score_filter(
         docs, weights, n_buckets, text_col=text_col, id_col=id_col
     ).where(F.col("score") >= threshold).select(id_col)
     return docs.join(keep, id_col, "left_semi")
+
+
+# ---------------------------------------------------------------------------
+# Distributed training (r12, VERDICT r11 #3): the piece that turns the
+# scorer from plumbing-with-fixture-weights into the full CCNet/FineWeb
+# stage — a logistic regression over the SAME hashed features the scorer
+# applies, trained by full-batch gradient descent where each epoch is
+# ONE bucket-keyed aggregation over the (persisted) feature table.
+#
+# Scale shape per epoch, at any corpus size:
+#   1. score: broadcast join of the n_buckets-bounded weight table onto
+#      the persisted (doc, bucket, count) table + one doc-keyed agg;
+#   2. gradient: one doc-keyed join of the per-doc error scalars back
+#      onto the counts + one bucket-keyed agg -> <= n_buckets rows.
+# The ONLY driver-side state is the weight vector and per-epoch gradient
+# (n_buckets scalars each — the bounded model-state collect class every
+# sketch/centroid op in this repo uses). Nothing data-scaled ever leaves
+# the executors; feature hashing is computed once and persisted, so
+# epochs re-read a materialized columnar table, not the raw text.
+#
+# Determinism (the twin convention): the per-doc error and loss are
+# quantized to integer MICRO-units immediately after the (per-doc,
+# scalar, IEEE-deterministic) sigmoid, and every cross-row reduction is
+# an int64 SUM — order- and partitioning-independent, so the same data
+# gives the same weights on any cluster layout, and a NumPy twin
+# replicates training exactly (tests/test_classify.py).
+# ---------------------------------------------------------------------------
+
+
+def train_logistic(
+    docs: DataFrame,
+    n_buckets: int = DEFAULT_BUCKETS,
+    epochs: int = 8,
+    damping: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    label_col: str = "label",
+) -> tuple[DataFrame, int, list[float]]:
+    """Train fastText-style logistic weights on ``docs`` with a binary
+    ``label_col`` (0/1). Returns ``(weights, bias_milli, loss_history)``
+    where ``weights`` is the (bucket, w_milli) table ``linear_text_score``
+    consumes and ``loss_history`` holds the mean log-loss per epoch.
+
+    Model: p(doc) = sigmoid((mean feature milli-weight + bias) / 1000)
+    — exactly ``linear_text_score``'s forward pass, so the trained table
+    drops into ``score_filter`` unchanged.
+
+    Optimizer: a diagonal MAJORIZE-MINIMIZE step, not plain gradient
+    descent — the mean-normalized model is badly conditioned (the bias
+    sees the full error signal while each bucket weight sees it scaled
+    by c/n ~ 1e-2; one global learning rate either crawls on the weights
+    or oscillates on the bias — measured on the driver corpus before
+    this was adopted). Because each doc's feature vector is
+    L1-normalized (the c/n entries sum to exactly 1), the logistic
+    Hessian X'SX is majorized by the DIAGONAL matrix
+    diag(sum_d p(1-p) * c/n) — Jensen over the convex square — so
+    stepping each coordinate by damping * g/h with that h decreases the
+    loss monotonically for damping <= 1 even though thousands of
+    correlated coordinates move at once (raw diagonal Newton, curvature
+    sum(p(1-p) * (c/n)^2), was tried first and DIVERGED to all-1 scores:
+    it overshoots by ~n_features_per_doc). Each epoch accumulates g and
+    h in the same bucket-keyed aggregation; ``damping`` 0.8 splits the
+    majorization slack with the bias coordinate."""
+    spark = docs.sparkSession
+    # features hashed ONCE; counts persisted across epochs
+    feats = hashed_features(docs, n_buckets, text_col, id_col)
+    cnt = (
+        feats.groupBy(id_col, "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .persist()
+    )
+    doc_info = (
+        cnt.groupBy(id_col)
+        .agg(F.sum("c").alias("n"))
+        .join(docs.select(id_col, F.col(label_col).alias("y")), id_col)
+        .persist()
+    )
+    n_docs = doc_info.count()  # also materializes both persisted tables
+    if n_docs == 0:
+        raise ValueError("train_logistic: no labeled documents")
+
+    w = [0] * n_buckets  # milli-units, int
+    bias_milli = 0
+    history: list[float] = []
+    try:
+        for _ in range(epochs):
+            w_df = spark.createDataFrame(
+                [(b, wv) for b, wv in enumerate(w)], "bucket int, w_milli long"
+            )
+            scored = (
+                cnt.join(F.broadcast(w_df), "bucket", "left")
+                .groupBy(id_col)
+                .agg(
+                    F.sum(
+                        F.col("c") * F.coalesce(F.col("w_milli"), F.lit(0))
+                    ).alias("s_milli")
+                )
+            )
+            # per-doc scalars: logit -> p -> error/loss, quantized to
+            # integer micros the moment float enters
+            logit = (
+                (F.col("s_milli") / F.col("n") + F.lit(bias_milli)) / 1000.0
+            )
+            p = F.lit(1.0) / (F.lit(1.0) + F.exp(-logit))
+            p = F.least(F.lit(1.0 - 1e-9), F.greatest(F.lit(1e-9), p))
+            err = (
+                scored.join(doc_info, id_col)
+                .select(
+                    id_col,
+                    F.col("n"),
+                    F.round((p - F.col("y")) * 1e6).cast("long")
+                    .alias("err_micro"),
+                    F.round(p * (F.lit(1.0) - p) * 1e6).cast("long")
+                    .alias("hess_micro"),
+                    F.round(
+                        -(
+                            F.col("y") * F.log(p)
+                            + (F.lit(1.0) - F.col("y")) * F.log(F.lit(1.0) - p)
+                        )
+                        * 1e6
+                    ).cast("long").alias("loss_micro"),
+                )
+            ).persist()  # two consumers below; freed before the next epoch
+            # gradient + curvature: err joins back to counts doc-keyed,
+            # ONE bucket-keyed agg -> <= n_buckets rows (+ 3 scalar sums)
+            grad_rows = (
+                cnt.join(err, id_col)
+                .groupBy("bucket")
+                .agg(
+                    F.sum(
+                        F.round(
+                            F.col("err_micro") * F.col("c") / F.col("n")
+                        ).cast("long")
+                    ).alias("g_micro"),
+                    F.sum(
+                        F.round(
+                            F.col("hess_micro") * F.col("c") / F.col("n")
+                        ).cast("long")
+                    ).alias("h_micro"),
+                )
+                .collect()
+            )
+            sums = err.agg(
+                F.sum("err_micro").alias("ge"),
+                F.sum("hess_micro").alias("he"),
+                F.sum("loss_micro").alias("ls"),
+            ).collect()[0]
+            err.unpersist()
+            history.append(float(sums["ls"]) / 1e6 / n_docs)
+            # driver-side updates on n_buckets scalars: deterministic
+            # integer arithmetic only (the +1 guards empty curvature)
+            for r in grad_rows:
+                w[r["bucket"]] -= round(
+                    damping * 1000.0 * r["g_micro"] / (r["h_micro"] + 1)
+                )
+            bias_milli -= round(
+                damping * 1000.0 * sums["ge"] / (sums["he"] + 1)
+            )
+    finally:
+        cnt.unpersist()
+        doc_info.unpersist()
+
+    weights = spark.createDataFrame(
+        [(b, wv) for b, wv in enumerate(w)], "bucket int, w_milli long"
+    )
+    return weights, bias_milli, history
