@@ -466,7 +466,15 @@ def _bench_scale(
 
     import duckdb
 
+    from compute_histogram_spark.session import autoscale_shuffle
     from compute_histogram_spark.sources.tables import TABLES
+
+    # input-volume shuffle scaling (VERDICT r11 #4): a floor-guarded
+    # raise, so sf0.1/sf1/sf10 keep their historical 32 (their input is
+    # under the 128 MiB/partition knee) and only genuinely large tiles
+    # (sf100 probes) move the conf. Recorded so BENCH json shows the
+    # effective value.
+    shuffle_parts = autoscale_shuffle(spark, scale_dir)
 
     con = duckdb.connect()
     for t in TABLES:
@@ -558,6 +566,7 @@ def _bench_scale(
         "duckdb_total_s": d_total,
         "ratio": round(s_total / d_total, 3) if d_total else None,
         "n_both": len(both),
+        "shuffle_partitions": shuffle_parts,
         "queries": queries,
     }
     # floor-adjusted ratio: subtract each engine's fixed per-query floor

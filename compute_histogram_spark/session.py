@@ -94,3 +94,54 @@ def get_session(
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
+
+
+# ---------------------------------------------------------------------------
+# Input-volume shuffle scaling (r12, VERDICT r11 #4 — the sf100 OOM lesson)
+# ---------------------------------------------------------------------------
+
+# ~128 MiB of INPUT bytes per reduce partition: matches
+# spark.sql.files.maxPartitionBytes (so reduce tasks see roughly what map
+# tasks see) and keeps per-task aggregation state well under executor
+# memory at any scale. At the sf100 probe this yields ~136 partitions for
+# 17 GB of parquet — the regime where the static 32 put ~1 GB of ngram
+# postings group state against ~150 MB of per-task agg memory and OOM'd
+# (BASELINE.md r11 harness finding).
+BYTES_PER_SHUFFLE_PARTITION = 128 * 1024 * 1024
+
+
+def shuffle_partitions_for_bytes(
+    input_bytes: int, floor: int, cap: int = 4096
+) -> int:
+    """Pure sizing rule: one reduce partition per ~128 MiB of input,
+    never below ``floor`` (the session/env setting — small data keeps
+    the tuned low count; the driver bench at sf0.1 is unchanged by
+    construction), never above ``cap`` (a runaway-input guard; at 100 TB
+    the cluster conf, not this local heuristic, sets the real count)."""
+    import math
+
+    return max(floor, min(cap, math.ceil(
+        input_bytes / BYTES_PER_SHUFFLE_PARTITION
+    )))
+
+
+def autoscale_shuffle(spark: SparkSession, path: str, cap: int = 4096) -> int:
+    """Scale ``spark.sql.shuffle.partitions`` with the volume under
+    ``path`` (a dataset directory), via Hadoop FileSystem metadata —
+    O(files) driver scalars on any URI scheme, no data read.
+
+    SQL confs are resolved at ACTION time, so calling this after plans
+    are built but before they run still takes effect. The env knob
+    (SPARK_GRAFT_SHUFFLE) and explicit session settings act as the
+    FLOOR — autoscaling only ever raises the count when the input
+    demands it, so every small-scale benchmark number is untouched
+    (the conf only moves above ~4 GB of input at the default floor
+    of 32)."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    total = fs.getContentSummary(jpath).getLength() if fs.exists(jpath) else 0
+    floor = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    n = shuffle_partitions_for_bytes(total, floor, cap)
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    return n

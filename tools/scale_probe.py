@@ -70,12 +70,16 @@ def main() -> None:
     duck_timeout = float(sys.argv[2]) if len(sys.argv) > 2 else 600.0
     probe = sys.argv[3:] or PROBE
 
-    from compute_histogram_spark.session import get_session
+    from compute_histogram_spark.session import autoscale_shuffle, get_session
     from compute_histogram_spark import registry
     from bench import LOCAL_ORACLES, LOCAL_QUERIES
 
     spark = get_session("scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
+    # the sf100 OOM lesson made automatic (VERDICT r11 #4): shuffle
+    # partitions scale with the probe dir's input volume (17 GB -> ~136)
+    # instead of requiring the SPARK_GRAFT_SHUFFLE env knob
+    print("shuffle_partitions:", autoscale_shuffle(spark, scale_dir))
 
     def materialize(df):
         df.write.format("noop").mode("overwrite").save()
