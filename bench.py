@@ -683,20 +683,23 @@ def main() -> None:
     if os.environ.get("SPARK_GRAFT_BENCH_EXT"):
         _bench_set(spark, sf_dir, _ext_queries(), ext, errors)
 
+    # HEADLINE = the MIXED (order-randomized, dual-state) reading since
+    # r12 (VERDICT r11 #6): tracking only the back-to-back fresh number
+    # invites optimizing for an unrepresentative max-locality state (the
+    # r9 JVM-aging finding: kernels age ~1.5x in opposite directions).
+    # The fresh totals stay under fresh_* for r01-r11 comparability.
     out = {
-        "metric": "headline_queries_warm_total",
-        "value": round(sum(times.values()), 3),
+        "metric": "mixed_queries_warm_total",
+        "value": round(sum(mixed.values()), 3) if mixed
+        else round(sum(times.values()), 3),
         "unit": "sec",
-        "queries": times,
+        "queries": mixed or times,
+        "fresh_total": round(sum(times.values()), 3),
+        "fresh_queries": times,
         "sf": sf,
         "n_ok": len(times),
         "n_err": len(errors),
     }
-    if mixed:
-        # the aging-robust companion reading (order-randomized passes);
-        # the headline `value` stays back-to-back for r01 comparability
-        out["mixed_total"] = round(sum(mixed.values()), 3)
-        out["mixed_queries"] = mixed
     if ext:
         out["ext"] = ext
     if errors:

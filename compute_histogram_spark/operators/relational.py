@@ -540,6 +540,122 @@ def local_supplier_revenue_bucketed(
     )
 
 
+def _region_star_bucketed(spark, orders_table, customer_table, region, nation):
+    """Shared prefix of the custkey-layout star aggs (r12, the layout
+    attack on the sf10 orders-star weak class — VERDICT r11 #2): orders
+    and customer co-bucketed on custkey (sources/bucketing.py:
+    write_custkey_layout) make BOTH the per-customer pre-aggregation and
+    the customer join bucket-local — zero fact-side Exchange; the only
+    shuffle left is the bounded post-dim aggregate (≤ |nations| groups).
+    Value-identical to the raw-parquet plans (same oracles)."""
+    orders = spark.table(orders_table)
+    customer = spark.table(customer_table)
+    return (
+        _orders_per_customer(orders)
+        .join(customer, F.col("o_custkey") == customer["c_custkey"])
+        .join(F.broadcast(nation), customer["c_nationkey"] == nation["n_nationkey"])
+        .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
+    )
+
+
+def region_revenue_bucketed(
+    spark, orders_table: str, customer_table: str,
+    region: DataFrame, nation: DataFrame,
+) -> DataFrame:
+    """:func:`region_revenue` on the write-once custkey fact layout."""
+    return (
+        _region_star_bucketed(spark, orders_table, customer_table, region, nation)
+        .groupBy("r_name", "n_name")
+        .agg(
+            (F.sum("rev_c") / 100.0).alias("revenue"),
+            F.sum("n_o").alias("n_orders"),
+        )
+        .orderBy("r_name", "n_name")
+    )
+
+
+def rollup_revenue_bucketed(
+    spark, orders_table: str, customer_table: str,
+    region: DataFrame, nation: DataFrame,
+) -> DataFrame:
+    """:func:`rollup_revenue` on the write-once custkey fact layout."""
+    return (
+        _region_star_bucketed(spark, orders_table, customer_table, region, nation)
+        .rollup("r_name", "n_name")
+        .agg(
+            (F.sum("rev_c") / 100.0).alias("revenue"),
+            F.sum("n_o").alias("n_orders"),
+        )
+        .select(
+            F.coalesce("r_name", F.lit("ALL")).alias("r_name"),
+            F.coalesce("n_name", F.lit("ALL")).alias("n_name"),
+            "revenue",
+            "n_orders",
+        )
+        .orderBy("r_name", "n_name")
+    )
+
+
+def shipping_priority_bucketed(
+    spark,
+    orders_table: str,
+    lineitem_table: str,
+    customer: DataFrame,
+    segment: str = "BUILDING",
+    cutoff: str = "1998-01-01",
+    k: int = 10,
+) -> DataFrame:
+    """:func:`shipping_priority` on the orderkey fact layout (the SAME
+    write-once tables Q5 uses — write_q5_layout): the lineitem revenue
+    pre-aggregation (groupBy l_orderkey) runs bucket-local, the
+    orders⋈lineitem join is co-bucketed and co-sorted, and the segment
+    dim broadcasts — zero Exchange anywhere (top-k is TakeOrdered, no
+    sort shuffle). Plan-asserted in tests/test_bucketing.py."""
+    orders = spark.table(orders_table)
+    lineitem = spark.table(lineitem_table)
+    cust = customer.where(F.col("c_mktsegment") == segment).select("c_custkey")
+    ords = orders.where(F.col("o_orderdate") < F.lit(cutoff).cast("timestamp"))
+    disc_pc = cents("l_extendedprice") * (100 - cents("l_discount"))
+    li = (
+        lineitem.where(F.col("l_shipdate") > F.lit(cutoff).cast("timestamp"))
+        .groupBy("l_orderkey")
+        .agg(F.sum(disc_pc).alias("rev_pc"))
+    )
+    j = ords.join(F.broadcast(cust), ords["o_custkey"] == cust["c_custkey"]).join(
+        li, ords["o_orderkey"] == li["l_orderkey"]
+    )
+    return (
+        j.select(
+            "l_orderkey",
+            "o_orderdate",
+            "o_orderpriority",
+            (F.col("rev_pc") / 10000.0).alias("revenue"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(k)
+    )
+
+
+def late_order_priority_bucketed(
+    spark, orders_table: str, lineitem_table: str
+) -> DataFrame:
+    """:func:`late_order_priority` on the orderkey fact layout: the
+    max-shipdate pre-aggregation and the equi-join are both bucket-local
+    — the only Exchange left is the final |priorities|-group aggregate."""
+    orders = spark.table(orders_table)
+    lineitem = spark.table(lineitem_table)
+    last_ship = lineitem.groupBy("l_orderkey").agg(
+        F.max("l_shipdate").alias("max_ship")
+    )
+    j = orders.join(last_ship, orders["o_orderkey"] == last_ship["l_orderkey"])
+    return (
+        j.where(F.col("max_ship") > F.col("o_orderdate"))
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
 def promo_revenue_share(
     part: DataFrame,
     lineitem: DataFrame,

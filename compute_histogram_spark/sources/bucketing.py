@@ -66,10 +66,50 @@ def write_q5_layout(
     database: str | None = None,
 ) -> tuple[str, str]:
     """Write orders + lineitem as same-bucketed, key-sorted catalog tables
-    for exchange-free orderkey joins (the Q5 star layout). Idempotent per
-    (sf_dir, buckets): returns the existing tables when already built, so
-    the one-time pre-shuffle amortizes across every downstream run —
-    the production claim this layout exists to make.
+    for exchange-free ORDERKEY joins (the Q5 star layout — also serves
+    shipping_priority/Q3 and late_order_priority/Q4, whose fact join and
+    pre-aggregation both key on orderkey)."""
+    names = write_layout(
+        spark, sf_dir,
+        (("orders", "o_orderkey"), ("lineitem", "l_orderkey")),
+        buckets, database,
+    )
+    return names["orders"], names["lineitem"]
+
+
+def write_custkey_layout(
+    spark: SparkSession,
+    sf_dir: str,
+    buckets: int = 32,
+    database: str | None = None,
+) -> tuple[str, str]:
+    """orders + customer same-bucketed on CUSTKEY (r12, the layout attack
+    on the orders-star weak class): the per-customer pre-aggregation
+    (groupBy o_custkey) runs bucket-local AND the customer join is
+    co-bucketed, so region_revenue/rollup_revenue/top_customers plans
+    carry ZERO fact-side Exchange — only the bounded post-dim aggregate
+    shuffles (≤ |nations| rows)."""
+    names = write_layout(
+        spark, sf_dir,
+        (("orders", "o_custkey"), ("customer", "c_custkey")),
+        buckets, database,
+    )
+    return names["orders"], names["customer"]
+
+
+def write_layout(
+    spark: SparkSession,
+    sf_dir: str,
+    tables_keys: tuple[tuple[str, str], ...],
+    buckets: int = 32,
+    database: str | None = None,
+) -> dict[str, str]:
+    """Write the given (table, bucket_key) pairs as same-bucketed,
+    key-sorted catalog tables for exchange-free equi-joins/groupBys on
+    the key. Idempotent per (sf_dir, key, buckets): returns the existing
+    tables when already built, so the one-time pre-shuffle amortizes
+    across every downstream run — the production claim this layout
+    exists to make.
 
     ``repartition(buckets, key)`` before the bucketed write gives exactly
     ONE file per bucket, which is the condition Spark requires to trust
@@ -80,12 +120,12 @@ def write_q5_layout(
 
     from compute_histogram_spark.sources.tables import load
 
-    tag = hashlib.md5(
-        f"{os.path.abspath(sf_dir)}:{buckets}".encode()
-    ).hexdigest()[:10]
     db = database or spark.catalog.currentDatabase()
     names = {}
-    for tbl, key in (("orders", "o_orderkey"), ("lineitem", "l_orderkey")):
+    for tbl, key in tables_keys:
+        tag = hashlib.md5(
+            f"{os.path.abspath(sf_dir)}:{key}:{buckets}".encode()
+        ).hexdigest()[:10]
         name = f"{db}.{tbl}_bk_{tag}"
         names[tbl] = name
         if spark.catalog.tableExists(name):
@@ -140,4 +180,4 @@ def write_q5_layout(
             .sortBy(key)
             .saveAsTable(name)
         )
-    return names["orders"], names["lineitem"]
+    return names

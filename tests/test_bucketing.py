@@ -199,3 +199,86 @@ def test_q5_layout_reregisters_complete_prior_layout(spark, sf_dir, tmp_path):
         assert "Sort [" not in jplan, jplan
     finally:
         spark.catalog.setCurrentDatabase("default")
+
+
+def test_custkey_layout_star_aggs_plan_and_values(spark, sf_dir, tmp_path):
+    """The r12 layout attack on the orders-star weak class: on the
+    custkey layout, region_revenue/rollup_revenue plan with ZERO
+    custkey Exchange (pre-agg bucket-local, customer join co-bucketed)
+    and match the raw-parquet plans value-exact."""
+    from compute_histogram_spark.operators import relational as R
+
+    spark.sql(
+        f"CREATE DATABASE IF NOT EXISTS cktest LOCATION '{tmp_path / 'wh'}'"
+    )
+    spark.catalog.setCurrentDatabase("cktest")
+    try:
+        ot, ct = B.write_custkey_layout(spark, sf_dir, buckets=8)
+        assert B.write_custkey_layout(spark, sf_dir, buckets=8) == (ot, ct)
+        region = load(spark, sf_dir, "region")
+        nation = load(spark, sf_dir, "nation")
+
+        for bucketed, raw in (
+            (
+                R.region_revenue_bucketed(spark, ot, ct, region, nation),
+                R.region_revenue(
+                    region, nation, load(spark, sf_dir, "customer"),
+                    load(spark, sf_dir, "orders"),
+                ),
+            ),
+            (
+                R.rollup_revenue_bucketed(spark, ot, ct, region, nation),
+                R.rollup_revenue(
+                    region, nation, load(spark, sf_dir, "customer"),
+                    load(spark, sf_dir, "orders"),
+                ),
+            ),
+        ):
+            assert bucketed.collect() == raw.collect()
+            # layout property pinned with the size-based broadcast OFF
+            # (the dim hints still apply): no custkey re-shuffle anywhere
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            try:
+                plan = _plan(bucketed)
+            finally:
+                spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+            assert "Exchange hashpartitioning(o_custkey" not in plan, plan
+            assert "Exchange hashpartitioning(c_custkey" not in plan, plan
+    finally:
+        spark.catalog.setCurrentDatabase("default")
+
+
+def test_orderkey_layout_q3_q4_plan_and_values(spark, sf_dir, tmp_path):
+    """shipping_priority / late_order_priority on the SAME write-once
+    orderkey layout Q5 uses: value-exact vs the raw plans, zero orderkey
+    Exchange (pre-agg and fact join both bucket-local)."""
+    from compute_histogram_spark.operators import relational as R
+
+    spark.sql(
+        f"CREATE DATABASE IF NOT EXISTS oktest LOCATION '{tmp_path / 'wh'}'"
+    )
+    spark.catalog.setCurrentDatabase("oktest")
+    try:
+        ot, lt = B.write_q5_layout(spark, sf_dir, buckets=8)
+        customer = load(spark, sf_dir, "customer")
+        orders = load(spark, sf_dir, "orders")
+        lineitem = load(spark, sf_dir, "lineitem")
+
+        b3 = R.shipping_priority_bucketed(spark, ot, lt, customer)
+        r3 = R.shipping_priority(customer, orders, lineitem)
+        assert b3.collect() == r3.collect()
+
+        b4 = R.late_order_priority_bucketed(spark, ot, lt)
+        r4 = R.late_order_priority(orders, lineitem)
+        assert b4.collect() == r4.collect()
+
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            p3, p4 = _plan(b3), _plan(b4)
+        finally:
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        for plan in (p3, p4):
+            assert "Exchange hashpartitioning(l_orderkey" not in plan, plan
+            assert "Exchange hashpartitioning(o_orderkey" not in plan, plan
+    finally:
+        spark.catalog.setCurrentDatabase("default")
