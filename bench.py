@@ -105,6 +105,20 @@ LOCAL_QUERIES = {
     "local_supplier_revenue_layout": lambda spark, d: _q5_layout_served(
         spark, d
     ),
+    # r12: the layout attack widened to the rest of the scan-agg weak
+    # class (VERDICT r11 #2) — same write-once amortization claim
+    "region_revenue_layout": lambda spark, d: _custkey_layout_served(
+        spark, d, "region"
+    ),
+    "rollup_revenue_layout": lambda spark, d: _custkey_layout_served(
+        spark, d, "rollup"
+    ),
+    "shipping_priority_layout": lambda spark, d: _orderkey_layout_served(
+        spark, d, "q3"
+    ),
+    "late_order_priority_layout": lambda spark, d: _orderkey_layout_served(
+        spark, d, "q4"
+    ),
 }
 
 # DuckDB twins of the four local queries (the r01 registry oracle SQL,
@@ -188,6 +202,15 @@ LOCAL_ORACLES = {
         "local_supplier_revenue"
     ],
 }
+# r12 layout rows answer the same queries as their raw forms — each
+# DuckDB twin is the base oracle (DuckDB reads ITS best layout, raw
+# parquet; both engines serve the identical result)
+LOCAL_ORACLES["region_revenue_layout"] = LOCAL_ORACLES["region_revenue"]
+LOCAL_ORACLES["rollup_revenue_layout"] = LOCAL_ORACLES["rollup_revenue"]
+LOCAL_ORACLES["shipping_priority_layout"] = registry.SHIPPING_PRIORITY_ORACLE
+LOCAL_ORACLES["late_order_priority_layout"] = LOCAL_ORACLES[
+    "late_order_priority"
+]
 
 HEADLINE = [
     "histogram_linear",
@@ -270,6 +293,41 @@ def _q5_layout_served(s, d):
         load(s, d, "region"), load(s, d, "nation"),
         load(s, d, "customer"), load(s, d, "supplier"),
     )
+
+
+def _custkey_layout_served(s, d, which):
+    """region/rollup revenue on the write-once custkey layout (orders +
+    customer co-bucketed on custkey): the per-customer pre-agg and the
+    customer join run bucket-local — zero fact-side Exchange. The cold
+    (untimed) run writes the layout; warm runs measure the query."""
+    from compute_histogram_spark.sources import bucketing as BK
+
+    key = ("cklayout", d)
+    if key not in _IDX_CACHE:
+        db = "bench_ck_" + hashlib.md5(d.encode()).hexdigest()[:10]
+        s.sql(f"CREATE DATABASE IF NOT EXISTS {db} LOCATION '/tmp/{db}_wh'")
+        _IDX_CACHE[key] = BK.write_custkey_layout(s, d, buckets=32, database=db)
+    ot, ct = _IDX_CACHE[key]
+    fn = (R.region_revenue_bucketed if which == "region"
+          else R.rollup_revenue_bucketed)
+    return fn(s, ot, ct, load(s, d, "region"), load(s, d, "nation"))
+
+
+def _orderkey_layout_served(s, d, which):
+    """Q3/Q4 on the SAME write-once orderkey layout Q5 uses (shared
+    _IDX_CACHE key, so one layout write serves all three queries —
+    exactly how a warehouse amortizes its fact layout)."""
+    from compute_histogram_spark.sources import bucketing as BK
+
+    key = ("q5layout", d)
+    if key not in _IDX_CACHE:
+        db = "bench_q5_" + hashlib.md5(d.encode()).hexdigest()[:10]
+        s.sql(f"CREATE DATABASE IF NOT EXISTS {db} LOCATION '/tmp/{db}_wh'")
+        _IDX_CACHE[key] = BK.write_q5_layout(s, d, buckets=32, database=db)
+    ot, lt = _IDX_CACHE[key]
+    if which == "q3":
+        return R.shipping_priority_bucketed(s, ot, lt, load(s, d, "customer"))
+    return R.late_order_priority_bucketed(s, ot, lt)
 
 
 def _ivfpq_index_served(s, d):
@@ -636,11 +694,17 @@ def _bench_sf10(spark, out: dict) -> None:
         SF10_QUERIES,
         float(os.environ.get("SPARK_GRAFT_SF10_BUDGET_S", "1800")),
         spark_only=SF10_SPARK_ONLY,
-        # Q5 on the bucketed fact layout (r8): same result + same DuckDB
-        # twin as local_supplier_revenue; the layout write is the untimed
-        # cold run (_q5_layout_served). Extra (not totaled): it would
-        # double-count Q5 in the trend ratio.
-        extra_names=("local_supplier_revenue_layout",),
+        # Layout-served variants (r8 Q5; r12 widened to the scan-agg weak
+        # class): same results + same DuckDB twins as the raw forms; the
+        # layout writes are the untimed cold runs. Extra (not totaled):
+        # they would double-count their queries in the trend ratio.
+        extra_names=(
+            "local_supplier_revenue_layout",
+            "region_revenue_layout",
+            "rollup_revenue_layout",
+            "shipping_priority_layout",
+            "late_order_priority_layout",
+        ),
     )
     # r08-r10 comparability: the old 5-query trend totals, recomputed
     # from the same per-query rows
