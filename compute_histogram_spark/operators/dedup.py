@@ -769,3 +769,45 @@ def semantic_dedup(
         .repartition(F.col("vec_id"))
         .orderBy("vec_id")
     )
+
+
+def normalize_text(col: str | F.Column = "text") -> F.Column:
+    """C4/CCNet-style normalization expression: lowercase, strip every
+    character outside [a-z0-9 ], collapse whitespace runs, trim. Pure
+    JVM regex (simple character classes only — semantics identical in
+    Java regex and DuckDB's RE2, which is what makes the normalized
+    dedup twin value-exact)."""
+    c = F.col(col) if isinstance(col, str) else col
+    c = F.lower(c)
+    c = F.regexp_replace(c, "[^a-z0-9 ]", "")
+    c = F.regexp_replace(c, "  +", " ")
+    return F.trim(c)
+
+
+def normalized_dedup(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup over NORMALIZED text — the C4 preprocessing stage
+    that catches casing/punctuation-only near-copies content hashing
+    misses (the same class of invisible duplicates url_dedup catches
+    for crawls). Map (normalize + hash) then ONE hash shuffle; payload
+    text never rides the exchange.
+
+    -> (doc_id, n_copies, n_norm_chars), one row per distinct
+    normalized content, kept id = min."""
+    norm = normalize_text(text_col)
+    return (
+        docs.select(
+            F.sha2(norm, 256).alias("h"),
+            F.length(norm).alias("n_norm_chars"),
+            F.col(id_col),
+        )
+        .groupBy("h")
+        .agg(
+            F.min(id_col).alias(id_col),
+            F.count(F.lit(1)).alias("n_copies"),
+            F.first("n_norm_chars").alias("n_norm_chars"),
+        )
+        .select(id_col, "n_copies", "n_norm_chars")
+        .orderBy(id_col)
+    )

@@ -948,3 +948,72 @@ def text_profile_arrow(docs: DataFrame) -> DataFrame:
         "avg_token_len double, stopword_ratio double, "
         "quality_score double, n_bpe_tokens bigint, lang_pred string",
     )
+
+
+def token_entropy_per_lang(docs: DataFrame) -> DataFrame:
+    """Shannon entropy of each language's token distribution — the
+    corpus-diversity diagnostic mixing decisions read (a collapsing
+    distribution is the first symptom of dedup/filter over-pruning).
+
+    H = ln(N) - (sum c*ln c)/N over per-(lang, token) counts c: two
+    bounded aggregations (token-keyed, then lang-keyed). Float enters
+    only in ln(c); the cross-engine float-sum hazard is handled the
+    doc_perplexity way — the FINAL value rounds to 6, far above the
+    ~1e-12 partial-sum reorder noise (pinned value-exact vs the DuckDB
+    twin, registry.TOKEN_ENTROPY_ORACLE).
+
+    -> (lang, n_tokens, n_distinct, entropy)"""
+    from compute_histogram_spark.functions.texthash import tokens
+
+    cnt = (
+        docs.select("lang", F.explode(tokens("text")).alias("t"))
+        .groupBy("lang", "t")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return (
+        cnt.groupBy("lang")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.sum(F.col("c") * F.log("c")).alias("clnc"),
+        )
+        .select(
+            "lang",
+            "n_tokens",
+            "n_distinct",
+            F.round(
+                F.log("n_tokens") - F.col("clnc") / F.col("n_tokens"), 6
+            ).alias("entropy"),
+        )
+        .orderBy("lang")
+    )
+
+
+def idf_top_terms(docs: DataFrame, k: int = 25) -> DataFrame:
+    """The k most document-frequent terms with their smoothed IDF —
+    the weight table a tf-idf retrieval stage broadcasts (BM25's idf
+    cousin; operators/text.py:bm25_topk shares the df aggregation).
+
+    df counts DISTINCT docs per token (set semantics, not occurrences);
+    idf = ln(N / df) rounded 6 (single ln per row, no float sums).
+    Deterministic top-k: (df DESC, token ASC) — compiles to
+    TakeOrderedAndProject, no global sort.
+
+    -> (token, df, idf)"""
+    from compute_histogram_spark.functions.texthash import tokens
+
+    n_docs = docs.count()  # one scalar to the driver (model-state class)
+    df_tbl = (
+        docs.select("doc_id", F.explode(tokens("text")).alias("t"))
+        .groupBy("t")
+        .agg(F.count_distinct("doc_id").alias("df"))
+    )
+    return (
+        df_tbl.select(
+            F.col("t").alias("token"),
+            "df",
+            F.round(F.log(F.lit(float(n_docs)) / F.col("df")), 6).alias("idf"),
+        )
+        .orderBy(F.desc("df"), F.asc("token"))
+        .limit(k)
+    )

@@ -3223,3 +3223,81 @@ def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     return b.select(
         "event_id", zorder_key(["u", "v"], 16).alias("zkey")
     ).orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
+# Staged-twin bank refill for the 9th rotation (r12): three NEW operators
+# with value-exact DuckDB twins, pytest-pinned in tests/test_staged_twins.py
+# until they enter the window (joining the two r11 spares
+# returned_item_customers / corpus_checksum -> bank of five).
+# ---------------------------------------------------------------------------
+
+# Per-language token-distribution entropy (operators/text.py:
+# token_entropy_per_lang) — H = ln(N) - sum(c ln c)/N over (lang, token)
+# counts; the only floats are ln() terms and the final round-6 (the
+# doc_perplexity float-determinism precedent).
+TOKEN_ENTROPY_ORACLE = """
+    WITH tok AS (
+        SELECT lang, unnest(string_split(text, ' ')) AS t FROM documents
+    ),
+    c AS (SELECT lang, t, count(*) AS c FROM tok GROUP BY lang, t)
+    SELECT lang,
+           CAST(sum(c) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS n_distinct,
+           round(ln(sum(c)) - sum(c * ln(c)) / sum(c), 6) AS entropy
+    FROM c GROUP BY lang ORDER BY lang
+    """
+
+
+def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TX.token_entropy_per_lang(load(spark, sf_dir, "documents"))
+
+
+# C4-style normalized-text dedup (operators/dedup.py:normalized_dedup) —
+# lower + [^a-z0-9 ] strip + whitespace collapse use only simple regex
+# character classes, semantics identical in Java regex and DuckDB RE2;
+# the oracle groups by the normalized STRING where the engine groups by
+# sha2(normalized) — identical keep decisions absent a digest collision
+# (the same equivalence every digest-keyed twin in this file rests on).
+NORMALIZED_DEDUP_ORACLE = """
+    WITH n AS (
+        SELECT doc_id,
+               trim(regexp_replace(regexp_replace(
+                   lower(text), '[^a-z0-9 ]', '', 'g'), '  +', ' ', 'g'))
+                   AS nt
+        FROM documents
+    )
+    SELECT min(doc_id) AS doc_id,
+           count(*) AS n_copies,
+           CAST(any_value(length(nt)) AS BIGINT) AS n_norm_chars
+    FROM n GROUP BY nt ORDER BY doc_id
+    """
+
+
+def q_normalized_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return DD.normalized_dedup(load(spark, sf_dir, "documents"))
+
+
+# Smoothed-IDF top terms (operators/text.py:idf_top_terms) — DISTINCT
+# (doc, token) then token-keyed count; idf = ln(N/df) is one ln per
+# output row (no float sums at all); top-k is deterministic on
+# (df DESC, token ASC) and compiles to TakeOrderedAndProject.
+IDF_TOP_TERMS_ORACLE = """
+    WITH tok AS (
+        SELECT DISTINCT doc_id, t FROM (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS t
+            FROM documents
+        )
+    ),
+    d AS (SELECT t AS token, count(*) AS df FROM tok GROUP BY t),
+    n AS (SELECT count(*) AS n FROM documents)
+    SELECT token, CAST(df AS BIGINT) AS df,
+           round(ln(n * 1.0 / df), 6) AS idf
+    FROM d, n
+    ORDER BY df DESC, token
+    LIMIT 25
+    """
+
+
+def q_idf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TX.idf_top_terms(load(spark, sf_dir, "documents"))

@@ -117,3 +117,60 @@ def test_zorder_key_twin(spark, sf_dir, con):
 
     _check("zorder_key", q_zorder_key(spark, sf_dir), con,
            ZORDER_KEY_ORACLE)
+
+
+# --- r12 bank refill: three new operators staged for the 9th rotation ---
+
+
+def test_token_entropy_twin(spark, sf_dir, con):
+    from compute_histogram_spark.registry import (
+        TOKEN_ENTROPY_ORACLE,
+        q_token_entropy,
+    )
+
+    _check("token_entropy", q_token_entropy(spark, sf_dir), con,
+           TOKEN_ENTROPY_ORACLE)
+
+
+def test_normalized_dedup_twin(spark, sf_dir, con):
+    from compute_histogram_spark.registry import (
+        NORMALIZED_DEDUP_ORACLE,
+        q_normalized_dedup,
+    )
+
+    _check("normalized_dedup", q_normalized_dedup(spark, sf_dir), con,
+           NORMALIZED_DEDUP_ORACLE)
+
+
+def test_normalized_dedup_catches_case_punct_copies(spark):
+    """The stage's reason to exist: casing/punctuation-only variants
+    collapse to one kept doc where content-hash dedup keeps all three."""
+    from pyspark.sql import Row
+
+    from compute_histogram_spark.operators.dedup import (
+        exact_dedup,
+        normalized_dedup,
+    )
+
+    docs = spark.createDataFrame([
+        Row(doc_id=1, text="Hello, World!  This is FINE."),
+        Row(doc_id=2, text="hello world this is fine"),
+        Row(doc_id=3, text="HELLO   world: this is fine?!"),
+        Row(doc_id=4, text="something else entirely"),
+    ])
+    assert exact_dedup(docs).count() == 4
+    kept = normalized_dedup(docs).collect()
+    assert len(kept) == 2
+    by_id = {r.doc_id: r for r in kept}
+    assert by_id[1].n_copies == 3
+    assert by_id[4].n_copies == 1
+
+
+def test_idf_top_terms_twin(spark, sf_dir, con):
+    from compute_histogram_spark.registry import (
+        IDF_TOP_TERMS_ORACLE,
+        q_idf_top_terms,
+    )
+
+    _check("idf_top_terms", q_idf_top_terms(spark, sf_dir), con,
+           IDF_TOP_TERMS_ORACLE)
