@@ -809,8 +809,9 @@ def main() -> None:
         "n_ok": out["n_ok"],
         "n_err": out["n_err"],
     }
-    if "mixed_total" in out:
-        compact["mixed_total"] = out["mixed_total"]
+    if "fresh_total" in out:
+        # the r01-r11-comparable back-to-back companion (headline is mixed)
+        compact["fresh_total"] = out["fresh_total"]
     for k in ("sf10", "sf1"):
         if k in out:
             compact[k] = {
