@@ -607,10 +607,18 @@ def shipping_priority_bucketed(
 ) -> DataFrame:
     """:func:`shipping_priority` on the orderkey fact layout (the SAME
     write-once tables Q5 uses — write_q5_layout): the lineitem revenue
-    pre-aggregation (groupBy l_orderkey) runs bucket-local, the
-    orders⋈lineitem join is co-bucketed and co-sorted, and the segment
-    dim broadcasts — zero Exchange anywhere (top-k is TakeOrdered, no
-    sort shuffle). Plan-asserted in tests/test_bucketing.py."""
+    pre-aggregation (groupBy l_orderkey) runs bucket-local and the
+    orders⋈lineitem join is co-bucketed and co-sorted — zero orderkey
+    Exchange (plan-asserted in tests/test_bucketing.py; top-k is
+    TakeOrdered, no sort shuffle).
+
+    FACT-FIRST join order, the Q5-bucketed lesson: the customer join
+    comes AFTER the bucket-local fact join, on its narrow projected
+    output, so a custkey shuffle can never land on orders before the
+    bucketing pays off. The segment-filtered customer is data-scaled,
+    so its join strategy stays AQE's stats-based choice (it broadcasts
+    while small, shuffles the narrow fact projection beyond) — never
+    force-broadcast a table that grows with the data."""
     orders = spark.table(orders_table)
     lineitem = spark.table(lineitem_table)
     cust = customer.where(F.col("c_mktsegment") == segment).select("c_custkey")
@@ -621,9 +629,10 @@ def shipping_priority_bucketed(
         .groupBy("l_orderkey")
         .agg(F.sum(disc_pc).alias("rev_pc"))
     )
-    j = ords.join(F.broadcast(cust), ords["o_custkey"] == cust["c_custkey"]).join(
-        li, ords["o_orderkey"] == li["l_orderkey"]
+    facts = ords.join(li, ords["o_orderkey"] == li["l_orderkey"]).select(
+        "l_orderkey", "o_orderdate", "o_orderpriority", "o_custkey", "rev_pc"
     )
+    j = facts.join(cust, facts["o_custkey"] == cust["c_custkey"])
     return (
         j.select(
             "l_orderkey",

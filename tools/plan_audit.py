@@ -130,7 +130,37 @@ def _extra_queries():
         "temperature_mix": lambda s, d: temperature_mix(
             load(s, d, "documents")
         ),
+        # r12 staged twins (9th-rotation bank) — gated before they enter
+        # the driver window, same treatment every staged wave got
+        "token_entropy": lambda s, d: entrymod.registry.q_token_entropy(s, d),
+        "normalized_dedup": lambda s, d: entrymod.registry.q_normalized_dedup(
+            s, d
+        ),
+        "idf_top_terms": lambda s, d: entrymod.registry.q_idf_top_terms(s, d),
+        # r12 layout-served bench rows: audited on a layout written into a
+        # temp database at the audit SF (the plan shape is what's gated;
+        # the zero-orderkey-Exchange property itself is pinned in
+        # tests/test_bucketing.py)
+        "shipping_priority_layout": _layout_form("q3"),
+        "late_order_priority_layout": _layout_form("q4"),
+        "region_revenue_layout": _layout_form("region"),
+        "rollup_revenue_layout": _layout_form("rollup"),
     }
+
+
+def _layout_form(which: str):
+    def fn(s, d):
+        import bench as B
+
+        name = {
+            "q3": "shipping_priority_layout",
+            "q4": "late_order_priority_layout",
+            "region": "region_revenue_layout",
+            "rollup": "rollup_revenue_layout",
+        }[which]
+        return B.LOCAL_QUERIES[name](s, d)
+
+    return fn
 
 
 # Broadcasts whose subtree contains a shuffle over a data-scaled table are
