@@ -811,3 +811,92 @@ def normalized_dedup(
         .select(id_col, "n_copies", "n_norm_chars")
         .orderBy(id_col)
     )
+
+
+def duplicate_span_removal(
+    docs: DataFrame,
+    min_len: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-document EXACT duplicate-span removal — the ExactSubstr
+    dedup of Lee et al. 2022 ("Deduplicating Training Data Makes
+    Language Models Better"), re-shaped for Spark: their suffix array
+    over the concatenated corpus is a single-node structure, so the
+    distributed form marks every token lying inside some length-
+    ``min_len`` token window that occurs >= 2 times in the corpus
+    (other doc OR a repeat in the same doc) and removes the maximal
+    covered runs. A span of length M >= min_len duplicated as a whole
+    has all of its windows duplicated, so all M tokens are removed —
+    identical behavior to suffix-array matching on whole-span repeats;
+    overlapping distinct sources can over-mark (documented, determinate
+    approximation, standard in fingerprint-based production variants).
+
+    Plan shape, all declarative: windows via word_shingles+posexplode
+    (map-side) -> duplicated-window digests by ONE md5-keyed count
+    (map-side partial combine; the digest table is bounded by the
+    duplicated-window count, far below token count on real corpora) ->
+    left-semi back onto the window table -> covered positions by
+    sequence-explode -> ONE doc-keyed anti-join + reassembly agg (the
+    paragraph_dedup pattern: sort_array(collect_list(struct)) keeps
+    original token order without a global sort). Digest keying means
+    raw text never rides the dup-decision shuffle.
+
+    Returns ``(doc_id, text, n_tokens, n_removed)``; documents whose
+    every token sat in a duplicated span vanish (the Lee et al.
+    behavior for full-copy documents under paragraph granularity).
+    """
+    toks = docs.select(
+        F.col(id_col), tokens(text_col).alias("toks")
+    )
+    w = toks.select(
+        id_col,
+        F.posexplode(word_shingles("toks", min_len)).alias("pos", "w"),
+    ).select(id_col, "pos", F.md5("w").alias("h"))
+    dup = (
+        w.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") >= 2)
+        .select("h")
+    )
+    cov = (
+        w.join(dup, "h", "left_semi")
+        .select(
+            id_col,
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + (min_len - 1))
+            ).alias("p"),
+        )
+    )
+    tokpos = docs.select(
+        F.col(id_col), F.posexplode(tokens(text_col)).alias("p", "tok")
+    )
+    kept = tokpos.join(cov, [id_col, "p"], "left_anti")
+    out = (
+        kept.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("p", "tok"))),
+                    lambda s: s["tok"],
+                ),
+                " ",
+            ).alias(text_col),
+        )
+        .join(
+            docs.select(
+                F.col(id_col), F.size(tokens(text_col)).alias("n_tokens")
+            ),
+            id_col,
+        )
+        .select(
+            id_col,
+            text_col,
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            (F.col("n_tokens") - F.col("n_kept")).cast("bigint")
+            .alias("n_removed"),
+        )
+        .orderBy(id_col)
+    )
+    return out

@@ -3301,3 +3301,54 @@ IDF_TOP_TERMS_ORACLE = """
 
 def q_idf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.idf_top_terms(load(spark, sf_dir, "documents"))
+
+
+# Cross-document duplicate-span removal (operators/dedup.py:
+# duplicate_span_removal — the Lee et al. 2022 ExactSubstr dedup,
+# fingerprint-shaped; staged r12, joins the 9th-rotation bank). The
+# oracle keys the dup decision on the window STRING where the engine
+# keys on md5(window) — identical decisions absent a digest collision
+# (the standing digest-twin equivalence); reassembly is string_agg
+# ORDER BY position vs sort_array(collect_list(struct)).
+DUP_SPAN_ORACLE = """
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    w AS (
+        SELECT doc_id, i AS pos,
+               array_to_string(toks[i + 1 : i + 16], ' ') AS w
+        FROM (
+            SELECT doc_id, toks,
+                   unnest(generate_series(0, len(toks) - 16)) AS i
+            FROM t WHERE len(toks) >= 16
+        )
+    ),
+    dup AS (SELECT w FROM w GROUP BY w HAVING count(*) >= 2),
+    cov AS (
+        SELECT DISTINCT doc_id, pos + u AS p
+        FROM w JOIN dup USING (w),
+             (SELECT unnest(generate_series(0, 15)) AS u)
+    ),
+    tok AS (
+        SELECT doc_id, unnest(toks) AS tok,
+               unnest(generate_series(0, len(toks) - 1)) AS p
+        FROM t
+    ),
+    kept AS (
+        SELECT tok.doc_id, tok.p, tok.tok
+        FROM tok LEFT JOIN cov
+          ON tok.doc_id = cov.doc_id AND tok.p = cov.p
+        WHERE cov.p IS NULL
+    ),
+    n AS (SELECT doc_id, len(toks) AS n_tokens FROM t)
+    SELECT k.doc_id,
+           string_agg(k.tok, ' ' ORDER BY k.p) AS text,
+           CAST(any_value(n.n_tokens) AS BIGINT) AS n_tokens,
+           CAST(any_value(n.n_tokens) - count(*) AS BIGINT) AS n_removed
+    FROM kept k JOIN n ON k.doc_id = n.doc_id
+    GROUP BY k.doc_id ORDER BY k.doc_id
+    """
+
+
+def q_dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return DD.duplicate_span_removal(load(spark, sf_dir, "documents"))

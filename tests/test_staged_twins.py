@@ -174,3 +174,42 @@ def test_idf_top_terms_twin(spark, sf_dir, con):
 
     _check("idf_top_terms", q_idf_top_terms(spark, sf_dir), con,
            IDF_TOP_TERMS_ORACLE)
+
+
+def test_dup_span_removal_twin(spark, sf_dir, con):
+    from compute_histogram_spark.registry import (
+        DUP_SPAN_ORACLE,
+        q_dup_span_removal,
+    )
+
+    _check("dup_span_removal", q_dup_span_removal(spark, sf_dir), con,
+           DUP_SPAN_ORACLE)
+
+
+def test_dup_span_removal_planted_span(spark):
+    """Behavioral pin: a 20-token span planted in two docs is removed
+    from BOTH (all its tokens sit in duplicated 16-windows); unique
+    text survives untouched; a short shared phrase (< min_len) stays."""
+    from pyspark.sql import Row
+
+    from compute_histogram_spark.operators.dedup import (
+        duplicate_span_removal,
+    )
+
+    span = " ".join(f"s{i}" for i in range(20))
+    docs = spark.createDataFrame([
+        Row(doc_id=1, text=f"alpha beta {span} gamma delta"),
+        Row(doc_id=2, text=f"one two three {span} four"),
+        Row(doc_id=3, text="totally unique words here nothing shared"),
+        Row(doc_id=4, text="short shared phrase plus tail a"),
+        Row(doc_id=5, text="short shared phrase plus tail b"),
+    ])
+    out = {r.doc_id: r for r in duplicate_span_removal(docs).collect()}
+    assert out[1].text == "alpha beta gamma delta"
+    assert out[1].n_removed == 20
+    assert out[2].text == "one two three four"
+    assert out[2].n_removed == 20
+    assert out[3].n_removed == 0
+    assert out[3].text == "totally unique words here nothing shared"
+    # 7-token docs have no 16-windows: nothing marked despite the overlap
+    assert out[4].n_removed == 0 and out[5].n_removed == 0

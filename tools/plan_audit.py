@@ -137,6 +137,9 @@ def _extra_queries():
             s, d
         ),
         "idf_top_terms": lambda s, d: entrymod.registry.q_idf_top_terms(s, d),
+        "dup_span_removal": lambda s, d: entrymod.registry.q_dup_span_removal(
+            s, d
+        ),
         # r12 layout-served bench rows: audited on a layout written into a
         # temp database at the audit SF (the plan shape is what's gated;
         # the zero-orderkey-Exchange property itself is pinned in
