@@ -458,3 +458,95 @@ def cms_point_estimates_portable(
         .agg(F.min("cnt").alias("cms_est"))
         .orderBy("tok")
     )
+
+
+def bloom_word_table_portable(
+    values: DataFrame, value_col: str, m_bits: int = 4096, k: int = 4
+) -> DataFrame:
+    """Bloom filter as a DataFrame — the fourth classic mergeable sketch
+    (CMS: how often, KMV: how many, HLL: how many cheap, Bloom: HAVE I
+    SEEN IT), in the repo's portable md5 convention so a SQL twin
+    reproduces every word exactly (registry.TOKEN_BLOOM_ORACLE).
+
+    The filter is ``m_bits/64`` int64 words: for each value, k bit
+    positions ``('0x'||md5('bf<i>:'||v)[:8]) % m_bits``; word index =
+    pos div 64, bit = pos mod 64; per-word state is ``bit_or`` of the
+    shifted bits — commutative/idempotent, so the table is a CRDT like
+    the HLL registers: shards build independently and merge by
+    :func:`bloom_merge`. Shuffle carries at most partitions x m/64
+    rows; output <= m/64 integer rows (bounded model state).
+    """
+    if m_bits % 64:
+        raise ValueError(f"m_bits must be a multiple of 64, got {m_bits}")
+    rows = None
+    for i in range(k):
+        h = F.md5(F.concat(F.lit(f"bf{i}:"), F.col(value_col).cast("string")))
+        pos = (
+            F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint") % m_bits
+        )
+        part = (
+            values.where(F.col(value_col).isNotNull())
+            .select(pos.alias("pos"))
+            .select(
+                (F.col("pos") / 64).cast("int").alias("word_idx"),
+                # shiftleft's bit count must be a column here (pos % 64),
+                # which the Python API only takes as an int literal
+                F.expr(
+                    "shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))"
+                ).alias("bit"),
+            )
+        )
+        rows = part if rows is None else rows.unionAll(part)
+    return (
+        rows.groupBy("word_idx")
+        .agg(F.bit_or("bit").alias("word"))
+    )
+
+
+def bloom_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """OR-merge two word tables (distributive CRDT rollup)."""
+    return (
+        a.unionAll(b)
+        .groupBy("word_idx")
+        .agg(F.bit_or("word").alias("word"))
+    )
+
+
+def bloom_contains(
+    probes: DataFrame,
+    bloom: DataFrame,
+    value_col: str,
+    m_bits: int = 4096,
+    k: int = 4,
+) -> DataFrame:
+    """Membership test for each probe value: ALL k bits set -> maybe
+    present (false positives at the standard Bloom rate, NEVER false
+    negatives — pinned in tests). The word table is bounded (m/64
+    rows), so each of the k lookups is a broadcast join; the plan is
+    map + k broadcast probes, no data-scaled shuffle.
+
+    -> (value, member BOOLEAN)"""
+    out = probes.select(F.col(value_col).alias("value")).distinct()
+    for i in range(k):
+        h = F.md5(F.concat(F.lit(f"bf{i}:"), F.col("value").cast("string")))
+        pos = F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint") % m_bits
+        w = bloom.withColumnsRenamed(
+            {"word_idx": f"wi{i}", "word": f"w{i}"}
+        )
+        out = out.withColumn(f"p{i}", pos).join(
+            F.broadcast(w),
+            (F.col(f"p{i}") / 64).cast("int") == F.col(f"wi{i}"),
+            "left",
+        ).withColumn(
+            f"hit{i}",
+            F.coalesce(
+                F.expr(
+                    f"shiftright(w{i}, CAST(p{i} % 64 AS INT)) & 1"
+                ) == 1,
+                F.lit(False),
+            ),
+        ).drop(f"wi{i}", f"w{i}", f"p{i}")
+    member = None
+    for i in range(k):
+        member = F.col(f"hit{i}") if member is None else member & F.col(f"hit{i}")
+    return out.select("value", member.alias("member"))

@@ -3352,3 +3352,42 @@ DUP_SPAN_ORACLE = """
 
 def q_dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.duplicate_span_removal(load(spark, sf_dir, "documents"))
+
+
+# Bloom-filter word table over the token domain (operators/sketches.py:
+# bloom_word_table_portable — the fourth classic sketch, staged r12).
+# Exact integer arithmetic end to end: md5-derived positions, shifted
+# bits OR-folded per 64-bit word; <= m/64 engine-exact rows.
+TOKEN_BLOOM_ORACLE = """
+    WITH tok AS (
+        SELECT DISTINCT unnest(string_split(text, ' ')) AS t FROM documents
+    ),
+    bits AS (
+        -- DuckDB raises on the signed 1<<63; Spark wraps. Pin bit 63 to
+        -- its two's-complement value explicitly so both engines agree.
+        SELECT CAST(pos // 64 AS INT) AS word_idx,
+               CASE WHEN pos % 64 = 63 THEN CAST(-9223372036854775808 AS BIGINT)
+                    ELSE (CAST(1 AS BIGINT) << CAST(pos % 64 AS INT)) END AS bit
+        FROM (
+            SELECT ('0x' || substring(md5('bf' || i || ':' || t), 1, 8))
+                       ::BIGINT % 4096 AS pos
+            FROM tok, (SELECT unnest(generate_series(0, 3)) AS i)
+        )
+    )
+    SELECT word_idx, CAST(bit_or(bit) AS BIGINT) AS word
+    FROM bits GROUP BY word_idx ORDER BY word_idx
+    """
+
+
+def q_token_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from compute_histogram_spark.functions.texthash import tokens as _tk
+    from compute_histogram_spark.operators import sketches as SK3
+
+    t = (
+        load(spark, sf_dir, "documents")
+        .select(F.explode(_tk("text")).alias("t"))
+        .distinct()
+    )
+    return SK3.bloom_word_table_portable(t, "t", m_bits=4096, k=4).orderBy(
+        "word_idx"
+    )

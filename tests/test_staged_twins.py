@@ -213,3 +213,48 @@ def test_dup_span_removal_planted_span(spark):
     assert out[3].text == "totally unique words here nothing shared"
     # 7-token docs have no 16-windows: nothing marked despite the overlap
     assert out[4].n_removed == 0 and out[5].n_removed == 0
+
+
+def test_token_bloom_twin(spark, sf_dir, con):
+    from compute_histogram_spark.registry import (
+        TOKEN_BLOOM_ORACLE,
+        q_token_bloom,
+    )
+
+    _check("token_bloom", q_token_bloom(spark, sf_dir), con,
+           TOKEN_BLOOM_ORACLE)
+
+
+def test_bloom_no_false_negatives_and_merge(spark):
+    """Every inserted value tests member=true (no false negatives);
+    the false-positive rate on absent probes stays near the analytic
+    bound; OR-merge of two shards equals the single-pass build."""
+    from pyspark.sql import Row
+
+    from compute_histogram_spark.operators.sketches import (
+        bloom_contains,
+        bloom_merge,
+        bloom_word_table_portable,
+    )
+
+    a = spark.createDataFrame([Row(v=f"in_{i}") for i in range(100)])
+    b = spark.createDataFrame([Row(v=f"in_{i}") for i in range(100, 200)])
+    both = a.unionAll(b)
+    bloom = bloom_word_table_portable(both, "v", m_bits=4096, k=4)
+
+    present = bloom_contains(both, bloom, "v", m_bits=4096, k=4)
+    assert present.where("NOT member").count() == 0  # no false negatives
+
+    absent = spark.createDataFrame([Row(v=f"out_{i}") for i in range(500)])
+    fp = bloom_contains(absent, bloom, "v", m_bits=4096, k=4)
+    fpr = fp.where("member").count() / 500
+    # n=200, m=4096, k=4 -> (1 - e^(-kn/m))^k ~ 0.08%; assert a loose 3%
+    assert fpr < 0.03, fpr
+
+    merged = bloom_merge(
+        bloom_word_table_portable(a, "v", m_bits=4096, k=4),
+        bloom_word_table_portable(b, "v", m_bits=4096, k=4),
+    )
+    got = {r.word_idx: r.word for r in merged.collect()}
+    want = {r.word_idx: r.word for r in bloom.collect()}
+    assert got == want  # shard-merge == single-pass build (CRDT)

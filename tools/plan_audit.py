@@ -140,6 +140,7 @@ def _extra_queries():
         "dup_span_removal": lambda s, d: entrymod.registry.q_dup_span_removal(
             s, d
         ),
+        "token_bloom": lambda s, d: entrymod.registry.q_token_bloom(s, d),
         # r12 layout-served bench rows: audited on a layout written into a
         # temp database at the audit SF (the plan shape is what's gated;
         # the zero-orderkey-Exchange property itself is pinned in
