@@ -314,3 +314,132 @@ def train_logistic(
         [(b, wv) for b, wv in enumerate(w)], "bucket int, w_milli long"
     )
     return weights, bias_milli, history
+
+
+# ---------------------------------------------------------------------------
+# DSIR — Data Selection with Importance Resampling (Xie et al. 2023):
+# select source documents whose hashed-ngram distribution matches a
+# TARGET corpus. The repo shape: both corpora reduce to n_buckets-bounded
+# count tables over the SAME md5-hashed unigram+bigram features the
+# quality scorer uses; each bucket's log-likelihood-ratio
+# ln(p_target/p_source) (add-1 smoothed) is quantized ONCE to integer
+# micro-units in a bounded broadcast table, so every per-document weight
+# is an exact int64 sum — partitioning/engine-independent, DuckDB-
+# twinnable (the milli-weight convention of linear_text_score applied to
+# distribution matching).
+# ---------------------------------------------------------------------------
+
+
+def dsir_bucket_llr(
+    target: DataFrame,
+    source: DataFrame,
+    n_buckets: int = DEFAULT_BUCKETS,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(bucket, llr_micro): add-1-smoothed log-likelihood ratio of each
+    hashed-feature bucket under the target vs source distribution,
+    quantized to integer micro-nats. Two bounded aggregations; the
+    output is <= n_buckets rows (broadcast class)."""
+    tc = (
+        hashed_features(target, n_buckets, text_col, id_col)
+        .groupBy("bucket").agg(F.count(F.lit(1)).alias("ct"))
+    )
+    sc = (
+        hashed_features(source, n_buckets, text_col, id_col)
+        .groupBy("bucket").agg(F.count(F.lit(1)).alias("cs"))
+    )
+    spark = target.sparkSession
+    buckets = spark.range(n_buckets).select(
+        F.col("id").cast("int").alias("bucket")
+    )
+    j = (
+        buckets.join(tc, "bucket", "left").join(sc, "bucket", "left")
+        .select(
+            "bucket",
+            F.coalesce("ct", F.lit(0)).alias("ct"),
+            F.coalesce("cs", F.lit(0)).alias("cs"),
+        )
+    )
+    # totals are two scalars; computing them via window would shuffle —
+    # a driver-side agg of the bounded table is the model-state class
+    tot = j.agg(F.sum("ct").alias("nt"), F.sum("cs").alias("ns")).collect()[0]
+    nt, ns = int(tot["nt"]), int(tot["ns"])
+    llr = (
+        F.log((F.col("ct") + 1.0) / F.lit(float(nt + n_buckets)))
+        - F.log((F.col("cs") + 1.0) / F.lit(float(ns + n_buckets)))
+    )
+    return j.select(
+        "bucket", F.round(llr * 1e6).cast("long").alias("llr_micro")
+    )
+
+
+def dsir_log_weights(
+    docs: DataFrame,
+    llr: DataFrame,
+    n_buckets: int = DEFAULT_BUCKETS,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, n_features, logw_micro): per-document importance
+    log-weight = sum of its features' bucket LLRs — an exact integer
+    sum over the broadcast LLR table (map + one doc-keyed agg, the
+    linear_text_score plan shape)."""
+    feats = hashed_features(docs, n_buckets, text_col, id_col)
+    j = feats.join(F.broadcast(llr), "bucket", "left")
+    return (
+        j.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_features"),
+            F.sum(F.coalesce("llr_micro", F.lit(0)))
+            .alias("logw_micro"),
+        )
+        .select(
+            id_col,
+            F.col("n_features").cast("bigint").alias("n_features"),
+            F.col("logw_micro").cast("bigint").alias("logw_micro"),
+        )
+    )
+
+
+def dsir_select(
+    target: DataFrame,
+    source: DataFrame,
+    k: int,
+    n_buckets: int = DEFAULT_BUCKETS,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    gumbel: bool = True,
+) -> DataFrame:
+    """Top-k source documents under DSIR: score = log-weight plus (by
+    default) a DETERMINISTIC Gumbel perturbation derived from
+    md5(doc_id) — the Gumbel-top-k trick makes the selection a sample
+    from the importance distribution rather than a hard argmax, and the
+    hash-derived uniform keeps it rerun/layout/engine-stable (the
+    weighted_sample A-ES precedent). gumbel=False gives the plain
+    highest-weight selection. Top-k compiles to TakeOrderedAndProject —
+    no global sort shuffle.
+
+    -> (doc_id, logw_micro, score) ordered by (score desc, doc_id)."""
+    w = dsir_log_weights(source, dsir_bucket_llr(
+        target, source, n_buckets, text_col, id_col
+    ), n_buckets, text_col, id_col)
+    if gumbel:
+        u = (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("dsir:"), F.col(id_col).cast("string"))),
+                    1, 8,
+                ), 16, 10,
+            ).cast("double") + 0.5
+        ) / 4294967296.0
+        score = F.round(
+            F.col("logw_micro") / 1e6 - F.log(-F.log(u)), 6
+        )
+    else:
+        score = F.round(F.col("logw_micro") / 1e6, 6)
+    return (
+        w.select(id_col, "logw_micro", score.alias("score"))
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+    )

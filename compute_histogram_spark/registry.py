@@ -3391,3 +3391,62 @@ def q_token_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SK3.bloom_word_table_portable(t, "t", m_bits=4096, k=4).orderBy(
         "word_idx"
     )
+
+
+# DSIR importance log-weights (operators/classify.py:dsir_log_weights —
+# Data Selection with Importance Resampling, Xie et al. 2023; staged
+# r12). Target = the lang='en' slice, source = the whole corpus. The
+# oracle rebuilds the md5 feature hashing, the add-1-smoothed per-bucket
+# log-likelihood ratios quantized to integer micro-nats (float enters
+# only at ln(), the doc_perplexity round precedent), and the exact
+# int64 per-doc sums.
+DSIR_WEIGHTS_ORACLE = """
+    WITH toks AS (
+        SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents
+    ),
+    uni AS (SELECT doc_id, lang, unnest(t) AS f FROM toks),
+    bi AS (
+        SELECT doc_id, lang, t[i] || ' ' || t[i + 1] AS f
+        FROM (
+            SELECT doc_id, lang, t,
+                   unnest(generate_series(1, len(t) - 1)) AS i
+            FROM toks WHERE len(t) >= 2
+        )
+    ),
+    feats AS (SELECT * FROM uni UNION ALL SELECT * FROM bi),
+    b AS (
+        SELECT doc_id, lang,
+               CAST(('0x' || substring(md5('ft:' || f), 1, 8))::BIGINT
+                    % 4096 AS INT) AS bucket
+        FROM feats
+    ),
+    tc AS (SELECT bucket, count(*) AS ct FROM b WHERE lang = 'en'
+           GROUP BY bucket),
+    sc AS (SELECT bucket, count(*) AS cs FROM b GROUP BY bucket),
+    tot AS (SELECT (SELECT count(*) FROM b WHERE lang = 'en') AS nt,
+                   (SELECT count(*) FROM b) AS ns),
+    g AS (SELECT unnest(generate_series(0, 4095)) AS bucket),
+    llr AS (
+        SELECT g.bucket,
+               CAST(round((
+                   ln((coalesce(tc.ct, 0) + 1.0) / (tot.nt + 4096))
+                   - ln((coalesce(sc.cs, 0) + 1.0) / (tot.ns + 4096))
+               ) * 1e6) AS BIGINT) AS llr_micro
+        FROM g CROSS JOIN tot
+        LEFT JOIN tc ON g.bucket = tc.bucket
+        LEFT JOIN sc ON g.bucket = sc.bucket
+    )
+    SELECT b.doc_id,
+           CAST(count(*) AS BIGINT) AS n_features,
+           CAST(sum(llr.llr_micro) AS BIGINT) AS logw_micro
+    FROM b JOIN llr ON b.bucket = llr.bucket
+    GROUP BY b.doc_id ORDER BY b.doc_id
+    """
+
+
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from compute_histogram_spark.operators import classify as CLS2
+
+    docs = load(spark, sf_dir, "documents")
+    llr = CLS2.dsir_bucket_llr(docs.where(F.col("lang") == "en"), docs)
+    return CLS2.dsir_log_weights(docs, llr).orderBy("doc_id")

@@ -258,3 +258,37 @@ def test_bloom_no_false_negatives_and_merge(spark):
     got = {r.word_idx: r.word for r in merged.collect()}
     want = {r.word_idx: r.word for r in bloom.collect()}
     assert got == want  # shard-merge == single-pass build (CRDT)
+
+
+def test_dsir_weights_twin(spark, sf_dir, con):
+    from compute_histogram_spark.registry import (
+        DSIR_WEIGHTS_ORACLE,
+        q_dsir_weights,
+    )
+
+    _check("dsir_weights", q_dsir_weights(spark, sf_dir), con,
+           DSIR_WEIGHTS_ORACLE)
+
+
+def test_dsir_select_prefers_target_like_docs(spark):
+    """Behavioral pin: with a target corpus of 'aa bb' docs and a mixed
+    source, DSIR selects the target-like source docs first (plain
+    argmax mode), and the Gumbel mode is deterministic across calls."""
+    from pyspark.sql import Row
+
+    from compute_histogram_spark.operators import classify as CLS
+
+    target = spark.createDataFrame(
+        [Row(doc_id=100 + i, text="aa bb aa bb aa") for i in range(5)]
+    )
+    source = spark.createDataFrame(
+        [Row(doc_id=1, text="aa bb aa bb"),
+         Row(doc_id=2, text="aa bb cc"),
+         Row(doc_id=3, text="xx yy zz ww"),
+         Row(doc_id=4, text="zz ww xx yy xx")]
+    )
+    top2 = CLS.dsir_select(target, source, k=2, gumbel=False).collect()
+    assert [r.doc_id for r in top2] == [1, 2]
+    g1 = CLS.dsir_select(target, source, k=4).collect()
+    g2 = CLS.dsir_select(target, source, k=4).collect()
+    assert [(r.doc_id, r.score) for r in g1] == [(r.doc_id, r.score) for r in g2]

@@ -141,6 +141,7 @@ def _extra_queries():
             s, d
         ),
         "token_bloom": lambda s, d: entrymod.registry.q_token_bloom(s, d),
+        "dsir_weights": lambda s, d: entrymod.registry.q_dsir_weights(s, d),
         # r12 layout-served bench rows: audited on a layout written into a
         # temp database at the audit SF (the plan shape is what's gated;
         # the zero-orderkey-Exchange property itself is pinned in
