@@ -201,6 +201,11 @@ BCAST_OVER_SHUFFLE_BOUNDED = {
     "doc_perplexity_backoff",
     "session_concurrency",
     "peak_concurrency",
+    # dsir_weights: the broadcast side is the (bucket, llr_micro) table —
+    # <= n_buckets (4096) rows BY CONSTRUCTION (spark.range(n_buckets)
+    # left-joined with two bucket-keyed count aggregates), independent of
+    # corpus size; the shuffles under it are those bounded-output counts
+    "dsir_weights",
 }
 
 _BIG_TABLES = ("documents", "events", "lineitem", "orders", "embeddings")
