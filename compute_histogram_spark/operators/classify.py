@@ -443,3 +443,53 @@ def dsir_select(
         .orderBy(F.desc("score"), F.asc(id_col))
         .limit(k)
     )
+
+
+def classifier_pr_curve(
+    scored: DataFrame,
+    label_col: str = "label",
+    score_col: str = "score",
+    n_thresholds: int = 10,
+) -> DataFrame:
+    """Precision/recall/F1 sweep over evenly spaced thresholds — the
+    evaluation every model-filter deployment runs before picking its
+    gate (choose the threshold, THEN score_filter with it).
+
+    Exact arithmetic: per-threshold counts are integer sums over one
+    cross join with the bounded thresholds table (n_thresholds rows,
+    broadcast) + one bounded-key aggregation — a single corpus pass at
+    any scale; ratios are two-integer divisions rounded 6 (engine-exact
+    given exact counts). Thresholds are i/n_thresholds, i in [0, n).
+
+    -> (threshold, n_pred_pos, n_true_pos, precision, recall, f1)
+    Empty prediction sets yield NULL precision/f1 (0/0), matching SQL
+    division semantics in both engines."""
+    spark = scored.sparkSession
+    th = spark.range(n_thresholds).select(
+        (F.col("id") / n_thresholds).alias("threshold")
+    )
+    j = scored.select(
+        F.col(score_col).alias("s"), F.col(label_col).alias("y")
+    ).crossJoin(F.broadcast(th))
+    n_pos = F.sum(F.col("y").cast("long"))
+    agg = j.groupBy("threshold").agg(
+        F.sum((F.col("s") >= F.col("threshold")).cast("long"))
+        .alias("n_pred_pos"),
+        F.sum(
+            ((F.col("s") >= F.col("threshold")) & (F.col("y") == 1))
+            .cast("long")
+        ).alias("n_true_pos"),
+        n_pos.alias("n_pos"),
+    )
+    prec = F.col("n_true_pos") / F.col("n_pred_pos")
+    rec = F.col("n_true_pos") / F.col("n_pos")
+    return agg.select(
+        F.round("threshold", 6).alias("threshold"),
+        "n_pred_pos",
+        "n_true_pos",
+        F.round(prec, 6).alias("precision"),
+        F.round(rec, 6).alias("recall"),
+        F.round(
+            2 * prec * rec / (prec + rec), 6
+        ).alias("f1"),
+    ).orderBy("threshold")

@@ -3450,3 +3450,82 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     llr = CLS2.dsir_bucket_llr(docs.where(F.col("lang") == "en"), docs)
     return CLS2.dsir_log_weights(docs, llr).orderBy("doc_id")
+
+
+# Classifier PR sweep (operators/classify.py:classifier_pr_curve —
+# staged r12): the demo-weight scorer evaluated against a deterministic
+# text-derived label (docs whose text contains 'join'), thresholds
+# 0.0..0.9. Exact integer counts; ratios are two-integer divisions
+# rounded 6 on both sides.
+PR_CURVE_ORACLE = """
+    WITH w AS (
+        SELECT CAST(id AS INT) AS bucket,
+               CAST((id * 2654435761 + 40503) % 1000 - 500 AS BIGINT)
+                   AS w_milli
+        FROM range(4096) t(id)
+    ),
+    toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    uni AS (SELECT doc_id, unnest(t) AS f FROM toks),
+    bi AS (
+        SELECT doc_id, t[i] || ' ' || t[i + 1] AS f
+        FROM (
+            SELECT doc_id, t,
+                   unnest(generate_series(1, len(t) - 1)) AS i
+            FROM toks WHERE len(t) >= 2
+        )
+    ),
+    feats AS (SELECT * FROM uni UNION ALL SELECT * FROM bi),
+    b AS (
+        SELECT doc_id,
+               CAST(('0x' || substring(md5('ft:' || f), 1, 8))::BIGINT
+                    % 4096 AS INT) AS bucket
+        FROM feats
+    ),
+    s AS (
+        SELECT doc_id,
+               round(1.0 / (1.0 + exp(-(sum(w_milli) * 1.0 / count(*))
+                                      / 1000.0)), 6) AS score
+        FROM b JOIN w USING (bucket) GROUP BY doc_id
+    ),
+    y AS (
+        SELECT doc_id,
+               CASE WHEN len(list_filter(string_split(text, ' '),
+                                         x -> x = 'join')) > 0
+                    THEN 1 ELSE 0 END AS y
+        FROM documents
+    ),
+    sy AS (SELECT s.score AS sc, y.y FROM s JOIN y USING (doc_id)),
+    th AS (SELECT id * 1.0 / 10 AS threshold FROM range(10) t(id)),
+    agg AS (
+        SELECT threshold,
+               CAST(sum(CASE WHEN sc >= threshold THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_pred_pos,
+               CAST(sum(CASE WHEN sc >= threshold AND y = 1
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_true_pos,
+               sum(y) AS n_pos
+        FROM sy, th GROUP BY threshold
+    )
+    SELECT round(threshold, 6) AS threshold, n_pred_pos, n_true_pos,
+           round(n_true_pos * 1.0 / n_pred_pos, 6) AS precision,
+           round(n_true_pos * 1.0 / n_pos, 6) AS recall,
+           round(2 * (n_true_pos * 1.0 / n_pred_pos)
+                   * (n_true_pos * 1.0 / n_pos)
+                 / ((n_true_pos * 1.0 / n_pred_pos)
+                    + (n_true_pos * 1.0 / n_pos)), 6) AS f1
+    FROM agg ORDER BY threshold
+    """
+
+
+def q_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from compute_histogram_spark.operators import classify as CLS3
+
+    docs = load(spark, sf_dir, "documents")
+    scored = CLS3.linear_text_score(docs, CLS3.demo_weights(spark)).join(
+        docs.select(
+            "doc_id",
+            F.array_contains(F.split("text", " "), "join")
+            .cast("int").alias("label"),
+        ),
+        "doc_id",
+    )
+    return CLS3.classifier_pr_curve(scored)

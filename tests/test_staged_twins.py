@@ -292,3 +292,34 @@ def test_dsir_select_prefers_target_like_docs(spark):
     g1 = CLS.dsir_select(target, source, k=4).collect()
     g2 = CLS.dsir_select(target, source, k=4).collect()
     assert [(r.doc_id, r.score) for r in g1] == [(r.doc_id, r.score) for r in g2]
+
+
+def test_pr_curve_twin(spark, sf_dir, con):
+    from compute_histogram_spark.registry import (
+        PR_CURVE_ORACLE,
+        q_pr_curve,
+    )
+
+    _check("pr_curve", q_pr_curve(spark, sf_dir), con, PR_CURVE_ORACLE)
+
+
+def test_pr_curve_known_values(spark):
+    """Hand-checkable pin: 4 docs, scores .1/.4/.6/.9, labels 0/1/0/1."""
+    from pyspark.sql import Row
+
+    from compute_histogram_spark.operators.classify import (
+        classifier_pr_curve,
+    )
+
+    df = spark.createDataFrame([
+        Row(score=0.1, label=0), Row(score=0.4, label=1),
+        Row(score=0.6, label=0), Row(score=0.9, label=1),
+    ])
+    rows = {r.threshold: r for r in classifier_pr_curve(df).collect()}
+    assert len(rows) == 10
+    r5 = rows[0.5]  # predicted pos = {.6, .9}: one TP of two
+    assert (r5.n_pred_pos, r5.n_true_pos) == (2, 1)
+    assert r5.precision == 0.5 and r5.recall == 0.5 and r5.f1 == 0.5
+    r0 = rows[0.0]  # everything predicted positive
+    assert (r0.n_pred_pos, r0.n_true_pos) == (4, 2)
+    assert r0.precision == 0.5 and r0.recall == 1.0

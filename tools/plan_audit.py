@@ -61,6 +61,10 @@ NLJ_ALLOWED = {
     "distribution_drift",
     "doc_perplexity",
     "doc_perplexity_backoff",
+    # pr_curve: crossJoin(broadcast(thresholds)) — the n_thresholds-row
+    # (default 10) threshold spine against the per-doc score table; the
+    # same bounded scalar-broadcast shape as histogram_deciles/bm25_topk
+    "pr_curve",
 }
 # pure-Python kernel paths: no codegen span expected
 PY_KERNEL = {
@@ -142,6 +146,7 @@ def _extra_queries():
         ),
         "token_bloom": lambda s, d: entrymod.registry.q_token_bloom(s, d),
         "dsir_weights": lambda s, d: entrymod.registry.q_dsir_weights(s, d),
+        "pr_curve": lambda s, d: entrymod.registry.q_pr_curve(s, d),
         # r12 layout-served bench rows: audited on a layout written into a
         # temp database at the audit SF (the plan shape is what's gated;
         # the zero-orderkey-Exchange property itself is pinned in
