@@ -240,3 +240,56 @@ def pagerank(
             .localCheckpoint(eager=True)
         )
     return ranks.orderBy("node")
+
+
+def triangle_count(
+    edges: DataFrame, src: str = "a", dst: str = "b"
+) -> DataFrame:
+    """Global triangle count of the undirected simple graph in ``edges``
+    — the classic graph-quality diagnostic (triangle density of a
+    near-dup candidate graph separates tight duplicate clusters from
+    LSH noise).
+
+    DEGREE-ORIENTED node-iterator, the shape that survives scale:
+    every edge is oriented from its lower-(degree, node) endpoint to
+    the higher one, which makes the orientation acyclic and bounds each
+    node's out-degree by O(sqrt(|E|)) on any graph — the wedge
+    (two-path) table the first self-join builds is therefore
+    near-linear in |E| instead of sum(degree^2) (the hub blow-up a
+    naive a<b orientation hits on skewed graphs). Two equi-joins total:
+    wedges close against the oriented edge set. The count is
+    orientation-invariant, so the SQL twin uses the naive a<b<c form —
+    same number, independently derived.
+
+    -> one row: (n_triangles BIGINT)"""
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).cast("bigint").alias("u"),
+            F.greatest(F.col(src), F.col(dst)).cast("bigint").alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("u").alias("n")).unionAll(e.select("v"))
+        .groupBy("n").agg(F.count(F.lit(1)).alias("d"))
+    )
+    du = deg.withColumnsRenamed({"n": "u", "d": "du"})
+    dv = deg.withColumnsRenamed({"n": "v", "d": "dv"})
+    ed = e.join(du, "u").join(dv, "v")
+    # orient lower (degree, node) -> higher: acyclic, out-degree-bounded
+    oriented = ed.select(
+        F.when(
+            (F.col("du") < F.col("dv"))
+            | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))),
+            F.struct(F.col("u").alias("s"), F.col("v").alias("t")),
+        )
+        .otherwise(F.struct(F.col("v").alias("s"), F.col("u").alias("t")))
+        .alias("e")
+    ).select("e.s", "e.t")
+    w1 = oriented.withColumnsRenamed({"s": "x", "t": "y"})
+    w2 = oriented.withColumnsRenamed({"s": "x2", "t": "z"})
+    wedges = w1.join(w2, F.col("y") == F.col("x2")).select("x", "y", "z")
+    closer = oriented.withColumnsRenamed({"s": "x", "t": "z"})
+    tri = wedges.join(closer, ["x", "z"], "left_semi")
+    return tri.agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))

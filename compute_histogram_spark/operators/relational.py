@@ -830,3 +830,41 @@ def fuzzy_name_pairs_fastss(
         .where(F.col("distance") >= 0)
         .orderBy("id_1", "id_2")
     )
+
+
+def large_volume_customers(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    min_qty: int = 300,
+    k: int = 10,
+) -> DataFrame:
+    """TPC-H Q18 shape: customers behind the largest-quantity orders.
+
+    The HAVING is evaluated on the lineitem pre-aggregate BEFORE any
+    other join (one fact shuffle on orderkey, integer-cents quantities),
+    so the surviving order set is tiny and AQE broadcasts it through
+    the orders and customer joins — the full Q18 semi-join pyramid
+    costs one data-scaled shuffle. Top-k is TakeOrdered with an
+    (o_totalprice DESC, o_orderkey ASC) deterministic tie-break.
+    """
+    big = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.sum(cents("l_quantity")).alias("qty_c"))
+        .where(F.col("qty_c") > min_qty * 100)
+    )
+    j = orders.join(big, orders["o_orderkey"] == big["l_orderkey"]).join(
+        customer, orders["o_custkey"] == customer["c_custkey"]
+    )
+    return (
+        j.select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            (cents("o_totalprice") / 100.0).alias("o_totalprice"),
+            (F.col("qty_c") / 100.0).alias("total_qty"),
+        )
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(k)
+    )

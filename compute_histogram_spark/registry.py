@@ -3529,3 +3529,56 @@ def q_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
     )
     return CLS3.classifier_pr_curve(scored)
+
+
+# TPC-H Q18 shape (relational.py:large_volume_customers — staged r12).
+# min_qty tuned to the test-data quantity distribution (99 orders clear
+# 200 at sf0.001, 874 at sf0.01) so the HAVING survives both SFs.
+LARGE_VOLUME_ORACLE = """
+    WITH big AS (
+        SELECT l_orderkey,
+               sum(CAST(round(l_quantity * 100) AS BIGINT)) AS qty_c
+        FROM lineitem GROUP BY l_orderkey
+        HAVING qty_c > 20000
+    )
+    SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+           CAST(round(o.o_totalprice * 100) AS BIGINT) / 100.0
+               AS o_totalprice,
+           qty_c / 100.0 AS total_qty
+    FROM big
+    JOIN orders o ON big.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    ORDER BY o_totalprice DESC, o.o_orderkey
+    LIMIT 10
+    """
+
+
+def q_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.large_volume_customers(
+        load(spark, sf_dir, "customer"),
+        load(spark, sf_dir, "orders"),
+        load(spark, sf_dir, "lineitem"),
+        min_qty=200,
+    )
+
+
+# Triangle count of the MinHash near-dup candidate graph (graph.py:
+# triangle_count — staged r12): the engine runs the degree-oriented
+# node-iterator (out-degree bounded by O(sqrt(E)), hub-safe); the count
+# is orientation-invariant, so the twin recomputes it from the naive
+# a<b<c closure over the SAME pair set the dedup_minhash oracle derives.
+TRIANGLE_ORACLE = f"""
+    WITH {_minhash_pairs_ctes()}
+    SELECT CAST(count(*) AS BIGINT) AS n_triangles
+    FROM pairs e1
+    JOIN pairs e2 ON e1.doc_id_2 = e2.doc_id_1
+    JOIN pairs e3 ON e3.doc_id_1 = e1.doc_id_1
+                 AND e3.doc_id_2 = e2.doc_id_2
+    """
+
+
+def q_dedup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from compute_histogram_spark.operators import graph as G2
+
+    pairs = DD.minhash_candidates(load(spark, sf_dir, "documents"))
+    return G2.triangle_count(pairs, src="doc_id_1", dst="doc_id_2")

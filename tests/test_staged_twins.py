@@ -323,3 +323,44 @@ def test_pr_curve_known_values(spark):
     r0 = rows[0.0]  # everything predicted positive
     assert (r0.n_pred_pos, r0.n_true_pos) == (4, 2)
     assert r0.precision == 0.5 and r0.recall == 1.0
+
+
+def test_large_volume_customers_twin(spark, sf_dir, con):
+    from compute_histogram_spark.registry import (
+        LARGE_VOLUME_ORACLE,
+        q_large_volume_customers,
+    )
+
+    _check("large_volume_customers",
+           q_large_volume_customers(spark, sf_dir), con,
+           LARGE_VOLUME_ORACLE)
+
+
+def test_dedup_triangles_twin(spark, sf_dir, con):
+    from compute_histogram_spark.registry import (
+        TRIANGLE_ORACLE,
+        q_dedup_triangles,
+    )
+
+    _check("dedup_triangles", q_dedup_triangles(spark, sf_dir), con,
+           TRIANGLE_ORACLE)
+
+
+def test_triangle_count_known_graphs(spark):
+    """Hand-checkable pins: K4 has 4 triangles; a square has 0; adding
+    one diagonal makes 2; duplicate/reversed edges don't double-count."""
+    from pyspark.sql import Row
+
+    from compute_histogram_spark.operators.graph import triangle_count
+
+    def tc(pairs):
+        df = spark.createDataFrame([Row(a=a, b=b) for a, b in pairs])
+        return triangle_count(df).collect()[0].n_triangles
+
+    k4 = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+    assert tc(k4) == 4
+    square = [(1, 2), (2, 3), (3, 4), (4, 1)]
+    assert tc(square) == 0
+    assert tc(square + [(1, 3)]) == 2
+    noisy = k4 + [(2, 1), (3, 1), (1, 2)]  # reversed + duplicate edges
+    assert tc(noisy) == 4

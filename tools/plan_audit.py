@@ -147,6 +147,12 @@ def _extra_queries():
         "token_bloom": lambda s, d: entrymod.registry.q_token_bloom(s, d),
         "dsir_weights": lambda s, d: entrymod.registry.q_dsir_weights(s, d),
         "pr_curve": lambda s, d: entrymod.registry.q_pr_curve(s, d),
+        "large_volume_customers": lambda s, d: (
+            entrymod.registry.q_large_volume_customers(s, d)
+        ),
+        "dedup_triangles": lambda s, d: entrymod.registry.q_dedup_triangles(
+            s, d
+        ),
         # r12 layout-served bench rows: audited on a layout written into a
         # temp database at the audit SF (the plan shape is what's gated;
         # the zero-orderkey-Exchange property itself is pinned in
