@@ -18,11 +18,12 @@ repo's portability conventions:
   100 TB the classifier costs one corpus pass, same as text_stats.
 
 ``demo_weights`` derives a deterministic weight per bucket from the
-bucket id (a splitmix-style integer mix), standing in for trained
-fastText/logistic weights the same way the multimodal suite's
-deterministic fake stands in for codec output: the PLUMBING (hashing,
-join, exact aggregation, calibration) is real and oracle-checked; the
-weights are whatever the user trained.
+bucket id (a splitmix-style integer mix) — the oracle-checkable fixture;
+REAL weights come from :func:`train_logistic` (r12), the distributed
+logistic trainer over the same hashed features. The module also carries
+the surrounding model-filter lifecycle: :func:`classifier_pr_curve`
+picks the gate threshold and :func:`dsir_select` does distribution-
+matching data selection (DSIR) with the same feature space.
 """
 
 from __future__ import annotations

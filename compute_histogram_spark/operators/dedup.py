@@ -19,6 +19,14 @@ Five methods, all expressed as declarative DataFrame plans:
   near-dups differ in <= ~2 bits. One explode + two groupBys, all integer.
 - :func:`embedding_neardup_pairs` (operators/similarity.py uses the same
   vector kernels) — cosine pairs inside a blocking key.
+- :func:`paragraph_dedup` — C4-style global first-occurrence paragraph
+  dedup with in-order document reassembly.
+- :func:`normalized_dedup` (r12) — exact dedup over C4-normalized text
+  (lowercase / punctuation strip / whitespace collapse): catches the
+  casing-and-punctuation near-copies content hashing misses.
+- :func:`duplicate_span_removal` (r12) — the Lee et al. 2022 ExactSubstr
+  dedup, fingerprint-shaped: tokens inside any length-L window occurring
+  >= 2x in the corpus are removed, documents reassembled.
 
 Hashing is md5-hex for oracle portability (see functions/texthash.py for
 the xxhash64 production swap).
