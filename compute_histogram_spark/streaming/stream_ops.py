@@ -583,3 +583,29 @@ def streaming_distribution_drift(
         .start()
     )
     return q, reports
+
+
+def streaming_normalized_dedup(
+    stream: DataFrame,
+    content_col: str = "value",
+    id_cols: tuple[str, ...] = ("event_id",),
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming twin of the r12 batch ``normalized_dedup``
+    (operators/dedup.py): the dedup key is the digest of the
+    C4-NORMALIZED content (lowercase / [^a-z0-9 ] strip / whitespace
+    collapse), so casing- and punctuation-only re-deliveries collapse
+    to one emitted row — the ingestion-time form of the preprocessing
+    stage, with the same watermark-bounded 32-byte-key state story as
+    :func:`streaming_exact_dedup`."""
+    from compute_histogram_spark.operators.dedup import normalize_text
+
+    keyed = _event_time(stream).withColumn(
+        "norm_hash",
+        F.sha2(normalize_text(F.col(content_col).cast("string")), 256),
+    )
+    return keyed.withWatermark(
+        "event_time", watermark
+    ).dropDuplicatesWithinWatermark(["norm_hash"]).select(
+        *id_cols, "norm_hash", "event_time"
+    )

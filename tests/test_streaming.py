@@ -375,3 +375,30 @@ def test_streaming_drift_converges_to_batch_psi(spark, sf_dir, stream_dir):
     batch_rows = distribution_drift(ref, ev).collect()
     batch_psi = round(sum(r["psi_term"] for r in batch_rows), 6)
     assert abs(reports[-1][1] - batch_psi) < 1e-6, (reports[-1], batch_psi)
+
+
+def test_streaming_normalized_dedup_collapses_variants(spark, sf_dir, stream_dir):
+    """The r12 normalized-dedup twin: emitted rows = distinct NORMALIZED
+    contents (<= distinct raw contents), and keys are unique."""
+    from pyspark.sql import functions as F
+    from compute_histogram_spark.operators.dedup import normalize_text
+    from compute_histogram_spark.streaming.stream_ops import (
+        read_events_stream,
+        streaming_normalized_dedup,
+    )
+
+    stream = read_events_stream(spark, stream_dir)
+    out = run_to_completion(
+        streaming_normalized_dedup(stream), "s_ndedup", mode="append"
+    ).collect()
+    batch_norm_distinct = (
+        load(spark, sf_dir, "events")
+        .select(
+            F.sha2(normalize_text(F.col("value").cast("string")), 256)
+            .alias("h")
+        )
+        .distinct()
+        .count()
+    )
+    assert len(out) == batch_norm_distinct
+    assert len({r["norm_hash"] for r in out}) == len(out)
