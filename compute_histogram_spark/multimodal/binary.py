@@ -221,6 +221,13 @@ def _try_real_image_decode(content: bytes) -> tuple[int, int, int] | None:
             return bmp_info(content)
         except Exception:
             return None
+    if content[:4] == b"RIFF" and content[8:12] == b"WEBP":
+        try:
+            from compute_histogram_spark.multimodal.webp import webp_info
+
+            return webp_info(content)
+        except Exception:
+            return None
     return None
 
 
