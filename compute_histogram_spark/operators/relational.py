@@ -868,3 +868,51 @@ def large_volume_customers(
         .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
         .limit(k)
     )
+
+
+def waiting_suppliers(
+    orders: DataFrame,
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    k: int = 10,
+) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept multi-supplier orders
+    waiting), adapted to this schema's late convention (l_shipdate >
+    o_orderdate, as in :func:`late_order_priority` — the testdata
+    carries no commit/receipt dates).
+
+    Q21's correlated EXISTS / NOT EXISTS pair is re-expressed as
+    AGGREGATION — the Spark-native translation: per (order, supplier)
+    compute lateness once (max shipdate vs the order date), then per
+    order count suppliers and late suppliers; the qualifying rows are
+    exactly "late AND n_supp >= 2 AND n_late == 1" (sole late supplier
+    on a multi-supplier order — EXISTS another supplier, NOT EXISTS
+    another LATE one). Two hash aggregations on the same orderkey
+    spine + one small join-back; no correlated re-scans, no anti-join
+    storm. Top-k is TakeOrdered on (numwait DESC, s_name ASC)."""
+    lo = lineitem.join(
+        orders.select("o_orderkey", "o_orderdate"),
+        lineitem["l_orderkey"] == orders["o_orderkey"],
+    )
+    per = lo.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("l_shipdate").alias("ms"),
+        F.max("o_orderdate").alias("od"),
+    ).withColumn("late", (F.col("ms") > F.col("od")).cast("int"))
+    ostats = per.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.sum("late").alias("n_late"),
+    )
+    qual = per.where(F.col("late") == 1).join(
+        ostats.where((F.col("n_supp") >= 2) & (F.col("n_late") == 1)),
+        "l_orderkey",
+        "left_semi",
+    )
+    counts = qual.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).alias("numwait")
+    )
+    return (
+        counts.join(supplier, counts["l_suppkey"] == supplier["s_suppkey"])
+        .select("s_name", "numwait")
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(k)
+    )

@@ -3582,3 +3582,43 @@ def q_dedup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pairs = DD.minhash_candidates(load(spark, sf_dir, "documents"))
     return G2.triangle_count(pairs, src="doc_id_1", dst="doc_id_2")
+
+
+# TPC-H Q21 shape (relational.py:waiting_suppliers — staged r12): the
+# EXISTS / NOT EXISTS pair as two orderkey aggregations (sole late
+# supplier on a multi-supplier order); late = shipdate > orderdate,
+# the schema's late_order_priority convention.
+WAITING_SUPPLIERS_ORACLE = """
+    WITH lo AS (
+        SELECT l.l_orderkey, l.l_suppkey,
+               max(l.l_shipdate) AS ms, max(o.o_orderdate) AS od
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        GROUP BY 1, 2
+    ),
+    os AS (
+        SELECT l_orderkey, count(*) AS n_supp,
+               sum(CASE WHEN ms > od THEN 1 ELSE 0 END) AS n_late
+        FROM lo GROUP BY 1
+    ),
+    qual AS (
+        SELECT lo.l_suppkey
+        FROM lo JOIN os USING (l_orderkey)
+        WHERE lo.ms > lo.od AND os.n_supp >= 2 AND os.n_late = 1
+    ),
+    c AS (
+        SELECT l_suppkey, CAST(count(*) AS BIGINT) AS numwait
+        FROM qual GROUP BY 1
+    )
+    SELECT s.s_name, c.numwait
+    FROM c JOIN supplier s ON c.l_suppkey = s.s_suppkey
+    ORDER BY numwait DESC, s_name
+    LIMIT 10
+    """
+
+
+def q_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.waiting_suppliers(
+        load(spark, sf_dir, "orders"),
+        load(spark, sf_dir, "lineitem"),
+        load(spark, sf_dir, "supplier"),
+    )

@@ -364,3 +364,13 @@ def test_triangle_count_known_graphs(spark):
     assert tc(square + [(1, 3)]) == 2
     noisy = k4 + [(2, 1), (3, 1), (1, 2)]  # reversed + duplicate edges
     assert tc(noisy) == 4
+
+
+def test_waiting_suppliers_twin(spark, sf_dir, con):
+    from compute_histogram_spark.registry import (
+        WAITING_SUPPLIERS_ORACLE,
+        q_waiting_suppliers,
+    )
+
+    _check("waiting_suppliers", q_waiting_suppliers(spark, sf_dir), con,
+           WAITING_SUPPLIERS_ORACLE)

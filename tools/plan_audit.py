@@ -153,6 +153,9 @@ def _extra_queries():
         "dedup_triangles": lambda s, d: entrymod.registry.q_dedup_triangles(
             s, d
         ),
+        "waiting_suppliers": lambda s, d: (
+            entrymod.registry.q_waiting_suppliers(s, d)
+        ),
         # r12 layout-served bench rows: audited on a layout written into a
         # temp database at the audit SF (the plan shape is what's gated;
         # the zero-orderkey-Exchange property itself is pinned in
