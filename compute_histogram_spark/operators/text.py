@@ -997,22 +997,26 @@ def idf_top_terms(docs: DataFrame, k: int = 25) -> DataFrame:
     df counts DISTINCT docs per token (set semantics, not occurrences);
     idf = ln(N / df) rounded 6 (single ln per row, no float sums).
     Deterministic top-k: (df DESC, token ASC) — compiles to
-    TakeOrderedAndProject, no global sort.
+    TakeOrderedAndProject, no global sort. The corpus size N rides a
+    ONE-row scalar crossJoin (the bm25/token_pmi pattern) so building
+    this plan stays lazy — no count job at construction time (the
+    eager-checkpoint lesson, ADVICE r11).
 
     -> (token, df, idf)"""
     from compute_histogram_spark.functions.texthash import tokens
 
-    n_docs = docs.count()  # one scalar to the driver (model-state class)
+    n = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
     df_tbl = (
         docs.select("doc_id", F.explode(tokens("text")).alias("t"))
         .groupBy("t")
         .agg(F.count_distinct("doc_id").alias("df"))
     )
     return (
-        df_tbl.select(
+        df_tbl.crossJoin(F.broadcast(n))
+        .select(
             F.col("t").alias("token"),
             "df",
-            F.round(F.log(F.lit(float(n_docs)) / F.col("df")), 6).alias("idf"),
+            F.round(F.log(F.col("n_docs") / F.col("df")), 6).alias("idf"),
         )
         .orderBy(F.desc("df"), F.asc("token"))
         .limit(k)

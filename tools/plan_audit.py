@@ -65,6 +65,9 @@ NLJ_ALLOWED = {
     # (default 10) threshold spine against the per-doc score table; the
     # same bounded scalar-broadcast shape as histogram_deciles/bm25_topk
     "pr_curve",
+    # idf_top_terms: crossJoin(broadcast(N)) — the ONE-row corpus-count
+    # scalar against the token df table (the bm25/token_pmi shape)
+    "idf_top_terms",
 }
 # pure-Python kernel paths: no codegen span expected
 PY_KERNEL = {
