@@ -362,16 +362,22 @@ def dsir_bucket_llr(
             F.coalesce("cs", F.lit(0)).alias("cs"),
         )
     )
-    # totals are two scalars; computing them via window would shuffle —
-    # a driver-side agg of the bounded table is the model-state class
-    tot = j.agg(F.sum("ct").alias("nt"), F.sum("cs").alias("ns")).collect()[0]
-    nt, ns = int(tot["nt"]), int(tot["ns"])
-    llr = (
-        F.log((F.col("ct") + 1.0) / F.lit(float(nt + n_buckets)))
-        - F.log((F.col("cs") + 1.0) / F.lit(float(ns + n_buckets)))
+    # the two corpus totals ride a ONE-row scalar crossJoin (the
+    # bm25/token_pmi pattern) so building this plan stays LAZY — the
+    # first cut collect()ed them at construction time, which ran both
+    # feature-hashing aggregations just to BUILD the DataFrame (the
+    # eager-checkpoint lesson, ADVICE r11)
+    tot = j.agg(
+        F.sum("ct").cast("double").alias("nt"),
+        F.sum("cs").cast("double").alias("ns"),
     )
-    return j.select(
-        "bucket", F.round(llr * 1e6).cast("long").alias("llr_micro")
+    llr = (
+        F.log((F.col("ct") + 1.0) / (F.col("nt") + n_buckets))
+        - F.log((F.col("cs") + 1.0) / (F.col("ns") + n_buckets))
+    )
+    return (
+        j.crossJoin(F.broadcast(tot))
+        .select("bucket", F.round(llr * 1e6).cast("long").alias("llr_micro"))
     )
 
 

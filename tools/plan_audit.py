@@ -68,6 +68,9 @@ NLJ_ALLOWED = {
     # idf_top_terms: crossJoin(broadcast(N)) — the ONE-row corpus-count
     # scalar against the token df table (the bm25/token_pmi shape)
     "idf_top_terms",
+    # dsir_weights: the ONE-row (nt, ns) totals crossJoin inside the
+    # bucket-bounded LLR table (same scalar-broadcast shape)
+    "dsir_weights",
 }
 # pure-Python kernel paths: no codegen span expected
 PY_KERNEL = {
