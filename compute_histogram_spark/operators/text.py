@@ -1021,3 +1021,84 @@ def idf_top_terms(docs: DataFrame, k: int = 25) -> DataFrame:
         .orderBy(F.desc("df"), F.asc("token"))
         .limit(k)
     )
+
+
+def vocab_growth(docs: DataFrame) -> DataFrame:
+    """Heaps-law vocabulary growth curve: after ingesting documents in
+    doc_id order, how many cumulative tokens have been seen and how
+    large the distinct-token vocabulary is — the corpus diagnostic that
+    separates healthy heterogeneous data (sublinear power-law growth)
+    from template spam (early plateau) and noise (near-linear growth).
+
+    Exact formulation: a token joins the vocabulary at its FIRST
+    document (min doc_id containing it), so the curve is two token-keyed
+    aggregations folded onto a doc-bounded checkpoint table. The
+    cumulative sums over that table use the pack_shards TWO-PHASE
+    PREFIX SCAN (range-bucket by doc_id -> per-bucket local windows in
+    parallel -> O(n_buckets) per-bucket totals exclusive-scanned on the
+    driver and broadcast back) — the checkpoint table has one row per
+    DOCUMENT, so a naive single-partition global window would be the
+    ORDER-BY-everything scale-killer the repo's plan audit exists to
+    catch (it did).
+
+    -> (doc_id, cum_tokens, vocab_size) ordered by doc_id."""
+    from pyspark.sql import Window
+
+    from compute_histogram_spark.functions.texthash import tokens
+
+    tok = docs.select("doc_id", F.explode(tokens("text")).alias("t"))
+    per_doc = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tok"))
+    first = (
+        tok.groupBy("t").agg(F.min("doc_id").alias("doc_id"))
+        .groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_new"))
+    )
+    ckpt = (
+        per_doc.hint("shuffle_hash")
+        .join(first.hint("shuffle_hash"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_tok"),
+            F.coalesce("n_new", F.lit(0)).alias("n_new"),
+        )
+        # range partitioning is monotone in doc_id, so partition id IS
+        # the scan bucket (concatenating buckets in id order = global
+        # order) — the pack_shards step-1 with ranges instead of md5
+        .repartitionByRange(32, "doc_id")
+        .withColumn("bkt", F.spark_partition_id())
+    )
+    w = (
+        Window.partitionBy("bkt")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = ckpt.select(
+        "doc_id", "bkt",
+        F.sum("n_tok").over(w).alias("loc_tok"),
+        F.sum("n_new").over(w).alias("loc_new"),
+    )
+    totals = {
+        r["bkt"]: (r["tt"], r["tn"])
+        for r in ckpt.groupBy("bkt")
+        .agg(F.sum("n_tok").alias("tt"), F.sum("n_new").alias("tn"))
+        .collect()
+    }
+    run_t = run_n = 0
+    offs = []
+    for b in sorted(totals):
+        offs.append((b, run_t, run_n))
+        run_t += int(totals[b][0])
+        run_n += int(totals[b][1])
+    off_df = docs.sparkSession.createDataFrame(
+        offs or [(0, 0, 0)], "bkt int, off_tok long, off_new long"
+    )
+    return (
+        local.join(F.broadcast(off_df), "bkt")
+        .select(
+            "doc_id",
+            (F.col("off_tok") + F.col("loc_tok")).cast("bigint")
+            .alias("cum_tokens"),
+            (F.col("off_new") + F.col("loc_new")).cast("bigint")
+            .alias("vocab_size"),
+        )
+        .orderBy("doc_id")
+    )

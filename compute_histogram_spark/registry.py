@@ -3622,3 +3622,29 @@ def q_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         load(spark, sf_dir, "lineitem"),
         load(spark, sf_dir, "supplier"),
     )
+
+
+# Heaps-law vocabulary growth (operators/text.py:vocab_growth — staged
+# r12): exact integer curve (a token joins the vocabulary at its min
+# doc_id), cumulative windows over the doc-bounded checkpoint table.
+VOCAB_GROWTH_ORACLE = """
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+    ),
+    per_doc AS (SELECT doc_id, count(*) AS n_tok FROM tok GROUP BY doc_id),
+    first AS (
+        SELECT doc_id, count(*) AS n_new FROM (
+            SELECT t, min(doc_id) AS doc_id FROM tok GROUP BY t
+        ) GROUP BY doc_id
+    )
+    SELECT p.doc_id,
+           CAST(sum(p.n_tok) OVER w AS BIGINT) AS cum_tokens,
+           CAST(sum(coalesce(f.n_new, 0)) OVER w AS BIGINT) AS vocab_size
+    FROM per_doc p LEFT JOIN first f ON p.doc_id = f.doc_id
+    WINDOW w AS (ORDER BY p.doc_id ROWS UNBOUNDED PRECEDING)
+    ORDER BY p.doc_id
+    """
+
+
+def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TX.vocab_growth(load(spark, sf_dir, "documents"))

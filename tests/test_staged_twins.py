@@ -374,3 +374,32 @@ def test_waiting_suppliers_twin(spark, sf_dir, con):
 
     _check("waiting_suppliers", q_waiting_suppliers(spark, sf_dir), con,
            WAITING_SUPPLIERS_ORACLE)
+
+
+def test_vocab_growth_twin(spark, sf_dir, con):
+    from compute_histogram_spark.registry import (
+        VOCAB_GROWTH_ORACLE,
+        q_vocab_growth,
+    )
+
+    _check("vocab_growth", q_vocab_growth(spark, sf_dir), con,
+           VOCAB_GROWTH_ORACLE)
+
+
+def test_vocab_growth_monotone_and_bounded(spark):
+    """Structural pins: both curves are non-decreasing, vocab <= tokens,
+    and the final vocab equals the corpus distinct-token count."""
+    from pyspark.sql import Row
+
+    from compute_histogram_spark.operators.text import vocab_growth
+
+    docs = spark.createDataFrame([
+        Row(doc_id=1, text="a b a"),
+        Row(doc_id=2, text="a c"),
+        Row(doc_id=3, text="d d d d"),
+        Row(doc_id=4, text="a b c d"),
+    ])
+    rows = vocab_growth(docs).collect()
+    assert [r.doc_id for r in rows] == [1, 2, 3, 4]
+    assert [r.cum_tokens for r in rows] == [3, 5, 9, 13]
+    assert [r.vocab_size for r in rows] == [2, 3, 4, 4]

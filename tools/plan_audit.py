@@ -162,6 +162,7 @@ def _extra_queries():
         "waiting_suppliers": lambda s, d: (
             entrymod.registry.q_waiting_suppliers(s, d)
         ),
+        "vocab_growth": lambda s, d: entrymod.registry.q_vocab_growth(s, d),
         # r12 layout-served bench rows: audited on a layout written into a
         # temp database at the audit SF (the plan shape is what's gated;
         # the zero-orderkey-Exchange property itself is pinned in
