@@ -822,3 +822,32 @@ def url_dedup(
         .select(id_col, "canonical_url", "n_variants")
     )
     return out.orderBy(id_col) if ordered else out
+
+
+def observe_stage(
+    df: DataFrame, name: str, conditions: dict[str, Column]
+) -> tuple[DataFrame, "Observation"]:
+    """Attach SINGLE-PASS pipeline metrics to ``df`` via Spark's native
+    Observation API: per-condition hit counts + total rows, computed by
+    the SAME job that materializes the frame — at 100 TB the
+    alternative is a second full scan per metric, which is how pipeline
+    dashboards quietly double a corpus pass.
+
+    Returns ``(df_with_observation, observation)``; read
+    ``observation.get`` AFTER an action on the returned frame. Metrics
+    are exact long counts (conditions evaluated row-side, summed in the
+    observation aggregates), so gate pass-rates come out of the write
+    job itself.
+
+        gated, obs = observe_stage(docs, "quality_gate",
+                                   {"kept": F.col("score") >= 0.5})
+        gated.write.parquet(out)        # one pass
+        rates = obs.get                 # {'n_rows': ..., 'kept': ...}
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation(name)
+    metrics = [F.count(F.lit(1)).alias("n_rows")]
+    for mname, cond in conditions.items():
+        metrics.append(F.sum(cond.cast("long")).alias(mname))
+    return df.observe(obs, *metrics), obs

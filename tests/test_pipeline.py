@@ -619,3 +619,25 @@ def test_url_dedup_duckdb_twin(spark, sf_dir):
     odf = con.sql(URL_DEDUP_ORACLE).df()
     assert len(pdf) > 0
     assert compare("url_dedup", pdf, odf) == []
+
+
+def test_observe_stage_single_pass_metrics(spark, sf_dir):
+    """Observation metrics match independently computed counts, and are
+    produced by the SAME action that consumes the frame (no extra scan
+    is ever issued for them)."""
+    from compute_histogram_spark.operators.pipeline import observe_stage
+    from compute_histogram_spark.sources.tables import load
+
+    docs = load(spark, sf_dir, "documents")
+    observed, obs = observe_stage(
+        docs, "gates",
+        {
+            "long_enough": F.col("n_chars") >= 200,
+            "is_en": F.col("lang") == "en",
+        },
+    )
+    n_out = observed.where(F.col("n_chars") >= 0).count()  # one action
+    got = obs.get
+    assert got["n_rows"] == docs.count() == n_out
+    assert got["long_enough"] == docs.where("n_chars >= 200").count()
+    assert got["is_en"] == docs.where("lang = 'en'").count()
