@@ -916,3 +916,31 @@ def waiting_suppliers(
         .orderBy(F.desc("numwait"), F.asc("s_name"))
         .limit(k)
     )
+
+
+def customer_order_distribution(
+    customer: DataFrame, orders: DataFrame
+) -> DataFrame:
+    """TPC-H Q13 shape: the distribution of customers by order count —
+    INCLUDING zero-order customers, which is what makes this the outer-
+    join coverage row (an inner join silently drops the c_count=0
+    bucket, the single most business-relevant bar of the histogram).
+
+    Plan: pre-aggregate orders per custkey (fact shuffle carries one
+    row per customer, the _orders_per_customer lesson), LEFT join from
+    customer so missing customers surface as NULL -> 0, then the
+    second aggregation runs on a |distinct counts|-bounded key space.
+    """
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    j = customer.select("c_custkey").join(
+        per_cust, customer["c_custkey"] == per_cust["o_custkey"], "left"
+    )
+    return (
+        j.select(F.coalesce("n_orders", F.lit(0)).alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .select(F.col("c_count").cast("bigint").alias("c_count"), "custdist")
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )

@@ -3648,3 +3648,25 @@ VOCAB_GROWTH_ORACLE = """
 
 def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.vocab_growth(load(spark, sf_dir, "documents"))
+
+
+# TPC-H Q13 shape (relational.py:customer_order_distribution — staged
+# r12): the outer-join coverage row — zero-order customers must appear
+# as the c_count=0 bucket.
+CUSTOMER_ORDER_DIST_ORACLE = """
+    WITH per AS (
+        SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+        FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        GROUP BY c.c_custkey
+    )
+    SELECT CAST(c_count AS BIGINT) AS c_count,
+           count(*) AS custdist
+    FROM per GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """
+
+
+def q_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.customer_order_distribution(
+        load(spark, sf_dir, "customer"), load(spark, sf_dir, "orders")
+    )

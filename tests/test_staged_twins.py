@@ -403,3 +403,34 @@ def test_vocab_growth_monotone_and_bounded(spark):
     assert [r.doc_id for r in rows] == [1, 2, 3, 4]
     assert [r.cum_tokens for r in rows] == [3, 5, 9, 13]
     assert [r.vocab_size for r in rows] == [2, 3, 4, 4]
+
+
+def test_customer_order_distribution_twin(spark, sf_dir, con):
+    from compute_histogram_spark.registry import (
+        CUSTOMER_ORDER_DIST_ORACLE,
+        q_customer_order_distribution,
+    )
+
+    _check("customer_order_distribution",
+           q_customer_order_distribution(spark, sf_dir), con,
+           CUSTOMER_ORDER_DIST_ORACLE)
+
+
+def test_customer_order_distribution_keeps_zero_bucket(spark):
+    """The outer-join point: a customer with no orders lands in
+    c_count=0 — an inner join would silently drop the bucket."""
+    from pyspark.sql import Row
+
+    from compute_histogram_spark.operators.relational import (
+        customer_order_distribution,
+    )
+
+    cust = spark.createDataFrame(
+        [Row(c_custkey=i) for i in (1, 2, 3)]
+    )
+    orders = spark.createDataFrame(
+        [Row(o_orderkey=10, o_custkey=1), Row(o_orderkey=11, o_custkey=1)]
+    )
+    rows = {r.c_count: r.custdist
+            for r in customer_order_distribution(cust, orders).collect()}
+    assert rows == {0: 2, 2: 1}

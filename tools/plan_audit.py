@@ -163,6 +163,9 @@ def _extra_queries():
             entrymod.registry.q_waiting_suppliers(s, d)
         ),
         "vocab_growth": lambda s, d: entrymod.registry.q_vocab_growth(s, d),
+        "customer_order_distribution": lambda s, d: (
+            entrymod.registry.q_customer_order_distribution(s, d)
+        ),
         # r12 layout-served bench rows: audited on a layout written into a
         # temp database at the audit SF (the plan shape is what's gated;
         # the zero-orderkey-Exchange property itself is pinned in
