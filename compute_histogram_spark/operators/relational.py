@@ -944,3 +944,175 @@ def customer_order_distribution(
         .select(F.col("c_count").cast("bigint").alias("c_count"), "custdist")
         .orderBy(F.desc("custdist"), F.desc("c_count"))
     )
+
+
+def forecast_revenue(
+    lineitem: DataFrame,
+    start: str = "1996-01-01",
+    end: str = "1997-01-01",
+    disc_lo_c: int = 5,
+    disc_hi_c: int = 7,
+    max_qty: int = 24,
+) -> DataFrame:
+    """TPC-H Q6 shape: revenue increase from dropping small discounts.
+
+    The whole query is ONE scan: every predicate (shipdate window,
+    discount band, quantity cap) references scan columns only, so
+    Catalyst pushes all three into the parquet reader and min/max
+    row-group stats prune date ranges for free — the canonical
+    "filter-then-agg, zero shuffles beyond the final single-row
+    combine" plan. Revenue is an exact integer cents*cents sum
+    (extendedprice_c * discount_c, 1e-4 dollars), divided once.
+    The discount band compares integer cents (``round(x*100)``), not
+    raw doubles — 0.07 is not exactly representable, and a raw
+    ``BETWEEN 0.05 AND 0.07`` drops the top band edge differently per
+    engine.
+    """
+    li = lineitem.where(
+        (F.col("l_shipdate") >= F.lit(start).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(end).cast("timestamp"))
+        & cents("l_discount").between(disc_lo_c, disc_hi_c)
+        & (F.col("l_quantity") < max_qty)
+    )
+    return li.agg(
+        (F.sum(cents("l_extendedprice") * cents("l_discount")) / 10000.0)
+        .alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+def latency_mode_priority(
+    orders: DataFrame,
+    lineitem: DataFrame,
+    slow_days: int = 75,
+    start: str = "1996-01-01",
+    end: str = "1998-01-01",
+) -> DataFrame:
+    """TPC-H Q12 shape: order-priority mix per shipping class.
+
+    The testdata carries no l_shipmode / commit / receipt dates, so the
+    two-valued "mode" is DERIVED: a lineitem ships SLOW when it leaves
+    more than ``slow_days`` after the order date, FAST otherwise —
+    preserving Q12's real obligations: a fact-fact equi-join, a
+    CASE-inside-SUM conditional aggregation (high-priority vs low) and
+    a tiny output keyed by the derived class. One orderkey shuffle; the
+    shipdate window is pushed to the lineitem scan before the join.
+    """
+    li = lineitem.where(
+        (F.col("l_shipdate") >= F.lit(start).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(end).cast("timestamp"))
+    ).select("l_orderkey", "l_shipdate")
+    j = li.join(
+        orders.select("o_orderkey", "o_orderdate", "o_orderpriority"),
+        li["l_orderkey"] == orders["o_orderkey"],
+    )
+    mode = F.when(
+        F.datediff(F.col("l_shipdate"), F.col("o_orderdate")) > slow_days,
+        F.lit("SLOW"),
+    ).otherwise(F.lit("FAST"))
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        j.select(mode.alias("ship_class"), high.alias("is_high"))
+        .groupBy("ship_class")
+        .agg(
+            F.sum(F.when(F.col("is_high"), 1).otherwise(0)).alias(
+                "high_line_count"
+            ),
+            F.sum(F.when(F.col("is_high"), 0).otherwise(1)).alias(
+                "low_line_count"
+            ),
+        )
+        .orderBy("ship_class")
+    )
+
+
+#: Q19's disjunctive (brand, size band, quantity band) triples — module
+#: level so the Spark operator and the registry oracle share one source
+#: of truth for the adapted bands (p_container does not exist here).
+Q19_BANDS = (
+    ("Brand#1", 1, 15, 1, 20),
+    ("Brand#2", 10, 30, 10, 30),
+    ("Brand#3", 20, 50, 20, 40),
+)
+
+
+def disjunctive_band_revenue(
+    part: DataFrame,
+    lineitem: DataFrame,
+    bands: tuple = Q19_BANDS,
+) -> DataFrame:
+    """TPC-H Q19 shape: discounted revenue under an OR of (brand,
+    size-band, quantity-band) predicates.
+
+    Q19 is THE disjunctive-pushdown row: naively the OR straddles the
+    join, so nothing prunes. Two things restore pruning: (1) the
+    part side is pre-filtered to the union of band brands (every
+    disjunct requires one of them) so the dimension scan prunes on
+    p_brand; (2) the quantity range [min(lo), max(hi)] across bands is
+    a necessary condition pushed to the lineitem scan. The exact
+    disjunction then evaluates post-join inside codegen. Part is a
+    dimension (bounded per SF) — joined plainly, AQE broadcasts it.
+    """
+    brands = sorted({b for b, *_ in bands})
+    qlo = min(b[3] for b in bands)
+    qhi = max(b[4] for b in bands)
+    p = part.where(F.col("p_brand").isin(*brands)).select(
+        "p_partkey", "p_brand", "p_size"
+    )
+    li = lineitem.where(F.col("l_quantity").between(qlo, qhi))
+    j = li.join(p, li["l_partkey"] == p["p_partkey"])
+    cond = None
+    for brand, slo, shi, blo, bhi in bands:
+        c = (
+            (F.col("p_brand") == brand)
+            & F.col("p_size").between(slo, shi)
+            & F.col("l_quantity").between(blo, bhi)
+        )
+        cond = c if cond is None else (cond | c)
+    disc_pc = cents("l_extendedprice") * (100 - cents("l_discount"))
+    return j.where(cond).agg(
+        (F.sum(disc_pc) / 10000.0).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+def sales_opportunity(
+    customer: DataFrame,
+    orders: DataFrame,
+    since: str = "2000-01-01",
+    n_groups: int = 5,
+) -> DataFrame:
+    """TPC-H Q22 shape: well-funded customers gone quiet, by country.
+
+    The schema has no c_phone, and every customer has SOME order, so
+    the adaptation keeps all three of Q22's structural obligations on
+    live data: (1) a scalar subquery — average balance over customers
+    with positive balance — broadcast-crossed into the row filter;
+    (2) an ANTI join against orders placed since ``since`` (the
+    "no recent orders" correlate of Q22's NOT EXISTS); (3) a final
+    group-agg on a derived country code (nationkey mod ``n_groups``).
+    The anti join's right side is pre-filtered and projected to one
+    column before the shuffle; the scalar is one row (explicit
+    broadcast is safe by construction).
+    """
+    avg_bal = customer.where(F.col("c_acctbal") > 0).agg(
+        (F.sum(cents("c_acctbal")) / F.count(F.lit(1))).alias("avg_bal_c")
+    )
+    recent = orders.where(
+        F.col("o_orderdate") >= F.lit(since).cast("timestamp")
+    ).select("o_custkey")
+    return (
+        customer.join(F.broadcast(avg_bal))
+        .where(cents("c_acctbal") > F.col("avg_bal_c"))
+        .join(recent, customer["c_custkey"] == recent["o_custkey"], "left_anti")
+        .select(
+            (F.col("c_nationkey") % n_groups).alias("cntrycode"),
+            cents("c_acctbal").alias("bal_c"),
+        )
+        .groupBy("cntrycode")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            (F.sum("bal_c") / 100.0).alias("totacctbal"),
+        )
+        .orderBy("cntrycode")
+    )

@@ -3670,3 +3670,110 @@ def q_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame
     return R.customer_order_distribution(
         load(spark, sf_dir, "customer"), load(spark, sf_dir, "orders")
     )
+
+
+# ---------------------------------------------------------------------------
+# r12 continuation: the TPC-H completion sweep. Nine query shapes already
+# ship (Q1/Q3/Q4/Q5/Q10/Q13/Q14/Q18/Q21); the remaining thirteen land
+# here, adapted to the testdata schema (no partsupp table; no
+# shipmode/commit/receipt/phone columns) with the STRUCTURAL obligations
+# preserved — each docstring in relational.py names what survived the
+# adaptation. All staged for future rotation waves, pinned at both SFs
+# in tests/test_staged_twins.py.
+
+# TPC-H Q6 shape (relational.py:forecast_revenue — staged r12): the
+# pure filter-agg row; the twin's discount band compares integer cents
+# on both engines (raw doubles drop the 0.07 edge differently).
+FORECAST_REVENUE_ORACLE = """
+    SELECT sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+               * CAST(round(l_discount * 100) AS BIGINT)) / 10000.0
+               AS revenue,
+           count(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND CAST(round(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7
+      AND l_quantity < 24
+    """
+
+
+def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.forecast_revenue(load(spark, sf_dir, "lineitem"))
+
+
+# TPC-H Q12 shape (relational.py:latency_mode_priority — staged r12):
+# derived SLOW/FAST shipping class (no l_shipmode in the schema),
+# CASE-inside-SUM priority split.
+LATENCY_MODE_ORACLE = """
+    SELECT CASE WHEN datediff('day', o.o_orderdate, l.l_shipdate) > 75
+                THEN 'SLOW' ELSE 'FAST' END AS ship_class,
+           sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 0 ELSE 1 END) AS low_line_count
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY 1 ORDER BY 1
+    """
+
+
+def q_latency_mode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.latency_mode_priority(
+        load(spark, sf_dir, "orders"), load(spark, sf_dir, "lineitem")
+    )
+
+
+# TPC-H Q19 shape (relational.py:disjunctive_band_revenue — staged
+# r12): the disjunctive-pushdown row; the SQL unrolls the same
+# Q19_BANDS module constant the Spark plan consumes.
+_Q19_DISJUNCTS = " OR ".join(
+    f"(p.p_brand = '{b}' AND p.p_size BETWEEN {slo} AND {shi}"
+    f" AND l.l_quantity BETWEEN {qlo} AND {qhi})"
+    for b, slo, shi, qlo, qhi in R.Q19_BANDS
+)
+DISJUNCTIVE_BAND_ORACLE = f"""
+    SELECT sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+               / 10000.0 AS revenue,
+           count(*) AS n_items
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE {_Q19_DISJUNCTS}
+    """
+
+
+def q_disjunctive_band_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.disjunctive_band_revenue(
+        load(spark, sf_dir, "part"), load(spark, sf_dir, "lineitem")
+    )
+
+
+# TPC-H Q22 shape (relational.py:sales_opportunity — staged r12):
+# scalar-subquery balance gate + anti join against recent orders +
+# derived country-code group (no c_phone; every customer has SOME
+# order, so the anti join correlates on orders since 2000-01-01).
+SALES_OPPORTUNITY_ORACLE = """
+    WITH avg_bal AS (
+        SELECT sum(CAST(round(c_acctbal * 100) AS BIGINT))
+               / CAST(count(*) AS DOUBLE) AS avg_bal_c
+        FROM customer WHERE c_acctbal > 0
+    )
+    SELECT CAST(c.c_nationkey % 5 AS BIGINT) AS cntrycode,
+           count(*) AS numcust,
+           sum(CAST(round(c.c_acctbal * 100) AS BIGINT)) / 100.0
+               AS totacctbal
+    FROM customer c, avg_bal
+    WHERE CAST(round(c.c_acctbal * 100) AS BIGINT) > avg_bal.avg_bal_c
+      AND NOT EXISTS (
+          SELECT 1 FROM orders o
+          WHERE o.o_custkey = c.c_custkey
+            AND o.o_orderdate >= TIMESTAMP '2000-01-01'
+      )
+    GROUP BY 1 ORDER BY 1
+    """
+
+
+def q_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.sales_opportunity(
+        load(spark, sf_dir, "customer"), load(spark, sf_dir, "orders")
+    )

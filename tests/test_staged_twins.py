@@ -434,3 +434,77 @@ def test_customer_order_distribution_keeps_zero_bucket(spark):
     rows = {r.c_count: r.custdist
             for r in customer_order_distribution(cust, orders).collect()}
     assert rows == {0: 2, 2: 1}
+
+
+# --- r12 continuation: the TPC-H completion sweep ---
+
+
+def test_forecast_revenue_twin(spark, sf_dir, con):
+    from compute_histogram_spark.registry import (
+        FORECAST_REVENUE_ORACLE,
+        q_forecast_revenue,
+    )
+
+    _check("forecast_revenue", q_forecast_revenue(spark, sf_dir), con,
+           FORECAST_REVENUE_ORACLE)
+
+
+def test_latency_mode_priority_twin(spark, sf_dir, con):
+    from compute_histogram_spark.registry import (
+        LATENCY_MODE_ORACLE,
+        q_latency_mode_priority,
+    )
+
+    _check("latency_mode_priority",
+           q_latency_mode_priority(spark, sf_dir), con, LATENCY_MODE_ORACLE)
+
+
+def test_disjunctive_band_revenue_twin(spark, sf_dir, con):
+    from compute_histogram_spark.registry import (
+        DISJUNCTIVE_BAND_ORACLE,
+        q_disjunctive_band_revenue,
+    )
+
+    _check("disjunctive_band_revenue",
+           q_disjunctive_band_revenue(spark, sf_dir), con,
+           DISJUNCTIVE_BAND_ORACLE)
+
+
+def test_disjunctive_prefilter_is_necessary_condition(spark):
+    """The pushed brand/quantity prefilters must never drop a row the
+    exact disjunction keeps: evaluate the disjunction with NO prefilter
+    on a tiny frame and compare."""
+    from pyspark.sql import Row
+
+    from compute_histogram_spark.operators.relational import (
+        Q19_BANDS,
+        disjunctive_band_revenue,
+    )
+
+    part = spark.createDataFrame([
+        Row(p_partkey=1, p_brand="Brand#1", p_size=5),
+        Row(p_partkey=2, p_brand="Brand#2", p_size=20),
+        Row(p_partkey=3, p_brand="Brand#9", p_size=5),   # brand outside bands
+        Row(p_partkey=4, p_brand="Brand#3", p_size=60),  # size outside bands
+    ])
+    li = spark.createDataFrame([
+        Row(l_partkey=1, l_quantity=10.0, l_extendedprice=100.0, l_discount=0.05),
+        Row(l_partkey=1, l_quantity=45.0, l_extendedprice=100.0, l_discount=0.0),
+        Row(l_partkey=2, l_quantity=15.0, l_extendedprice=200.0, l_discount=0.1),
+        Row(l_partkey=3, l_quantity=10.0, l_extendedprice=999.0, l_discount=0.0),
+        Row(l_partkey=4, l_quantity=25.0, l_extendedprice=999.0, l_discount=0.0),
+    ])
+    row = disjunctive_band_revenue(part, li, Q19_BANDS).collect()[0]
+    # qualifying rows: (1, qty10) via band1 and (2, qty15) via band2
+    assert row.n_items == 2
+    assert row.revenue == 100.0 * 0.95 + 200.0 * 0.90
+
+
+def test_sales_opportunity_twin(spark, sf_dir, con):
+    from compute_histogram_spark.registry import (
+        SALES_OPPORTUNITY_ORACLE,
+        q_sales_opportunity,
+    )
+
+    _check("sales_opportunity", q_sales_opportunity(spark, sf_dir), con,
+           SALES_OPPORTUNITY_ORACLE)

@@ -71,6 +71,10 @@ NLJ_ALLOWED = {
     # dsir_weights: the ONE-row (nt, ns) totals crossJoin inside the
     # bucket-bounded LLR table (same scalar-broadcast shape)
     "dsir_weights",
+    # sales_opportunity (Q22): join(broadcast(avg_bal)) — the ONE-row
+    # positive-balance average scalar crossed into the customer filter
+    # (the doc_perplexity scalar-broadcast shape)
+    "sales_opportunity",
 }
 # pure-Python kernel paths: no codegen span expected
 PY_KERNEL = {
@@ -165,6 +169,19 @@ def _extra_queries():
         "vocab_growth": lambda s, d: entrymod.registry.q_vocab_growth(s, d),
         "customer_order_distribution": lambda s, d: (
             entrymod.registry.q_customer_order_distribution(s, d)
+        ),
+        # r12 continuation: TPC-H completion sweep (staged twins)
+        "forecast_revenue": lambda s, d: (
+            entrymod.registry.q_forecast_revenue(s, d)
+        ),
+        "latency_mode_priority": lambda s, d: (
+            entrymod.registry.q_latency_mode_priority(s, d)
+        ),
+        "disjunctive_band_revenue": lambda s, d: (
+            entrymod.registry.q_disjunctive_band_revenue(s, d)
+        ),
+        "sales_opportunity": lambda s, d: (
+            entrymod.registry.q_sales_opportunity(s, d)
         ),
         # r12 layout-served bench rows: audited on a layout written into a
         # temp database at the audit SF (the plan shape is what's gated;
