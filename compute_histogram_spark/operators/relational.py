@@ -1116,3 +1116,244 @@ def sales_opportunity(
         )
         .orderBy("cntrycode")
     )
+
+
+def volume_shipping(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    region_a: str = "ASIA",
+    region_b: str = "EUROPE",
+    start: str = "1996-01-01",
+    end: str = "1998-01-01",
+) -> DataFrame:
+    """TPC-H Q7 shape: bilateral trade volume by year between two
+    geographies, adapted from nation pairs to REGION pairs (the
+    testdata's 150 customers spread over 25 nations make any single
+    nation pair empty at sf0.001; regions keep the directional-pair
+    semantics on live data).
+
+    Plan shape: the fact table resolves its supplier geography and its
+    customer geography through two independent dimension chains —
+    supplier->nation->region on the lineitem side, customer->nation->
+    region on the orders side — then keeps only the two directed
+    pairs. Both chains are bounded-dimension broadcasts (nation 25
+    rows, region 5); the only data-scaled shuffle is the
+    lineitem-orders orderkey join. The pair filter applies to each
+    side's region BEFORE the fact join (each side keeps rows in
+    {region_a, region_b}), shrinking both shuffle inputs; the exact
+    directed-pair predicate evaluates post-join in codegen.
+    """
+    geo_s = (
+        supplier.join(
+            F.broadcast(nation),
+            supplier["s_nationkey"] == nation["n_nationkey"],
+        )
+        .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
+        .where(F.col("r_name").isin(region_a, region_b))
+        .select("s_suppkey", F.col("r_name").alias("supp_region"))
+    )
+    geo_c = (
+        customer.join(
+            F.broadcast(nation),
+            customer["c_nationkey"] == nation["n_nationkey"],
+        )
+        .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
+        .where(F.col("r_name").isin(region_a, region_b))
+        .select("c_custkey", F.col("r_name").alias("cust_region"))
+    )
+    li = lineitem.where(
+        (F.col("l_shipdate") >= F.lit(start).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(end).cast("timestamp"))
+    )
+    j = (
+        li.join(geo_s, li["l_suppkey"] == geo_s["s_suppkey"])
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(geo_c, orders["o_custkey"] == geo_c["c_custkey"])
+        .where(
+            (
+                (F.col("supp_region") == region_a)
+                & (F.col("cust_region") == region_b)
+            )
+            | (
+                (F.col("supp_region") == region_b)
+                & (F.col("cust_region") == region_a)
+            )
+        )
+    )
+    disc_pc = cents("l_extendedprice") * (100 - cents("l_discount"))
+    return (
+        j.groupBy(
+            "supp_region", "cust_region", F.year("l_shipdate").alias("l_year")
+        )
+        .agg((F.sum(disc_pc) / 10000.0).alias("revenue"))
+        .orderBy("supp_region", "cust_region", "l_year")
+    )
+
+
+def market_share(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    part: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    supp_region: str = "ASIA",
+    market_region: str = "EUROPE",
+    p_type: str = "STANDARD",
+) -> DataFrame:
+    """TPC-H Q8 shape: one geography's share of a market, by order year
+    (supplier NATION lifted to supplier REGION — same sparsity reason
+    as :func:`volume_shipping`).
+
+    The share divides two sums over the SAME joined row set — a
+    CASE-gated numerator inside the denominator's aggregation, one
+    pass, no self-join. Both are exact integer cents*1e2 sums, so the
+    double division is bit-identical cross-engine (zero numerators
+    stay exactly 0.0). The part filter (p_type) prunes the fact join
+    through the partkey dimension first; the market filter prunes the
+    customer chain before the orders join.
+    """
+    p = part.where(F.col("p_type") == p_type).select("p_partkey")
+    geo_s = (
+        supplier.join(
+            F.broadcast(nation),
+            supplier["s_nationkey"] == nation["n_nationkey"],
+        )
+        .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
+        .select("s_suppkey", F.col("r_name").alias("supp_region"))
+    )
+    mkt_c = (
+        customer.join(
+            F.broadcast(nation),
+            customer["c_nationkey"] == nation["n_nationkey"],
+        )
+        .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
+        .where(F.col("r_name") == market_region)
+        .select("c_custkey")
+    )
+    # The custkey semi-join is applied to ORDERS BEFORE the fact join but
+    # with an explicit merge hint: without it the static estimator
+    # broadcasts the (orders ⋈ market-customers) subtree — a DATA-SCALED
+    # intermediate (≈1/|regions| of orders) hiding a shuffle, the exact
+    # misplan class tools/plan_audit.py exists to catch. The hint keeps
+    # both data-scaled joins keyed shuffles; bounded dims still broadcast.
+    o = orders.join(
+        mkt_c, orders["o_custkey"] == mkt_c["c_custkey"], "left_semi"
+    ).select("o_orderkey", "o_orderdate")
+    j = (
+        lineitem.join(p, lineitem["l_partkey"] == p["p_partkey"])
+        .join(geo_s, lineitem["l_suppkey"] == geo_s["s_suppkey"])
+        .join(o.hint("merge"), lineitem["l_orderkey"] == o["o_orderkey"])
+    )
+    disc_pc = cents("l_extendedprice") * (100 - cents("l_discount"))
+    num = F.sum(
+        F.when(F.col("supp_region") == supp_region, disc_pc).otherwise(F.lit(0))
+    )
+    den = F.sum(disc_pc)
+    return (
+        j.groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            (num / den).alias("mkt_share"),
+            (den / 10000.0).alias("total_volume"),
+        )
+        .orderBy("o_year")
+    )
+
+
+def product_type_profit(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    supplier: DataFrame,
+    part: DataFrame,
+    nation: DataFrame,
+    name_token: str = "widget",
+) -> DataFrame:
+    """TPC-H Q9 shape: profit on a product family by supplier nation
+    and order year. The schema has no partsupp/ps_supplycost, so unit
+    cost is proxied by p_retailprice — profit per lineitem =
+    extendedprice*(1-discount) - retailprice*quantity, both terms at
+    the exact 1e-4-dollar integer scale, so the aggregate is
+    associative and cross-engine exact (negative profits included).
+
+    Q9's structural load is the five-way star with a substring filter
+    on the part name: the p_name LIKE prunes the part dimension before
+    its fact join; nation stays a bounded broadcast; the two
+    data-scaled shuffles (partkey, orderkey) are unavoidable and keyed
+    on the fact's own columns.
+    """
+    p = part.where(F.col("p_name").contains(name_token)).select(
+        "p_partkey", "p_retailprice"
+    )
+    sn = supplier.join(
+        F.broadcast(nation), supplier["s_nationkey"] == nation["n_nationkey"]
+    ).select("s_suppkey", "n_name")
+    amount_e4 = cents("l_extendedprice") * (100 - cents("l_discount")) - cents(
+        "p_retailprice"
+    ) * cents("l_quantity")
+    j = (
+        lineitem.join(p, lineitem["l_partkey"] == p["p_partkey"])
+        .join(sn, lineitem["l_suppkey"] == sn["s_suppkey"])
+        .join(
+            orders.select("o_orderkey", "o_orderdate"),
+            lineitem["l_orderkey"] == orders["o_orderkey"],
+        )
+    )
+    return (
+        j.select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+            amount_e4.alias("amount_e4"),
+        )
+        .groupBy("nation", "o_year")
+        .agg((F.sum("amount_e4") / 10000.0).alias("sum_profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+def top_supplier(
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    start: str = "1996-01-01",
+    end: str = "1996-04-01",
+) -> DataFrame:
+    """TPC-H Q15 shape: the supplier(s) with maximum revenue over a
+    quarter — Q15's CREATE VIEW + scalar-max subquery re-expressed as
+    one revenue aggregate reused for both the max and the equality
+    filter (Spark's lazy DAG shares the subtree; no view machinery
+    needed).
+
+    The max-revenue filter compares EXACT integer 1e-4-dollar sums —
+    never the divided double — so ties and the winner set are
+    identical cross-engine. The scalar max is a one-row broadcast
+    cross join (bounded by construction); supplier joins after the
+    filter, when only the winner row(s) remain.
+    """
+    rev = (
+        lineitem.where(
+            (F.col("l_shipdate") >= F.lit(start).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(end).cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum(cents("l_extendedprice") * (100 - cents("l_discount")))
+            .alias("rev_e4")
+        )
+    )
+    mx = rev.agg(F.max("rev_e4").alias("max_rev_e4"))
+    winners = rev.join(F.broadcast(mx)).where(
+        F.col("rev_e4") == F.col("max_rev_e4")
+    )
+    return (
+        winners.join(supplier, winners["l_suppkey"] == supplier["s_suppkey"])
+        .select(
+            "s_suppkey",
+            "s_name",
+            (F.col("rev_e4") / 10000.0).alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )

@@ -3777,3 +3777,139 @@ def q_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return R.sales_opportunity(
         load(spark, sf_dir, "customer"), load(spark, sf_dir, "orders")
     )
+
+
+# TPC-H Q7 shape (relational.py:volume_shipping — staged r12): bilateral
+# region-pair trade volume by ship year (nation pairs are empty at
+# sf0.001; regions keep the directional-pair semantics live).
+VOLUME_SHIPPING_ORACLE = """
+    SELECT r1.r_name AS supp_region, r2.r_name AS cust_region,
+           CAST(year(l.l_shipdate) AS INT) AS l_year,
+           sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+               / 10000.0 AS revenue
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+    JOIN region r1 ON n1.n_regionkey = r1.r_regionkey
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+    JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+    WHERE ((r1.r_name = 'ASIA' AND r2.r_name = 'EUROPE')
+           OR (r1.r_name = 'EUROPE' AND r2.r_name = 'ASIA'))
+      AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+    """
+
+
+def q_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.volume_shipping(
+        load(spark, sf_dir, "lineitem"),
+        load(spark, sf_dir, "orders"),
+        load(spark, sf_dir, "customer"),
+        load(spark, sf_dir, "supplier"),
+        load(spark, sf_dir, "nation"),
+        load(spark, sf_dir, "region"),
+    )
+
+
+# TPC-H Q8 shape (relational.py:market_share — staged r12): ASIA
+# suppliers' share of the EUROPE STANDARD-parts market by order year.
+# Zero numerators stay exactly 0.0 (integer-sum division).
+MARKET_SHARE_ORACLE = """
+    SELECT CAST(year(o.o_orderdate) AS INT) AS o_year,
+           sum(CASE WHEN r1.r_name = 'ASIA'
+                    THEN CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                         * (100 - CAST(round(l.l_discount * 100) AS BIGINT))
+                    ELSE 0 END)
+           / CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                 * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+                 AS DOUBLE) AS mkt_share,
+           sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+               / 10000.0 AS total_volume
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+    JOIN region r1 ON n1.n_regionkey = r1.r_regionkey
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+    JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+    WHERE p.p_type = 'STANDARD' AND r2.r_name = 'EUROPE'
+    GROUP BY 1 ORDER BY 1
+    """
+
+
+def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.market_share(
+        load(spark, sf_dir, "lineitem"),
+        load(spark, sf_dir, "orders"),
+        load(spark, sf_dir, "customer"),
+        load(spark, sf_dir, "supplier"),
+        load(spark, sf_dir, "part"),
+        load(spark, sf_dir, "nation"),
+        load(spark, sf_dir, "region"),
+    )
+
+
+# TPC-H Q9 shape (relational.py:product_type_profit — staged r12):
+# profit by supplier nation and order year for the 'widget' family;
+# unit cost proxied by p_retailprice (no partsupp in the schema).
+PRODUCT_PROFIT_ORACLE = """
+    SELECT n.n_name AS nation,
+           CAST(year(o.o_orderdate) AS INT) AS o_year,
+           sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(round(l.l_discount * 100) AS BIGINT))
+               - CAST(round(p.p_retailprice * 100) AS BIGINT)
+                 * CAST(round(l.l_quantity * 100) AS BIGINT))
+               / 10000.0 AS sum_profit
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE p.p_name LIKE '%widget%'
+    GROUP BY 1, 2 ORDER BY 1, 2 DESC
+    """
+
+
+def q_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.product_type_profit(
+        load(spark, sf_dir, "lineitem"),
+        load(spark, sf_dir, "orders"),
+        load(spark, sf_dir, "supplier"),
+        load(spark, sf_dir, "part"),
+        load(spark, sf_dir, "nation"),
+    )
+
+
+# TPC-H Q15 shape (relational.py:top_supplier — staged r12): the
+# max-revenue supplier(s) over 1996Q1; the winner filter compares the
+# EXACT integer 1e-4-dollar revenue, never the divided double.
+TOP_SUPPLIER_ORACLE = """
+    WITH rev AS (
+        SELECT l_suppkey,
+               sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                   * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                   AS rev_e4
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1996-04-01'
+        GROUP BY 1
+    )
+    SELECT s.s_suppkey, s.s_name, rev.rev_e4 / 10000.0 AS total_revenue
+    FROM rev
+    JOIN supplier s ON rev.l_suppkey = s.s_suppkey
+    WHERE rev.rev_e4 = (SELECT max(rev_e4) FROM rev)
+    ORDER BY s.s_suppkey
+    """
+
+
+def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.top_supplier(
+        load(spark, sf_dir, "lineitem"), load(spark, sf_dir, "supplier")
+    )

@@ -13,6 +13,7 @@ import os
 import sys
 
 import pytest
+from pyspark.sql import functions as F
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
 from check_oracle import compare, duck_connection  # noqa: E402
@@ -508,3 +509,71 @@ def test_sales_opportunity_twin(spark, sf_dir, con):
 
     _check("sales_opportunity", q_sales_opportunity(spark, sf_dir), con,
            SALES_OPPORTUNITY_ORACLE)
+
+
+def test_volume_shipping_twin(spark, sf_dir, con):
+    from compute_histogram_spark.registry import (
+        VOLUME_SHIPPING_ORACLE,
+        q_volume_shipping,
+    )
+
+    _check("volume_shipping", q_volume_shipping(spark, sf_dir), con,
+           VOLUME_SHIPPING_ORACLE)
+
+
+def test_market_share_twin(spark, sf_dir, con):
+    from compute_histogram_spark.registry import (
+        MARKET_SHARE_ORACLE,
+        q_market_share,
+    )
+
+    _check("market_share", q_market_share(spark, sf_dir), con,
+           MARKET_SHARE_ORACLE)
+
+
+def test_product_type_profit_twin(spark, sf_dir, con):
+    from compute_histogram_spark.registry import (
+        PRODUCT_PROFIT_ORACLE,
+        q_product_type_profit,
+    )
+
+    _check("product_type_profit", q_product_type_profit(spark, sf_dir),
+           con, PRODUCT_PROFIT_ORACLE)
+
+
+def test_top_supplier_twin(spark, sf_dir, con):
+    from compute_histogram_spark.registry import (
+        TOP_SUPPLIER_ORACLE,
+        q_top_supplier,
+    )
+
+    _check("top_supplier", q_top_supplier(spark, sf_dir), con,
+           TOP_SUPPLIER_ORACLE)
+
+
+def test_top_supplier_keeps_exact_ties(spark):
+    """The winner filter compares integer rev_e4, so exact revenue ties
+    return BOTH suppliers (the Q15 tie semantics a double-compare can
+    break)."""
+    from pyspark.sql import Row
+
+    from compute_histogram_spark.operators.relational import top_supplier
+
+    li = spark.createDataFrame([
+        Row(l_suppkey=1, l_shipdate="1996-02-01", l_extendedprice=100.0,
+            l_discount=0.0),
+        Row(l_suppkey=2, l_shipdate="1996-02-02", l_extendedprice=50.0,
+            l_discount=0.0),
+        Row(l_suppkey=2, l_shipdate="1996-02-03", l_extendedprice=50.0,
+            l_discount=0.0),
+        Row(l_suppkey=3, l_shipdate="1996-02-04", l_extendedprice=10.0,
+            l_discount=0.0),
+    ]).withColumn("l_shipdate", F.col("l_shipdate").cast("timestamp"))
+    supp = spark.createDataFrame([
+        Row(s_suppkey=1, s_name="S1"),
+        Row(s_suppkey=2, s_name="S2"),
+        Row(s_suppkey=3, s_name="S3"),
+    ])
+    rows = top_supplier(li, supp).collect()
+    assert [(r.s_suppkey, r.total_revenue) for r in rows] == [
+        (1, 100.0), (2, 100.0)]

@@ -183,6 +183,14 @@ def _extra_queries():
         "sales_opportunity": lambda s, d: (
             entrymod.registry.q_sales_opportunity(s, d)
         ),
+        "volume_shipping": lambda s, d: (
+            entrymod.registry.q_volume_shipping(s, d)
+        ),
+        "market_share": lambda s, d: entrymod.registry.q_market_share(s, d),
+        "product_type_profit": lambda s, d: (
+            entrymod.registry.q_product_type_profit(s, d)
+        ),
+        "top_supplier": lambda s, d: entrymod.registry.q_top_supplier(s, d),
         # r12 layout-served bench rows: audited on a layout written into a
         # temp database at the audit SF (the plan shape is what's gated;
         # the zero-orderkey-Exchange property itself is pinned in
