@@ -1357,3 +1357,253 @@ def top_supplier(
         )
         .orderBy("s_suppkey")
     )
+
+
+def min_cost_supplier(
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    part: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    region_name: str = "EUROPE",
+    max_size: int = 25,
+) -> DataFrame:
+    """TPC-H Q2 shape: the cheapest regional supplier per part. The
+    schema has no partsupp, so the supply-cost table is DERIVED from
+    observed trades: per (part, supplier) the minimum unit price ever
+    charged, in exact integer MILLI-dollars (price_c*10 floor-divided
+    by quantity_c — floor division of positive ints is engine-stable,
+    unlike a double divide whose rounding the join-back equality would
+    then have to survive).
+
+    Q2's structural load — a correlated min subquery re-joined on
+    (partkey, min) equality — becomes: one (part, supplier) aggregate,
+    a per-part min over the regional subset, and an equi-join back on
+    the exact integers. The regional filter prunes the supplier side
+    through bounded dimension broadcasts BEFORE the cost aggregate, so
+    the min is computed only over rows that can win.
+    """
+    eu = (
+        supplier.join(
+            F.broadcast(nation), supplier["s_nationkey"] == nation["n_nationkey"]
+        )
+        .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
+        .where(F.col("r_name") == region_name)
+        .select("s_suppkey", "s_acctbal", "s_name", "n_name")
+    )
+    cost = (
+        lineitem.join(eu, lineitem["l_suppkey"] == eu["s_suppkey"])
+        .groupBy("l_partkey", "s_suppkey", "s_acctbal", "s_name", "n_name")
+        .agg(
+            F.min(
+                F.expr(
+                    "cast(round(l_extendedprice * 100) as bigint) * 10"
+                    " div cast(round(l_quantity * 100) as bigint)"
+                )
+            ).alias("unit_milli")
+        )
+    )
+    best = cost.groupBy(F.col("l_partkey").alias("b_partkey")).agg(
+        F.min("unit_milli").alias("min_milli")
+    )
+    p = part.where(F.col("p_size") < max_size).select("p_partkey", "p_name")
+    return (
+        cost.join(
+            best,
+            (F.col("l_partkey") == F.col("b_partkey"))
+            & (F.col("unit_milli") == F.col("min_milli")),
+        )
+        .join(p, F.col("l_partkey") == p["p_partkey"])
+        .select(
+            (cents("s_acctbal") / 100.0).alias("s_acctbal"),
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_name",
+            (F.col("unit_milli") / 1000.0).alias("unit_cost"),
+        )
+        .orderBy(F.desc("s_acctbal"), "s_name", "p_partkey")
+    )
+
+
+def important_parts(
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    region_name: str = "EUROPE",
+    mult_num: int = 3,
+    mult_den: int = 2,
+) -> DataFrame:
+    """TPC-H Q11 shape: parts holding an outsized share of a region's
+    traded value. Q11's fixed fraction (0.0001/SF) scales with data
+    size; here the threshold is SCALE-FREE — a part qualifies when its
+    value exceeds mult_num/mult_den (default 1.5x) times the average
+    per-part value — so the same constants yield rows at every SF. The
+    comparison is pure integers: value_c * n_parts * mult_den >
+    total_c * mult_num (both scalars come from one extra aggregate
+    over the same value table; no doubles until display).
+
+    Structure preserved from Q11: a filtered group-agg (regional
+    suppliers only, pruned through bounded dimension broadcasts before
+    the fact aggregate), a global scalar over THAT aggregate, and a
+    HAVING comparing each group to the scalar — the scalar rides a
+    one-row broadcast cross join.
+    """
+    eu = (
+        supplier.join(
+            F.broadcast(nation), supplier["s_nationkey"] == nation["n_nationkey"]
+        )
+        .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
+        .where(F.col("r_name") == region_name)
+        .select("s_suppkey")
+    )
+    v = (
+        lineitem.join(eu, lineitem["l_suppkey"] == eu["s_suppkey"], "left_semi")
+        .groupBy("l_partkey")
+        .agg(F.sum(cents("l_extendedprice")).alias("value_c"))
+    )
+    tot = v.agg(
+        F.sum("value_c").alias("total_c"),
+        F.count(F.lit(1)).alias("n_parts"),
+    )
+    return (
+        v.join(F.broadcast(tot))
+        .where(
+            F.col("value_c") * F.col("n_parts") * F.lit(mult_den)
+            > F.col("total_c") * F.lit(mult_num)
+        )
+        .select("l_partkey", (F.col("value_c") / 100.0).alias("part_value"))
+        .orderBy(F.desc("part_value"), "l_partkey")
+    )
+
+
+def supplier_part_counts(
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    part: DataFrame,
+    excluded_brand: str = "Brand#1",
+    min_acctbal: float = 1000.0,
+) -> DataFrame:
+    """TPC-H Q16 shape: how many distinct suppliers serve each
+    (brand, type, size) part class — with Q16's two exclusions kept
+    structurally: a brand excluded by predicate (the <> filter prunes
+    the part dimension scan) and a NOT-IN supplier set (suppliers
+    below ``min_acctbal``, the schema's stand-in for Q16's complaint
+    filter) applied as an ANTI join on the fact BEFORE the distinct
+    aggregation.
+
+    The supplier relationship is observed from lineitem (no partsupp);
+    count(DISTINCT l_suppkey) per class is exact — partial distinct
+    aggregation map-side, one shuffle on the class key.
+    """
+    bad = supplier.where(F.col("s_acctbal") < min_acctbal).select("s_suppkey")
+    p = part.where(F.col("p_brand") != excluded_brand).select(
+        "p_partkey", "p_brand", "p_type", "p_size"
+    )
+    j = lineitem.select("l_partkey", "l_suppkey").join(
+        bad, lineitem["l_suppkey"] == bad["s_suppkey"], "left_anti"
+    ).join(p, F.col("l_partkey") == p["p_partkey"])
+    return (
+        j.groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+def small_quantity_revenue(
+    lineitem: DataFrame,
+    part: DataFrame,
+    brand: str = "Brand#2",
+    fraction_denom: int = 5,
+) -> DataFrame:
+    """TPC-H Q17 shape: yearly revenue lost if sub-fifth-of-average
+    quantity orders stopped. The correlated per-part average is one
+    pre-aggregate joined back to the fact; the "below 1/5 of average"
+    gate is INTEGER-exact — qty_c * denom * n_i < sum_qty_c_i avoids
+    materializing avg as a double entirely (multiply through by the
+    count instead of dividing by it).
+
+    The brand filter prunes the part dimension before both the
+    aggregate's fact scan and the final join; the per-part aggregate
+    is partkey-bounded. avg_yearly divides one exact integer sum by 7.
+    """
+    p = part.where(F.col("p_brand") == brand).select("p_partkey")
+    li = lineitem.join(p, lineitem["l_partkey"] == p["p_partkey"], "left_semi")
+    pa = li.groupBy(F.col("l_partkey").alias("pa_partkey")).agg(
+        F.sum(cents("l_quantity")).alias("sum_qty_c"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+    j = li.join(pa, li["l_partkey"] == pa["pa_partkey"])
+    small = (
+        cents("l_quantity") * F.lit(fraction_denom) * F.col("n_items")
+        < F.col("sum_qty_c")
+    )
+    return j.where(small).agg(
+        (F.sum(cents("l_extendedprice")) / 100.0 / 7.0).alias("avg_yearly"),
+        F.count(F.lit(1)).alias("n_small"),
+    )
+
+
+def promotion_suppliers(
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    part: DataFrame,
+    name_token: str = "widget",
+    start: str = "1996-01-01",
+    end: str = "1997-01-01",
+    multiple: int = 2,
+) -> DataFrame:
+    """TPC-H Q20 shape: suppliers positioned to run a promotion on a
+    part family. Q20's availqty > 0.5 * shipped-qty gate becomes a
+    peer-relative one (no partsupp): a supplier qualifies on a part
+    when their shipped quantity in the window exceeds ``multiple``
+    times the per-supplier average for that part — integer-exact as
+    q_c * n_suppliers > total_c * multiple.
+
+    The structural chain is Q20's nested-IN pyramid as semi-joins:
+    part-name filter -> windowed (part, supplier) aggregate -> per-part
+    totals joined back -> qualifying supplier keys -> LEFT SEMI into
+    supplier. Every data-scaled join is keyed; the name filter prunes
+    the part scan with a pushed predicate.
+    """
+    p = part.where(F.col("p_name").contains(name_token)).select("p_partkey")
+    sq = (
+        lineitem.where(
+            (F.col("l_shipdate") >= F.lit(start).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(end).cast("timestamp"))
+        )
+        .join(p, lineitem["l_partkey"] == p["p_partkey"], "left_semi")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(cents("l_quantity")).alias("q_c"))
+    )
+    pt = sq.groupBy(F.col("l_partkey").alias("pt_partkey")).agg(
+        F.sum("q_c").alias("total_c"),
+        F.count(F.lit(1)).alias("n_supp"),
+    )
+    # pt is partkey-bounded — part is a DATA-SCALED dimension, so the
+    # static estimator's broadcast of this aggregated-subtree-with-a-
+    # shuffle is the same misplan class as the final semi join below;
+    # both stay keyed shuffles via merge hints.
+    qual = (
+        sq.join(pt.hint("merge"), sq["l_partkey"] == pt["pt_partkey"])
+        .where(
+            F.col("q_c") * F.col("n_supp")
+            > F.col("total_c") * F.lit(multiple)
+        )
+        .select("l_suppkey")
+        .distinct()
+    )
+    # merge hint: qual is bounded by |suppliers| — DATA-SCALED — but the
+    # static estimator sees a twice-aggregated subtree and broadcasts it
+    # (the r6 ngram-jaccard misplan class, flagged by plan_audit). The
+    # semi join stays a keyed shuffle at any scale.
+    return (
+        supplier.join(
+            qual.hint("merge"),
+            supplier["s_suppkey"] == qual["l_suppkey"],
+            "left_semi",
+        )
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )

@@ -3913,3 +3913,182 @@ def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return R.top_supplier(
         load(spark, sf_dir, "lineitem"), load(spark, sf_dir, "supplier")
     )
+
+
+# TPC-H Q2 shape (relational.py:min_cost_supplier — staged r12): the
+# correlated-min + join-back row; unit cost derived from observed
+# trades in integer milli-dollars (floor division — engine-stable).
+MIN_COST_SUPPLIER_ORACLE = """
+    WITH eu AS (
+        SELECT s_suppkey, s_acctbal, s_name, n_name
+        FROM supplier
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'EUROPE'
+    ),
+    cost AS (
+        SELECT l.l_partkey, eu.s_suppkey, eu.s_acctbal, eu.s_name,
+               eu.n_name,
+               min(CAST(round(l.l_extendedprice * 100) AS BIGINT) * 10
+                   // CAST(round(l.l_quantity * 100) AS BIGINT))
+                   AS unit_milli
+        FROM lineitem l JOIN eu ON l.l_suppkey = eu.s_suppkey
+        GROUP BY 1, 2, 3, 4, 5
+    ),
+    best AS (
+        SELECT l_partkey, min(unit_milli) AS min_milli
+        FROM cost GROUP BY 1
+    )
+    SELECT CAST(round(c.s_acctbal * 100) AS BIGINT) / 100.0 AS s_acctbal,
+           c.s_name, c.n_name, p.p_partkey, p.p_name,
+           c.unit_milli / 1000.0 AS unit_cost
+    FROM cost c
+    JOIN best b ON c.l_partkey = b.l_partkey
+               AND c.unit_milli = b.min_milli
+    JOIN part p ON c.l_partkey = p.p_partkey
+    WHERE p.p_size < 25
+    ORDER BY s_acctbal DESC, c.s_name, p.p_partkey
+    """
+
+
+def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.min_cost_supplier(
+        load(spark, sf_dir, "lineitem"),
+        load(spark, sf_dir, "supplier"),
+        load(spark, sf_dir, "part"),
+        load(spark, sf_dir, "nation"),
+        load(spark, sf_dir, "region"),
+    )
+
+
+# TPC-H Q11 shape (relational.py:important_parts — staged r12): the
+# HAVING-vs-global-scalar row with a SCALE-FREE threshold (share >
+# 1.5x the average per-part share — Q11's 0.0001/SF fraction can't
+# hold across both test SFs); pure-integer ratio comparison.
+IMPORTANT_PARTS_ORACLE = """
+    WITH eu AS (
+        SELECT s_suppkey FROM supplier
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'EUROPE'
+    ),
+    v AS (
+        SELECT l_partkey,
+               sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS value_c
+        FROM lineitem
+        WHERE l_suppkey IN (SELECT s_suppkey FROM eu)
+        GROUP BY 1
+    ),
+    tot AS (
+        SELECT sum(value_c) AS total_c, count(*) AS n_parts FROM v
+    )
+    SELECT v.l_partkey, v.value_c / 100.0 AS part_value
+    FROM v, tot
+    WHERE v.value_c * tot.n_parts * 2 > tot.total_c * 3
+    ORDER BY part_value DESC, v.l_partkey
+    """
+
+
+def q_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.important_parts(
+        load(spark, sf_dir, "lineitem"),
+        load(spark, sf_dir, "supplier"),
+        load(spark, sf_dir, "nation"),
+        load(spark, sf_dir, "region"),
+    )
+
+
+# TPC-H Q16 shape (relational.py:supplier_part_counts — staged r12):
+# distinct-supplier counts per part class with the brand exclusion
+# pushed to the part scan and the low-balance supplier NOT-IN applied
+# as an anti join before the distinct aggregation.
+SUPPLIER_PART_COUNTS_ORACLE = """
+    SELECT p.p_brand, p.p_type, p.p_size,
+           CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_brand <> 'Brand#1'
+      AND l.l_suppkey NOT IN (
+          SELECT s_suppkey FROM supplier WHERE s_acctbal < 1000.0
+      )
+    GROUP BY 1, 2, 3
+    ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size
+    """
+
+
+def q_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.supplier_part_counts(
+        load(spark, sf_dir, "lineitem"),
+        load(spark, sf_dir, "supplier"),
+        load(spark, sf_dir, "part"),
+    )
+
+
+# TPC-H Q17 shape (relational.py:small_quantity_revenue — staged r12):
+# the correlated per-part average gate, integer-exact by multiplying
+# through by the group count (qty_c * 5 * n < sum_qty_c).
+SMALL_QUANTITY_ORACLE = """
+    WITH p AS (SELECT p_partkey FROM part WHERE p_brand = 'Brand#2'),
+    li AS (
+        SELECT l_partkey, l_quantity, l_extendedprice FROM lineitem
+        WHERE l_partkey IN (SELECT p_partkey FROM p)
+    ),
+    pa AS (
+        SELECT l_partkey,
+               sum(CAST(round(l_quantity * 100) AS BIGINT)) AS sum_qty_c,
+               count(*) AS n_items
+        FROM li GROUP BY 1
+    )
+    SELECT sum(CAST(round(li.l_extendedprice * 100) AS BIGINT))
+               / 100.0 / 7.0 AS avg_yearly,
+           count(*) AS n_small
+    FROM li JOIN pa ON li.l_partkey = pa.l_partkey
+    WHERE CAST(round(li.l_quantity * 100) AS BIGINT) * 5 * pa.n_items
+          < pa.sum_qty_c
+    """
+
+
+def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.small_quantity_revenue(
+        load(spark, sf_dir, "lineitem"), load(spark, sf_dir, "part")
+    )
+
+
+# TPC-H Q20 shape (relational.py:promotion_suppliers — staged r12):
+# the nested-IN pyramid as semi-joins; peer-relative overstock gate
+# (q_c * n_supp > total_c * 2, integer-exact).
+PROMOTION_SUPPLIERS_ORACLE = """
+    WITH p AS (
+        SELECT p_partkey FROM part WHERE p_name LIKE '%widget%'
+    ),
+    sq AS (
+        SELECT l_partkey, l_suppkey,
+               sum(CAST(round(l_quantity * 100) AS BIGINT)) AS q_c
+        FROM lineitem
+        WHERE l_partkey IN (SELECT p_partkey FROM p)
+          AND l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+        GROUP BY 1, 2
+    ),
+    pt AS (
+        SELECT l_partkey, sum(q_c) AS total_c, count(*) AS n_supp
+        FROM sq GROUP BY 1
+    ),
+    qual AS (
+        SELECT DISTINCT sq.l_suppkey
+        FROM sq JOIN pt ON sq.l_partkey = pt.l_partkey
+        WHERE sq.q_c * pt.n_supp > pt.total_c * 2
+    )
+    SELECT s.s_suppkey, s.s_name
+    FROM supplier s
+    WHERE s.s_suppkey IN (SELECT l_suppkey FROM qual)
+    ORDER BY s.s_suppkey
+    """
+
+
+def q_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.promotion_suppliers(
+        load(spark, sf_dir, "lineitem"),
+        load(spark, sf_dir, "supplier"),
+        load(spark, sf_dir, "part"),
+    )

@@ -577,3 +577,77 @@ def test_top_supplier_keeps_exact_ties(spark):
     rows = top_supplier(li, supp).collect()
     assert [(r.s_suppkey, r.total_revenue) for r in rows] == [
         (1, 100.0), (2, 100.0)]
+
+
+def test_min_cost_supplier_twin(spark, sf_dir, con):
+    from compute_histogram_spark.registry import (
+        MIN_COST_SUPPLIER_ORACLE,
+        q_min_cost_supplier,
+    )
+
+    _check("min_cost_supplier", q_min_cost_supplier(spark, sf_dir), con,
+           MIN_COST_SUPPLIER_ORACLE)
+
+
+def test_important_parts_twin(spark, sf_dir, con):
+    from compute_histogram_spark.registry import (
+        IMPORTANT_PARTS_ORACLE,
+        q_important_parts,
+    )
+
+    _check("important_parts", q_important_parts(spark, sf_dir), con,
+           IMPORTANT_PARTS_ORACLE)
+
+
+def test_supplier_part_counts_twin(spark, sf_dir, con):
+    from compute_histogram_spark.registry import (
+        SUPPLIER_PART_COUNTS_ORACLE,
+        q_supplier_part_counts,
+    )
+
+    _check("supplier_part_counts", q_supplier_part_counts(spark, sf_dir),
+           con, SUPPLIER_PART_COUNTS_ORACLE)
+
+
+def test_small_quantity_revenue_twin(spark, sf_dir, con):
+    from compute_histogram_spark.registry import (
+        SMALL_QUANTITY_ORACLE,
+        q_small_quantity_revenue,
+    )
+
+    _check("small_quantity_revenue",
+           q_small_quantity_revenue(spark, sf_dir), con,
+           SMALL_QUANTITY_ORACLE)
+
+
+def test_promotion_suppliers_twin(spark, sf_dir, con):
+    from compute_histogram_spark.registry import (
+        PROMOTION_SUPPLIERS_ORACLE,
+        q_promotion_suppliers,
+    )
+
+    _check("promotion_suppliers", q_promotion_suppliers(spark, sf_dir),
+           con, PROMOTION_SUPPLIERS_ORACLE)
+
+
+def test_small_quantity_gate_is_integer_exact(spark):
+    """The 1/5-of-average gate multiplies through by the group count —
+    a part with avg qty 10.0 keeps qty 1.99 (< 2.0) and drops qty 2.0
+    (boundary excluded, strict <)."""
+    from pyspark.sql import Row
+
+    from compute_histogram_spark.operators.relational import (
+        small_quantity_revenue,
+    )
+
+    part = spark.createDataFrame([Row(p_partkey=1, p_brand="Brand#2")])
+    li = spark.createDataFrame([
+        Row(l_partkey=1, l_quantity=18.01, l_extendedprice=1.0),
+        Row(l_partkey=1, l_quantity=1.99, l_extendedprice=100.0),
+        Row(l_partkey=1, l_quantity=2.00, l_extendedprice=999.0),
+        Row(l_partkey=1, l_quantity=18.00, l_extendedprice=1.0),
+    ])
+    # sum_qty = 40.00 over 4 items -> avg 10.00, fifth = 2.00
+    row = small_quantity_revenue(li, part).collect()[0]
+    assert row.n_small == 1
+    assert row.avg_yearly == 100.0 / 7.0

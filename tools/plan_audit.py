@@ -75,6 +75,10 @@ NLJ_ALLOWED = {
     # positive-balance average scalar crossed into the customer filter
     # (the doc_perplexity scalar-broadcast shape)
     "sales_opportunity",
+    # important_parts (Q11): join(broadcast(tot)) — the ONE-row
+    # (total_c, n_parts) scalar over the per-part value aggregate
+    # crossed into the HAVING filter (same bounded scalar shape)
+    "important_parts",
 }
 # pure-Python kernel paths: no codegen span expected
 PY_KERNEL = {
@@ -191,6 +195,21 @@ def _extra_queries():
             entrymod.registry.q_product_type_profit(s, d)
         ),
         "top_supplier": lambda s, d: entrymod.registry.q_top_supplier(s, d),
+        "min_cost_supplier": lambda s, d: (
+            entrymod.registry.q_min_cost_supplier(s, d)
+        ),
+        "important_parts": lambda s, d: (
+            entrymod.registry.q_important_parts(s, d)
+        ),
+        "supplier_part_counts": lambda s, d: (
+            entrymod.registry.q_supplier_part_counts(s, d)
+        ),
+        "small_quantity_revenue": lambda s, d: (
+            entrymod.registry.q_small_quantity_revenue(s, d)
+        ),
+        "promotion_suppliers": lambda s, d: (
+            entrymod.registry.q_promotion_suppliers(s, d)
+        ),
         # r12 layout-served bench rows: audited on a layout written into a
         # temp database at the audit SF (the plan shape is what's gated;
         # the zero-orderkey-Exchange property itself is pinned in
@@ -236,6 +255,11 @@ def _layout_form(which: str):
 # - session/peak_concurrency: bucket-prefix offsets, bounded by the time
 #   span (explicitly F.broadcast in behavior.py)
 BCAST_OVER_SHUFFLE_BOUNDED = {
+    # important_parts / top_supplier: ONE-row scalars aggregated from the
+    # per-group value table (Q11's HAVING threshold, Q15's max revenue) —
+    # bounded by construction regardless of input scale
+    "important_parts",
+    "top_supplier",
     "minmax",
     "histogram_linear",
     "histogram_log",
