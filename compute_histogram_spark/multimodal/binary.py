@@ -423,10 +423,12 @@ PIXEL_STATS_SCHEMA = (
 
 
 def extract_pixel_stats(assets: DataFrame) -> DataFrame:
-    """REAL pixel statistics for decodable (PNG, JPEG, GIF, BMP) image
-    payloads via Arrow-batched ``mapInPandas``: full stdlib decode (PNG:
-    zlib + unfilter; JPEG: Huffman + IDCT, multimodal/jpeg.py; GIF: LZW
-    + palette; BMP: padded BGR rows, multimodal/gif.py), then
+    """REAL pixel statistics for decodable (PNG, JPEG, GIF, BMP,
+    lossless WebP) image payloads via Arrow-batched ``mapInPandas``:
+    full stdlib decode (PNG: zlib + unfilter; JPEG: Huffman + IDCT,
+    multimodal/jpeg.py; GIF: LZW + palette; BMP: padded BGR rows,
+    multimodal/gif.py; VP8L: prefix codes + LZ77 + color cache + the
+    four inverse transforms, multimodal/vp8l.py), then
     vectorized numpy reductions — mean luminance, min/max sample.
     Non-decodable payloads pass through with ``decoded=false`` and NULL
     stats instead of poisoning the batch; binary content never crosses a
@@ -452,6 +454,13 @@ def extract_pixel_stats(assets: DataFrame) -> DataFrame:
                         px = decode_gif(content)
                     elif content.startswith(b"BM"):
                         px = decode_bmp(content)
+                    elif (content[:4] == b"RIFF"
+                          and content[8:12] == b"WEBP"):
+                        from compute_histogram_spark.multimodal.vp8l import (
+                            decode_webp,
+                        )
+
+                        px = decode_webp(content)
                     else:
                         px = decode_png(content)
                     h, w, c = px.shape

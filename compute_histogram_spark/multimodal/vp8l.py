@@ -1,0 +1,992 @@
+"""REAL lossless-WebP (VP8L) pixel decode — closing the follow-up the
+r12 WebP boundary memo left open: lossy WebP's VP8 entropy layer runs on
+~2k empirically-specified probability tables (non-derivable-constants
+class, memo in BASELINE.md), but LOSSLESS WebP is canonical prefix codes
+over an LZ77 + color-cache stream with four reversible transforms — the
+same derivable-coding class as PNG's DEFLATE, already in-repo — so it
+gets a real decoder.
+
+Implements the public WebP Lossless Bitstream Specification (RFC 9649
+§3; the format Google documents as "VP8L"):
+
+- LSB-first bit reading; canonical prefix codes (DEFLATE-style
+  assignment, code bits transmitted root-first), both the "simple"
+  (1-2 symbol) and "normal" (code-length-coded) forms, including the
+  16/17/18 repeat codes and the optional max_symbol short-circuit;
+- the 5-code groups (green+length+cache, red, blue, alpha, distance),
+  optional meta-prefix entropy image selecting a group per block;
+- LZ77 backward references with the prefix-coded length/distance value
+  scheme and the 120-entry 2D distance neighborhood map;
+- the color cache ((0x1e35a7bd * ARGB) >> (32 - bits) hash, insert on
+  every produced pixel);
+- all four inverse transforms: PREDICTOR (14 modes, per-block
+  subresolution mode image), COLOR (3.5-bit signed cross-channel
+  deltas), SUBTRACT_GREEN, and COLOR_INDEXING (delta-coded palette,
+  sub-byte pixel bundling for palettes <= 16 colors).
+
+``encode_vp8l`` is the fixture builder (the gif.py `_gif_lzw_encode`
+arrangement): a real, spec-conformant encoder — greedy LZ77 with
+vertical/horizontal matches, real Huffman construction, optional cache /
+subtract-green / palette — so every decoder path is exercised by
+round-trip without any codec library in the container. No external
+encoder exists here to cross-validate byte streams against, so (as with
+the JPEG/GIF/FLAC decoders) conformance rests on the spec text plus
+structural invariants pinned in tests (distance-map geometry, canonical
+Kraft completeness).
+"""
+
+from __future__ import annotations
+
+import heapq
+import struct
+
+import numpy as np
+
+# The 120-entry 2D distance neighborhood (spec "dist_map"): the cells
+# of the half-window dy in [0, 7], dx in [-7, 8] minus the non-causal
+# dy == 0, dx <= 0 row (exactly 120 cells), ordered by squared
+# distance, ties by |dx| ascending with +dx before -dx — the rule the
+# spec's published table follows. Distance code c in [1, 120] maps to
+# pixel offset dy*width + dx (clamped to >= 1); codes > 120 map to the
+# plain distance c - 120. The construction is re-derived and pinned in
+# tests (domain coverage, uniqueness, ordering).
+DIST_MAP = (
+    (0, 1), (1, 0), (1, 1), (-1, 1), (0, 2), (2, 0), (1, 2), (-1, 2),
+    (2, 1), (-2, 1), (2, 2), (-2, 2), (0, 3), (3, 0), (1, 3), (-1, 3),
+    (3, 1), (-3, 1), (2, 3), (-2, 3), (3, 2), (-3, 2), (0, 4), (4, 0),
+    (1, 4), (-1, 4), (4, 1), (-4, 1), (3, 3), (-3, 3), (2, 4), (-2, 4),
+    (4, 2), (-4, 2), (0, 5), (3, 4), (-3, 4), (4, 3), (-4, 3), (5, 0),
+    (1, 5), (-1, 5), (5, 1), (-5, 1), (2, 5), (-2, 5), (5, 2), (-5, 2),
+    (4, 4), (-4, 4), (3, 5), (-3, 5), (5, 3), (-5, 3), (0, 6), (6, 0),
+    (1, 6), (-1, 6), (6, 1), (-6, 1), (2, 6), (-2, 6), (6, 2), (-6, 2),
+    (4, 5), (-4, 5), (5, 4), (-5, 4), (3, 6), (-3, 6), (6, 3), (-6, 3),
+    (0, 7), (7, 0), (1, 7), (-1, 7), (5, 5), (-5, 5), (7, 1), (-7, 1),
+    (4, 6), (-4, 6), (6, 4), (-6, 4), (2, 7), (-2, 7), (7, 2), (-7, 2),
+    (3, 7), (-3, 7), (7, 3), (-7, 3), (5, 6), (-5, 6), (6, 5), (-6, 5),
+    (8, 0), (4, 7), (-4, 7), (7, 4), (-7, 4), (8, 1), (8, 2), (6, 6),
+    (-6, 6), (8, 3), (5, 7), (-5, 7), (7, 5), (-7, 5), (8, 4), (6, 7),
+    (-6, 7), (7, 6), (-7, 6), (8, 5), (7, 7), (-7, 7), (8, 6), (8, 7),
+)
+
+# code-length-code transmission order (spec kCodeLengthCodeOrder)
+CL_ORDER = (17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15)
+
+GREEN_BASE = 256 + 24  # literals + length prefix codes; cache indices after
+
+
+class _BitReader:
+    """LSB-first over the VP8L payload (post-signature)."""
+
+    def __init__(self, data: bytes):
+        self.d = data
+        self.pos = 0
+
+    def read(self, n: int) -> int:
+        v = 0
+        d, p = self.d, self.pos
+        for i in range(n):
+            v |= ((d[p >> 3] >> (p & 7)) & 1) << i
+            p += 1
+        self.pos = p
+        return v
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, value: int, n: int) -> None:
+        self.acc |= (value & ((1 << n) - 1)) << self.n
+        self.n += n
+        while self.n >= 8:
+            self.out.append(self.acc & 0xFF)
+            self.acc >>= 8
+            self.n -= 8
+
+    def write_code_msb_first(self, code: int, length: int) -> None:
+        """Prefix-code bits go root-first (the code's MSB leads)."""
+        for i in range(length - 1, -1, -1):
+            self.write((code >> i) & 1, 1)
+
+    def flush(self) -> bytes:
+        if self.n:
+            self.out.append(self.acc & 0xFF)
+            self.acc, self.n = 0, 0
+        return bytes(self.out)
+
+
+def _canonical_codes(lengths) -> dict:
+    """DEFLATE canonical assignment -> {(length, code): symbol}."""
+    maxlen = max(lengths)
+    bl_count = [0] * (maxlen + 1)
+    for ln in lengths:
+        if ln:
+            bl_count[ln] += 1
+    code = 0
+    next_code = [0] * (maxlen + 1)
+    for bits in range(1, maxlen + 1):
+        code = (code + bl_count[bits - 1]) << 1
+        next_code[bits] = code
+    table = {}
+    for sym, ln in enumerate(lengths):
+        if ln:
+            table[(ln, next_code[ln])] = sym
+            next_code[ln] += 1
+    return table
+
+
+def _canonical_by_symbol(lengths) -> dict:
+    """Encoder view: {symbol: (code, length)}."""
+    return {s: (c, ln) for (ln, c), s in _canonical_codes(lengths).items()}
+
+
+class _PrefixDecoder:
+    """Tree-walk decode of a canonical prefix code; 0-bit for the
+    single-symbol degenerate case (spec simple-code n=1 / trivial
+    normal trees)."""
+
+    __slots__ = ("table", "const")
+
+    def __init__(self, lengths=None, const=None):
+        if const is not None:
+            self.const, self.table = const, None
+        else:
+            nonzero = [s for s, ln in enumerate(lengths) if ln]
+            if len(nonzero) == 1:
+                self.const, self.table = nonzero[0], None
+            else:
+                self.const, self.table = None, _canonical_codes(lengths)
+
+    def read(self, br: _BitReader) -> int:
+        if self.table is None:
+            return self.const
+        code = 0
+        length = 0
+        t = self.table
+        while True:
+            code = (code << 1) | br.read(1)
+            length += 1
+            sym = t.get((length, code))
+            if sym is not None:
+                return sym
+            if length > 15:
+                raise ValueError("malformed VP8L: prefix code overrun")
+
+
+def _read_prefix_code(br: _BitReader, alphabet: int) -> _PrefixDecoder:
+    if br.read(1):  # simple code
+        n_syms = br.read(1) + 1
+        if br.read(1):
+            s0 = br.read(8)
+        else:
+            s0 = br.read(1)
+        if n_syms == 1:
+            return _PrefixDecoder(const=s0)
+        s1 = br.read(8)
+        lengths = [0] * alphabet
+        lengths[s0] = 1
+        lengths[s1] = 1
+        return _PrefixDecoder(lengths)
+    # normal: code lengths themselves prefix-coded
+    num_cl = 4 + br.read(4)
+    cl_lengths = [0] * 19
+    for i in range(num_cl):
+        cl_lengths[CL_ORDER[i]] = br.read(3)
+    cl_dec = _PrefixDecoder(cl_lengths)
+    if br.read(1):
+        length_nbits = 2 + 2 * br.read(3)
+        max_symbol = 2 + br.read(length_nbits)
+    else:
+        max_symbol = alphabet
+    lengths = [0] * alphabet
+    prev = 8
+    symbol = 0
+    while symbol < alphabet:
+        if max_symbol == 0:
+            break
+        max_symbol -= 1
+        cl = cl_dec.read(br)
+        if cl < 16:
+            lengths[symbol] = cl
+            symbol += 1
+            if cl:
+                prev = cl
+        elif cl == 16:
+            rep = 3 + br.read(2)
+            for _ in range(rep):
+                lengths[symbol] = prev
+                symbol += 1
+        elif cl == 17:
+            symbol += 3 + br.read(3)
+        else:
+            symbol += 11 + br.read(7)
+    return _PrefixDecoder(lengths)
+
+
+def _lz77_value(br: _BitReader, code: int) -> int:
+    """Prefix-coded length/distance value (spec §4.2.2)."""
+    if code < 4:
+        return code + 1
+    extra = (code - 2) >> 1
+    offset = (2 + (code & 1)) << extra
+    return offset + br.read(extra) + 1
+
+
+def _lz77_code(value: int):
+    """Inverse of :func:`_lz77_value`: (code, extra_bits_value, n_extra)."""
+    if value <= 4:
+        return value - 1, 0, 0
+    x = value - 1
+    extra = x.bit_length() - 2
+    hi = x >> extra
+    code = 2 + 2 * extra + (hi - 2)
+    return code, x - (hi << extra), extra
+
+
+def _plane_code_to_distance(code: int, width: int) -> int:
+    if code > 120:
+        return code - 120
+    dx, dy = DIST_MAP[code - 1]
+    return max(dy * width + dx, 1)
+
+
+def _distance_to_plane_code(dist: int, width: int) -> int:
+    """Encoder side: prefer the 2D code when the offset is in the map."""
+    for i, (dx, dy) in enumerate(DIST_MAP):
+        if dy * width + dx == dist and dist >= 1:
+            return i + 1
+    return dist + 120
+
+
+def _subsample_size(size: int, bits: int) -> int:
+    return (size + (1 << bits) - 1) >> bits
+
+
+def _cache_key(argb: int, bits: int) -> int:
+    return ((0x1E35A7BD * argb) & 0xFFFFFFFF) >> (32 - bits)
+
+
+def _decode_image_stream(br: _BitReader, w: int, h: int, top_level: bool):
+    """One spatially-coded image (main image, transform data, entropy
+    image, or palette) -> flat uint32 ARGB array of length w*h."""
+    cache_bits = 0
+    if br.read(1):
+        cache_bits = br.read(4)
+        if not 1 <= cache_bits <= 11:
+            raise ValueError("malformed VP8L: cache_bits out of range")
+    cache_size = (1 << cache_bits) if cache_bits else 0
+
+    meta = None
+    meta_bits = 0
+    n_groups = 1
+    if top_level and br.read(1):
+        meta_bits = br.read(3) + 2
+        mw = _subsample_size(w, meta_bits)
+        mh = _subsample_size(h, meta_bits)
+        meta = _decode_image_stream(br, mw, mh, False)
+        n_groups = 1 + max((int(p) >> 8) & 0xFFFF for p in meta)
+
+    alphabet = GREEN_BASE + cache_size
+    groups = []
+    for _ in range(n_groups):
+        groups.append((
+            _read_prefix_code(br, alphabet),
+            _read_prefix_code(br, 256),
+            _read_prefix_code(br, 256),
+            _read_prefix_code(br, 256),
+            _read_prefix_code(br, 40),
+        ))
+
+    n = w * h
+    out = np.zeros(n, dtype=np.uint32)
+    cache = [0] * cache_size
+    mw = _subsample_size(w, meta_bits) if meta is not None else 0
+    pos = 0
+    g = groups[0]
+    while pos < n:
+        if meta is not None:
+            x, y = pos % w, pos // w
+            mp = int(meta[(y >> meta_bits) * mw + (x >> meta_bits)])
+            g = groups[(mp >> 8) & 0xFFFF]
+        green_d, red_d, blue_d, alpha_d, dist_d = g
+        s = green_d.read(br)
+        if s < 256:
+            r = red_d.read(br)
+            b = blue_d.read(br)
+            a = alpha_d.read(br)
+            px = (a << 24) | (r << 16) | (s << 8) | b
+            out[pos] = px
+            if cache_size:
+                cache[_cache_key(px, cache_bits)] = px
+            pos += 1
+        elif s < GREEN_BASE:
+            length = _lz77_value(br, s - 256)
+            dist_code = _lz77_value(br, dist_d.read(br))
+            dist = _plane_code_to_distance(dist_code, w)
+            if dist > pos or pos + length > n:
+                raise ValueError("malformed VP8L: backward ref out of range")
+            for _ in range(length):
+                px = int(out[pos - dist])
+                out[pos] = px
+                if cache_size:
+                    cache[_cache_key(px, cache_bits)] = px
+                pos += 1
+        else:
+            out[pos] = cache[s - GREEN_BASE]
+            pos += 1
+    return out
+
+
+# --- inverse transforms -------------------------------------------------
+
+
+def _avg2(a: int, b: int) -> int:
+    """Per-channel byte average of two ARGB pixels."""
+    return (((a ^ b) & 0xFEFEFEFE) >> 1) + (a & b)
+
+
+def _clamp_add_sub_full(a: int, b: int, c: int) -> int:
+    out = 0
+    for sh in (0, 8, 16, 24):
+        v = ((a >> sh) & 0xFF) + ((b >> sh) & 0xFF) - ((c >> sh) & 0xFF)
+        out |= max(0, min(255, v)) << sh
+    return out
+
+
+def _clamp_add_sub_half(ab: int, c: int) -> int:
+    out = 0
+    for sh in (0, 8, 16, 24):
+        x = (ab >> sh) & 0xFF
+        cc = (c >> sh) & 0xFF
+        # (x - cc) / 2 truncates toward zero in the spec's C arithmetic
+        # — an arithmetic shift would floor and differ on negative odds
+        d = x - cc
+        v = x + (abs(d) >> 1) * (1 if d >= 0 else -1)
+        out |= max(0, min(255, v)) << sh
+    return out
+
+
+def _select(l: int, t: int, tl: int) -> int:
+    p_l = 0
+    p_t = 0
+    for sh in (0, 8, 16, 24):
+        pred = ((l >> sh) & 0xFF) + ((t >> sh) & 0xFF) - ((tl >> sh) & 0xFF)
+        p_l += abs(pred - ((l >> sh) & 0xFF))
+        p_t += abs(pred - ((t >> sh) & 0xFF))
+    return l if p_l < p_t else t
+
+
+def _add_pixels(a: int, b: int) -> int:
+    """Per-channel mod-256 addition."""
+    out = 0
+    for sh in (0, 8, 16, 24):
+        out |= ((((a >> sh) & 0xFF) + ((b >> sh) & 0xFF)) & 0xFF) << sh
+    return out
+
+
+def _predict(mode: int, data, pos: int, w: int) -> int:
+    L = int(data[pos - 1])
+    T = int(data[pos - w])
+    TL = int(data[pos - w - 1])
+    TR = int(data[pos - w + 1])
+    if mode == 0:
+        return 0xFF000000
+    if mode == 1:
+        return L
+    if mode == 2:
+        return T
+    if mode == 3:
+        return TR
+    if mode == 4:
+        return TL
+    if mode == 5:
+        return _avg2(_avg2(L, TR), T)
+    if mode == 6:
+        return _avg2(L, TL)
+    if mode == 7:
+        return _avg2(L, T)
+    if mode == 8:
+        return _avg2(TL, T)
+    if mode == 9:
+        return _avg2(T, TR)
+    if mode == 10:
+        return _avg2(_avg2(L, TL), _avg2(T, TR))
+    if mode == 11:
+        return _select(L, T, TL)
+    if mode == 12:
+        return _clamp_add_sub_full(L, T, TL)
+    if mode == 13:
+        return _clamp_add_sub_half(_avg2(L, T), TL)
+    raise ValueError(f"malformed VP8L: predictor mode {mode}")
+
+
+def _inverse_predictor(data, w: int, h: int, bits: int, modes) -> None:
+    mw = _subsample_size(w, bits)
+    # first pixel: black prediction; rest of first row: L; first col: T
+    data[0] = _add_pixels(int(data[0]), 0xFF000000)
+    for x in range(1, w):
+        data[x] = _add_pixels(int(data[x]), int(data[x - 1]))
+    for y in range(1, h):
+        row = y * w
+        data[row] = _add_pixels(int(data[row]), int(data[row - w]))
+        for x in range(1, w):
+            pos = row + x
+            mode = (int(modes[(y >> bits) * mw + (x >> bits)]) >> 8) & 0xFF
+            # at x == w-1 the TR flat index pos - w + 1 lands on this
+            # row's leftmost (already decoded) pixel — the spec's
+            # rightmost-column TR wrap falls out of flat addressing
+            data[pos] = _add_pixels(int(data[pos]), _predict(mode, data, pos, w))
+
+
+def _ct_delta(t: int, c: int) -> int:
+    """(int8(t) * int8(c)) >> 5 — the 3.5 fixed-point transform delta."""
+    ts = t - 256 if t >= 128 else t
+    cs = c - 256 if c >= 128 else c
+    return (ts * cs) >> 5
+
+
+def _inverse_color_transform(data, w: int, h: int, bits: int, cte) -> None:
+    mw = _subsample_size(w, bits)
+    for y in range(h):
+        for x in range(w):
+            pos = y * w + x
+            e = int(cte[(y >> bits) * mw + (x >> bits)])
+            g2r = (e >> 0) & 0xFF   # blue channel of the cte pixel
+            g2b = (e >> 8) & 0xFF   # green channel
+            r2b = (e >> 16) & 0xFF  # red channel
+            px = int(data[pos])
+            a = (px >> 24) & 0xFF
+            r = (px >> 16) & 0xFF
+            g = (px >> 8) & 0xFF
+            b = px & 0xFF
+            r = (r + _ct_delta(g2r, g)) & 0xFF
+            b = (b + _ct_delta(g2b, g) + _ct_delta(r2b, r)) & 0xFF
+            data[pos] = (a << 24) | (r << 16) | (g << 8) | b
+
+
+def _inverse_subtract_green(data) -> None:
+    g = (data >> np.uint32(8)) & np.uint32(0xFF)
+    r = (((data >> np.uint32(16)) & np.uint32(0xFF)) + g) & np.uint32(0xFF)
+    b = ((data & np.uint32(0xFF)) + g) & np.uint32(0xFF)
+    data[:] = (data & np.uint32(0xFF00FF00)) | (r << np.uint32(16)) | b
+
+
+def _inverse_color_indexing(data, w: int, h: int, palette) -> np.ndarray:
+    n_colors = len(palette)
+    if n_colors <= 2:
+        width_bits = 3
+    elif n_colors <= 4:
+        width_bits = 2
+    elif n_colors <= 16:
+        width_bits = 1
+    else:
+        width_bits = 0
+    if width_bits == 0:
+        idx = (data >> np.uint32(8)) & np.uint32(0xFF)
+        if int(idx.max(initial=0)) >= n_colors:
+            raise ValueError("malformed VP8L: palette index out of range")
+        return palette[idx]
+    # unbundle: each packed pixel's green holds 8 >> width_bits indices
+    ppp = 1 << width_bits          # pixels per packed pixel
+    ibits = 8 >> width_bits        # bits per index
+    mask = (1 << ibits) - 1
+    packed_w = _subsample_size(w, width_bits)
+    out = np.zeros(w * h, dtype=np.uint32)
+    for y in range(h):
+        for x in range(w):
+            packed = int(data[y * packed_w + (x >> width_bits)])
+            green = (packed >> 8) & 0xFF
+            i = (green >> ((x % ppp) * ibits)) & mask
+            if i >= n_colors:
+                raise ValueError("malformed VP8L: palette index out of range")
+            out[y * w + x] = palette[i]
+    return out
+
+
+def decode_vp8l(payload: bytes) -> np.ndarray:
+    """VP8L chunk payload -> (h, w, 4) uint8 RGBA."""
+    if not payload or payload[0] != 0x2F:
+        raise ValueError("malformed VP8L: bad signature")
+    (bits,) = struct.unpack_from("<I", payload, 1)
+    w = 1 + (bits & 0x3FFF)
+    h = 1 + ((bits >> 14) & 0x3FFF)
+    version = (bits >> 29) & 0x7
+    if version != 0:
+        raise ValueError(f"malformed VP8L: version {version}")
+    br = _BitReader(payload)
+    br.pos = 5 * 8  # signature byte + 32-bit header already consumed
+
+    # transforms, in stream order; applied inversely in reverse order
+    transforms = []
+    xsize = w
+    while br.read(1):
+        ttype = br.read(2)
+        if any(t[0] == ttype for t in transforms):
+            raise ValueError("malformed VP8L: duplicate transform")
+        if ttype == 0:  # predictor
+            tbits = br.read(3) + 2
+            modes = _decode_image_stream(
+                br, _subsample_size(xsize, tbits),
+                _subsample_size(h, tbits), False)
+            transforms.append((0, tbits, modes))
+        elif ttype == 1:  # color transform
+            tbits = br.read(3) + 2
+            cte = _decode_image_stream(
+                br, _subsample_size(xsize, tbits),
+                _subsample_size(h, tbits), False)
+            transforms.append((1, tbits, cte))
+        elif ttype == 2:  # subtract green
+            transforms.append((2, None, None))
+        else:  # color indexing
+            n_colors = br.read(8) + 1
+            pal_img = _decode_image_stream(br, n_colors, 1, False)
+            # palette entries are delta-coded component-wise
+            palette = np.zeros(n_colors, dtype=np.uint32)
+            acc = 0
+            for i in range(n_colors):
+                acc = _add_pixels(acc, int(pal_img[i]))
+                palette[i] = acc
+            transforms.append((3, n_colors, palette))
+            if n_colors <= 2:
+                xsize = _subsample_size(xsize, 3)
+            elif n_colors <= 4:
+                xsize = _subsample_size(xsize, 2)
+            elif n_colors <= 16:
+                xsize = _subsample_size(xsize, 1)
+
+    data = _decode_image_stream(br, xsize, h, True)
+
+    for ttype, p1, p2 in reversed(transforms):
+        if ttype == 3:
+            data = _inverse_color_indexing(data, w, h, p2)
+        elif ttype == 2:
+            _inverse_subtract_green(data)
+        elif ttype == 1:
+            _inverse_color_transform(data, w, h, p1, p2)
+        else:
+            _inverse_predictor(data, w, h, p1, p2)
+
+    rgba = np.zeros((h, w, 4), dtype=np.uint8)
+    grid = data.reshape(h, w)
+    rgba[:, :, 0] = (grid >> np.uint32(16)) & np.uint32(0xFF)
+    rgba[:, :, 1] = (grid >> np.uint32(8)) & np.uint32(0xFF)
+    rgba[:, :, 2] = grid & np.uint32(0xFF)
+    rgba[:, :, 3] = (grid >> np.uint32(24)) & np.uint32(0xFF)
+    return rgba
+
+
+def decode_webp(content: bytes) -> np.ndarray:
+    """RIFF walk -> VP8L pixel decode. Lossy ('VP8 ') payloads raise —
+    the boolean-arithmetic entropy layer is the documented non-derivable
+    boundary (BASELINE.md r12 memo)."""
+    if content[:4] != b"RIFF" or content[8:12] != b"WEBP":
+        raise ValueError("not a WebP (RIFF/WEBP) container")
+    pos = 12
+    while pos + 8 <= len(content):
+        fourcc = content[pos:pos + 4]
+        (size,) = struct.unpack_from("<I", content, pos + 4)
+        payload = content[pos + 8:pos + 8 + size]
+        if fourcc == b"VP8L":
+            return decode_vp8l(payload)
+        if fourcc == b"VP8 ":
+            raise NotImplementedError(
+                "lossy WebP (VP8) pixel decode: empirically-specified "
+                "probability tables — see the r12 boundary memo")
+        pos += 8 + size + (size & 1)
+    raise ValueError("malformed WebP: no VP8L stream chunk")
+
+
+# --- fixture encoder -----------------------------------------------------
+
+
+def _huffman_lengths(freqs: dict, max_len: int = 15) -> dict:
+    """Code lengths from frequencies (heap Huffman; fixtures are small
+    enough that the 15-bit cap never binds)."""
+    syms = [s for s, f in freqs.items() if f > 0]
+    if len(syms) == 1:
+        return {syms[0]: 1}
+    heap = [(f, i, (s,)) for i, (s, f) in enumerate(sorted(freqs.items()))
+            if f > 0]
+    heapq.heapify(heap)
+    depth = {s: 0 for s in syms}
+    while len(heap) > 1:
+        f1, _, g1 = heapq.heappop(heap)
+        f2, i2, g2 = heapq.heappop(heap)
+        for s in g1 + g2:
+            depth[s] += 1
+        heapq.heappush(heap, (f1 + f2, i2, g1 + g2))
+    if max(depth.values()) > max_len:
+        raise ValueError("fixture encoder: code over 15 bits")
+    return depth
+
+
+def _write_prefix_code(bw: _BitWriter, lengths: dict, alphabet: int) -> dict:
+    """Emit a prefix-code definition; return {symbol: (code, len)}."""
+    syms = sorted(lengths)
+    if len(syms) == 1 and syms[0] < 256:
+        bw.write(1, 1)  # simple
+        bw.write(0, 1)  # one symbol
+        if syms[0] > 1:
+            bw.write(1, 1)
+            bw.write(syms[0], 8)
+        else:
+            bw.write(0, 1)
+            bw.write(syms[0], 1)
+        return {syms[0]: (0, 0)}
+    if len(syms) == 2 and syms[0] <= 1 and syms[1] < 256:
+        bw.write(1, 1)  # simple
+        bw.write(1, 1)  # two symbols
+        bw.write(0, 1)
+        bw.write(syms[0], 1)
+        bw.write(syms[1], 8)
+        return {syms[0]: (0, 1), syms[1]: (1, 1)}
+    # normal path: code lengths for the whole alphabet, CL symbols
+    # emitted one-by-one under their own Huffman code
+    full = [lengths.get(s, 0) for s in range(alphabet)]
+    single = len(syms) == 1  # symbol >= 256: inexpressible as simple;
+    # the decoder treats a one-leaf normal tree as a 0-bit code
+    cl_freq = {}
+    for ln in full:
+        cl_freq[ln] = cl_freq.get(ln, 0) + 1
+    cl_lengths = _huffman_lengths(cl_freq, max_len=7)
+    cl_codes = _canonical_by_symbol(
+        [cl_lengths.get(s, 0) for s in range(19)])
+    bw.write(0, 1)       # not simple
+    bw.write(15, 4)      # num_code_lengths = 19
+    cl_full = [cl_lengths.get(s, 0) for s in range(19)]
+    for s in CL_ORDER:
+        bw.write(cl_full[s], 3)
+    bw.write(0, 1)       # no max_symbol shortcut
+    for ln in full:
+        if len(cl_codes) == 1:
+            continue  # 0-bit CL code: nothing to emit
+        c, cl = cl_codes[ln]
+        bw.write_code_msb_first(c, cl)
+    if single:
+        return {syms[0]: (0, 0)}
+    return _canonical_by_symbol(full)
+
+
+def _emit_tokens(bw: _BitWriter, tokens, cache_size: int) -> None:
+    """tokens: ('lit', a, r, g, b) | ('copy', length, dist_code) |
+    ('cache', idx). Builds the five real Huffman codes, then the data."""
+    gf, rf, bf, af, df = {}, {}, {}, {}, {}
+    for t in tokens:
+        if t[0] == "lit":
+            _, a, r, g, b = t
+            gf[g] = gf.get(g, 0) + 1
+            rf[r] = rf.get(r, 0) + 1
+            bf[b] = bf.get(b, 0) + 1
+            af[a] = af.get(a, 0) + 1
+        elif t[0] == "copy":
+            lcode, _, _ = _lz77_code(t[1])
+            gf[256 + lcode] = gf.get(256 + lcode, 0) + 1
+            dcode, _, _ = _lz77_code(t[2])
+            df[dcode] = df.get(dcode, 0) + 1
+        else:
+            gf[GREEN_BASE + t[1]] = gf.get(GREEN_BASE + t[1], 0) + 1
+    # every tree must be emitted even if unused (readers read five)
+    for f in (rf, bf, af, df):
+        if not f:
+            f[0] = 1
+    codes = []
+    for freqs, alphabet in ((gf, GREEN_BASE + cache_size), (rf, 256),
+                            (bf, 256), (af, 256), (df, 40)):
+        codes.append(_write_prefix_code(
+            bw, _huffman_lengths(freqs), alphabet))
+    gc, rc, bc, ac, dc = codes
+    for t in tokens:
+        if t[0] == "lit":
+            _, a, r, g, b = t
+            for table, sym in ((gc, g), (rc, r), (bc, b), (ac, a)):
+                c, ln = table[sym]
+                bw.write_code_msb_first(c, ln)
+        elif t[0] == "copy":
+            lcode, lextra, lnbits = _lz77_code(t[1])
+            c, ln = gc[256 + lcode]
+            bw.write_code_msb_first(c, ln)
+            bw.write(lextra, lnbits)
+            dcode, dextra, dnbits = _lz77_code(t[2])
+            c, ln = dc[dcode]
+            bw.write_code_msb_first(c, ln)
+            bw.write(dextra, dnbits)
+        else:
+            c, ln = gc[GREEN_BASE + t[1]]
+            bw.write_code_msb_first(c, ln)
+
+
+def _tokenize(argb, w: int, cache_bits: int, use_lz77: bool):
+    """Greedy LZ77 over vertical (dist=width) and horizontal (dist=1)
+    matches — enough to exercise both 2D-mapped and plain distances —
+    plus color-cache hits when enabled."""
+    n = len(argb)
+    cache = [None] * (1 << cache_bits) if cache_bits else None
+    tokens = []
+    pos = 0
+    while pos < n:
+        best_len = 0
+        best_dist = 0
+        if use_lz77:
+            for dist in (w, 1):
+                if dist == 0 or dist > pos:
+                    continue
+                length = 0
+                while (pos + length < n and length < 4096
+                       and argb[pos + length - dist] == argb[pos + length]):
+                    length += 1
+                if length > best_len:
+                    best_len, best_dist = length, dist
+        if best_len >= 3:
+            tokens.append(
+                ("copy", best_len, _distance_to_plane_code(best_dist, w)))
+            for i in range(best_len):
+                px = int(argb[pos + i])
+                if cache is not None:
+                    cache[_cache_key(px, cache_bits)] = px
+            pos += best_len
+            continue
+        px = int(argb[pos])
+        if cache is not None:
+            k = _cache_key(px, cache_bits)
+            if cache[k] == px:
+                tokens.append(("cache", k))
+                pos += 1
+                continue
+            cache[k] = px
+        tokens.append(("lit", (px >> 24) & 0xFF, (px >> 16) & 0xFF,
+                       (px >> 8) & 0xFF, px & 0xFF))
+        pos += 1
+    return tokens
+
+
+def _sub_pixels(a: int, b: int) -> int:
+    """Per-channel mod-256 subtraction (forward-transform residuals)."""
+    out = 0
+    for sh in (0, 8, 16, 24):
+        out |= ((((a >> sh) & 0xFF) - ((b >> sh) & 0xFF)) & 0xFF) << sh
+    return out
+
+
+def _forward_predictor(argb, w: int, h: int, mode: int) -> np.ndarray:
+    """Residuals against a uniform predictor mode; predictions read the
+    ORIGINAL pixels (exactly what the decoder reconstructs first)."""
+    out = np.zeros_like(argb)
+    out[0] = _sub_pixels(int(argb[0]), 0xFF000000)
+    for x in range(1, w):
+        out[x] = _sub_pixels(int(argb[x]), int(argb[x - 1]))
+    for y in range(1, h):
+        row = y * w
+        out[row] = _sub_pixels(int(argb[row]), int(argb[row - w]))
+        for x in range(1, w):
+            pos = row + x
+            out[pos] = _sub_pixels(
+                int(argb[pos]), _predict(mode, argb, pos, w))
+    return out
+
+
+def _forward_color_transform(argb, g2r: int, g2b: int, r2b: int) -> np.ndarray:
+    out = np.zeros_like(argb)
+    for i, px in enumerate(argb):
+        px = int(px)
+        a = (px >> 24) & 0xFF
+        r = (px >> 16) & 0xFF
+        g = (px >> 8) & 0xFF
+        b = px & 0xFF
+        nr = (r - _ct_delta(g2r, g)) & 0xFF
+        nb = (b - _ct_delta(g2b, g) - _ct_delta(r2b, r)) & 0xFF
+        out[i] = (a << 24) | (nr << 16) | (g << 8) | nb
+    return out
+
+
+def _emit_subimage(bw: _BitWriter, argb) -> None:
+    """Literal-only non-top image stream (transform data / entropy
+    image): no color cache, five codes, one group."""
+    bw.write(0, 1)  # no color cache
+    _emit_tokens(bw, [("lit", (int(p) >> 24) & 0xFF, (int(p) >> 16) & 0xFF,
+                       (int(p) >> 8) & 0xFF, int(p) & 0xFF)
+                      for p in argb], 0)
+
+
+def encode_vp8l(
+    rgba: np.ndarray,
+    cache_bits: int = 0,
+    subtract_green: bool = False,
+    palette: bool = False,
+    use_lz77: bool = True,
+    predictor_mode: int | None = None,
+    color_transform: tuple | None = None,
+    meta_split: bool = False,
+) -> bytes:
+    """(h, w, 4) uint8 RGBA -> full RIFF/WEBP file with a VP8L chunk.
+    Spec-conformant fixture encoder exercising the decoder paths the
+    flags select: `predictor_mode` applies the PREDICTOR transform with
+    that mode on every block; `color_transform=(g2r, g2b, r2b)` applies
+    a uniform COLOR transform; `meta_split` codes the left and right
+    halves with two distinct prefix-code groups through a meta entropy
+    image. Raises if `palette` is requested for >256 colors."""
+    h, w, _ = rgba.shape
+    argb = (rgba[:, :, 3].astype(np.uint32) << 24) \
+        | (rgba[:, :, 0].astype(np.uint32) << 16) \
+        | (rgba[:, :, 1].astype(np.uint32) << 8) \
+        | rgba[:, :, 2].astype(np.uint32)
+    argb = argb.reshape(-1)
+
+    bw = _BitWriter()
+    alpha_used = bool((rgba[:, :, 3] != 255).any())
+
+    xsize = w
+    pal = None
+    if palette:
+        pal = np.unique(argb)
+        if len(pal) > 256:
+            raise ValueError("palette fixture: more than 256 colors")
+        index_of = {int(c): i for i, c in enumerate(pal)}
+        idx = np.array([index_of[int(p)] for p in argb], dtype=np.uint32)
+        n_colors = len(pal)
+        if n_colors <= 2:
+            width_bits = 3
+        elif n_colors <= 4:
+            width_bits = 2
+        elif n_colors <= 16:
+            width_bits = 1
+        else:
+            width_bits = 0
+        if width_bits:
+            ppp = 1 << width_bits
+            ibits = 8 >> width_bits
+            packed_w = _subsample_size(w, width_bits)
+            packed = np.zeros(packed_w * h, dtype=np.uint32)
+            for y in range(h):
+                for x in range(w):
+                    g = int(idx[y * w + x]) << ((x % ppp) * ibits)
+                    packed[y * packed_w + (x >> width_bits)] |= g << 8
+            argb = packed
+            xsize = packed_w
+        else:
+            # index rides the green channel; other channels are unread
+            argb = idx << np.uint32(8)
+
+    if subtract_green and pal is None:
+        g = (argb >> np.uint32(8)) & np.uint32(0xFF)
+        r = (((argb >> np.uint32(16)) & np.uint32(0xFF)) - g) & np.uint32(0xFF)
+        b = ((argb & np.uint32(0xFF)) - g) & np.uint32(0xFF)
+        argb = (argb & np.uint32(0xFF00FF00)) | (r << np.uint32(16)) | b
+
+    # transform list (stream order = application order on the encoder
+    # side; the decoder inverts in reverse)
+    if subtract_green and pal is None:
+        bw.write(1, 1)
+        bw.write(2, 2)  # SUBTRACT_GREEN
+    if color_transform is not None and pal is None:
+        g2r, g2b, r2b = color_transform
+        argb = _forward_color_transform(argb, g2r, g2b, r2b)
+        tbits = 2
+        bw.write(1, 1)
+        bw.write(1, 2)  # COLOR_TRANSFORM
+        bw.write(tbits - 2, 3)
+        mw = _subsample_size(xsize, tbits)
+        mh = _subsample_size(h, tbits)
+        cte_px = (r2b << 16) | (g2b << 8) | g2r
+        _emit_subimage(bw, np.full(mw * mh, cte_px, dtype=np.uint32))
+    if predictor_mode is not None and pal is None:
+        argb = _forward_predictor(argb, xsize, h, predictor_mode)
+        tbits = 2
+        bw.write(1, 1)
+        bw.write(0, 2)  # PREDICTOR
+        bw.write(tbits - 2, 3)
+        mw = _subsample_size(xsize, tbits)
+        mh = _subsample_size(h, tbits)
+        _emit_subimage(
+            bw, np.full(mw * mh, predictor_mode << 8, dtype=np.uint32))
+    if pal is not None:
+        bw.write(1, 1)
+        bw.write(3, 2)  # COLOR_INDEXING
+        bw.write(len(pal) - 1, 8)
+        # delta-coded palette as a (n_colors x 1) image, literals only
+        deltas = []
+        prev = 0
+        for c in pal:
+            d = 0
+            for sh in (0, 8, 16, 24):
+                d |= ((((int(c) >> sh) & 0xFF) - ((prev >> sh) & 0xFF))
+                      & 0xFF) << sh
+            deltas.append(d)
+            prev = int(c)
+        bw.write(0, 1)  # palette image: no color cache
+        _emit_tokens(bw, [("lit", (d >> 24) & 0xFF, (d >> 16) & 0xFF,
+                           (d >> 8) & 0xFF, d & 0xFF) for d in deltas], 0)
+    bw.write(0, 1)  # no more transforms
+
+    # main image stream
+    if cache_bits:
+        bw.write(1, 1)
+        bw.write(cache_bits, 4)
+    else:
+        bw.write(0, 1)
+    if meta_split:
+        if cache_bits:
+            raise ValueError("meta_split fixture: cache unsupported")
+        # two prefix-code groups through a meta entropy image: left
+        # half of each block row -> group 0, right half -> group 1
+        meta_bits = 2
+        bw.write(1, 1)
+        bw.write(meta_bits - 2, 3)
+        mw = _subsample_size(xsize, meta_bits)
+        mh = _subsample_size(h, meta_bits)
+        meta_px = np.array(
+            [(0 if mx < mw // 2 else 1) << 8
+             for _ in range(mh) for mx in range(mw)], dtype=np.uint32)
+        _emit_subimage(bw, meta_px)
+        # literal-only emission, one code set per group
+        groups = [[], []]
+        for pos, px in enumerate(argb):
+            x = pos % xsize
+            gi = 0 if (x >> meta_bits) < mw // 2 else 1
+            px = int(px)
+            groups[gi].append(
+                ("lit", (px >> 24) & 0xFF, (px >> 16) & 0xFF,
+                 (px >> 8) & 0xFF, px & 0xFF))
+        code_sets = []
+        for gi in (0, 1):
+            gf, rf, bf, af = {}, {}, {}, {}
+            for _, a, r, g, b in groups[gi]:
+                gf[g] = gf.get(g, 0) + 1
+                rf[r] = rf.get(r, 0) + 1
+                bf[b] = bf.get(b, 0) + 1
+                af[a] = af.get(a, 0) + 1
+            df = {0: 1}
+            for f in (gf, rf, bf, af):
+                if not f:
+                    f[0] = 1
+            cs = []
+            for freqs, alphabet in ((gf, GREEN_BASE), (rf, 256), (bf, 256),
+                                    (af, 256), (df, 40)):
+                cs.append(_write_prefix_code(
+                    bw, _huffman_lengths(freqs), alphabet))
+            code_sets.append(cs)
+        for pos, px in enumerate(argb):
+            x = pos % xsize
+            gc, rc, bc, ac, _ = code_sets[
+                0 if (x >> meta_bits) < mw // 2 else 1]
+            px = int(px)
+            for table, sym in ((gc, (px >> 8) & 0xFF),
+                               (rc, (px >> 16) & 0xFF),
+                               (bc, px & 0xFF),
+                               (ac, (px >> 24) & 0xFF)):
+                c, ln = table[sym]
+                bw.write_code_msb_first(c, ln)
+    else:
+        bw.write(0, 1)  # no meta prefix codes
+        _emit_tokens(bw, _tokenize(argb, xsize, cache_bits, use_lz77),
+                     (1 << cache_bits) if cache_bits else 0)
+
+    body = bw.flush()
+    header = struct.pack(
+        "<I", (w - 1) | ((h - 1) << 14) | (int(alpha_used) << 28))
+    payload = b"\x2f" + header + body
+    chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload
+    if len(payload) & 1:
+        chunk += b"\x00"
+    return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
