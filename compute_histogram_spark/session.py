@@ -109,20 +109,60 @@ def get_session(
 # (BASELINE.md r11 harness finding).
 BYTES_PER_SHUFFLE_PARTITION = 128 * 1024 * 1024
 
+# The compressed-bytes proxy breaks down on narrow columnar rows: at the
+# sf100 probe, lineitem stores ~18 bytes/row on disk but a fact-fact
+# join (Q12) or a distinct-heavy aggregate (Q16) holds far more per row
+# in sort buffers / hash maps — 131 byte-term partitions OOM'd the 8 GB
+# harness on both, while 512 carried Q16's cold run (BASELINE.md r12
+# continuation). The ROW term bounds per-task row counts in that regime.
+# It only activates above ROW_TERM_MIN_ROWS so every sub-sf100 benchmark
+# number is unchanged by construction (sf10 totals ~86M rows).
+ROWS_PER_SHUFFLE_PARTITION = 1_500_000
+ROW_TERM_MIN_ROWS = 200_000_000
+
 
 def shuffle_partitions_for_bytes(
-    input_bytes: int, floor: int, cap: int = 4096
+    input_bytes: int, floor: int, cap: int = 4096, input_rows: int = 0
 ) -> int:
-    """Pure sizing rule: one reduce partition per ~128 MiB of input,
+    """Pure sizing rule: one reduce partition per ~128 MiB of input —
+    and, above ROW_TERM_MIN_ROWS, at least one per ~1.5M input rows —
     never below ``floor`` (the session/env setting — small data keeps
     the tuned low count; the driver bench at sf0.1 is unchanged by
     construction), never above ``cap`` (a runaway-input guard; at 100 TB
     the cluster conf, not this local heuristic, sets the real count)."""
     import math
 
-    return max(floor, min(cap, math.ceil(
-        input_bytes / BYTES_PER_SHUFFLE_PARTITION
-    )))
+    n = math.ceil(input_bytes / BYTES_PER_SHUFFLE_PARTITION)
+    if input_rows > ROW_TERM_MIN_ROWS:
+        n = max(n, math.ceil(input_rows / ROWS_PER_SHUFFLE_PARTITION))
+    return max(floor, min(cap, n))
+
+
+def _parquet_rows_under(path: str) -> int:
+    """Total parquet rows under a LOCAL directory via footer metadata —
+    O(files) reads of a few KB each, no data scan. Non-local URIs return
+    0 (the byte term, which works on any Hadoop FS, stands alone there)."""
+    import os
+
+    if "://" in path and not path.startswith("file://"):
+        return 0
+    local = path[len("file://"):] if path.startswith("file://") else path
+    if not os.path.isdir(local):
+        return 0
+    try:
+        import pyarrow.parquet as _pq
+    except Exception:  # pragma: no cover - pyarrow is baked in
+        return 0
+    total = 0
+    for root, _, names in os.walk(local):
+        for name in names:
+            if name.endswith(".parquet"):
+                try:
+                    total += _pq.ParquetFile(
+                        os.path.join(root, name)).metadata.num_rows
+                except Exception:
+                    continue
+    return total
 
 
 def autoscale_shuffle(spark: SparkSession, path: str, cap: int = 4096) -> int:
@@ -142,6 +182,8 @@ def autoscale_shuffle(spark: SparkSession, path: str, cap: int = 4096) -> int:
     fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
     total = fs.getContentSummary(jpath).getLength() if fs.exists(jpath) else 0
     floor = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    n = shuffle_partitions_for_bytes(total, floor, cap)
+    n = shuffle_partitions_for_bytes(
+        total, floor, cap, input_rows=_parquet_rows_under(path)
+    )
     spark.conf.set("spark.sql.shuffle.partitions", str(n))
     return n

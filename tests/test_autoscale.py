@@ -37,3 +37,45 @@ def test_autoscale_small_dir_keeps_floor(spark, sf_dir):
 def test_autoscale_missing_dir_keeps_floor(spark):
     before = spark.conf.get("spark.sql.shuffle.partitions")
     assert autoscale_shuffle(spark, "/nonexistent/nowhere") == int(before)
+
+
+def test_row_term_only_above_threshold():
+    from compute_histogram_spark.session import (
+        ROW_TERM_MIN_ROWS,
+        ROWS_PER_SHUFFLE_PARTITION,
+    )
+
+    # below the threshold the row count is ignored entirely: sub-sf100
+    # benchmark partitioning is unchanged by construction
+    assert shuffle_partitions_for_bytes(
+        2 * GiB, 32, input_rows=ROW_TERM_MIN_ROWS) == 32
+    assert shuffle_partitions_for_bytes(
+        2 * GiB, 32, input_rows=89_000_000) == 32  # the sf10 regime
+    # above it, narrow-row inputs get row-bounded partitions (the sf100
+    # q12/q16 OOM lesson: 17 GB / 893M rows -> ~596, not 136)
+    n = shuffle_partitions_for_bytes(
+        17 * GiB, 32, input_rows=893_000_000)
+    assert n == -(-893_000_000 // ROWS_PER_SHUFFLE_PARTITION) == 596
+    # the cap still binds
+    assert shuffle_partitions_for_bytes(
+        17 * GiB, 32, cap=256, input_rows=893_000_000) == 256
+
+
+def test_parquet_rows_under_local_dir(sf_dir):
+    import duckdb
+
+    from compute_histogram_spark.session import _parquet_rows_under
+
+    rows = _parquet_rows_under(sf_dir)
+    con = duckdb.connect()
+    expected = sum(
+        con.execute(
+            f"select count(*) from read_parquet('{sf_dir}/{t}.parquet')"
+        ).fetchone()[0]
+        for t in ("region nation customer supplier part orders lineitem "
+                  "events documents embeddings").split()
+    )
+    assert rows == expected
+    # non-local URIs and missing paths fall back to 0 (byte term stands)
+    assert _parquet_rows_under("s3a://bucket/prefix") == 0
+    assert _parquet_rows_under("/nonexistent/nowhere") == 0
