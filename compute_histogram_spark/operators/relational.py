@@ -1634,3 +1634,46 @@ def promotion_suppliers(
         .select("s_suppkey", "s_name")
         .orderBy("s_suppkey")
     )
+
+
+def latency_mode_priority_bucketed(
+    spark,
+    orders_table: str,
+    lineitem_table: str,
+    slow_days: int = 75,
+    start: str = "1996-01-01",
+    end: str = "1998-01-01",
+) -> DataFrame:
+    """:func:`latency_mode_priority` (the Q12 shape) on the same
+    write-once orderkey fact layout Q3/Q4/Q5 share: the fact-fact
+    equi-join is bucket-local, so the ONLY Exchange left is the final
+    2-group aggregate — this was the heaviest shuffle of the plain
+    form (an unfiltered orders side shuffling ~|orders| rows with a
+    priority string each; at sf100 the plain form is also the one
+    whose warm re-run the 8 GB harness cannot hold)."""
+    li = spark.table(lineitem_table).where(
+        (F.col("l_shipdate") >= F.lit(start).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(end).cast("timestamp"))
+    ).select("l_orderkey", "l_shipdate")
+    orders = spark.table(orders_table).select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    j = li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+    mode = F.when(
+        F.datediff(F.col("l_shipdate"), F.col("o_orderdate")) > slow_days,
+        F.lit("SLOW"),
+    ).otherwise(F.lit("FAST"))
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        j.select(mode.alias("ship_class"), high.alias("is_high"))
+        .groupBy("ship_class")
+        .agg(
+            F.sum(F.when(F.col("is_high"), 1).otherwise(0)).alias(
+                "high_line_count"
+            ),
+            F.sum(F.when(F.col("is_high"), 0).otherwise(1)).alias(
+                "low_line_count"
+            ),
+        )
+        .orderBy("ship_class")
+    )

@@ -282,3 +282,34 @@ def test_orderkey_layout_q3_q4_plan_and_values(spark, sf_dir, tmp_path):
             assert "Exchange hashpartitioning(o_orderkey" not in plan, plan
     finally:
         spark.catalog.setCurrentDatabase("default")
+
+
+def test_orderkey_layout_q12_plan_and_values(spark, sf_dir, tmp_path):
+    """latency_mode_priority (Q12) on the same write-once orderkey
+    layout: value-exact vs the raw plan, zero orderkey Exchange — the
+    fact-fact join was the plain form's heaviest shuffle (sf10
+    measured 2.63 -> 1.10 s; BASELINE.md r12 continuation)."""
+    from compute_histogram_spark.operators import relational as R
+
+    spark.sql(
+        f"CREATE DATABASE IF NOT EXISTS ok12test LOCATION '{tmp_path / 'wh'}'"
+    )
+    spark.catalog.setCurrentDatabase("ok12test")
+    try:
+        ot, lt = B.write_q5_layout(spark, sf_dir, buckets=8)
+        orders = load(spark, sf_dir, "orders")
+        lineitem = load(spark, sf_dir, "lineitem")
+
+        b12 = R.latency_mode_priority_bucketed(spark, ot, lt)
+        r12 = R.latency_mode_priority(orders, lineitem)
+        assert b12.collect() == r12.collect()
+
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            plan = _plan(b12)
+        finally:
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        assert "Exchange hashpartitioning(l_orderkey" not in plan, plan
+        assert "Exchange hashpartitioning(o_orderkey" not in plan, plan
+    finally:
+        spark.catalog.setCurrentDatabase("default")
