@@ -195,3 +195,52 @@ def test_pixel_stats_decodes_webp(spark):
     assert stats[0]["decoded"] is True
     assert (stats[0]["width"], stats[0]["height"]) == (32, 24)
     assert abs(stats[0]["mean_luma"] - luma) < 1e-6  # lossless decode
+
+
+# --- property-based round-trips (hypothesis) ---
+
+try:
+    from hypothesis import given, settings, strategies as st
+
+    HAVE_HYP = True
+except Exception:  # pragma: no cover
+    HAVE_HYP = False
+
+if HAVE_HYP:
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        h=st.integers(1, 12),
+        w=st.integers(1, 12),
+        seed=st.integers(0, 2**31 - 1),
+        cache_bits=st.sampled_from([0, 0, 3, 8]),
+        subtract_green=st.booleans(),
+        use_lz77=st.booleans(),
+        predictor=st.one_of(st.none(), st.integers(0, 13)),
+    )
+    def test_roundtrip_property(h, w, seed, cache_bits, subtract_green,
+                                use_lz77, predictor):
+        """Any image x any flag combination decodes back bit-exact."""
+        img = np.random.default_rng(seed).integers(
+            0, 256, (h, w, 4), dtype=np.uint8)
+        out = decode_webp(encode_vp8l(
+            img, cache_bits=cache_bits, subtract_green=subtract_green,
+            use_lz77=use_lz77, predictor_mode=predictor))
+        np.testing.assert_array_equal(out, img)
+
+    @settings(max_examples=15, deadline=None)
+    @given(
+        h=st.integers(1, 10),
+        w=st.integers(1, 10),
+        n_colors=st.integers(1, 20),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def test_palette_roundtrip_property(h, w, n_colors, seed):
+        """Paletted images round-trip across every bundling width
+        (1/2/4/8 bits per index)."""
+        rng = np.random.default_rng(seed)
+        pal = np.unique(
+            rng.integers(0, 256, (n_colors, 4), dtype=np.uint8), axis=0)
+        img = pal[rng.integers(0, len(pal), (h, w))]
+        out = decode_webp(encode_vp8l(img, palette=True))
+        np.testing.assert_array_equal(out, img)
