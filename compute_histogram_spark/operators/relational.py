@@ -1677,3 +1677,109 @@ def latency_mode_priority_bucketed(
         )
         .orderBy("ship_class")
     )
+
+
+def volume_shipping_bucketed(
+    spark,
+    orders_table: str,
+    lineitem_table: str,
+    customer: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    region_a: str = "ASIA",
+    region_b: str = "EUROPE",
+    start: str = "1996-01-01",
+    end: str = "1998-01-01",
+) -> DataFrame:
+    """:func:`volume_shipping` (Q7) on the shared write-once orderkey
+    layout: the lineitem-orders join — the only data-scaled shuffle in
+    the plain plan — goes bucket-local; the two geography chains stay
+    bounded-dimension broadcasts around it."""
+    geo_s = (
+        supplier.join(
+            F.broadcast(nation), supplier["s_nationkey"] == nation["n_nationkey"]
+        )
+        .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
+        .where(F.col("r_name").isin(region_a, region_b))
+        .select("s_suppkey", F.col("r_name").alias("supp_region"))
+    )
+    geo_c = (
+        customer.join(
+            F.broadcast(nation), customer["c_nationkey"] == nation["n_nationkey"]
+        )
+        .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
+        .where(F.col("r_name").isin(region_a, region_b))
+        .select("c_custkey", F.col("r_name").alias("cust_region"))
+    )
+    li = spark.table(lineitem_table).where(
+        (F.col("l_shipdate") >= F.lit(start).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(end).cast("timestamp"))
+    )
+    orders = spark.table(orders_table)
+    j = (
+        li.join(geo_s, li["l_suppkey"] == geo_s["s_suppkey"])
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(geo_c, orders["o_custkey"] == geo_c["c_custkey"])
+        .where(
+            (
+                (F.col("supp_region") == region_a)
+                & (F.col("cust_region") == region_b)
+            )
+            | (
+                (F.col("supp_region") == region_b)
+                & (F.col("cust_region") == region_a)
+            )
+        )
+    )
+    disc_pc = cents("l_extendedprice") * (100 - cents("l_discount"))
+    return (
+        j.groupBy(
+            "supp_region", "cust_region", F.year("l_shipdate").alias("l_year")
+        )
+        .agg((F.sum(disc_pc) / 10000.0).alias("revenue"))
+        .orderBy("supp_region", "cust_region", "l_year")
+    )
+
+
+def product_type_profit_orderkey(
+    spark,
+    orders_table: str,
+    lineitem_table: str,
+    supplier: DataFrame,
+    part: DataFrame,
+    nation: DataFrame,
+    name_token: str = "widget",
+) -> DataFrame:
+    """:func:`product_type_profit` (Q9) on the ORDERKEY layout — the
+    right layout key for this star, unlike the partkey family
+    (measured-and-rejected above): Q9's part and supplier sides arrive
+    filtered/bounded and BROADCAST in the plain plan, so the one
+    data-scaled shuffle is the unfiltered lineitem-orders join the
+    orderkey buckets remove."""
+    p = part.where(F.col("p_name").contains(name_token)).select(
+        "p_partkey", "p_retailprice"
+    )
+    sn = supplier.join(
+        F.broadcast(nation), supplier["s_nationkey"] == nation["n_nationkey"]
+    ).select("s_suppkey", "n_name")
+    li = spark.table(lineitem_table)
+    orders = spark.table(orders_table).select("o_orderkey", "o_orderdate")
+    amount_e4 = cents("l_extendedprice") * (100 - cents("l_discount")) - cents(
+        "p_retailprice"
+    ) * cents("l_quantity")
+    j = (
+        li.join(p, li["l_partkey"] == p["p_partkey"])
+        .join(sn, li["l_suppkey"] == sn["s_suppkey"])
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+    )
+    return (
+        j.select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+            amount_e4.alias("amount_e4"),
+        )
+        .groupBy("nation", "o_year")
+        .agg((F.sum("amount_e4") / 10000.0).alias("sum_profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )

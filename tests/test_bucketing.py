@@ -313,3 +313,41 @@ def test_orderkey_layout_q12_plan_and_values(spark, sf_dir, tmp_path):
         assert "Exchange hashpartitioning(o_orderkey" not in plan, plan
     finally:
         spark.catalog.setCurrentDatabase("default")
+
+
+def test_orderkey_layout_q7_q9_plan_and_values(spark, sf_dir, tmp_path):
+    """volume_shipping / product_type_profit on the shared orderkey
+    layout: value-exact vs the raw plans, zero orderkey Exchange.
+    Adopted from measurement (sf10 -25%/-36%, sf100 cold -27%/-26% —
+    BASELINE.md r12 continuation); the partkey family for the same
+    queries was measured-and-rejected."""
+    from compute_histogram_spark.operators import relational as R
+
+    spark.sql(
+        f"CREATE DATABASE IF NOT EXISTS ok79test LOCATION '{tmp_path / 'wh'}'"
+    )
+    spark.catalog.setCurrentDatabase("ok79test")
+    try:
+        ot, lt = B.write_q5_layout(spark, sf_dir, buckets=8)
+        c, s, n, r, o, li, p = [
+            load(spark, sf_dir, t)
+            for t in ("customer", "supplier", "nation", "region", "orders",
+                      "lineitem", "part")
+        ]
+
+        b7 = R.volume_shipping_bucketed(spark, ot, lt, c, s, n, r)
+        assert b7.collect() == R.volume_shipping(li, o, c, s, n, r).collect()
+
+        b9 = R.product_type_profit_orderkey(spark, ot, lt, s, p, n)
+        assert b9.collect() == R.product_type_profit(li, o, s, p, n).collect()
+
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            p7, p9 = _plan(b7), _plan(b9)
+        finally:
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        for plan in (p7, p9):
+            assert "Exchange hashpartitioning(l_orderkey" not in plan, plan
+            assert "Exchange hashpartitioning(o_orderkey" not in plan, plan
+    finally:
+        spark.catalog.setCurrentDatabase("default")
