@@ -182,9 +182,16 @@ def _read_prefix_code(br: _BitReader, alphabet: int) -> _PrefixDecoder:
             s0 = br.read(8)
         else:
             s0 = br.read(1)
+        # 8-bit simple-code symbols can exceed small alphabets (e.g. the
+        # 40-entry distance code) — keep the module's ValueError convention
+        # instead of a downstream IndexError (ADVICE r12)
+        if s0 >= alphabet:
+            raise ValueError("malformed VP8L: simple-code symbol out of range")
         if n_syms == 1:
             return _PrefixDecoder(const=s0)
         s1 = br.read(8)
+        if s1 >= alphabet:
+            raise ValueError("malformed VP8L: simple-code symbol out of range")
         lengths = [0] * alphabet
         lengths[s0] = 1
         lengths[s1] = 1
@@ -215,6 +222,11 @@ def _read_prefix_code(br: _BitReader, alphabet: int) -> _PrefixDecoder:
                 prev = cl
         elif cl == 16:
             rep = 3 + br.read(2)
+            # a repeat run past the alphabet end is malformed, not an
+            # IndexError (ADVICE r12)
+            if symbol + rep > alphabet:
+                raise ValueError(
+                    "malformed VP8L: code length repeat overrun")
             for _ in range(rep):
                 lengths[symbol] = prev
                 symbol += 1
@@ -525,20 +537,25 @@ def decode_vp8l(payload: bytes) -> np.ndarray:
         ttype = br.read(2)
         if any(t[0] == ttype for t in transforms):
             raise ValueError("malformed VP8L: duplicate transform")
+        # each transform was coded at the xsize in effect when it was
+        # read (COLOR_INDEXING bundling shrinks xsize for everything
+        # after it, and the spec allows the four transforms in any
+        # order) — record that width so the inverse runs at the width
+        # the encoder used, not the full image width (ADVICE r12)
         if ttype == 0:  # predictor
             tbits = br.read(3) + 2
             modes = _decode_image_stream(
                 br, _subsample_size(xsize, tbits),
                 _subsample_size(h, tbits), False)
-            transforms.append((0, tbits, modes))
+            transforms.append((0, tbits, modes, xsize))
         elif ttype == 1:  # color transform
             tbits = br.read(3) + 2
             cte = _decode_image_stream(
                 br, _subsample_size(xsize, tbits),
                 _subsample_size(h, tbits), False)
-            transforms.append((1, tbits, cte))
+            transforms.append((1, tbits, cte, xsize))
         elif ttype == 2:  # subtract green
-            transforms.append((2, None, None))
+            transforms.append((2, None, None, xsize))
         else:  # color indexing
             n_colors = br.read(8) + 1
             pal_img = _decode_image_stream(br, n_colors, 1, False)
@@ -548,7 +565,7 @@ def decode_vp8l(payload: bytes) -> np.ndarray:
             for i in range(n_colors):
                 acc = _add_pixels(acc, int(pal_img[i]))
                 palette[i] = acc
-            transforms.append((3, n_colors, palette))
+            transforms.append((3, n_colors, palette, xsize))
             if n_colors <= 2:
                 xsize = _subsample_size(xsize, 3)
             elif n_colors <= 4:
@@ -558,15 +575,19 @@ def decode_vp8l(payload: bytes) -> np.ndarray:
 
     data = _decode_image_stream(br, xsize, h, True)
 
-    for ttype, p1, p2 in reversed(transforms):
+    # inverses run in reverse read order; by the time a transform's
+    # inverse runs, every later-read transform (incl. COLOR_INDEXING's
+    # un-bundling) is already undone, so the data is exactly at the
+    # width recorded when that transform was read
+    for ttype, p1, p2, tw in reversed(transforms):
         if ttype == 3:
-            data = _inverse_color_indexing(data, w, h, p2)
+            data = _inverse_color_indexing(data, tw, h, p2)
         elif ttype == 2:
             _inverse_subtract_green(data)
         elif ttype == 1:
-            _inverse_color_transform(data, w, h, p1, p2)
+            _inverse_color_transform(data, tw, h, p1, p2)
         else:
-            _inverse_predictor(data, w, h, p1, p2)
+            _inverse_predictor(data, tw, h, p1, p2)
 
     rgba = np.zeros((h, w, 4), dtype=np.uint8)
     grid = data.reshape(h, w)
@@ -917,6 +938,20 @@ def encode_vp8l(
         bw.write(0, 1)  # palette image: no color cache
         _emit_tokens(bw, [("lit", (d >> 24) & 0xFF, (d >> 16) & 0xFF,
                            (d >> 8) & 0xFF, d & 0xFF) for d in deltas], 0)
+        if predictor_mode is not None:
+            # the spec allows the transforms in any order: this emits
+            # COLOR_INDEXING first, then PREDICTOR coded at the BUNDLED
+            # xsize — the stream shape whose inverse must run at the
+            # read-time width, not the image width (ADVICE r12)
+            argb = _forward_predictor(argb, xsize, h, predictor_mode)
+            tbits = 2
+            bw.write(1, 1)
+            bw.write(0, 2)  # PREDICTOR
+            bw.write(tbits - 2, 3)
+            mw = _subsample_size(xsize, tbits)
+            mh = _subsample_size(h, tbits)
+            _emit_subimage(
+                bw, np.full(mw * mh, predictor_mode << 8, dtype=np.uint32))
     bw.write(0, 1)  # no more transforms
 
     # main image stream

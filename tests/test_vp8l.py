@@ -244,3 +244,69 @@ if HAVE_HYP:
         img = pal[rng.integers(0, len(pal), (h, w))]
         out = decode_webp(encode_vp8l(img, palette=True))
         np.testing.assert_array_equal(out, img)
+
+
+def test_palette_then_predictor_any_order_stream():
+    """ADVICE r12: a legal stream may order COLOR_INDEXING before
+    PREDICTOR, so the predictor is coded at the BUNDLED width; its
+    inverse must run at that read-time width (inverting at the full
+    image width mis-indexes the bundled rows)."""
+    rng = np.random.default_rng(13)
+    for n_colors, w in ((3, 23), (2, 17), (9, 11), (16, 8)):
+        pal = np.unique(
+            rng.integers(0, 256, (n_colors, 4), dtype=np.uint8), axis=0)
+        idx = rng.integers(0, len(pal), (9, w))
+        for mode in (1, 2, 7, 11):
+            _rt(pal[idx], palette=True, predictor_mode=mode)
+
+
+def test_prefix_code_repeat_overrun_raises_valueerror():
+    """ADVICE r12: a code-length repeat run past the alphabet end is
+    'malformed VP8L: ...' (ValueError), not an IndexError."""
+    from compute_histogram_spark.multimodal.vp8l import (
+        _BitReader,
+        _BitWriter,
+        _read_prefix_code,
+    )
+
+    bw = _BitWriter()
+    bw.write(0, 1)   # normal (non-simple) code
+    bw.write(5, 4)   # num_cl = 9: CL_ORDER[:9] covers symbols 1 and 16
+    for sym in (17, 18, 0, 1, 2, 3, 4, 5, 16):
+        bw.write(1 if sym in (1, 16) else 0, 3)
+    bw.write(0, 1)   # no max_symbol cap
+    # canonical: symbol 1 -> code 0, symbol 16 -> code 1 (both len 1)
+    for _ in range(8):           # lengths[0..7] = 1
+        bw.write_code_msb_first(0, 1)
+    bw.write_code_msb_first(1, 1)  # cl = 16: repeat prev
+    bw.write(3, 2)                 # rep = 3 + 3 = 6 -> 8 + 6 > 10
+    br = _BitReader(bw.flush())
+    with pytest.raises(ValueError, match="repeat overrun"):
+        _read_prefix_code(br, 10)
+
+
+def test_simple_code_symbol_out_of_range_raises_valueerror():
+    """ADVICE r12: 8-bit simple-code symbols beyond a small alphabet
+    (e.g. the 40-entry distance code) are malformed, not IndexError."""
+    from compute_histogram_spark.multimodal.vp8l import (
+        _BitReader,
+        _BitWriter,
+        _read_prefix_code,
+    )
+
+    bw = _BitWriter()
+    bw.write(1, 1)    # simple code
+    bw.write(1, 1)    # two symbols
+    bw.write(1, 1)    # first symbol is 8-bit
+    bw.write(255, 8)  # s0 = 255 >= alphabet 40
+    with pytest.raises(ValueError, match="out of range"):
+        _read_prefix_code(_BitReader(bw.flush()), 40)
+
+    bw = _BitWriter()
+    bw.write(1, 1)
+    bw.write(1, 1)
+    bw.write(1, 1)
+    bw.write(2, 8)    # s0 ok
+    bw.write(99, 8)   # s1 = 99 >= alphabet 40
+    with pytest.raises(ValueError, match="out of range"):
+        _read_prefix_code(_BitReader(bw.flush()), 40)
