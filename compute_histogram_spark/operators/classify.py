@@ -488,8 +488,10 @@ def classifier_pr_curve(
         ).alias("n_true_pos"),
         n_pos.alias("n_pos"),
     )
-    prec = F.col("n_true_pos") / F.col("n_pred_pos")
-    rec = F.col("n_true_pos") / F.col("n_pos")
+    # try_divide, not `/`: the driver session runs ANSI mode, where a
+    # 0/0 empty-prediction bucket must yield NULL, not DIVIDE_BY_ZERO
+    prec = F.try_divide(F.col("n_true_pos"), F.col("n_pred_pos"))
+    rec = F.try_divide(F.col("n_true_pos"), F.col("n_pos"))
     return agg.select(
         F.round("threshold", 6).alias("threshold"),
         "n_pred_pos",
@@ -497,6 +499,6 @@ def classifier_pr_curve(
         F.round(prec, 6).alias("precision"),
         F.round(rec, 6).alias("recall"),
         F.round(
-            2 * prec * rec / (prec + rec), 6
+            F.try_divide(2 * prec * rec, prec + rec), 6
         ).alias("f1"),
     ).orderBy("threshold")

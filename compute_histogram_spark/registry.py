@@ -2001,9 +2001,9 @@ def q_token_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.token_pmi(load(spark, sf_dir, "documents"), min_count=3, k=50)
 
 
-@register(
-    "distribution_drift",
-    """
+# rotated out r13 (ninth wave, for the staged r12 twins) — driver-green
+# r07-r12; oracle kept verbatim for tests/test_rotated_out.py.
+DISTRIBUTION_DRIFT_ORACLE = """
     WITH r AS (
         SELECT CAST(floor(value / 50.0) AS BIGINT) AS bin, count(*) AS n_ref
         FROM events WHERE event_type != 'purchase'
@@ -2028,8 +2028,9 @@ def q_token_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
                   / ((n_ref + 0.5) / (t_ref + 0.5 * n_bins))), 6)
              AS psi_term
     FROM j CROSS JOIN t ORDER BY bin
-    """,
-)
+    """
+
+
 def q_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     # PSI drift between the non-purchase (reference) and purchase (current)
     # value distributions — bin-bounded aggs, one broadcast scalar row.
@@ -2180,9 +2181,9 @@ def q_asof_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "weighted_sample",
-    """
+# rotated out r13 (ninth wave) — driver-green r06-r12; oracle kept
+# verbatim for tests/test_rotated_out.py.
+WEIGHTED_SAMPLE_ORACLE = """
     SELECT doc_id, sample_key FROM (
         SELECT doc_id,
                round(ln((('0x' || substring(md5('wsamp:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
@@ -2190,8 +2191,9 @@ def q_asof_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
                      / CAST(n_chars AS DOUBLE), 12) AS sample_key
         FROM documents WHERE n_chars > 0
     ) ORDER BY sample_key DESC, doc_id LIMIT 100
-    """,
-)
+    """
+
+
 def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     # deterministic A-ES weighted sampling without replacement
     # (pipeline.py:weighted_sample): hash-derived uniforms, top-n keys via
@@ -2202,9 +2204,9 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "sample_key")
 
 
-@register(
-    "phrase_match",
-    """
+# rotated out r13 (ninth wave) — driver-green r07-r12; oracle kept
+# verbatim for tests/test_rotated_out.py.
+PHRASE_MATCH_ORACLE = """
     WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
     p AS (
         SELECT doc_id, i, ts[i] AS tok
@@ -2218,8 +2220,9 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matches
     FROM m GROUP BY doc_id ORDER BY doc_id
-    """,
-)
+    """
+
+
 def q_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     # positional-postings phrase search (text.py:phrase_match): one
     # pre-filtered index slice per term, |phrase|-way equi-join on
@@ -2258,9 +2261,9 @@ def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.user_state_history(load(spark, sf_dir, "events"))
 
 
-@register(
-    "apply_changes",
-    """
+# rotated out r13 (ninth wave) — driver-green r07-r12; oracle kept
+# verbatim for tests/test_rotated_out.py.
+APPLY_CHANGES_ORACLE = """
     WITH snap AS (SELECT o_orderkey, o_totalprice FROM orders),
     changes AS (
         SELECT o_orderkey,
@@ -2285,8 +2288,9 @@ def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     UNION ALL
     SELECT o_orderkey, o_totalprice FROM latest WHERE op = 'u'
     ORDER BY o_orderkey
-    """,
-)
+    """
+
+
 def q_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     # CDC MERGE (incremental.py:apply_changes via orders_upsert_demo):
     # latest-change-wins dedup of the feed, then an outer-join merge —
@@ -2438,15 +2442,15 @@ def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "peak_concurrency",
-    # per-hour peak of the sweep-line concurrency curve (behavior.py:
-    # peak_concurrency over windows.sessionize): all-integer output. The
-    # Spark plan is the bucket-partitioned two-phase prefix sum (no global
-    # sort); the oracle is the single-node global-window sweep. Only
-    # buckets containing a change point emit a row (gap buckets carry the
-    # previous exit level — see the operator docstring).
-    """
+# rotated out r13 (ninth wave) — driver-green r07-r12; oracle kept
+# verbatim for tests/test_rotated_out.py.
+# per-hour peak of the sweep-line concurrency curve (behavior.py:
+# peak_concurrency over windows.sessionize): all-integer output. The
+# Spark plan is the bucket-partitioned two-phase prefix sum (no global
+# sort); the oracle is the single-node global-window sweep. Only
+# buckets containing a change point emit a row (gap buckets carry the
+# previous exit level — see the operator docstring).
+PEAK_CONCURRENCY_ORACLE = """
     WITH t AS (SELECT user_id, event_id, epoch_us(ts) AS tsu FROM events),
     l AS (
         SELECT *, lag(tsu) OVER (PARTITION BY user_id ORDER BY tsu, event_id) AS prev
@@ -2486,8 +2490,9 @@ def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
                     coalesce(lag(exit_level) OVER (ORDER BY bkt), 0))
                AS peak_active
     FROM per ORDER BY bucket_start_s
-    """,
-)
+    """
+
+
 def q_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     return BH.peak_concurrency(
         W.sessionize(load(spark, sf_dir, "events")), bucket_s=3600
@@ -3350,6 +3355,7 @@ DUP_SPAN_ORACLE = """
     """
 
 
+@register("dup_span_removal", DUP_SPAN_ORACLE)  # rotated IN r13 (9th wave)
 def q_dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.duplicate_span_removal(load(spark, sf_dir, "documents"))
 
@@ -3444,6 +3450,7 @@ DSIR_WEIGHTS_ORACLE = """
     """
 
 
+@register("dsir_weights", DSIR_WEIGHTS_ORACLE)  # rotated IN r13 (9th wave)
 def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     from compute_histogram_spark.operators import classify as CLS2
 
@@ -3516,6 +3523,7 @@ PR_CURVE_ORACLE = """
     """
 
 
+@register("pr_curve", PR_CURVE_ORACLE)  # rotated IN r13 (9th wave)
 def q_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     from compute_histogram_spark.operators import classify as CLS3
 
@@ -3553,6 +3561,7 @@ LARGE_VOLUME_ORACLE = """
     """
 
 
+@register("large_volume_customers", LARGE_VOLUME_ORACLE)  # IN r13 (9th wave)
 def q_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return R.large_volume_customers(
         load(spark, sf_dir, "customer"),
@@ -3646,6 +3655,7 @@ VOCAB_GROWTH_ORACLE = """
     """
 
 
+@register("vocab_growth", VOCAB_GROWTH_ORACLE)  # rotated IN r13 (9th wave)
 def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.vocab_growth(load(spark, sf_dir, "documents"))
 

@@ -572,3 +572,56 @@ def test_scd2_intervals_oracle(spark, sf_dir, con):
 
     _check("scd2_intervals", q_scd2_intervals(spark, sf_dir), con,
            SCD2_INTERVALS_ORACLE)
+
+
+# --- ninth wave (r13) ----------------------------------------------------
+
+
+def test_distribution_drift_oracle(spark, sf_dir, con):
+    from compute_histogram_spark.registry import (
+        DISTRIBUTION_DRIFT_ORACLE,
+        q_distribution_drift,
+    )
+
+    _check("distribution_drift", q_distribution_drift(spark, sf_dir), con,
+           DISTRIBUTION_DRIFT_ORACLE)
+
+
+def test_weighted_sample_oracle(spark, sf_dir, con):
+    from compute_histogram_spark.registry import (
+        WEIGHTED_SAMPLE_ORACLE,
+        q_weighted_sample,
+    )
+
+    _check("weighted_sample", q_weighted_sample(spark, sf_dir), con,
+           WEIGHTED_SAMPLE_ORACLE)
+
+
+def test_phrase_match_oracle(spark, sf_dir, con):
+    from compute_histogram_spark.registry import (
+        PHRASE_MATCH_ORACLE,
+        q_phrase_match,
+    )
+
+    _check("phrase_match", q_phrase_match(spark, sf_dir), con,
+           PHRASE_MATCH_ORACLE)
+
+
+def test_apply_changes_oracle(spark, sf_dir, con):
+    from compute_histogram_spark.registry import (
+        APPLY_CHANGES_ORACLE,
+        q_apply_changes,
+    )
+
+    _check("apply_changes", q_apply_changes(spark, sf_dir), con,
+           APPLY_CHANGES_ORACLE)
+
+
+def test_peak_concurrency_oracle(spark, sf_dir, con):
+    from compute_histogram_spark.registry import (
+        PEAK_CONCURRENCY_ORACLE,
+        q_peak_concurrency,
+    )
+
+    _check("peak_concurrency", q_peak_concurrency(spark, sf_dir), con,
+           PEAK_CONCURRENCY_ORACLE)
