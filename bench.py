@@ -493,7 +493,55 @@ FLOOR_PROBES: dict = {
         .agg(_F.count(_F.lit(1)).alias("n")),
         "SELECT count(*) AS n FROM region",
     ),
+    # box-state canary (VERDICT r12 #1): a fixed-cost CPU row whose
+    # wall-time is scale-independent and plan-independent — if THIS row
+    # moves between rounds, the box moved, not the engine. Recorded per
+    # sweep (and pre/post the headline set via _calibration); excluded
+    # from totals like the floor probes.
+    "calib_cpu": (
+        lambda spark, d: spark.range(20_000_000).agg(
+            _F.sum(_F.xxhash64("id")).alias("h")
+        ),
+        "SELECT sum(hash(i)) AS h FROM range(20000000) t(i)",
+    ),
 }
+
+
+def _calibration(spark) -> dict:
+    """Fixed-cost calibration reading: the same CPU row both engines run
+    in the sweeps, timed once here, plus the 1-minute load average —
+    carried in BENCH json so a loaded box is visible in the artifact
+    itself (the r12 sf1 gate breach was exactly this, invisibly)."""
+    import duckdb as _dd
+
+    def _min2(run):
+        run()  # untimed warmup: a fresh JVM's first job is JIT+startup,
+        # not box state — the canary must read steady-state CPU
+        ts = []
+        for _ in range(2):
+            t0 = time.time()
+            run()
+            ts.append(time.time() - t0)
+        return round(min(ts), 3)
+
+    spark_s = _min2(
+        lambda: spark.range(20_000_000).agg(
+            _F.sum(_F.xxhash64("id"))).collect()
+    )
+    con = _dd.connect()
+    duck_s = _min2(
+        lambda: con.execute(
+            "SELECT sum(hash(i)) FROM range(20000000) t(i)").fetchall()
+    )
+    try:
+        load1, load5, load15 = os.getloadavg()
+    except OSError:
+        load1 = load5 = load15 = -1.0
+    return {
+        "spark_cpu_s": spark_s,
+        "duckdb_cpu_s": duck_s,
+        "loadavg": [round(load1, 2), round(load5, 2), round(load15, 2)],
+    }
 
 
 def _bench_scale(
@@ -521,6 +569,11 @@ def _bench_scale(
 
         build(factor, os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"),
               scale_dir, verbose=False)
+
+    try:
+        la_pre = round(os.getloadavg()[0], 2)
+    except OSError:
+        la_pre = -1.0
 
     import duckdb
 
@@ -619,12 +672,17 @@ def _bench_scale(
             if "spark" in r and "duckdb" in r and n not in untotaled]
     s_total = round(sum(s for s, _ in both), 3)
     d_total = round(sum(d for _, d in both), 3)
+    try:
+        la_post = round(os.getloadavg()[0], 2)
+    except OSError:
+        la_post = -1.0
     out[label] = {
         "spark_total_s": s_total,
         "duckdb_total_s": d_total,
         "ratio": round(s_total / d_total, 3) if d_total else None,
         "n_both": len(both),
         "shuffle_partitions": shuffle_parts,
+        "loadavg_1m": [la_pre, la_post],
         "queries": queries,
     }
     # floor-adjusted ratio: subtract each engine's fixed per-query floor
@@ -640,6 +698,86 @@ def _bench_scale(
         out[label]["truncated"] = True
     if errors:
         out[label]["errors"] = errors
+
+
+# Full TPC-H-shape sweep as a tracked section (VERDICT r12 #3): all 22
+# adapted shapes, two engines, interleaved, at sf1 and sf10. Shapes
+# already in the registry window reuse their rows; the rest resolve from
+# the staged q_ builders + oracle constants (value-exactness pinned in
+# tests/test_staged_twins.py / test_rotated_out.py).
+_TPCH_STAGED = {
+    "tpch_q02": ("q_min_cost_supplier", "MIN_COST_SUPPLIER_ORACLE"),
+    "tpch_q06": ("q_forecast_revenue", "FORECAST_REVENUE_ORACLE"),
+    "tpch_q07": ("q_volume_shipping", "VOLUME_SHIPPING_ORACLE"),
+    "tpch_q08": ("q_market_share", "MARKET_SHARE_ORACLE"),
+    "tpch_q09": ("q_product_type_profit", "PRODUCT_PROFIT_ORACLE"),
+    "tpch_q10": ("q_returned_item_customers", "RETURNED_ITEM_CUSTOMERS_ORACLE"),
+    "tpch_q11": ("q_important_parts", "IMPORTANT_PARTS_ORACLE"),
+    "tpch_q12": ("q_latency_mode_priority", "LATENCY_MODE_ORACLE"),
+    "tpch_q13": ("q_customer_order_distribution", "CUSTOMER_ORDER_DIST_ORACLE"),
+    "tpch_q14": ("q_promo_revenue_share", "PROMO_REVENUE_SHARE_ORACLE"),
+    "tpch_q15": ("q_top_supplier", "TOP_SUPPLIER_ORACLE"),
+    "tpch_q16": ("q_supplier_part_counts", "SUPPLIER_PART_COUNTS_ORACLE"),
+    "tpch_q17": ("q_small_quantity_revenue", "SMALL_QUANTITY_ORACLE"),
+    "tpch_q19": ("q_disjunctive_band_revenue", "DISJUNCTIVE_BAND_ORACLE"),
+    "tpch_q20": ("q_promotion_suppliers", "PROMOTION_SUPPLIERS_ORACLE"),
+    "tpch_q21": ("q_waiting_suppliers", "WAITING_SUPPLIERS_ORACLE"),
+    "tpch_q22": ("q_sales_opportunity", "SALES_OPPORTUNITY_ORACLE"),
+}
+# window/fallback rows reused under their tpch label
+_TPCH_ALIASES = {
+    "tpch_q01": "pricing_summary",
+    "tpch_q03": "shipping_priority",
+    "tpch_q04": "late_order_priority",
+    "tpch_q05": "local_supplier_revenue",
+    "tpch_q18": "large_volume_customers",
+}
+for _lbl, (_qfn, _orc) in _TPCH_STAGED.items():
+    LOCAL_QUERIES[_lbl] = (
+        lambda s, d, _f=getattr(registry, _qfn): _f(s, d)
+    )
+    LOCAL_ORACLES[_lbl] = getattr(registry, _orc)
+for _lbl, _src in _TPCH_ALIASES.items():
+    LOCAL_QUERIES[_lbl] = (
+        lambda s, d, _n=_src: (LOCAL_QUERIES.get(_n) or registry.QUERIES[_n])(s, d)
+    )
+    LOCAL_ORACLES[_lbl] = (
+        registry.ORACLES.get(_src) or LOCAL_ORACLES[_src]
+    )
+TPCH_NAMES = sorted(set(_TPCH_STAGED) | set(_TPCH_ALIASES))
+
+
+def _bench_tpch(spark, out: dict) -> None:
+    _bench_scale(
+        spark, out, "tpch_sf1", 10,
+        os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/sf1"),
+        TPCH_NAMES,
+        float(os.environ.get("SPARK_GRAFT_TPCH1_BUDGET_S", "480")),
+    )
+    _bench_scale(
+        spark, out, "tpch_sf10", 100,
+        os.environ.get("SPARK_GRAFT_SF10_DIR", "/tmp/sf10"),
+        TPCH_NAMES,
+        float(os.environ.get("SPARK_GRAFT_TPCH10_BUDGET_S", "900")),
+        min_runs=1,
+    )
+
+
+def _bench_sf01(spark, out: dict, sf_dir: str) -> None:
+    """Per-query two-engine interleave AT sf0.1 (VERDICT r12 #1): the
+    headline scale gets the same box-robust protocol as the sf1/sf10
+    sweeps — a loaded box inflates both engines' rows together, so the
+    ratio (the cross-round signal) survives the state that moved the
+    r12 Spark-only totals by ~1.4x."""
+    _bench_scale(
+        spark,
+        out,
+        "sf01",
+        1,
+        sf_dir,
+        HEADLINE,
+        float(os.environ.get("SPARK_GRAFT_SF01_BUDGET_S", "420")),
+    )
 
 
 def _bench_sf1(spark, out: dict) -> None:
@@ -731,7 +869,9 @@ def main() -> None:
     sf = float(m.group(1)) if m else -1.0
     spark = get_session("bench")
     spark.sparkContext.setLogLevel("ERROR")
+    t_main = time.time()
 
+    calib_pre = _calibration(spark)
     times: dict[str, float] = {}
     mixed: dict[str, float] = {}
     errors: dict[str, str] = {}
@@ -763,11 +903,19 @@ def main() -> None:
         "sf": sf,
         "n_ok": len(times),
         "n_err": len(errors),
+        "calibration_pre": calib_pre,
     }
     if ext:
         out["ext"] = ext
     if errors:
         out["errors"] = errors
+    # sf0.1 interleaved two-engine sweep (the box-robust ratio at the
+    # headline scale); disable with SPARK_GRAFT_BENCH_SF01=0
+    if os.environ.get("SPARK_GRAFT_BENCH_SF01", "1") != "0":
+        try:
+            _bench_sf01(spark, out, sf_dir)
+        except Exception as e:  # noqa: BLE001
+            out["sf01"] = {"error": f"{type(e).__name__}: {e}"[:300]}
     if os.environ.get("SPARK_GRAFT_BENCH_SF1", "1") != "0":
         try:
             _bench_sf1(spark, out)
@@ -782,6 +930,19 @@ def main() -> None:
             _bench_sf10(spark, out)
         except Exception as e:  # noqa: BLE001
             out["sf10"] = {"error": f"{type(e).__name__}: {e}"[:300]}
+    # TPC-H tracked section (VERDICT r12 #3) — last, behind the global
+    # wall guard, so it can never starve the gates of record above
+    if os.environ.get("SPARK_GRAFT_BENCH_TPCH", "1") != "0":
+        if time.time() - t_main > float(
+            os.environ.get("SPARK_GRAFT_BENCH_TOTAL_BUDGET_S", "5400")
+        ):
+            out["tpch_sf1"] = {"skipped": "global wall budget"}
+        else:
+            try:
+                _bench_tpch(spark, out)
+            except Exception as e:  # noqa: BLE001
+                out["tpch_sf1"] = {"error": f"{type(e).__name__}: {e}"[:300]}
+    out["calibration_post"] = _calibration(spark)
 
     # The driver records only a 2000-char stdout TAIL; r8/r9's full JSON
     # line overflowed it, so BENCH_r{N}.json.parsed came back null and the
@@ -812,17 +973,23 @@ def main() -> None:
     if "fresh_total" in out:
         # the r01-r11-comparable back-to-back companion (headline is mixed)
         compact["fresh_total"] = out["fresh_total"]
-    for k in ("sf10", "sf1"):
+    for k in ("sf10", "sf1", "sf01", "tpch_sf1", "tpch_sf10"):
         if k in out:
             compact[k] = {
                 kk: out[k][kk]
                 for kk in (
                     "spark_total_s", "duckdb_total_s", "ratio",
                     "floor_adjusted_ratio", "trend5", "n_both",
-                    "truncated", "error",
+                    "loadavg_1m", "truncated", "error", "skipped",
                 )
                 if kk in out[k]
             }
+            cq = out[k].get("queries", {}).get("calib_cpu")
+            if cq:
+                compact[k]["calib_cpu"] = cq
+    for k in ("calibration_pre", "calibration_post"):
+        if k in out:
+            compact[k] = out[k]
     if full_path:
         compact["full"] = os.path.relpath(full_path)
     compact["queries"] = out["queries"]
