@@ -25,7 +25,9 @@ from pyspark.sql import functions as _F
 from compute_histogram_spark.session import get_session
 from compute_histogram_spark import registry
 from compute_histogram_spark.operators import behavior as BH
+from compute_histogram_spark.operators import deciles as _DE
 from compute_histogram_spark.operators import dedup as DD
+from compute_histogram_spark.operators import histogram as _H
 from compute_histogram_spark.operators import relational as R
 from compute_histogram_spark.operators import text as TX
 from compute_histogram_spark.sources.tables import load
@@ -83,6 +85,13 @@ LOCAL_QUERIES = {
     # times each engine's fastest value-identical formulation.
     "text_stats": lambda spark, d: TX.text_profile_arrow(
         load(spark, d, "documents")
+    ),
+    # r13: the one-pass window form of the decile tail — value-identical
+    # to the registry's reference-parity deciles_sql (equality pinned in
+    # tests/test_deciles.py), one Sort instead of scalar-agg + crossJoin.
+    # A/B at sf1: 0.58 vs 0.43 s.
+    "histogram_deciles": lambda spark, d: _DE.deciles_fused(
+        _H.histogram(load(spark, d, "events"), "value", "linear")
     ),
     # r11: the Arrow pair-kernel form of the exact Jaccard operator —
     # value-identical to the window's declarative plan (equality pinned

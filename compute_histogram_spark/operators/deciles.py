@@ -76,6 +76,41 @@ def deciles(histo: DataFrame) -> DataFrame:
     )
 
 
+def deciles_fused(histo: DataFrame) -> DataFrame:
+    """Value-identical to :func:`deciles` / :func:`deciles_sql` in ONE
+    ordered pass: the scalar total comes from an unbounded frame over the
+    SAME single-partition ordering the running sum already needs, so the
+    separate scalar-aggregate job and its cross join disappear (two
+    Window operators share one Sort, zero extra Exchange). The parity
+    forms above keep the reference's SQL structure; this is the plan a
+    Spark engine actually wants — equality is pinned in
+    tests/test_deciles.py at both test SFs."""
+    w = Window.orderBy("value")
+    wt = Window.orderBy("value").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = (
+        histo.withColumn("cum", F.sum("pixel_count").over(w))
+        .withColumn("total", F.sum("pixel_count").over(wt))
+        .withColumn("pct", F.floor((F.col("cum") / F.col("total")) * 10))
+    )
+    return (
+        cum.groupBy("pct")
+        .agg(
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+            F.sum("pixel_count").alias("bucket_count"),
+        )
+        .select(
+            (F.col("pct").cast("bigint") * 10).alias("percentile"),
+            "min_value",
+            "max_value",
+            "bucket_count",
+        )
+        .orderBy("min_value")
+    )
+
+
 def quantiles(df: DataFrame, col: str, probs: list[float]) -> DataFrame:
     """Exact linear-interpolation percentiles of a raw column -> one row per
     probability ``(p DOUBLE, q DOUBLE)``.
