@@ -128,6 +128,13 @@ LOCAL_QUERIES = {
     "late_order_priority_layout": lambda spark, d: _orderkey_layout_served(
         spark, d, "q4"
     ),
+    # r13: the user_id events layout (VERDICT r12 #4 cohort attack)
+    "cohort_retention_layout": lambda spark, d: _userkey_layout_served(
+        spark, d, "cohort"
+    ),
+    "event_transitions_layout": lambda spark, d: _userkey_layout_served(
+        spark, d, "transitions"
+    ),
 }
 
 # DuckDB twins of the four local queries (the r01 registry oracle SQL,
@@ -220,6 +227,8 @@ LOCAL_ORACLES["shipping_priority_layout"] = registry.SHIPPING_PRIORITY_ORACLE
 LOCAL_ORACLES["late_order_priority_layout"] = LOCAL_ORACLES[
     "late_order_priority"
 ]
+LOCAL_ORACLES["cohort_retention_layout"] = LOCAL_ORACLES["cohort_retention"]
+LOCAL_ORACLES["event_transitions_layout"] = LOCAL_ORACLES["event_transitions"]
 
 HEADLINE = [
     "histogram_linear",
@@ -337,6 +346,30 @@ def _orderkey_layout_served(s, d, which):
     if which == "q3":
         return R.shipping_priority_bucketed(s, ot, lt, load(s, d, "customer"))
     return R.late_order_priority_bucketed(s, ot, lt)
+
+
+def _userkey_layout_served(s, d, which):
+    """cohort_retention / event_transitions on a write-once events
+    layout bucketed by user_id (r13, the VERDICT r12 #4 attack on the
+    worst weak-class row): HashPartitioning(user_id) satisfies every
+    clustering the plans need — distinct(user, wk) and groupBy(user)
+    cluster on a superset of the bucket key, the cohort self-join and
+    the per-user windows cluster on the key itself — so the fact side
+    carries ZERO Exchange; only the bounded (cohort, week) /
+    (from, to) final aggregates shuffle. Same write-once amortization
+    claim as the orderkey/custkey layouts."""
+    from compute_histogram_spark.sources import bucketing as BK
+
+    key = ("uklayout", d)
+    if key not in _IDX_CACHE:
+        db = "bench_uk_" + hashlib.md5(d.encode()).hexdigest()[:10]
+        s.sql(f"CREATE DATABASE IF NOT EXISTS {db} LOCATION '/tmp/{db}_wh'")
+        _IDX_CACHE[key] = BK.write_layout(
+            s, d, (("events", "user_id"),), buckets=32, database=db
+        )["events"]
+    ev = s.table(_IDX_CACHE[key])
+    return (BH.cohort_retention if which == "cohort"
+            else BH.event_transitions)(ev)
 
 
 def _ivfpq_index_served(s, d):
@@ -851,6 +884,8 @@ def _bench_sf10(spark, out: dict) -> None:
             "rollup_revenue_layout",
             "shipping_priority_layout",
             "late_order_priority_layout",
+            "cohort_retention_layout",
+            "event_transitions_layout",
         ),
     )
     # r08-r10 comparability: the old 5-query trend totals, recomputed
