@@ -4102,3 +4102,36 @@ def q_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         load(spark, sf_dir, "supplier"),
         load(spark, sf_dir, "part"),
     )
+
+
+# ---------------------------------------------------------------------------
+# r13 staged twin: a STREAMING operator under the value-exact oracle gate
+# (VERDICT r12 #5). streaming_user_stats (applyInPandasWithState) drains
+# through four deterministic micro-batches (streaming/stream_ops.py:
+# deterministic_event_batches — fixed content via event_id % 4, fixed
+# order via ascending mtimes); the converged state equals the batch
+# GROUP BY because the state arithmetic is micro-batch-invariant
+# (integer-cent sums; associative count/min/max) — which is what makes a
+# SQL oracle possible for a stateful streaming op at all. Users with no
+# valid value converge to n_events=0 and are dropped on both sides.
+# ---------------------------------------------------------------------------
+
+STREAMING_USER_STATS_ORACLE = """
+    SELECT user_id,
+           count(*) AS n_events,
+           sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS sum_value,
+           min(value) AS min_value,
+           max(value) AS max_value
+    FROM events
+    WHERE value IS NOT NULL AND NOT isnan(value)
+    GROUP BY user_id
+    ORDER BY user_id
+    """
+
+
+def q_streaming_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from compute_histogram_spark.streaming.stream_ops import (
+        drained_user_stats,
+    )
+
+    return drained_user_stats(spark, sf_dir)

@@ -651,3 +651,37 @@ def test_small_quantity_gate_is_integer_exact(spark):
     row = small_quantity_revenue(li, part).collect()[0]
     assert row.n_small == 1
     assert row.avg_yearly == 100.0 / 7.0
+
+
+def test_streaming_user_stats_twin(spark, sf_dir, con):
+    """r13: the first streaming-derived staged twin — the stateful
+    applyInPandasWithState operator drained through four deterministic
+    micro-batches must match the DuckDB GROUP BY value-exact."""
+    from compute_histogram_spark.registry import (
+        STREAMING_USER_STATS_ORACLE,
+        q_streaming_user_stats,
+    )
+
+    _check("streaming_user_stats",
+           q_streaming_user_stats(spark, sf_dir), con,
+           STREAMING_USER_STATS_ORACLE)
+
+
+def test_streaming_user_stats_batches_are_deterministic(spark, sf_dir):
+    """The harness replays identical batch boundaries run to run: same
+    file set, same mtimes, same per-file row counts."""
+    import os
+
+    from compute_histogram_spark.streaming.stream_ops import (
+        deterministic_event_batches,
+    )
+
+    p1 = deterministic_event_batches(spark, sf_dir)
+    p2 = deterministic_event_batches(spark, sf_dir)
+    assert p1 == p2
+    files = sorted(
+        f for f in os.listdir(p1) if f.endswith(".parquet")
+    )
+    assert len(files) == 4
+    mtimes = [os.path.getmtime(os.path.join(p1, f)) for f in files]
+    assert mtimes == sorted(mtimes) and len(set(mtimes)) == 4
