@@ -851,3 +851,85 @@ def observe_stage(
     for mname, cond in conditions.items():
         metrics.append(F.sum(cond.cast("long")).alias(mname))
     return df.observe(obs, *metrics), obs
+
+
+def end_to_end_corpus(
+    docs: DataFrame,
+    weights: DataFrame,
+    url_col: str = "uri",
+    threshold: float = 0.5,
+    min_span: int = 16,
+    with_metrics: bool = False,
+):
+    """The full corpus-refinement chain as ONE lazy plan (VERDICT r12
+    #6) — the C4/FineWeb skeleton every web-scale training-data build
+    runs, composed from the already-pinned stages:
+
+        url_dedup -> exact dedup -> MinHash near-dup removal ->
+        ExactSubstr duplicate-span removal -> quality gate
+
+    ``docs`` carries (doc_id, text, ``url_col``); ``weights`` is the
+    (bucket, w_milli) scorer table. Returns the surviving corpus as
+    ``(doc_id, text, n_tokens, n_removed)`` with span-scrubbed text.
+    Nothing materializes between stages: Spark sees one DAG, so column
+    pruning and stage pipelining cross the stage boundaries (e.g. the
+    url stage's shuffle carries only (canonical, id)).
+
+    Scale shape per stage (each independently plan-audited where it was
+    pinned): one canonical-string shuffle; one digest shuffle; banded
+    LSH joins + O(log d) component rounds + a loser-bounded anti-join;
+    one duplicated-window digest shuffle + doc-keyed reassembly; a
+    broadcast-weight scan + doc-keyed agg. No stage touches the driver.
+
+    ``with_metrics=True`` additionally returns the per-stage
+    Observations (url/exact/near/span/gate) — single-pass counters via
+    :func:`observe_stage`, readable after one action on the result.
+    NOTE: an Observation counts rows per PLAN PASS; a stage whose output
+    feeds two consumers in the same job (e.g. the dedup pattern
+    "aggregate keys, then semi-join the keys back") counts each pass,
+    so its n_rows is a multiple of the stage's true cardinality. Exact
+    survivor counts need a per-stage action; the single-pass numbers
+    are for relative flow/ratio dashboards, which is what a 100 TB run
+    can afford.
+    """
+    from compute_histogram_spark.operators.classify import score_filter
+    from compute_histogram_spark.operators.dedup import (
+        duplicate_span_removal,
+        neardup_dedup,
+    )
+
+    obs = {}
+
+    def _tap(df, stage):
+        if not with_metrics:
+            return df
+        tapped, o = observe_stage(df, stage, {})
+        obs[stage] = o
+        return tapped
+
+    # 1. URL canonicalization: earliest capture per canonical URL
+    kept_urls = (
+        docs.withColumn("canonical_url", canonical_url(F.col(url_col)))
+        .groupBy("canonical_url")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    d1 = _tap(
+        docs.select("doc_id", "text").join(kept_urls, "doc_id", "left_semi"),
+        "url",
+    )
+    # 2. exact content dedup: first occurrence per digest
+    kept_exact = (
+        d1.select(F.sha2(F.col("text"), 256).alias("h"), "doc_id")
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    d2 = _tap(d1.join(kept_exact, "doc_id", "left_semi"), "exact")
+    # 3. near-duplicate removal (banded LSH -> components -> anti-join)
+    d3 = _tap(neardup_dedup(d2), "near")
+    # 4. cross-document duplicate-span scrub (Lee et al. 2022 shape)
+    d4 = _tap(duplicate_span_removal(d3, min_len=min_span), "span")
+    # 5. model-quality gate over the SCRUBBED text
+    out = _tap(score_filter(d4, weights, threshold=threshold), "gate")
+    return (out, obs) if with_metrics else out

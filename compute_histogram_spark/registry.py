@@ -4135,3 +4135,224 @@ def q_streaming_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return drained_user_stats(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# r13 staged twin: the END-TO-END corpus pipeline (VERDICT r12 #6) — the
+# five already-pinned stages composed as ONE lazy plan
+# (pipeline.py:end_to_end_corpus): url_dedup -> exact dedup -> MinHash
+# near-dup removal -> ExactSubstr span removal -> quality gate. The
+# oracle chains the five stage oracles verbatim (uniquely-renamed CTEs;
+# the recursive component fixpoint rides the same WITH), so a value
+# mismatch localizes to composition, not stage logic. URIs are the
+# deterministic synthetic crawl variants (pairs 2k/2k+1 differ only in
+# tracking params -> the canonical form collapses each pair).
+# ---------------------------------------------------------------------------
+
+
+def _end_to_end_oracle(num_hashes: int = 8, rows_per_band: int = 2) -> str:
+    mins = ",\n               ".join(
+        f"min(md5('{i}:' || s)) AS mh{i}" for i in range(num_hashes)
+    )
+    band_selects = []
+    for b in range(num_hashes // rows_per_band):
+        members = " || '|' || ".join(
+            f"mh{b * rows_per_band + r}" for r in range(rows_per_band)
+        )
+        band_selects.append(
+            f"SELECT doc_id, {b} AS band_id, md5({members}) AS band_hash"
+            " FROM mh3"
+        )
+    bands = "\n        UNION ALL ".join(band_selects)
+    return rf"""
+    WITH RECURSIVE
+    u AS (
+        SELECT doc_id, text,
+               'HTTPS://WWW.crawl.example.com:443/Docs/'
+                   || CAST(doc_id // 2 AS VARCHAR)
+                   || '/?utm_source=' || CAST(doc_id % 2 AS VARCHAR)
+                   || '&fbclid=x#frag' AS uri
+        FROM documents
+    ),
+    parts AS (
+        SELECT doc_id,
+            lower(regexp_extract(uri, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+                AS scheme,
+            lower(regexp_extract(uri,
+                '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS auth,
+            regexp_extract(uri,
+                '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path0,
+            regexp_extract(uri, '^[^#?]*\?([^#]*)', 1) AS query0
+        FROM u
+    ),
+    canon AS (
+        SELECT doc_id,
+            scheme || '://'
+            || CASE
+                 WHEN scheme = 'http' THEN
+                     regexp_replace(regexp_replace(auth, '^www\.', ''),
+                                    ':80$', '')
+                 WHEN scheme = 'https' THEN
+                     regexp_replace(regexp_replace(auth, '^www\.', ''),
+                                    ':443$', '')
+                 ELSE regexp_replace(auth, '^www\.', '')
+               END
+            || regexp_replace(path0, '/$', '')
+            || CASE WHEN kept = '' THEN '' ELSE '?' || kept END
+                AS canonical_url
+        FROM (
+            -- coalesce: array_to_string over an EMPTY kept-list is NULL
+            -- in DuckDB (all params here are tracking params; the
+            -- url_dedup oracle never hit this because its page= param
+            -- always survived)
+            SELECT doc_id, scheme, auth, path0,
+                coalesce(array_to_string(list_sort(list_filter(
+                    string_split(query0, '&'),
+                    x -> x != '' AND NOT regexp_matches(x,
+                        '^(utm_[^=&]*|fbclid|gclid|msclkid|igshid|ref)(=.*)?$')
+                )), '&'), '') AS kept
+            FROM parts
+        )
+    ),
+    k1 AS (SELECT min(doc_id) AS doc_id FROM canon GROUP BY canonical_url),
+    d1 AS (SELECT u.doc_id, u.text FROM u JOIN k1 USING (doc_id)),
+    k2 AS (SELECT min(doc_id) AS doc_id FROM d1 GROUP BY text),
+    d2 AS (SELECT d1.doc_id, d1.text FROM d1 JOIN k2 USING (doc_id)),
+    t3 AS (SELECT doc_id, string_split(text, ' ') AS toks FROM d2),
+    g3 AS (
+        SELECT doc_id, toks,
+               unnest(generate_series(1, greatest(len(toks) - 2, 0))) AS g
+        FROM t3
+    ),
+    sh3 AS (
+        SELECT DISTINCT doc_id,
+               concat_ws(' ', toks[g], toks[g+1], toks[g+2]) AS s
+        FROM g3
+    ),
+    mh3 AS (
+        SELECT doc_id,
+               {mins}
+        FROM sh3 GROUP BY doc_id
+    ),
+    bands3 AS (
+        {bands}
+    ),
+    pairs3 AS (
+        SELECT DISTINCT a.doc_id AS p1, b.doc_id AS p2
+        FROM bands3 a
+        JOIN bands3 b ON a.band_id = b.band_id
+                     AND a.band_hash = b.band_hash
+                     AND a.doc_id < b.doc_id
+    ),
+    e3 AS (
+        SELECT p1 AS a, p2 AS b FROM pairs3
+        UNION SELECT p2, p1 FROM pairs3
+    ),
+    reach3(node, r) AS (
+        SELECT a, a FROM e3
+        UNION
+        SELECT e3.b, reach3.r FROM e3 JOIN reach3 ON e3.a = reach3.node
+    ),
+    comp3 AS (SELECT node, min(r) AS component FROM reach3 GROUP BY node),
+    losers3 AS (SELECT node AS doc_id FROM comp3 WHERE node != component),
+    d3 AS (
+        SELECT doc_id, text FROM d2
+        WHERE doc_id NOT IN (SELECT doc_id FROM losers3)
+    ),
+    t4 AS (SELECT doc_id, string_split(text, ' ') AS toks FROM d3),
+    w4 AS (
+        SELECT doc_id, i AS pos,
+               array_to_string(toks[i + 1 : i + 16], ' ') AS w
+        FROM (
+            SELECT doc_id, toks,
+                   unnest(generate_series(0, len(toks) - 16)) AS i
+            FROM t4 WHERE len(toks) >= 16
+        )
+    ),
+    dup4 AS (SELECT w FROM w4 GROUP BY w HAVING count(*) >= 2),
+    cov4 AS (
+        SELECT DISTINCT doc_id, pos + uu AS p
+        FROM w4 JOIN dup4 USING (w),
+             (SELECT unnest(generate_series(0, 15)) AS uu)
+    ),
+    tok4 AS (
+        SELECT doc_id, unnest(toks) AS tok,
+               unnest(generate_series(0, len(toks) - 1)) AS p
+        FROM t4
+    ),
+    kept4 AS (
+        SELECT tok4.doc_id, tok4.p, tok4.tok
+        FROM tok4 LEFT JOIN cov4
+          ON tok4.doc_id = cov4.doc_id AND tok4.p = cov4.p
+        WHERE cov4.p IS NULL
+    ),
+    n4 AS (SELECT doc_id, len(toks) AS n_tokens FROM t4),
+    d4 AS (
+        SELECT k.doc_id,
+               string_agg(k.tok, ' ' ORDER BY k.p) AS text,
+               CAST(any_value(n4.n_tokens) AS BIGINT) AS n_tokens,
+               CAST(any_value(n4.n_tokens) - count(*) AS BIGINT)
+                   AS n_removed
+        FROM kept4 k JOIN n4 ON k.doc_id = n4.doc_id
+        GROUP BY k.doc_id
+    ),
+    w5 AS (
+        SELECT CAST(id AS INT) AS bucket,
+               CAST((id * 2654435761 + 40503) % 1000 - 500 AS BIGINT)
+                   AS w_milli
+        FROM range(4096) t(id)
+    ),
+    t5 AS (SELECT doc_id, string_split(text, ' ') AS t FROM d4),
+    uni5 AS (SELECT doc_id, unnest(t) AS f FROM t5),
+    bi5 AS (
+        SELECT doc_id, t[i] || ' ' || t[i + 1] AS f
+        FROM (
+            SELECT doc_id, t,
+                   unnest(generate_series(1, len(t) - 1)) AS i
+            FROM t5 WHERE len(t) >= 2
+        )
+    ),
+    feats5 AS (SELECT * FROM uni5 UNION ALL SELECT * FROM bi5),
+    b5 AS (
+        SELECT doc_id,
+               CAST(('0x' || substring(md5('ft:' || f), 1, 8))::BIGINT
+                    % 4096 AS INT) AS bucket
+        FROM feats5
+    ),
+    agg5 AS (
+        SELECT doc_id, count(*) AS n_features, sum(w_milli) AS sum_w
+        FROM b5 JOIN w5 USING (bucket) GROUP BY doc_id
+    ),
+    score5 AS (
+        SELECT doc_id,
+               round(1.0 / (1.0 + exp(-(sum_w / n_features) / 1000.0)), 6)
+                   AS score
+        FROM agg5
+    )
+    SELECT d4.doc_id, d4.text, d4.n_tokens, d4.n_removed
+    FROM d4 JOIN score5 USING (doc_id)
+    WHERE score5.score >= 0.5
+    ORDER BY d4.doc_id
+    """
+
+
+END_TO_END_CORPUS_ORACLE = _end_to_end_oracle()
+
+
+def q_end_to_end_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from compute_histogram_spark.operators import classify as CLS5
+    from compute_histogram_spark.operators import pipeline as PL5
+
+    docs = load(spark, sf_dir, "documents")
+    uri = F.concat(
+        F.lit("HTTPS://WWW.crawl.example.com:443/Docs/"),
+        F.expr("doc_id div 2").cast("string"),
+        F.lit("/?utm_source="),
+        (F.col("doc_id") % 2).cast("string"),
+        F.lit("&fbclid=x#frag"),
+    )
+    out = PL5.end_to_end_corpus(
+        docs.select("doc_id", "text", uri.alias("uri")),
+        CLS5.demo_weights(spark),
+    )
+    return out.orderBy("doc_id")

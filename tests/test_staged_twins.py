@@ -685,3 +685,16 @@ def test_streaming_user_stats_batches_are_deterministic(spark, sf_dir):
     assert len(files) == 4
     mtimes = [os.path.getmtime(os.path.join(p1, f)) for f in files]
     assert mtimes == sorted(mtimes) and len(set(mtimes)) == 4
+
+
+def test_end_to_end_corpus_twin(spark, sf_dir, con):
+    """r13: the five-stage composed pipeline (url -> exact -> near-dup ->
+    span scrub -> quality gate) as ONE lazy plan, value-exact against
+    the five stage oracles chained in one SQL."""
+    from compute_histogram_spark.registry import (
+        END_TO_END_CORPUS_ORACLE,
+        q_end_to_end_corpus,
+    )
+
+    _check("end_to_end_corpus", q_end_to_end_corpus(spark, sf_dir), con,
+           END_TO_END_CORPUS_ORACLE)
