@@ -257,3 +257,41 @@ def test_similarity_topk_pq_seed_oracle(spark, sf_dir):
     odf = con.sql(SIMILARITY_PQ_ORACLE).df()
     assert len(sdf) == 50
     assert compare("similarity_topk_pq", sdf, odf) == []
+
+
+def test_sq_tier_never_composes(spark, sf_dir):
+    """Guardrail (VERDICT r12 #8): cosine_topk_sq is the documented
+    small-N baseline tier — its broadcast crossJoin scores queries
+    against ALL codes (O(N*Q)), acceptable only standalone. Pin that
+    (a) no package call site composes it into a pipeline (the only
+    callers are its own module and the standalone registry row), and
+    (b) the composed pipeline plans carry no Cartesian /
+    nested-loop-join shape the SQ tier would introduce."""
+    import glob
+    import os
+
+    pkg = os.path.join(os.path.dirname(__file__), "..",
+                       "compute_histogram_spark")
+    offenders = []
+    for path in glob.glob(os.path.join(pkg, "**", "*.py"), recursive=True):
+        rel = os.path.relpath(path, pkg)
+        if rel.endswith("pq.py"):
+            continue  # definition + tier docs
+        src = open(path).read()
+        if "cosine_topk_sq(" in src:
+            # the standalone registry row is the one allowed call site
+            allowed = rel == "registry.py" and src.count(
+                "cosine_topk_sq(") == 1
+            if not allowed:
+                offenders.append(rel)
+    assert offenders == [], offenders
+
+    from compute_histogram_spark.registry import (
+        q_corpus_pipeline,
+        q_end_to_end_corpus,
+    )
+
+    for q in (q_corpus_pipeline, q_end_to_end_corpus):
+        plan = q(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, q.__name__
+        assert "BroadcastNestedLoopJoin" not in plan, q.__name__

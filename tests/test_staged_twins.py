@@ -7,7 +7,13 @@ r12 status: five of the seven r11-staged twins rotated IN
 (chunk_documents, contamination_report, token_hll, quality_model_score,
 zorder_key — now driver-gated every round; their pins here stay as the
 sf0.001 fast check). The two spares (returned_item_customers,
-corpus_checksum) remain staged for the 9th rotation."""
+corpus_checksum) remain staged for the 9th rotation.
+
+r13 status: the 9th rotation landed — dup_span_removal, dsir_weights,
+pr_curve, large_volume_customers, vocab_growth are now driver-gated;
+their pins here stay as the fast check. Newly staged this round:
+streaming_user_stats (the first streaming-derived twin) and
+end_to_end_corpus (the five-stage composed pipeline)."""
 
 import os
 import sys
