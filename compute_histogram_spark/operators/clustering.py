@@ -294,3 +294,171 @@ def cosine_topk_ivf_index(
     tests/test_clustering.py)."""
     cand = spark.read.parquet(path)
     return probe_rerank(cand, centroids, k=k, query_filter=query_filter, nprobe=nprobe)
+
+
+# ---------------------------------------------------------------------------
+# Second-moment statistics + PCA whitening (r13).
+#
+# The standard embedding-pipeline preprocessing step (Jegou et al. 2012 use
+# PCA rotation before PQ; SemDeDup and most ANN recipes whiten first): learn
+# a d x d covariance in ONE distributed pass, eigendecompose the (tiny)
+# matrix on the driver, broadcast the k x d projection back into a map-only
+# transform. At 100 TB the moments pass is the only data-scaled stage and it
+# shuffles O(partitions x d^2) partial rows, independent of corpus size --
+# the same partial->merge shape as the histogram family (reference
+# main.py:127-149 min/max partials, generalized to matrix moments).
+
+
+def embedding_moments(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Upper-triangle covariance table of a vector column in one pass.
+
+    Per Arrow batch, a single GEMM (``M.T @ M``) produces the d x d cross-
+    product partial; one partial row set per *partition* (not per batch)
+    is emitted: (i, j, s_xy) for i <= j, (i, -1, s_x) row sums, and
+    (-1, -1, n). A groupBy(i, j) merge then moves O(partitions x d^2)
+    tiny rows -- never the vectors themselves. Output: one row per
+    (i <= j) pair with the population covariance, rounded to DEC so the
+    result is summation-order invariant (same convention as kmeans).
+
+    Returns columns ``(i, j, n, cov)`` sorted by (i, j).
+    """
+    import pandas as pd
+
+    v = _vectors(emb, vec_col, id_col)
+
+    def kernel(batches):
+        s = None  # [d] running sum
+        ssq = None  # [d, d] running cross-product
+        n = 0
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            m = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+            if s is None:
+                s = m.sum(axis=0)
+                ssq = m.T @ m
+            else:
+                s += m.sum(axis=0)
+                ssq += m.T @ m
+            n += m.shape[0]
+        if s is None:
+            return
+        d = s.shape[0]
+        iu, ju = np.triu_indices(d)
+        yield pd.DataFrame(
+            {
+                "i": np.concatenate(
+                    [iu.astype(np.int32), np.arange(d, dtype=np.int32), [-1]]
+                ),
+                "j": np.concatenate(
+                    [ju.astype(np.int32), np.full(d, -1, np.int32), [-1]]
+                ),
+                "s": np.concatenate([ssq[iu, ju], s, [float(n)]]),
+            }
+        )
+
+    partials = v.select("v").mapInPandas(kernel, "i int, j int, s double")
+    tot = partials.groupBy("i", "j").agg(F.sum("s").alias("s"))
+    n_row = tot.where((F.col("i") == -1) & (F.col("j") == -1)).select(
+        F.col("s").cast("bigint").alias("n")
+    )
+    sums = tot.where((F.col("i") >= 0) & (F.col("j") == -1)).select(
+        F.col("i").alias("k"), F.col("s").alias("sx")
+    )
+    cross = tot.where(F.col("j") >= 0)
+    # n is a 1-row scalar and sums is d rows: broadcast both (bounded by
+    # dimension, not data).
+    out = (
+        cross.crossJoin(F.broadcast(n_row))
+        .join(F.broadcast(sums).withColumnRenamed("k", "i_"),
+              F.col("i") == F.col("i_"))
+        .join(F.broadcast(sums.withColumnRenamed("k", "j_")
+                          .withColumnRenamed("sx", "sy")),
+              F.col("j") == F.col("j_"))
+        .select(
+            "i",
+            "j",
+            "n",
+            F.round(
+                F.col("s") / F.col("n")
+                - (F.col("sx") / F.col("n")) * (F.col("sy") / F.col("n")),
+                DEC,
+            ).alias("cov"),
+        )
+    )
+    return out.orderBy("i", "j")
+
+
+def pca_model(
+    emb: DataFrame,
+    k: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    eps: float = 1e-9,
+):
+    """Fit a PCA-whitening model from :func:`embedding_moments`.
+
+    The d x d covariance (d(d+1)/2 driver scalars -- O(dim^2), not
+    data-scaled) is eigendecomposed with ``np.linalg.eigh``; the top-k
+    eigenvectors are sign-fixed (largest-|component| made positive, ties
+    toward the lowest index) so the model is unique, then scaled by
+    1/sqrt(eigval + eps) for whitening. Returns (mean [d], components
+    [k x d] -- whitened rows, eigvals [k]).
+    """
+    rows = embedding_moments(emb, vec_col, id_col).collect()
+    d = max(r["i"] for r in rows) + 1
+    cov = np.zeros((d, d))
+    for r in rows:
+        cov[r["i"], r["j"]] = r["cov"]
+        cov[r["j"], r["i"]] = r["cov"]
+    # mean re-derived in the same pass style (cheap second aggregate).
+    v = _vectors(emb, vec_col, id_col)
+    mean_rows = (
+        v.select(F.posexplode("v").alias("i", "x"))
+        .groupBy("i")
+        .agg(F.avg("x").alias("m"))
+        .collect()
+    )
+    mean = np.zeros(d)
+    for r in mean_rows:
+        mean[r["i"]] = r["m"]
+    vals, vecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(vals)[::-1][:k]
+    vals_k = vals[order]
+    comp = vecs[:, order].T  # [k, d]
+    for r in range(comp.shape[0]):  # deterministic sign
+        j = int(np.argmax(np.abs(np.round(comp[r], DEC))))
+        if comp[r, j] < 0:
+            comp[r] = -comp[r]
+    white = comp / np.sqrt(np.maximum(vals_k, 0.0) + eps)[:, None]
+    return np.round(mean, DEC), np.round(white, DEC), np.round(vals_k, DEC)
+
+
+def pca_whiten(
+    emb: DataFrame,
+    mean: np.ndarray,
+    components: np.ndarray,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Map-only whitening transform: ``W @ (x - mean)`` per vector, one
+    GEMM per Arrow batch against the closure-broadcast [k x d] model.
+    Output (vec_id, proj array<double>), components rounded to DEC."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    mu = np.asarray(mean, dtype=np.float64)
+    w = np.ascontiguousarray(np.asarray(components, dtype=np.float64))
+
+    def _kernel(vs):
+        m = np.stack(vs.to_numpy()).astype(np.float64)
+        p = (m - mu[None, :]) @ w.T
+        return pd.Series(list(np.round(p, DEC)))
+
+    proj = pandas_udf(_kernel, "array<double>")
+    v = _vectors(emb, vec_col, id_col)
+    return v.select("vec_id", proj("v").alias("proj"))

@@ -1102,3 +1102,43 @@ def vocab_growth(docs: DataFrame) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# default list used by the registry twin: tokens drawn from the synthetic
+# corpus vocabulary so the fractions exercise all branches.
+DEFAULT_BLOCKLIST = ("slow", "drop", "stale")
+
+
+def blocklist_signals(
+    docs: DataFrame,
+    blocklist: tuple[str, ...] = DEFAULT_BLOCKLIST,
+    max_frac: float = 0.05,
+) -> DataFrame:
+    """C4-style blocklist filtering (Raffel et al. 2020 drop pages with
+    any "List of Dirty, Naughty ..." word; the fraction form generalizes
+    it to a tunable gate).
+
+    Per document: token count, blocked-token count, blocked fraction and
+    the pass/fail gate -- all JVM-side array expressions in the scan
+    stage (one narrow map, no shuffle but the presentational sort; at
+    100 TB filter on ``blocklist_pass`` directly and drop the sort).
+    The blocklist is a literal array in the plan -- for lists beyond a
+    few thousand words switch to a broadcast join on the exploded token
+    (same result, still no data-scaled shuffle).
+    """
+    docs = range_ordered(docs, "doc_id")
+    bl = F.array([F.lit(w) for w in blocklist])
+    t = docs.select("doc_id", tokens("text").alias("toks"))
+    n = F.size("toks")
+    n_blocked = F.size(F.filter("toks", lambda x: F.array_contains(bl, x)))
+    sig = t.select(
+        "doc_id",
+        n.cast("bigint").alias("n_tokens"),
+        n_blocked.cast("bigint").alias("n_blocked"),
+        F.when(n > 0, F.round(n_blocked * 1.0 / n, 6))
+        .otherwise(F.lit(0.0))
+        .alias("blocked_frac"),
+    )
+    return sig.withColumn(
+        "blocklist_pass", F.col("blocked_frac") <= max_frac
+    ).sortWithinPartitions("doc_id")

@@ -4356,3 +4356,72 @@ def q_end_to_end_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         CLS5.demo_weights(spark),
     )
     return out.orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# r13 additions: two new LLM-pipeline operators, staged for rotation wave 10.
+
+# C4-style blocklist gate (text.py:blocklist_signals — staged r13): per-doc
+# blocked-token fraction + pass flag, all in the scan stage.
+BLOCKLIST_ORACLE = """
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    s AS (
+        SELECT doc_id,
+               len(toks) AS n_tokens,
+               len(list_filter(toks,
+                   x -> x IN ('slow', 'drop', 'stale'))) AS n_blocked
+        FROM t
+    )
+    SELECT doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(n_blocked AS BIGINT) AS n_blocked,
+           CASE WHEN n_tokens > 0
+                THEN round(n_blocked * 1.0 / n_tokens, 6)
+                ELSE 0.0 END AS blocked_frac,
+           CASE WHEN n_tokens > 0
+                THEN round(n_blocked * 1.0 / n_tokens, 6)
+                ELSE 0.0 END <= 0.05 AS blocklist_pass
+    FROM s ORDER BY doc_id
+    """
+
+
+def q_blocklist_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from compute_histogram_spark.operators import text as TXB
+
+    return TXB.blocklist_signals(load(spark, sf_dir, "documents"))
+
+
+# One-pass distributed covariance of the embedding column
+# (clustering.py:embedding_moments — staged r13): the moments stage of PCA
+# whitening; d(d+1)/2 upper-triangle rows, shuffle O(partitions x d^2).
+EMBEDDING_COVARIANCE_ORACLE = """
+    WITH u AS (
+        SELECT vec_id, g - 1 AS k, CAST(embedding[g] AS DOUBLE) AS x
+        FROM (
+            SELECT vec_id, embedding,
+                   unnest(generate_series(1, len(embedding))) AS g
+            FROM embeddings
+        )
+    ),
+    p AS (
+        SELECT a.k AS i, b.k AS j, sum(a.x * b.x) AS sxy
+        FROM u a JOIN u b ON a.vec_id = b.vec_id AND a.k <= b.k
+        GROUP BY 1, 2
+    ),
+    m AS (SELECT k, sum(x) AS sx FROM u GROUP BY k),
+    c AS (SELECT count(*) AS n FROM embeddings)
+    SELECT CAST(p.i AS INT) AS i, CAST(p.j AS INT) AS j, c.n AS n,
+           round(p.sxy / c.n - (mi.sx / c.n) * (mj.sx / c.n), 6) AS cov
+    FROM p, c
+    JOIN m mi ON mi.k = p.i
+    JOIN m mj ON mj.k = p.j
+    ORDER BY i, j
+    """
+
+
+def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from compute_histogram_spark.operators import clustering as CLM
+
+    return CLM.embedding_moments(load(spark, sf_dir, "embeddings"))

@@ -183,3 +183,62 @@ def test_ivf_assignment_drift_flags_shifted_batches(emb, vecs, spark, tmp_path):
     ).first()["psi"]
     assert bad > 0.25, bad
     assert bad > same
+
+
+def test_embedding_moments_matches_numpy(spark, sf_dir):
+    """The distributed one-pass covariance equals np.cov(bias=True) on the
+    collected matrix (population covariance, rounded to DEC)."""
+    import numpy as np
+
+    from compute_histogram_spark.operators import clustering as CL
+    from compute_histogram_spark.sources.tables import load
+
+    emb = load(spark, sf_dir, "embeddings")
+    rows = CL.embedding_moments(emb).collect()
+    m = np.stack(
+        [np.asarray(r["embedding"], dtype=np.float64)
+         for r in emb.orderBy("vec_id").collect()]
+    )
+    ref = np.cov(m, rowvar=False, bias=True)
+    n = m.shape[0]
+    for r in rows:
+        assert r["n"] == n
+        assert abs(r["cov"] - round(ref[r["i"], r["j"]], 6)) <= 1e-6, (
+            r["i"], r["j"], r["cov"], ref[r["i"], r["j"]],
+        )
+    d = m.shape[1]
+    assert len(rows) == d * (d + 1) // 2
+
+
+def test_pca_whiten_matches_numpy_and_is_map_only(spark, sf_dir):
+    """pca_model + pca_whiten equal the pure-NumPy pipeline (same sign fix,
+    same rounding), the whitened components have ~unit variance, and the
+    transform plan contains no Exchange (map-only at any scale)."""
+    import numpy as np
+
+    from compute_histogram_spark.operators import clustering as CL
+    from compute_histogram_spark.sources.tables import load
+
+    emb = load(spark, sf_dir, "embeddings")
+    mean, comp, vals = CL.pca_model(emb, k=4)
+    assert comp.shape[1] == len(mean) and comp.shape[0] == 4
+    assert list(vals) == sorted(vals, reverse=True)
+
+    out = CL.pca_whiten(emb, mean, comp)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+
+    got = {r["vec_id"]: np.asarray(r["proj"]) for r in out.collect()}
+    m = np.stack(
+        [np.asarray(r["embedding"], dtype=np.float64)
+         for r in emb.orderBy("vec_id").collect()]
+    )
+    ids = [r["vec_id"] for r in emb.orderBy("vec_id").collect()]
+    ref = np.round((m - mean[None, :]) @ comp.T, 6)
+    for i, vid in enumerate(ids):
+        assert np.allclose(got[vid], ref[i], atol=1e-9), vid
+
+    # whitening: per-component variance of the projection ~ 1 (up to the
+    # DEC rounding of the model and eps regularization)
+    var = ref.var(axis=0)
+    assert np.all(np.abs(var - 1.0) < 0.05), var

@@ -704,3 +704,26 @@ def test_end_to_end_corpus_twin(spark, sf_dir, con):
 
     _check("end_to_end_corpus", q_end_to_end_corpus(spark, sf_dir), con,
            END_TO_END_CORPUS_ORACLE)
+
+
+def test_blocklist_signals_twin(spark, sf_dir, con):
+    """r13 (wave-10 bank): C4-style blocklist gate."""
+    from compute_histogram_spark.registry import (
+        BLOCKLIST_ORACLE,
+        q_blocklist_signals,
+    )
+
+    _check("blocklist_signals", q_blocklist_signals(spark, sf_dir), con,
+           BLOCKLIST_ORACLE)
+
+
+def test_embedding_covariance_twin(spark, sf_dir, con):
+    """r13 (wave-10 bank): one-pass distributed covariance — the moments
+    stage of PCA whitening."""
+    from compute_histogram_spark.registry import (
+        EMBEDDING_COVARIANCE_ORACLE,
+        q_embedding_covariance,
+    )
+
+    _check("embedding_covariance", q_embedding_covariance(spark, sf_dir),
+           con, EMBEDDING_COVARIANCE_ORACLE)
