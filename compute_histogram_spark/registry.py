@@ -4425,3 +4425,20 @@ def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     from compute_histogram_spark.operators import clustering as CLM
 
     return CLM.embedding_moments(load(spark, sf_dir, "embeddings"))
+
+
+# Second streaming-derived twin (staged r13, with streaming_user_stats):
+# streaming_exact_dedup drained through the deterministic micro-batch
+# harness — dropDuplicatesWithinWatermark's global first-occurrence set,
+# projected to its emission-invariant pair (value, first_batch).
+STREAMING_EXACT_DEDUP_ORACLE = """
+    SELECT value,
+           CAST(min(event_id % 4) AS INT) AS first_batch
+    FROM events GROUP BY value ORDER BY value
+    """
+
+
+def q_streaming_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from compute_histogram_spark.streaming import stream_ops as SO
+
+    return SO.drained_exact_dedup(spark, sf_dir, n_batches=4)

@@ -704,3 +704,46 @@ def drained_user_stats(
         if n > 0
     ]
     return spark.createDataFrame(rows, USER_STATS_OUTPUT).orderBy("user_id")
+
+
+def drained_exact_dedup(
+    spark: SparkSession, sf_dir: str, n_batches: int = 4
+) -> DataFrame:
+    """:func:`streaming_exact_dedup` driven through the same fixed
+    micro-batches as :func:`drained_user_stats`, drained to a batch
+    DataFrame — the second streaming operator under the value-exact gate.
+
+    The watermark is set far past the data's event-time span so nothing
+    is ever late-dropped or state-evicted: the drained output is then the
+    GLOBAL first occurrence per content hash. Cross-batch firstness is
+    deterministic (batch i processed before batch i+1 by mtime order);
+    WITHIN a batch the surviving row for a duplicated value is whichever
+    task emits first, so the twin projects each emission to the pair
+    (value, first_batch = event_id % n_batches) — both components are
+    emission-invariant: every event of a value inside one micro-batch
+    shares the batch index by construction, and the content hash is 1:1
+    with the value. Oracle: ``GROUP BY value, min(event_id % n)``."""
+    path = deterministic_event_batches(spark, sf_dir, n_batches)
+    stream = read_events_stream(spark, path, max_files_per_trigger=1)
+    emitted: list = []
+
+    def sink(df: DataFrame, _epoch: int) -> None:
+        for r in df.select("event_id", "value").collect():
+            emitted.append((r["event_id"], r["value"]))
+
+    q = (
+        streaming_exact_dedup(
+            stream, id_cols=("event_id", "value"), watermark="3650 days"
+        )
+        .writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = sorted(
+        (v, int(eid % n_batches)) for eid, v in emitted
+    )
+    return spark.createDataFrame(
+        rows, "value double, first_batch int"
+    ).orderBy("value")

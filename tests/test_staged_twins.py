@@ -12,8 +12,11 @@ corpus_checksum) remain staged for the 9th rotation.
 r13 status: the 9th rotation landed — dup_span_removal, dsir_weights,
 pr_curve, large_volume_customers, vocab_growth are now driver-gated;
 their pins here stay as the fast check. Newly staged this round:
-streaming_user_stats (the first streaming-derived twin) and
-end_to_end_corpus (the five-stage composed pipeline)."""
+streaming_user_stats (the first streaming-derived twin),
+end_to_end_corpus (the five-stage composed pipeline), blocklist_signals
+(C4-style blocked-word gate), embedding_covariance (the one-pass
+moments stage of PCA whitening) and streaming_exact_dedup (the second
+streaming operator under the value-exact gate)."""
 
 import os
 import sys
@@ -727,3 +730,26 @@ def test_embedding_covariance_twin(spark, sf_dir, con):
 
     _check("embedding_covariance", q_embedding_covariance(spark, sf_dir),
            con, EMBEDDING_COVARIANCE_ORACLE)
+
+
+def test_streaming_exact_dedup_twin(spark, sf_dir, con):
+    """r13 (wave-10 bank): the SECOND streaming operator under the
+    value-exact gate — dropDuplicatesWithinWatermark drained through the
+    fixed micro-batch harness equals the batch first-occurrence set."""
+    from compute_histogram_spark.registry import (
+        STREAMING_EXACT_DEDUP_ORACLE,
+        q_streaming_exact_dedup,
+    )
+
+    _check("streaming_exact_dedup", q_streaming_exact_dedup(spark, sf_dir),
+           con, STREAMING_EXACT_DEDUP_ORACLE)
+
+
+def test_streaming_exact_dedup_drain_deterministic(spark, sf_dir):
+    """Two independent drains produce identical rows (batch content and
+    order are pinned by the harness; the projection is emission-invariant)."""
+    from compute_histogram_spark.registry import q_streaming_exact_dedup
+
+    a = [tuple(r) for r in q_streaming_exact_dedup(spark, sf_dir).collect()]
+    b = [tuple(r) for r in q_streaming_exact_dedup(spark, sf_dir).collect()]
+    assert a == b and len(a) > 0
