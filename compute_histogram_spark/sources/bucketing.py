@@ -176,6 +176,17 @@ def write_layout(
         df = load(spark, sf_dir, tbl).repartition(buckets, key)
         (
             df.write.mode("overwrite")
+            # Writer-reader heap asymmetry (r13, found at sf100): row-group
+            # size is decided by the WRITER's heap (parquet's MemoryManager
+            # only scales it down under writer memory pressure), but the
+            # read side allocates per row group — an ingest job with a big
+            # heap wrote ~240 MB groups that 32 concurrent bucketed-scan
+            # tasks (whole file per task, no split points) could not read
+            # in the default 8 GB JVM (JDK17 G1 GCLocker starvation on
+            # 128 MiB humongous allocations -> spurious OOM). A layout is
+            # a SHARED artifact: cap the row group explicitly so any
+            # executor size can read what any ingest size wrote.
+            .option("parquet.block.size", 32 * 1024 * 1024)
             .bucketBy(buckets, key)
             .sortBy(key)
             .saveAsTable(name)
