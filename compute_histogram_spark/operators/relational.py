@@ -676,6 +676,49 @@ def late_order_priority_bucketed(
     )
 
 
+def waiting_suppliers_bucketed(
+    spark, orders_table: str, lineitem_table: str, supplier: DataFrame,
+    k: int = 10,
+) -> DataFrame:
+    """:func:`waiting_suppliers` (Q21) on the SAME write-once orderkey
+    layout as Q3/Q4/Q5 — its seventh member, and the one whose plan the
+    layout collapses the furthest: the fact-fact join is co-bucketed,
+    and every downstream step clusters on an orderkey SUPERSET —
+    groupBy(l_orderkey, l_suppkey), groupBy(l_orderkey) and the
+    qualifying left-semi join are all satisfied by
+    HashPartitioning(orderkey) (the same subset-key-clustering rule the
+    user_id events layout exploits) — so the ONLY data-scaled Exchange
+    left in Q21 is the final supplier-bounded numwait count."""
+    orders = spark.table(orders_table)
+    lineitem = spark.table(lineitem_table)
+    lo = lineitem.join(
+        orders.select("o_orderkey", "o_orderdate"),
+        lineitem["l_orderkey"] == orders["o_orderkey"],
+    )
+    per = lo.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("l_shipdate").alias("ms"),
+        F.max("o_orderdate").alias("od"),
+    ).withColumn("late", (F.col("ms") > F.col("od")).cast("int"))
+    ostats = per.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.sum("late").alias("n_late"),
+    )
+    qual = per.where(F.col("late") == 1).join(
+        ostats.where((F.col("n_supp") >= 2) & (F.col("n_late") == 1)),
+        "l_orderkey",
+        "left_semi",
+    )
+    counts = qual.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).alias("numwait")
+    )
+    return (
+        counts.join(supplier, counts["l_suppkey"] == supplier["s_suppkey"])
+        .select("s_name", "numwait")
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(k)
+    )
+
+
 def promo_revenue_share(
     part: DataFrame,
     lineitem: DataFrame,

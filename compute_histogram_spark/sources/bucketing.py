@@ -97,6 +97,40 @@ def write_custkey_layout(
     return names["orders"], names["customer"]
 
 
+def scaled_buckets(
+    sf_dir: str,
+    table: str = "lineitem",
+    per_bucket_bytes: int = 64 << 20,
+    floor: int = 32,
+) -> int:
+    """Bucket count for a write-once layout, scaled to the fact table's
+    on-disk size (r13, found at sf100): a bucketed scan reads ONE WHOLE
+    file per task — no split points — so every bucket-local operator's
+    per-task state is bounded by bucket size, not by shuffle partitions.
+    Q21's pair-grained aggregation on a 32-bucket sf100 layout put
+    ~19M-row hash-agg states in 32 concurrent unsplittable tasks and
+    killed the 8 GB JVM; the same plan on a scale-proportional layout is
+    the family's biggest win. Rule: ~64 MiB of parquet per bucket
+    (power of two, floor 32) — sf10 and below keep their historical 32
+    by construction; only genuinely large tiles move.
+    """
+    import math
+    import os
+
+    total = 0
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    if os.path.isdir(path):
+        for root, _dirs, files in os.walk(path):
+            total += sum(
+                os.path.getsize(os.path.join(root, f)) for f in files
+            )
+    elif os.path.exists(path):
+        total = os.path.getsize(path)
+    if total <= floor * per_bucket_bytes:
+        return floor
+    return 2 ** math.ceil(math.log2(total / per_bucket_bytes))
+
+
 def write_layout(
     spark: SparkSession,
     sf_dir: str,

@@ -381,3 +381,37 @@ def test_userkey_layout_cohort_transitions_plan_and_values(
             assert "Exchange hashpartitioning(user_id" not in plan, plan
     finally:
         spark.catalog.setCurrentDatabase("default")
+
+
+def test_orderkey_layout_q21_plan_and_values(spark, sf_dir, tmp_path):
+    """waiting_suppliers (Q21) on the same write-once orderkey layout —
+    the family's 7th member and its deepest plan collapse: the fact-fact
+    join, groupBy(l_orderkey, l_suppkey), groupBy(l_orderkey) and the
+    qualifying semi join ALL cluster on an orderkey superset, so the only
+    data-scaled Exchange left is the supplier-bounded numwait count.
+    sf10 A/B (min-of-3, interleaved): plain 12.96 -> bucketed 7.96 s."""
+    from compute_histogram_spark.operators import relational as R
+
+    spark.sql(
+        f"CREATE DATABASE IF NOT EXISTS oktest21 LOCATION '{tmp_path / 'wh'}'"
+    )
+    spark.catalog.setCurrentDatabase("oktest21")
+    try:
+        ot, lt = B.write_q5_layout(spark, sf_dir, buckets=8)
+        supplier = load(spark, sf_dir, "supplier")
+        orders = load(spark, sf_dir, "orders")
+        lineitem = load(spark, sf_dir, "lineitem")
+
+        b = R.waiting_suppliers_bucketed(spark, ot, lt, supplier)
+        r = R.waiting_suppliers(orders, lineitem, supplier)
+        assert b.collect() == r.collect()
+
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            plan = _plan(b)
+        finally:
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        assert "Exchange hashpartitioning(l_orderkey" not in plan, plan
+        assert "Exchange hashpartitioning(o_orderkey" not in plan, plan
+    finally:
+        spark.catalog.setCurrentDatabase("default")

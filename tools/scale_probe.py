@@ -98,6 +98,13 @@ def main() -> None:
 
     staged = {n: (getattr(registry, qfn), getattr(registry, osql))
               for n, qfn, osql in SWEEP}
+    # bench's tracked TPC-H labels (tpch_qNN) resolve the same way
+    from bench import _TPCH_STAGED
+
+    staged.update({
+        n: (getattr(registry, qfn), getattr(registry, osql))
+        for n, (qfn, osql) in _TPCH_STAGED.items()
+    })
 
     out: dict = {"scale_dir": scale_dir, "queries": {}}
     for name in probe:
