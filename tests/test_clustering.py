@@ -242,3 +242,36 @@ def test_pca_whiten_matches_numpy_and_is_map_only(spark, sf_dir):
     # DEC rounding of the model and eps regularization)
     var = ref.var(axis=0)
     assert np.all(np.abs(var - 1.0) < 0.05), var
+
+
+def test_cosine_topk_pca_full_dim_equals_exact(spark, sf_dir):
+    """At dim == d the orthonormal rotation preserves every cosine: the
+    PCA tier must reproduce the exact operator's (query, rank, vec)
+    triples verbatim."""
+    from compute_histogram_spark.operators import clustering as CL
+    from compute_histogram_spark.operators import similarity as S
+    from compute_histogram_spark.sources.tables import load
+
+    emb = load(spark, sf_dir, "embeddings")
+    d = len(emb.select("embedding").first()["embedding"])
+    ex = [(r["query_id"], r["rnk"], r["vec_id"])
+          for r in S.cosine_topk(emb, k=5).collect()]
+    fu = [(r["query_id"], r["rnk"], r["vec_id"])
+          for r in CL.cosine_topk_pca(emb, k=5, dim=d, overfetch=4).collect()]
+    assert ex == fu and len(ex) > 0
+
+
+def test_cosine_topk_pca_recall_floor(spark, sf_dir):
+    """Half-dimension shortlist recall floor on the near-isotropic
+    fixture (the tier's adversarial case; measured 0.92 at dim=32/64)."""
+    from compute_histogram_spark.operators import clustering as CL
+    from compute_histogram_spark.operators import similarity as S
+    from compute_histogram_spark.sources.tables import load
+
+    emb = load(spark, sf_dir, "embeddings")
+    d = len(emb.select("embedding").first()["embedding"])
+    ex = {(r["query_id"], r["vec_id"])
+          for r in S.cosine_topk(emb, k=5).collect()}
+    ap = {(r["query_id"], r["vec_id"])
+          for r in CL.cosine_topk_pca(emb, k=5, dim=d // 2).collect()}
+    assert len(ex & ap) / len(ex) >= 0.85
