@@ -550,3 +550,67 @@ def bloom_contains(
     for i in range(k):
         member = F.col(f"hit{i}") if member is None else member & F.col(f"hit{i}")
     return out.select("value", member.alias("member"))
+
+
+def corpus_overlap_kmv(
+    docs_a: DataFrame,
+    docs_b: DataFrame,
+    k: int = 64,
+    gram: int = 3,
+    round_to: int = 6,
+) -> DataFrame:
+    """Cross-corpus overlap estimated from two mergeable KMV sketches —
+    dedup/contamination PLANNING at 100 TB without ever joining the
+    corpora: each side is sketched independently (k digests, shippable
+    bytes), and Jaccard/intersection are estimated from sketch algebra
+    alone (Beyer et al. 2007).
+
+    rho = |K(A u B) ∩ K(A) ∩ K(B)| / |K(A u B)| estimates J(A, B);
+    intersection ~= rho x D(A u B) with the union cardinality from the
+    standard (k-1)/u_k estimator. Portable md5 digest convention
+    (functions/texthash.py) and lexicographic k-minima, so a SQL twin
+    reproduces every number to the digit; when the union has fewer than
+    k distinct shingles the sketches ARE the sets and the Jaccard is
+    exact (degenerate branch, same CASE as
+    :func:`kmv_distinct_portable`).
+
+    Plan: two TakeOrderedAndProject sketch builds (each partition
+    forwards <= k digests), then all algebra on <= 2k broadcast rows.
+    -> one row (k_used, n_common, jaccard_est, union_distinct_est,
+    intersection_est).
+    """
+    from compute_histogram_spark.operators.dedup import shingle_table
+
+    def sketch(docs: DataFrame) -> DataFrame:
+        sh = shingle_table(docs, n=gram, distinct=False)
+        h = sh.select(
+            F.md5(F.concat(F.lit("kmv:"), F.col("s"))).alias("h")
+        ).dropDuplicates(["h"])
+        return h.orderBy("h").limit(k)
+
+    ska, skb = sketch(docs_a), sketch(docs_b)
+    u = ska.union(skb).dropDuplicates(["h"]).orderBy("h").limit(k)
+    common = (
+        u.join(F.broadcast(ska), "h", "left_semi")
+        .join(F.broadcast(skb), "h", "left_semi")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    ua = u.agg(F.max("h").alias("kth_hex"), F.count(F.lit(1)).alias("n"))
+    row = ua.crossJoin(common)  # two 1-row scalars
+    u_k = (
+        F.conv(F.substring("kth_hex", 1, 12), 16, 10).cast("bigint") + 1
+    ) / F.lit(float(2**48))
+    d_union = F.round(
+        F.when(F.col("n") < k, F.col("n").cast("double")).otherwise(
+            (k - 1) / u_k
+        ),
+        round_to,
+    )
+    jac = F.round(F.col("n_common") / F.col("n"), round_to)
+    return row.select(
+        F.col("n").cast("int").alias("k_used"),
+        F.col("n_common").cast("int").alias("n_common"),
+        jac.alias("jaccard_est"),
+        d_union.alias("union_distinct_est"),
+        F.round(jac * d_union, round_to).alias("intersection_est"),
+    )

@@ -1886,38 +1886,43 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The end-to-end training-data shape: dedup -> quality gate -> corpus
     stats, chained as ONE lazy plan (Catalyst fuses the stages; the dedup
-    shuffle is the only wide dependency before the final per-lang agg)."""
+    shuffle is the only wide dependency before the final per-lang agg).
+
+    r13 ADOPTED (tools/ab_corpus_r13.py, min-of-3 interleaved,
+    value-exact at both test SFs): per-doc stats computed map-side
+    BEFORE the dedup groupBy, so the shuffle carries (sha2, lang, three
+    ints) and never the text itself. At sf10 the three dedup-key shapes
+    are a wash (~1.2 s); at sf100 the byte diet separates decisively —
+    incumbent carry-the-text 7.66 s, groupBy(text) 6.10 s, THIS form
+    4.11 s (-46%) — the per-doc recompute on the 1000x-duplicated tile
+    is cheaper than shuffling distinct texts (and on low-dup real
+    crawls the trade only improves)."""
     docs = load(spark, sf_dir, "documents")
-    kept = (
-        docs.groupBy(F.sha2("text", 256).alias("h"), "lang")
-        .agg(
-            F.min("doc_id").alias("doc_id"),
-            F.first("text").alias("text"),
-            F.count(F.lit(1)).alias("n_copies"),
-        )
-    )
-    toks = kept.select(
-        "doc_id",
-        "lang",
-        "n_copies",
-        F.split("text", " ").alias("t"),
-        F.length("text").alias("n_chars"),
-    )
     stop = F.array([F.lit(w) for w in ("the", "a", "of", "and", "in", "to")])
-    q = toks.select(
-        "doc_id",
+    t = F.split("text", " ")
+    per_doc = docs.select(
+        F.sha2("text", 256).alias("h"),
         "lang",
-        "n_copies",
-        "n_chars",
-        F.size("t").alias("n_tokens"),
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        F.size(t).alias("n_tokens"),
         F.round(
-            F.size(F.filter("t", lambda x: F.array_contains(stop, x)))
+            F.size(F.filter(t, lambda x: F.array_contains(stop, x)))
             * 1.0
-            / F.size("t"),
+            / F.size(t),
             6,
         ).alias("stopword_ratio"),
     )
-    f = q.where((F.col("n_tokens") >= 5) & (F.col("stopword_ratio") <= 0.5))
+    kept = per_doc.groupBy("h", "lang").agg(
+        F.min("doc_id").alias("doc_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+        F.first("n_chars").alias("n_chars"),
+        F.first("n_tokens").alias("n_tokens"),
+        F.first("stopword_ratio").alias("stopword_ratio"),
+    )
+    f = kept.where(
+        (F.col("n_tokens") >= 5) & (F.col("stopword_ratio") <= 0.5)
+    )
     return (
         f.groupBy("lang")
         .agg(
@@ -4442,3 +4447,67 @@ def q_streaming_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from compute_histogram_spark.streaming import stream_ops as SO
 
     return SO.drained_exact_dedup(spark, sf_dir, n_batches=4)
+
+
+# Cross-corpus overlap from mergeable KMV sketches
+# (sketches.py:corpus_overlap_kmv — staged r13): Jaccard/intersection
+# planning without joining the corpora; every number replicated to the
+# digit by sketch algebra over the portable md5 digests. Corpus split:
+# even- vs odd-numbered sources (substr int parity — engine-identical).
+CORPUS_OVERLAP_KMV_ORACLE = """
+    WITH d AS (
+        SELECT doc_id, text,
+               CAST(substring(source, 4) AS INT) % 2 AS par
+        FROM documents
+    ),
+    toks AS (SELECT doc_id, par, string_split(text, ' ') AS toks FROM d),
+    g AS (
+        SELECT doc_id, par, toks,
+               unnest(generate_series(1, greatest(len(toks) - 2, 0))) AS g
+        FROM toks
+    ),
+    sh AS (
+        SELECT DISTINCT par,
+               md5('kmv:' || concat_ws(' ', toks[g], toks[g+1], toks[g+2]))
+                   AS h
+        FROM g
+    ),
+    ska AS (SELECT h FROM sh WHERE par = 0 ORDER BY h LIMIT 64),
+    skb AS (SELECT h FROM sh WHERE par = 1 ORDER BY h LIMIT 64),
+    u AS (
+        SELECT h FROM (
+            SELECT DISTINCT h FROM (
+                SELECT h FROM ska UNION ALL SELECT h FROM skb
+            )
+        ) ORDER BY h LIMIT 64
+    ),
+    c AS (
+        SELECT count(*) AS n_common FROM u
+        WHERE h IN (SELECT h FROM ska) AND h IN (SELECT h FROM skb)
+    ),
+    a AS (SELECT max(h) AS kth_hex, count(*) AS n FROM u)
+    SELECT CAST(n AS INT) AS k_used,
+           CAST(n_common AS INT) AS n_common,
+           round(n_common * 1.0 / n, 6) AS jaccard_est,
+           round(CASE WHEN n < 64 THEN CAST(n AS DOUBLE)
+                 ELSE 63 / ((CAST(('0x' || substring(kth_hex, 1, 12))
+                                  AS BIGINT) + 1) / 281474976710656.0)
+                 END, 6) AS union_distinct_est,
+           round(round(n_common * 1.0 / n, 6)
+                 * round(CASE WHEN n < 64 THEN CAST(n AS DOUBLE)
+                        ELSE 63 / ((CAST(('0x' || substring(kth_hex, 1, 12))
+                                         AS BIGINT) + 1)
+                                   / 281474976710656.0)
+                        END, 6), 6) AS intersection_est
+    FROM a, c
+    """
+
+
+def q_corpus_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from compute_histogram_spark.operators import sketches as SKO
+
+    docs = load(spark, sf_dir, "documents")
+    par = F.substring("source", 4, 10).cast("int") % 2
+    return SKO.corpus_overlap_kmv(
+        docs.where(par == 0), docs.where(par == 1)
+    )

@@ -753,3 +753,15 @@ def test_streaming_exact_dedup_drain_deterministic(spark, sf_dir):
     a = [tuple(r) for r in q_streaming_exact_dedup(spark, sf_dir).collect()]
     b = [tuple(r) for r in q_streaming_exact_dedup(spark, sf_dir).collect()]
     assert a == b and len(a) > 0
+
+
+def test_corpus_overlap_kmv_twin(spark, sf_dir, con):
+    """r13 (wave-10 bank): cross-corpus Jaccard/intersection from two
+    mergeable KMV sketches — overlap planning without a corpus join."""
+    from compute_histogram_spark.registry import (
+        CORPUS_OVERLAP_KMV_ORACLE,
+        q_corpus_overlap_kmv,
+    )
+
+    _check("corpus_overlap_kmv", q_corpus_overlap_kmv(spark, sf_dir), con,
+           CORPUS_OVERLAP_KMV_ORACLE)
