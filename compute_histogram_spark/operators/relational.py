@@ -1436,6 +1436,12 @@ def min_cost_supplier(
     the exact integers. The regional filter prunes the supplier side
     through bounded dimension broadcasts BEFORE the cost aggregate, so
     the min is computed only over rows that can win.
+
+    r13 measured-and-rejected: swapping both merge hints for
+    SHUFFLE_HASH (skip the SMJ sorts, still no misplan broadcast) read
+    5.57 vs 5.24 s at sf10 min-of-3 interleaved — inside noise; the
+    residual is the pair-aggregate shuffle itself, not the join
+    algorithm. merge kept (more memory-stable on the aged JVM).
     """
     eu = (
         supplier.join(
