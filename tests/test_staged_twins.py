@@ -15,8 +15,9 @@ their pins here stay as the fast check. Newly staged this round:
 streaming_user_stats (the first streaming-derived twin),
 end_to_end_corpus (the five-stage composed pipeline), blocklist_signals
 (C4-style blocked-word gate), embedding_covariance (the one-pass
-moments stage of PCA whitening) and streaming_exact_dedup (the second
-streaming operator under the value-exact gate)."""
+moments stage of PCA whitening), streaming_exact_dedup (the second
+streaming operator under the value-exact gate) and corpus_overlap_kmv
+(cross-corpus Jaccard from mergeable KMV sketches)."""
 
 import os
 import sys
