@@ -18,12 +18,18 @@ Spark broadcasts them while their runtime size fits the threshold and
 switches to a shuffle join beyond it — forcing `F.broadcast` on a
 data-scaled table is exactly the plan that dies at 100x (measured: a
 forced customer broadcast made the sf1 Q5 join 3.4x slower). AQE handles
-skewed group keys.
+skewed group keys. The middle ground — a FILTERED slice of a data-scaled
+dimension whose static estimate (pre-filter file bytes) blocks the
+broadcast the runtime size would allow — goes through the driver-side
+cardinality gate (plans/broadcast_gate.py): count the slice, broadcast
+iff it fits a deployment budget, else keep the shuffle plan.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
+
+from ..plans.broadcast_gate import broadcast_if_fits, counted_rows
 
 
 def cents(col: Column | str) -> Column:
@@ -1104,14 +1110,24 @@ def disjunctive_band_revenue(
     disjunct requires one of them) so the dimension scan prunes on
     p_brand; (2) the quantity range [min(lo), max(hi)] across bands is
     a necessary condition pushed to the lineitem scan. The exact
-    disjunction then evaluates post-join inside codegen. Part is a
-    dimension (bounded per SF) — joined plainly, AQE broadcasts it.
+    disjunction then evaluates post-join inside codegen.
+
+    The brand slice is dimension-derived but its STATIC estimate is the
+    pre-filter file size, so past sf10 the planner refuses the broadcast
+    and the fact takes a full shuffle (sf100: 53.8 s vs 7.0 s measured
+    best — tools/tpch_sweep_sf100.json). The cardinality gate counts the
+    slice driver-side and broadcasts it only when it actually fits
+    (plans/broadcast_gate.py) — at sf100 the 3-brand slice is ~2.4M rows
+    (~200 MB est), inside the 256 MiB budget; a hypothetical 1000x
+    dimension would fail the gate and keep today's shuffle plan.
     """
     brands = sorted({b for b, *_ in bands})
     qlo = min(b[3] for b in bands)
     qhi = max(b[4] for b in bands)
-    p = part.where(F.col("p_brand").isin(*brands)).select(
-        "p_partkey", "p_brand", "p_size"
+    p = broadcast_if_fits(
+        part.where(F.col("p_brand").isin(*brands)).select(
+            "p_partkey", "p_brand", "p_size"
+        )
     )
     li = lineitem.where(F.col("l_quantity").between(qlo, qhi))
     j = li.join(p, li["l_partkey"] == p["p_partkey"])
@@ -1271,8 +1287,18 @@ def market_share(
     stay exactly 0.0). The part filter (p_type) prunes the fact join
     through the partkey dimension first; the market filter prunes the
     customer chain before the orders join.
+
+    The p_type slice (1-of-|types| of part; sf100 ~3.3M single-key rows,
+    ~79 MB est) and the supplier-region map (|supplier| rows, bounded by
+    the dimension not the fact) both ride the cardinality gate — their
+    static estimates block the broadcast their runtime sizes earn, and
+    without it BOTH fact joins shuffle 600M rows at sf100 (92.9 s,
+    tools/tpch_sweep_sf100.json). The orders semi-join stays a keyed
+    shuffle on purpose: it is data-scaled (~1/|regions| of orders).
     """
-    p = part.where(F.col("p_type") == p_type).select("p_partkey")
+    p = broadcast_if_fits(
+        part.where(F.col("p_type") == p_type).select("p_partkey")
+    )
     geo_s = (
         supplier.join(
             F.broadcast(nation),
@@ -1281,6 +1307,7 @@ def market_share(
         .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
         .select("s_suppkey", F.col("r_name").alias("supp_region"))
     )
+    geo_s = broadcast_if_fits(geo_s)
     mkt_c = (
         customer.join(
             F.broadcast(nation),
@@ -1528,8 +1555,16 @@ def important_parts(
     the fact aggregate), a global scalar over THAT aggregate, and a
     HAVING comparing each group to the scalar — the scalar rides a
     one-row broadcast cross join.
+
+    The regional supplier slice (1-of-|regions| of supplier; sf100
+    ~200k single-key rows, ~5 MB est) rides the cardinality gate: its
+    static estimate is a JOIN output (unbounded to the planner), so the
+    semi-join planned as SMJ and shuffled all 600M fact rows even
+    though AQE would have converted it AFTER the shuffle files were
+    already written (sf100: 43.6 s, tools/tpch_sweep_sf100.json). With
+    the gate the only fact exchange left is the partkey aggregate.
     """
-    eu = (
+    eu = broadcast_if_fits(
         supplier.join(
             F.broadcast(nation), supplier["s_nationkey"] == nation["n_nationkey"]
         )
@@ -1599,10 +1634,19 @@ def supplier_part_counts(
     # so the extra full-fact shuffle bought a 1.5% reduction. The
     # direct plan shuffles the fact once into the two-level
     # count-distinct expansion Catalyst already plans.
+    # dense collision-FREE id via row_number over the sorted class set:
+    # a 64-bit hash id would merge two classes' counts silently on
+    # collision (ADVICE r13) — negligible odds, but the failure is
+    # value-corrupting and the dense id costs nothing extra (the window
+    # runs single-partition over a bounded O(brands x types x sizes)
+    # table that is about to be broadcast anyway).
     classes = (
         p.select("p_brand", "p_type", "p_size")
         .distinct()
-        .withColumn("class_id", F.xxhash64("p_brand", "p_type", "p_size"))
+        .withColumn(
+            "class_id",
+            F.row_number().over(Window.orderBy("p_brand", "p_type", "p_size")),
+        )
     )
     p_id = p.join(F.broadcast(classes), ["p_brand", "p_type", "p_size"]).select(
         "p_partkey", "class_id"
@@ -1636,13 +1680,23 @@ def small_quantity_revenue(
     The brand filter prunes the part dimension before both the
     aggregate's fact scan and the final join; the per-part aggregate
     is partkey-bounded. avg_yearly divides one exact integer sum by 7.
+
+    Both joins ride the cardinality gate (plans/broadcast_gate.py): the
+    1-brand key slice is ~1/25 of part (sf100: ~0.8M rows, ~19 MB est),
+    and the per-part aggregate has AT MOST that many rows — the slice
+    count is a genuine upper bound, so one count gates both sides and
+    the fact never shuffles (the groupBy partial-aggregates map-side
+    into at most |slice| groups before its one bounded exchange).
     """
     p = part.where(F.col("p_brand") == brand).select("p_partkey")
+    n_p = counted_rows(p)
+    p = broadcast_if_fits(p, known_rows=n_p)
     li = lineitem.join(p, lineitem["l_partkey"] == p["p_partkey"], "left_semi")
     pa = li.groupBy(F.col("l_partkey").alias("pa_partkey")).agg(
         F.sum(cents("l_quantity")).alias("sum_qty_c"),
         F.count(F.lit(1)).alias("n_items"),
     )
+    pa = broadcast_if_fits(pa, known_rows=n_p)
     j = li.join(pa, li["l_partkey"] == pa["pa_partkey"])
     small = (
         cents("l_quantity") * F.lit(fraction_denom) * F.col("n_items")

@@ -26,7 +26,14 @@ def main() -> None:
     queries = sys.argv[3:]
     out = {"scale_dir": scale_dir, "protocol": "cold, fresh JVM per query",
            "queries": {}}
+    result_path = os.path.join(HERE, "scale_probe_result.json")
     for q in queries:
+        # a subprocess that dies BEFORE writing its result must not be
+        # credited with a stale file left by a previous invocation of
+        # the same query name (ADVICE r13) — remove it up front and
+        # record proc_error when nothing fresh appears
+        if os.path.exists(result_path):
+            os.remove(result_path)
         r = subprocess.run(
             [sys.executable, os.path.join(HERE, "scale_probe.py"),
              scale_dir, timeout_s, "--cold", q],
@@ -34,7 +41,7 @@ def main() -> None:
         )
         row = {}
         try:
-            with open(os.path.join(HERE, "scale_probe_result.json")) as f:
+            with open(result_path) as f:
                 row = json.load(f)["queries"].get(q, {})
         except Exception as e:  # noqa: BLE001
             row = {"wrapper_error": f"{type(e).__name__}: {e}"[:200]}
