@@ -309,23 +309,13 @@ def cosine_topk_ivf_index(
 # main.py:127-149 min/max partials, generalized to matrix moments).
 
 
-def embedding_moments(
-    emb: DataFrame,
-    vec_col: str = "embedding",
-    id_col: str = "vec_id",
+def _moments_table(
+    emb: DataFrame, vec_col: str, id_col: str
 ) -> DataFrame:
-    """Upper-triangle covariance table of a vector column in one pass.
-
-    Per Arrow batch, a single GEMM (``M.T @ M``) produces the d x d cross-
-    product partial; one partial row set per *partition* (not per batch)
-    is emitted: (i, j, s_xy) for i <= j, (i, -1, s_x) row sums, and
-    (-1, -1, n). A groupBy(i, j) merge then moves O(partitions x d^2)
-    tiny rows -- never the vectors themselves. Output: one row per
-    (i <= j) pair with the population covariance, rounded to DEC so the
-    result is summation-order invariant (same convention as kmeans).
-
-    Returns columns ``(i, j, n, cov)`` sorted by (i, j).
-    """
+    """Merged raw-moment partials of a vector column in one pass:
+    rows (i, j, s_xy) for i <= j, (i, -1, s_x) coordinate sums, and
+    (-1, -1, n) — O(d^2) rows total, the shared substrate for both the
+    covariance table and the driver-side (cov, mean) model fit."""
     import pandas as pd
 
     v = _vectors(emb, vec_col, id_col)
@@ -362,7 +352,27 @@ def embedding_moments(
         )
 
     partials = v.select("v").mapInPandas(kernel, "i int, j int, s double")
-    tot = partials.groupBy("i", "j").agg(F.sum("s").alias("s"))
+    return partials.groupBy("i", "j").agg(F.sum("s").alias("s"))
+
+
+def embedding_moments(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Upper-triangle covariance table of a vector column in one pass.
+
+    Per Arrow batch, a single GEMM (``M.T @ M``) produces the d x d cross-
+    product partial; one partial row set per *partition* (not per batch)
+    is emitted: (i, j, s_xy) for i <= j, (i, -1, s_x) row sums, and
+    (-1, -1, n). A groupBy(i, j) merge then moves O(partitions x d^2)
+    tiny rows -- never the vectors themselves. Output: one row per
+    (i <= j) pair with the population covariance, rounded to DEC so the
+    result is summation-order invariant (same convention as kmeans).
+
+    Returns columns ``(i, j, n, cov)`` sorted by (i, j).
+    """
+    tot = _moments_table(emb, vec_col, id_col)
     n_row = tot.where((F.col("i") == -1) & (F.col("j") == -1)).select(
         F.col("s").cast("bigint").alias("n")
     )
@@ -394,24 +404,27 @@ def embedding_moments(
 
 
 def _cov_and_mean(emb: DataFrame, vec_col: str, id_col: str):
-    """Driver-side (cov [d x d], mean [d]) from the distributed moments
-    pass — O(dim^2) driver scalars, never data-scaled."""
-    rows = embedding_moments(emb, vec_col, id_col).collect()
+    """Driver-side (cov [d x d], mean [d]) from ONE distributed moments
+    pass — the merged raw partials carry both the cross-products AND the
+    coordinate sums, so the mean is sx/n for free (a second posexplode
+    scan of the corpus for F.avg would contradict the module's
+    'the moments pass is the only data-scaled stage' contract; ADVICE
+    r13). O(dim^2) driver scalars, never data-scaled."""
+    rows = _moments_table(emb, vec_col, id_col).collect()
     d = max(r["i"] for r in rows) + 1
-    cov = np.zeros((d, d))
+    n = 0.0
+    sx = np.zeros(d)
+    ssq = np.zeros((d, d))
     for r in rows:
-        cov[r["i"], r["j"]] = r["cov"]
-        cov[r["j"], r["i"]] = r["cov"]
-    v = _vectors(emb, vec_col, id_col)
-    mean_rows = (
-        v.select(F.posexplode("v").alias("i", "x"))
-        .groupBy("i")
-        .agg(F.avg("x").alias("m"))
-        .collect()
-    )
-    mean = np.zeros(d)
-    for r in mean_rows:
-        mean[r["i"]] = r["m"]
+        if r["i"] == -1:
+            n = r["s"]
+        elif r["j"] == -1:
+            sx[r["i"]] = r["s"]
+        else:
+            ssq[r["i"], r["j"]] = r["s"]
+            ssq[r["j"], r["i"]] = r["s"]
+    mean = sx / n
+    cov = np.round(ssq / n - np.outer(mean, mean), DEC)
     return cov, mean
 
 

@@ -606,7 +606,12 @@ def corpus_overlap_kmv(
         ),
         round_to,
     )
-    jac = F.round(F.col("n_common") / F.col("n"), round_to)
+    # empty/too-short corpora: n = 0 would make the ratio NULL (0/0) —
+    # the overlap of empty sketch sets is DEFINED as zero, not an
+    # accident of NULL-division alignment between engines (ADVICE r13)
+    jac = F.when(
+        F.col("n") > 0, F.round(F.col("n_common") / F.col("n"), round_to)
+    ).otherwise(F.lit(0.0))
     return row.select(
         F.col("n").cast("int").alias("k_used"),
         F.col("n_common").cast("int").alias("n_common"),

@@ -619,9 +619,9 @@ def q_windowed_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return W.windowed_histogram(load(spark, sf_dir, "events"))
 
 
-@register(
-    "click_attribution",
-    """
+# rotated out r14 (tenth wave, for the staged r13 twins) — driver-green
+# r02-r13 (11 rounds); oracle kept verbatim for tests/test_rotated_out.py.
+CLICK_ATTRIBUTION_ORACLE = """
     WITH a AS (
         SELECT user_id, event_id AS click_id, epoch_us(ts) AS click_us
         FROM events WHERE event_type = 'click'
@@ -636,8 +636,9 @@ def q_windowed_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
                  AND b.purchase_us > a.click_us
                  AND b.purchase_us <= a.click_us + 1800000000
     ORDER BY a.user_id, a.click_id, b.purchase_id
-    """,
-)
+    """
+
+
 def q_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return W.click_attribution(load(spark, sf_dir, "events"))
 
@@ -829,9 +830,9 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.minhash_candidates(load(spark, sf_dir, "documents"))
 
 
-@register(
-    "dedup_clusters",
-    f"""
+# rotated out r14 (tenth wave) — driver-green r01-r13 (13 rounds);
+# oracle kept verbatim for tests/test_rotated_out.py.
+DEDUP_CLUSTERS_ORACLE = f"""
     WITH RECURSIVE {_minhash_pairs_ctes()},
     e AS (
         SELECT doc_id_1 AS a, doc_id_2 AS b FROM pairs
@@ -844,8 +845,9 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT node, min(r) AS component FROM reach
     GROUP BY node ORDER BY node
-    """,
-)
+    """
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pair -> cluster resolution (operators/graph.py): min-label propagation
     # to fixpoint over the minhash candidate graph. The oracle computes the
@@ -1609,12 +1611,12 @@ def q_similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.cosine_topk_lsh(load(spark, sf_dir, "embeddings"))
 
 
-@register(
-    "bm25_topk",
-    # BM25+-style always-positive idf; every score input (tf, dl, df, N,
-    # sum_dl) is an exact integer, the single float expression is applied
-    # identically in both engines, then round(...,6) — cross-engine exact.
-    """
+# rotated out r14 (tenth wave) — driver-green r05-r13 (9 rounds);
+# oracle kept verbatim for tests/test_rotated_out.py.
+# BM25+-style always-positive idf; every score input (tf, dl, df, N,
+# sum_dl) is an exact integer, the single float expression is applied
+# identically in both engines, then round(...,6) — cross-engine exact.
+BM25_TOPK_ORACLE = """
     WITH tl AS (
         SELECT doc_id, len(string_split(text, ' ')) AS dl,
                string_split(text, ' ') AS toks
@@ -1642,8 +1644,9 @@ def q_similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rank
         FROM scored)
     WHERE rank <= 10 ORDER BY rank
-    """,
-)
+    """
+
+
 def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # BM25 retrieval top-k for a pinned term set (operators/text.py:
     # bm25_topk). Replaced the rows-only similarity_topk_kmeans entry
@@ -1973,9 +1976,9 @@ from compute_histogram_spark.operators import pipeline as PL  # noqa: E402
 from compute_histogram_spark.operators import profile as PR  # noqa: E402
 
 
-@register(
-    "token_pmi",
-    """
+# rotated out r14 (tenth wave) — driver-green r06-r13 (8 rounds);
+# oracle kept verbatim for tests/test_rotated_out.py.
+TOKEN_PMI_ORACLE = """
     WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
     p AS (
         SELECT ts[i] AS a, ts[i + 1] AS b
@@ -1997,8 +2000,9 @@ from compute_histogram_spark.operators import profile as PR  # noqa: E402
         FROM pc JOIN la USING (a) JOIN rb USING (b) CROSS JOIN tot
         WHERE n_pair >= 3
     ) WHERE rnk <= 50 ORDER BY pmi DESC, a, b
-    """,
-)
+    """
+
+
 def q_token_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     # adjacent-pair collocations by PMI (operators/text.py:token_pmi):
     # map-side pair explode, three bounded aggregations, exact-integer
@@ -2315,14 +2319,14 @@ def q_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
 from compute_histogram_spark.operators import lm as LM  # noqa: E402
 
 
-@register(
-    "doc_perplexity",
-    # add-k (k=0.5) bigram self-perplexity (operators/lm.py:doc_perplexity —
-    # the CCNet-style quality signal). Counts and vocab size are exact
-    # integers in both engines; the only floats are the per-bigram ln and
-    # the final mean/exp, rounded to 6 decimals on both sides. Docs with
-    # < 2 tokens emit n_bigrams = 0 and NULL avg_nll/ppl.
-    """
+# rotated out r14 (tenth wave) — driver-green r07-r13 (7 rounds);
+# oracle kept verbatim for tests/test_rotated_out.py.
+# add-k (k=0.5) bigram self-perplexity (operators/lm.py:doc_perplexity —
+# the CCNet-style quality signal). Counts and vocab size are exact
+# integers in both engines; the only floats are the per-bigram ln and
+# the final mean/exp, rounded to 6 decimals on both sides. Docs with
+# < 2 tokens emit n_bigrams = 0 and NULL avg_nll/ppl.
+DOC_PERPLEXITY_ORACLE = """
     WITH toks AS (
         SELECT doc_id, string_split(text, ' ') AS ts FROM documents
     ),
@@ -2348,8 +2352,9 @@ from compute_histogram_spark.operators import lm as LM  # noqa: E402
            round(exp(per.nll / per.n_bigrams), 6) AS ppl
     FROM toks t LEFT JOIN per USING (doc_id)
     ORDER BY doc_id
-    """,
-)
+    """
+
+
 def q_doc_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return LM.doc_perplexity(load(spark, sf_dir, "documents"))
 
@@ -4134,6 +4139,7 @@ STREAMING_USER_STATS_ORACLE = """
     """
 
 
+@register("streaming_user_stats", STREAMING_USER_STATS_ORACLE)
 def q_streaming_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from compute_histogram_spark.streaming.stream_ops import (
         drained_user_stats,
@@ -4344,6 +4350,7 @@ def _end_to_end_oracle(num_hashes: int = 8, rows_per_band: int = 2) -> str:
 END_TO_END_CORPUS_ORACLE = _end_to_end_oracle()
 
 
+@register("end_to_end_corpus", END_TO_END_CORPUS_ORACLE)
 def q_end_to_end_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     from compute_histogram_spark.operators import classify as CLS5
     from compute_histogram_spark.operators import pipeline as PL5
@@ -4392,6 +4399,7 @@ BLOCKLIST_ORACLE = """
     """
 
 
+@register("blocklist_signals", BLOCKLIST_ORACLE)
 def q_blocklist_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     from compute_histogram_spark.operators import text as TXB
 
@@ -4426,6 +4434,7 @@ EMBEDDING_COVARIANCE_ORACLE = """
     """
 
 
+@register("embedding_covariance", EMBEDDING_COVARIANCE_ORACLE)
 def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     from compute_histogram_spark.operators import clustering as CLM
 
@@ -4488,12 +4497,14 @@ CORPUS_OVERLAP_KMV_ORACLE = """
     a AS (SELECT max(h) AS kth_hex, count(*) AS n FROM u)
     SELECT CAST(n AS INT) AS k_used,
            CAST(n_common AS INT) AS n_common,
-           round(n_common * 1.0 / n, 6) AS jaccard_est,
+           CASE WHEN n > 0 THEN round(n_common * 1.0 / n, 6)
+                ELSE 0.0 END AS jaccard_est,
            round(CASE WHEN n < 64 THEN CAST(n AS DOUBLE)
                  ELSE 63 / ((CAST(('0x' || substring(kth_hex, 1, 12))
                                   AS BIGINT) + 1) / 281474976710656.0)
                  END, 6) AS union_distinct_est,
-           round(round(n_common * 1.0 / n, 6)
+           round(CASE WHEN n > 0 THEN round(n_common * 1.0 / n, 6)
+                      ELSE 0.0 END
                  * round(CASE WHEN n < 64 THEN CAST(n AS DOUBLE)
                         ELSE 63 / ((CAST(('0x' || substring(kth_hex, 1, 12))
                                          AS BIGINT) + 1)
@@ -4503,6 +4514,7 @@ CORPUS_OVERLAP_KMV_ORACLE = """
     """
 
 
+@register("corpus_overlap_kmv", CORPUS_OVERLAP_KMV_ORACLE)
 def q_corpus_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     from compute_histogram_spark.operators import sketches as SKO
 

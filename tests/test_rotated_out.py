@@ -625,3 +625,48 @@ def test_peak_concurrency_oracle(spark, sf_dir, con):
 
     _check("peak_concurrency", q_peak_concurrency(spark, sf_dir), con,
            PEAK_CONCURRENCY_ORACLE)
+
+
+# --- tenth wave (r14): rotated out for the r13 staged twins -----------------
+
+
+def test_click_attribution_oracle(spark, sf_dir, con):
+    from compute_histogram_spark.registry import (
+        CLICK_ATTRIBUTION_ORACLE,
+        q_click_attribution,
+    )
+
+    _check("click_attribution", q_click_attribution(spark, sf_dir), con,
+           CLICK_ATTRIBUTION_ORACLE)
+
+
+def test_dedup_clusters_oracle(spark, sf_dir, con):
+    from compute_histogram_spark.registry import (
+        DEDUP_CLUSTERS_ORACLE,
+        q_dedup_clusters,
+    )
+
+    _check("dedup_clusters", q_dedup_clusters(spark, sf_dir), con,
+           DEDUP_CLUSTERS_ORACLE)
+
+
+def test_bm25_topk_oracle(spark, sf_dir, con):
+    from compute_histogram_spark.registry import BM25_TOPK_ORACLE, q_bm25_topk
+
+    _check("bm25_topk", q_bm25_topk(spark, sf_dir), con, BM25_TOPK_ORACLE)
+
+
+def test_token_pmi_oracle(spark, sf_dir, con):
+    from compute_histogram_spark.registry import TOKEN_PMI_ORACLE, q_token_pmi
+
+    _check("token_pmi", q_token_pmi(spark, sf_dir), con, TOKEN_PMI_ORACLE)
+
+
+def test_doc_perplexity_oracle(spark, sf_dir, con):
+    from compute_histogram_spark.registry import (
+        DOC_PERPLEXITY_ORACLE,
+        q_doc_perplexity,
+    )
+
+    _check("doc_perplexity", q_doc_perplexity(spark, sf_dir), con,
+           DOC_PERPLEXITY_ORACLE)

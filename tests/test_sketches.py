@@ -226,3 +226,18 @@ def test_token_cms_oracle_staged(spark, sf_dir):
         assert compare("token_cms", sdf, odf) == [], sf
         # the CMS never undercounts — visible in the oracle-checked data
         assert (sdf["cms_est"] >= sdf["n_exact"]).all()
+
+
+def test_corpus_overlap_kmv_empty_corpora_defined_zero(spark):
+    """Empty (or shingle-free) corpora must yield DEFINED zeros, not the
+    NULLs a 0/0 division would produce (ADVICE r13): the overlap of
+    empty sketch sets is zero by definition, cross-engine."""
+    from compute_histogram_spark.operators.sketches import corpus_overlap_kmv
+
+    empty = spark.createDataFrame([], "doc_id bigint, text string")
+    row = corpus_overlap_kmv(empty, empty).collect()[0]
+    assert row["k_used"] == 0
+    assert row["n_common"] == 0
+    assert row["jaccard_est"] == 0.0
+    assert row["union_distinct_est"] == 0.0
+    assert row["intersection_est"] == 0.0
