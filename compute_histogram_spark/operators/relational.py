@@ -444,9 +444,19 @@ def local_supplier_revenue(
         )
         .select("n_nationkey", "n_name")
     )
-    cust = customer.join(
-        F.broadcast(nat), customer["c_nationkey"] == nat["n_nationkey"]
-    ).select("c_custkey", "c_nationkey", "n_name")
+    # The region-filtered customer slice rides the cardinality gate
+    # (plans/broadcast_gate.py, r14): ~1/|regions| of customer fits the
+    # budget through sf10 (sf10: ~300k rows, ~26 MB est), which removes
+    # the o_custkey shuffle of ORDERS entirely; at sf100 the ~3M-row
+    # slice (~264 MB est) exceeds the 256 MiB budget and the plan falls
+    # back to exactly the r13 keyed-shuffle form. The gate never forces
+    # a data-scaled broadcast (the 100x failure the module docstring
+    # prices); A/B in BASELINE.md r14.
+    cust = broadcast_if_fits(
+        customer.join(
+            F.broadcast(nat), customer["c_nationkey"] == nat["n_nationkey"]
+        ).select("c_custkey", "c_nationkey", "n_name")
+    )
     # No supplier⋈nation join: c_nationkey = s_nationkey plus the
     # region-filtered customer already constrains the supplier's region, and
     # a raw 2-column supplier SCAN has an honest file-size estimate (the

@@ -4458,6 +4458,70 @@ def q_streaming_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SO.drained_exact_dedup(spark, sf_dir, n_batches=4)
 
 
+# Third streaming-derived twin (staged r14, VERDICT r13 #7):
+# streaming_distribution_drift drained through the same deterministic
+# micro-batches — complete-mode cumulative PSI of the purchase stream
+# against the static non-purchase reference, one report per batch.
+# Every INTERMEDIATE report is oracle-checked, not just the converged
+# one: report i covers the event_id % 4 <= i prefix by construction.
+STREAMING_DRIFT_ORACLE = """
+    WITH b AS (SELECT unnest(generate_series(0, 3)) AS batch_id),
+    ref AS (
+        SELECT CAST(floor(value / 50.0) AS BIGINT) AS bin,
+               count(*) AS n_ref
+        FROM events
+        WHERE event_type != 'purchase'
+          AND value IS NOT NULL AND NOT isnan(value)
+        GROUP BY 1
+    ),
+    cur AS (
+        SELECT b.batch_id, CAST(floor(value / 50.0) AS BIGINT) AS bin,
+               count(*) AS n_cur
+        FROM events, b
+        WHERE event_type = 'purchase'
+          AND value IS NOT NULL AND NOT isnan(value)
+          AND event_id % 4 <= b.batch_id
+        GROUP BY 1, 2
+    ),
+    bins AS (
+        SELECT batch_id, bin FROM b CROSS JOIN ref
+        UNION
+        SELECT batch_id, bin FROM cur
+    ),
+    tc AS (
+        SELECT b.batch_id, COALESCE(sum(c.n_cur), 0) AS t_cur
+        FROM b LEFT JOIN cur c USING (batch_id) GROUP BY 1
+    ),
+    tr AS (SELECT COALESCE(sum(n_ref), 0) AS t_ref FROM ref),
+    nb AS (SELECT batch_id, count(*) AS nb FROM bins GROUP BY 1),
+    terms AS (
+        SELECT bins.batch_id,
+               round(((COALESCE(c.n_cur, 0) + 0.5)
+                          / (tc.t_cur + 0.5 * nb.nb)
+                      - (COALESCE(r.n_ref, 0) + 0.5)
+                          / (tr.t_ref + 0.5 * nb.nb))
+                     * ln(((COALESCE(c.n_cur, 0) + 0.5)
+                               / (tc.t_cur + 0.5 * nb.nb))
+                          / ((COALESCE(r.n_ref, 0) + 0.5)
+                               / (tr.t_ref + 0.5 * nb.nb))), 6) AS term
+        FROM bins
+        LEFT JOIN cur c ON c.batch_id = bins.batch_id AND c.bin = bins.bin
+        LEFT JOIN ref r ON r.bin = bins.bin
+        JOIN tc ON tc.batch_id = bins.batch_id
+        JOIN nb ON nb.batch_id = bins.batch_id
+        CROSS JOIN tr
+    )
+    SELECT batch_id, round(sum(term), 6) AS psi
+    FROM terms GROUP BY 1 ORDER BY 1
+    """
+
+
+def q_streaming_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from compute_histogram_spark.streaming import stream_ops as SO
+
+    return SO.drained_distribution_drift(spark, sf_dir, n_batches=4)
+
+
 # Cross-corpus overlap from mergeable KMV sketches
 # (sketches.py:corpus_overlap_kmv — staged r13): Jaccard/intersection
 # planning without joining the corpora; every number replicated to the

@@ -766,3 +766,33 @@ def test_corpus_overlap_kmv_twin(spark, sf_dir, con):
 
     _check("corpus_overlap_kmv", q_corpus_overlap_kmv(spark, sf_dir), con,
            CORPUS_OVERLAP_KMV_ORACLE)
+
+
+def test_streaming_drift_twin_both_sfs(spark):
+    """r14 (wave-11 bank): the THIRD streaming twin —
+    streaming_distribution_drift drained through the deterministic
+    micro-batch harness. Complete mode makes report i the PSI of the
+    cumulative purchase prefix (event_id % 4 <= i) vs the static
+    non-purchase reference, so every INTERMEDIATE report is
+    value-checked against the SQL oracle, at both test SFs."""
+    from compute_histogram_spark.registry import (
+        STREAMING_DRIFT_ORACLE,
+        q_streaming_drift,
+    )
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        con = duck_connection(sf)
+        _check("streaming_drift", q_streaming_drift(spark, sf), con,
+               STREAMING_DRIFT_ORACLE)
+
+
+def test_streaming_drift_reports_once_per_batch(spark, sf_dir):
+    """The drain yields exactly n_batches reports with contiguous ids —
+    the complete-mode aggregate fires per trigger, no dropped or
+    duplicated epochs."""
+    from compute_histogram_spark.streaming.stream_ops import (
+        drained_distribution_drift,
+    )
+
+    rows = drained_distribution_drift(spark, sf_dir, n_batches=4).collect()
+    assert [r["batch_id"] for r in rows] == [0, 1, 2, 3]
