@@ -141,6 +141,15 @@ LOCAL_QUERIES = {
     "waiting_suppliers_layout": lambda spark, d: _orderkey_layout_served(
         spark, d, "q21"
     ),
+    # r14: Q18/Q10 join the orderkey layout family (members 8 and 9) —
+    # both orderkey steps exchange-free; sf10 A/B (value-equal asserted):
+    # q18 3.04 -> 1.27 s (-58%), q10 2.15 -> 1.16 s (-46%).
+    "large_volume_customers_layout": lambda spark, d: _orderkey_layout_served(
+        spark, d, "q18"
+    ),
+    "returned_item_customers_layout": lambda spark, d: _orderkey_layout_served(
+        spark, d, "q10"
+    ),
 }
 
 # DuckDB twins of the four local queries (the r01 registry oracle SQL,
@@ -236,6 +245,12 @@ LOCAL_ORACLES["late_order_priority_layout"] = LOCAL_ORACLES[
 LOCAL_ORACLES["cohort_retention_layout"] = LOCAL_ORACLES["cohort_retention"]
 LOCAL_ORACLES["event_transitions_layout"] = LOCAL_ORACLES["event_transitions"]
 LOCAL_ORACLES["waiting_suppliers_layout"] = registry.WAITING_SUPPLIERS_ORACLE
+LOCAL_ORACLES["large_volume_customers_layout"] = registry.ORACLES[
+    "large_volume_customers"
+]
+LOCAL_ORACLES["returned_item_customers_layout"] = (
+    registry.RETURNED_ITEM_CUSTOMERS_ORACLE
+)
 
 HEADLINE = [
     "histogram_linear",
@@ -360,6 +375,14 @@ def _orderkey_layout_served(s, d, which):
         return R.shipping_priority_bucketed(s, ot, lt, load(s, d, "customer"))
     if which == "q21":
         return R.waiting_suppliers_bucketed(s, ot, lt, load(s, d, "supplier"))
+    if which == "q18":
+        return R.large_volume_customers_bucketed(
+            s, ot, lt, load(s, d, "customer")
+        )
+    if which == "q10":
+        return R.returned_item_customers_bucketed(
+            s, ot, lt, load(s, d, "customer"), load(s, d, "nation")
+        )
     return R.late_order_priority_bucketed(s, ot, lt)
 
 
@@ -903,6 +926,8 @@ def _bench_sf10(spark, out: dict) -> None:
             "cohort_retention_layout",
             "event_transitions_layout",
             "waiting_suppliers_layout",
+            "large_volume_customers_layout",
+            "returned_item_customers_layout",
         ),
     )
     # r08-r10 comparability: the old 5-query trend totals, recomputed

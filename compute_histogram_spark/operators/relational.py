@@ -735,6 +735,74 @@ def waiting_suppliers_bucketed(
     )
 
 
+def large_volume_customers_bucketed(
+    spark, orders_table: str, lineitem_table: str, customer: DataFrame,
+    min_qty: int = 300, k: int = 10,
+) -> DataFrame:
+    """:func:`large_volume_customers` (Q18) on the shared write-once
+    orderkey layout — eighth member of the family (VERDICT r13 #5). Both
+    orderkey steps ride the layout: the HAVING pre-aggregate
+    groupBy(l_orderkey) clusters on the bucket key (no Exchange) and the
+    orders⋈big join is co-bucketed (no Exchange), so the only data-
+    scaled movement left is the customer join against the tiny HAVING
+    survivors (AQE broadcasts them)."""
+    orders = spark.table(orders_table)
+    lineitem = spark.table(lineitem_table)
+    big = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.sum(cents("l_quantity")).alias("qty_c"))
+        .where(F.col("qty_c") > min_qty * 100)
+    )
+    j = orders.join(big, orders["o_orderkey"] == big["l_orderkey"]).join(
+        customer, orders["o_custkey"] == customer["c_custkey"]
+    )
+    return (
+        j.select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            (cents("o_totalprice") / 100.0).alias("o_totalprice"),
+            (F.col("qty_c") / 100.0).alias("total_qty"),
+        )
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(k)
+    )
+
+
+def returned_item_customers_bucketed(
+    spark, orders_table: str, lineitem_table: str,
+    customer: DataFrame, nation: DataFrame,
+    start: str = "1997-01-01", end: str = "1998-01-01", k: int = 20,
+) -> DataFrame:
+    """:func:`returned_item_customers` (Q10) on the shared write-once
+    orderkey layout — ninth member of the family (VERDICT r13 #5). The
+    returns/date filters push into the bucketed scans and the fact-fact
+    orderkey join is co-bucketed (zero fact Exchange); after the
+    customer join the rows are already clustered on custkey, so the
+    final groupBy(c_custkey, ...) clusters on a superset of that key
+    and the only shuffle is whatever the customer join itself needs."""
+    orders = spark.table(orders_table)
+    lineitem = spark.table(lineitem_table)
+    ords = orders.where(
+        (F.col("o_orderdate") >= F.lit(start).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(end).cast("timestamp"))
+    )
+    li = lineitem.where(F.col("l_returnflag") == "R")
+    disc_pc = cents("l_extendedprice") * (100 - cents("l_discount"))
+    j = (
+        li.join(ords, li["l_orderkey"] == ords["o_orderkey"])
+        .join(customer, ords["o_custkey"] == customer["c_custkey"])
+        .join(F.broadcast(nation), customer["c_nationkey"] == nation["n_nationkey"])
+    )
+    return (
+        j.groupBy("c_custkey", "c_name", "n_name")
+        .agg((F.sum(disc_pc) / 10000.0).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(k)
+    )
+
+
 def promo_revenue_share(
     part: DataFrame,
     lineitem: DataFrame,
