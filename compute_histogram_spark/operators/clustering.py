@@ -514,11 +514,19 @@ def cosine_topk_pca(
     0.92 at 32 of 64), the adversarial floor for this tier — real text
     embedding corpora concentrate energy in far fewer directions.
     """
-    from pyspark.sql import Window
+    p = pca_rotation(emb, dim, vec_col, id_col)
+    cand = _pca_candidates(emb, p, vec_col, id_col)
+    return _pca_topk_from_candidates(cand, k, overfetch, query_filter)
 
-    from compute_histogram_spark.functions import vectors as V
-    from compute_histogram_spark.sources.tables import ensure_parallelism
 
+def pca_rotation(
+    emb: DataFrame,
+    dim: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> np.ndarray:
+    """Fit the [dim x d] uncentered-moment rotation (sign-fixed, rounded
+    to DEC) — the training half of the PCA ANN tier, one moments pass."""
     cov, mu = _cov_and_mean(emb, vec_col, id_col)
     m2 = cov + np.outer(mu, mu)
     vals, vecs = np.linalg.eigh(m2)
@@ -528,12 +536,51 @@ def cosine_topk_pca(
         j = int(np.argmax(np.abs(np.round(p[r], DEC))))
         if p[r, j] < 0:
             p[r] = -p[r]
-    p = np.round(p, DEC)
+    return np.round(p, DEC)
 
-    proj = pca_whiten(emb, np.zeros(len(mu)), p, vec_col, id_col)
-    red = proj.select(
-        "vec_id", F.col("proj").alias("rv")
-    ).withColumn("rn", V.norm(F.col("rv")))
+
+def _pca_candidates(
+    emb: DataFrame,
+    p: np.ndarray,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Map-only candidate table (vec_id, v, nrm, rv, rn): the full
+    vector + norm for the exact rerank and the reduced projection +
+    norm for the shortlist, in ONE pass with no join (the disk layout
+    :func:`write_pca_index` persists, and the in-memory stream
+    :func:`cosine_topk_pca` scans — same schema, same values)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from compute_histogram_spark.functions import vectors as V
+
+    w = np.ascontiguousarray(np.asarray(p, dtype=np.float64))
+
+    def _kernel(vs):
+        m = np.stack(vs.to_numpy()).astype(np.float64)
+        return pd.Series(list(np.round(m @ w.T, DEC)))
+
+    proj = pandas_udf(_kernel, "array<double>")
+    v = _vectors(emb, vec_col, id_col)
+    return (
+        v.select("vec_id", "v", proj("v").alias("rv"))
+        .withColumn("nrm", V.norm(F.col("v")))
+        .withColumn("rn", V.norm(F.col("rv")))
+    )
+
+
+def _pca_topk_from_candidates(
+    cand: DataFrame, k: int, overfetch: int, query_filter: str
+) -> DataFrame:
+    """Shortlist on the reduced vectors, exact rerank on the full ones —
+    shared by the in-memory and persisted-index serving paths."""
+    from pyspark.sql import Window
+
+    from compute_histogram_spark.functions import vectors as V
+    from compute_histogram_spark.sources.tables import ensure_parallelism
+
+    red = cand.select("vec_id", "rv", "rn")
     qr = red.where(query_filter).select(
         F.col("vec_id").alias("query_id"),
         F.col("rv").alias("qrv"),
@@ -561,7 +608,7 @@ def cosine_topk_pca(
         .select("query_id", "vec_id")
     )
 
-    e = _vectors(emb, vec_col, id_col).withColumn("nrm", V.norm(F.col("v")))
+    e = cand.select("vec_id", "v", "nrm")
     q = e.where(query_filter).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
@@ -580,3 +627,69 @@ def cosine_topk_pca(
         )
     )
     return _ranked(rerank, k)
+
+
+def write_pca_index(
+    emb: DataFrame,
+    path: str,
+    dim: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """Persist the PCA ANN tier's serving state (VERDICT r13 #6):
+    ``model/`` holds the [dim x d] rotation (dim tiny rows — the
+    write_ivf_index precedent: train once, never at query time) and
+    ``vectors/`` the map-only candidate table (vec_id, v, nrm, rv, rn).
+    Serving then needs ZERO data-scaled training passes: no moments
+    scan, no eigh, no projection — :func:`cosine_topk_pca_index` reads
+    the candidates and goes straight to shortlist + rerank. Incremental
+    ingest = project the new batch with the stored model and append
+    (same O(delta) story as append_to_ivf_index)."""
+    p = pca_rotation(emb, dim, vec_col, id_col)
+    spark = emb.sparkSession
+    spark.createDataFrame(
+        [(int(r), [float(x) for x in p[r]]) for r in range(p.shape[0])],
+        "r int, w array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(path + "/model")
+    _pca_candidates(emb, p, vec_col, id_col).write.mode(
+        "overwrite"
+    ).parquet(path + "/vectors")
+
+
+def read_pca_model(spark, path: str) -> np.ndarray:
+    """The persisted [dim x d] rotation back as a NumPy array — O(dim)
+    driver rows, for projecting NEW vectors (append path / queries that
+    arrive outside the indexed corpus)."""
+    rows = spark.read.parquet(path + "/model").orderBy("r").collect()
+    return np.asarray([r["w"] for r in rows], dtype=np.float64)
+
+
+def append_to_pca_index(
+    new_emb: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """Incremental ingest: project ONLY the new batch with the stored
+    rotation and append its candidate rows — O(delta), no retrain, no
+    rewrite (rebuild when the moments drift; the KMV/IVF drift triggers
+    generalize unchanged)."""
+    spark = new_emb.sparkSession
+    p = read_pca_model(spark, path)
+    _pca_candidates(new_emb, p, vec_col, id_col).write.mode(
+        "append"
+    ).parquet(path + "/vectors")
+
+
+def cosine_topk_pca_index(
+    spark,
+    path: str,
+    k: int = 5,
+    overfetch: int = 4,
+    query_filter: str = "vec_id < 10",
+) -> DataFrame:
+    """Top-k over a PERSISTED PCA index (see :func:`write_pca_index`):
+    the exact plan :func:`cosine_topk_pca` runs, minus every training
+    pass — disk==memory equality is pinned in tests/test_clustering.py."""
+    cand = spark.read.parquet(path + "/vectors")
+    return _pca_topk_from_candidates(cand, k, overfetch, query_filter)

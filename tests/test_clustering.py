@@ -275,3 +275,40 @@ def test_cosine_topk_pca_recall_floor(spark, sf_dir):
     ap = {(r["query_id"], r["vec_id"])
           for r in CL.cosine_topk_pca(emb, k=5, dim=d // 2).collect()}
     assert len(ex & ap) / len(ex) >= 0.85
+
+
+def test_pca_index_disk_equals_memory_and_appends(spark, sf_dir, tmp_path):
+    """write_pca_index -> cosine_topk_pca_index reproduces the in-memory
+    tier verbatim (same shortlist, same rerank, no query-time training);
+    append_to_pca_index projects a new batch with the STORED rotation so
+    appended rows equal what a full rebuild would have produced."""
+    import numpy as np
+
+    from compute_histogram_spark.operators import clustering as CL
+    from compute_histogram_spark.sources.tables import load
+
+    emb = load(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "pca_idx")
+    CL.write_pca_index(emb, path, dim=8)
+
+    mem = [(r["query_id"], r["rnk"], r["vec_id"], r["cosine"])
+           for r in CL.cosine_topk_pca(emb, k=5, dim=8).collect()]
+    dsk = [(r["query_id"], r["rnk"], r["vec_id"], r["cosine"])
+           for r in CL.cosine_topk_pca_index(spark, path, k=5).collect()]
+    assert mem == dsk and len(mem) > 0
+
+    # the stored model round-trips exactly (DEC-rounded at fit time)
+    p = CL.pca_rotation(emb, dim=8)
+    assert np.array_equal(CL.read_pca_model(spark, path), p)
+
+    # append path: re-index a shifted copy of the corpus; the appended
+    # candidate rows must equal the map-only projection under the
+    # stored model (no retrain)
+    shifted = emb.selectExpr("vec_id + 1000000 AS vec_id", "embedding")
+    CL.append_to_pca_index(shifted, path)
+    cand = spark.read.parquet(path + "/vectors")
+    assert cand.count() == 2 * emb.count()
+    a = {r["vec_id"]: r["rv"] for r in cand.where("vec_id >= 1000000").collect()}
+    b = {r["vec_id"]: r["rv"]
+         for r in CL._pca_candidates(shifted, p).collect()}
+    assert a == b

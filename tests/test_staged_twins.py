@@ -796,3 +796,20 @@ def test_streaming_drift_reports_once_per_batch(spark, sf_dir):
 
     rows = drained_distribution_drift(spark, sf_dir, n_batches=4).collect()
     assert [r["batch_id"] for r in rows] == [0, 1, 2, 3]
+
+
+def test_similarity_topk_pca_index_twin_both_sfs(spark):
+    """r14 (wave-11 bank): the PERSISTED PCA serving path — write-once
+    index, zero query-time training — shares the exact tier's oracle at
+    full dim (orthonormal rotation preserves every cosine), value-exact
+    at both test SFs."""
+    from compute_histogram_spark.registry import (
+        SIMILARITY_PCA_INDEX_ORACLE,
+        q_similarity_topk_pca_index,
+    )
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        con = duck_connection(sf)
+        _check("similarity_topk_pca_index",
+               q_similarity_topk_pca_index(spark, sf), con,
+               SIMILARITY_PCA_INDEX_ORACLE)
