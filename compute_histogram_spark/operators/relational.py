@@ -1386,7 +1386,10 @@ def market_share(
         .select("s_suppkey", F.col("r_name").alias("supp_region"))
     )
     geo_s = broadcast_if_fits(geo_s)
-    mkt_c = (
+    # The market-region customer key slice rides the gate too (sf100:
+    # ~3M single-key rows, ~72 MB est): broadcasting it makes the
+    # orders semi-join map-side, so orders is never shuffled on custkey.
+    mkt_c = broadcast_if_fits(
         customer.join(
             F.broadcast(nation),
             customer["c_nationkey"] == nation["n_nationkey"],
@@ -1395,19 +1398,22 @@ def market_share(
         .where(F.col("r_name") == market_region)
         .select("c_custkey")
     )
-    # The custkey semi-join is applied to ORDERS BEFORE the fact join but
-    # with an explicit merge hint: without it the static estimator
-    # broadcasts the (orders ⋈ market-customers) subtree — a DATA-SCALED
-    # intermediate (≈1/|regions| of orders) hiding a shuffle, the exact
-    # misplan class tools/plan_audit.py exists to catch. The hint keeps
-    # both data-scaled joins keyed shuffles; bounded dims still broadcast.
+    # The fact join keeps an explicit hint: without one the static
+    # estimator broadcasts the (orders ⋈ market-customers) subtree — a
+    # DATA-SCALED intermediate (≈1/|regions| of orders) hiding a
+    # shuffle, the exact misplan class tools/plan_audit.py exists to
+    # catch. SHUFFLE_HASH (r14, the Q5 precedent): both sides still
+    # shuffle on orderkey, but the ~1/R orders slice hash-builds
+    # instead of BOTH sides sorting — per-task build state is bounded
+    # by the input-scaled partition count, and AQE skew-splitting
+    # applies to SHJ as to SMJ.
     o = orders.join(
         mkt_c, orders["o_custkey"] == mkt_c["c_custkey"], "left_semi"
     ).select("o_orderkey", "o_orderdate")
     j = (
         lineitem.join(p, lineitem["l_partkey"] == p["p_partkey"])
         .join(geo_s, lineitem["l_suppkey"] == geo_s["s_suppkey"])
-        .join(o.hint("merge"), lineitem["l_orderkey"] == o["o_orderkey"])
+        .join(o.hint("shuffle_hash"), lineitem["l_orderkey"] == o["o_orderkey"])
     )
     disc_pc = cents("l_extendedprice") * (100 - cents("l_discount"))
     num = F.sum(
