@@ -384,6 +384,13 @@ def ngram_jaccard_pairs_arrow(
                 continue
             ai = np.concatenate(a_parts)
             bi = np.concatenate(b_parts)
+            # MEASURED AND REJECTED (r14): batch-local run-length
+            # pre-counting of duplicate pairs (lexsort + diff, count(1)
+            # -> sum(c)) before the Arrow boundary read sf1 2.52 -> 2.59
+            # and sf10 15.4 -> 16.2 s interleaved — the JVM map-side
+            # partial aggregation already absorbs within-partition
+            # duplicates at less cost than the NumPy lexsort, so the
+            # transfer shrinkage never pays. Raw pairs stand.
             yield pd.DataFrame({"d1": flat[ai], "d2": flat[bi]})
 
     pairs = (

@@ -17,7 +17,16 @@ end_to_end_corpus (the five-stage composed pipeline), blocklist_signals
 (C4-style blocked-word gate), embedding_covariance (the one-pass
 moments stage of PCA whitening), streaming_exact_dedup (the second
 streaming operator under the value-exact gate) and corpus_overlap_kmv
-(cross-corpus Jaccard from mergeable KMV sketches)."""
+(cross-corpus Jaccard from mergeable KMV sketches).
+
+r14 status: the 10th rotation landed — end_to_end_corpus,
+streaming_user_stats, blocklist_signals, embedding_covariance and
+corpus_overlap_kmv are now driver-gated; their pins here stay as the
+fast check. Newly staged this round: streaming_drift (the THIRD
+streaming twin — cumulative per-batch PSI through the deterministic
+drain, every intermediate report oracle-checked) and
+similarity_topk_pca_index (the persisted PCA serving path at full dim,
+sharing the exact tier's oracle)."""
 
 import os
 import sys
