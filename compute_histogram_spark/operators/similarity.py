@@ -237,6 +237,13 @@ def cosine_topk_lsh(
         F.col("v").alias("qv"),
         F.col("nrm").alias("qn"),
     )
+    # MEASURED AND REJECTED (r14): dedup-pair-ids-first-then-join-back
+    # (narrow distinct on (query_id, vec_id), one cosine per unique pair
+    # instead of per table collision) read sf1 1.12 -> 1.03 (-8%) but
+    # sf10 1.48 -> 1.59 (+7%) interleaved — the join-back shuffle costs
+    # more at scale than the duplicate interpreted cosines it saves, and
+    # -8% is under the 25% adoption bar. The compute-then-distinct form
+    # stands.
     pairs = (
         F.broadcast(q)
         .join(
