@@ -4548,6 +4548,40 @@ def q_streaming_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SO.drained_distribution_drift(spark, sf_dir, n_batches=4)
 
 
+# Fourth streaming-derived twin (staged r14): streaming_normalized_dedup
+# over a DOCUMENTS file stream through the drain harness — the
+# ingestion-time C4 preprocessing gate under the value-exact window.
+# Same emission-invariant projection as streaming_exact_dedup: every
+# in-batch duplicate of a normalized digest shares its batch index, so
+# (norm_hash, first_batch = doc_id % 4) is deterministic; the oracle
+# groups the normalized digest to min(doc_id % 4). Normalization uses
+# only simple regex character classes (Java regex == DuckDB RE2) and
+# sha2-256 == DuckDB sha256 (lowercase hex both).
+STREAMING_NORM_DEDUP_ORACLE = """
+    WITH d AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000001, '  ' || upper(text) || ' !!'
+        FROM documents
+    ),
+    n AS (
+        SELECT doc_id % 4 AS b,
+               sha256(trim(regexp_replace(regexp_replace(
+                   lower(text), '[^a-z0-9 ]', '', 'g'), '  +', ' ', 'g')))
+                   AS norm_hash
+        FROM d
+    )
+    SELECT norm_hash, CAST(min(b) AS INT) AS first_batch
+    FROM n GROUP BY norm_hash ORDER BY norm_hash
+    """
+
+
+def q_streaming_norm_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from compute_histogram_spark.streaming import stream_ops as SO
+
+    return SO.drained_normalized_dedup(spark, sf_dir, n_batches=4)
+
+
 # Cross-corpus overlap from mergeable KMV sketches
 # (sketches.py:corpus_overlap_kmv — staged r13): Jaccard/intersection
 # planning without joining the corpora; every number replicated to the

@@ -623,19 +623,30 @@ def streaming_normalized_dedup(
 # ---------------------------------------------------------------------------
 
 
-def deterministic_event_batches(
-    spark: SparkSession, sf_dir: str, n_batches: int = 4
+def _deterministic_batches(
+    spark: SparkSession,
+    sf_dir: str,
+    table: str,
+    key: str,
+    n_batches: int,
+    frame: DataFrame | None = None,
+    variant: str = "",
 ) -> str:
-    """Split ``sf_dir/events.parquet`` into ``n_batches`` single-file
-    micro-batches with deterministic CONTENT (``event_id % n``) and
+    """Split ``sf_dir/<table>.parquet`` (or an explicit ``frame`` derived
+    from it, tagged by ``variant``) into ``n_batches`` single-file
+    micro-batches with deterministic CONTENT (``<key> % n``) and
     deterministic ORDER (ascending mtimes; the file source replays by
-    (mtime, path)). Idempotent per (sf_dir, n): rebuilt only if absent,
-    so every run of the twin sees the same batch boundaries."""
+    (mtime, path)). Idempotent per (sf_dir, table, variant, n): rebuilt
+    only if absent, so every run of the twin sees the same batch
+    boundaries."""
     import hashlib
     import shutil
 
+    suffix = "" if table == "events" else f":{table}"
+    if variant:
+        suffix += f":{variant}"
     tag = hashlib.md5(
-        f"{os.path.abspath(sf_dir)}:{n_batches}".encode()
+        f"{os.path.abspath(sf_dir)}{suffix}:{n_batches}".encode()
     ).hexdigest()[:10]
     out = os.path.join("/tmp", f"stream_batches_{tag}")
     done = os.path.join(out, "_BATCHES_READY")
@@ -643,12 +654,14 @@ def deterministic_event_batches(
         return out
     shutil.rmtree(out, ignore_errors=True)
     os.makedirs(out)
-    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    ev = frame if frame is not None else spark.read.parquet(
+        os.path.join(sf_dir, f"{table}.parquet")
+    )
     base = 1_000_000_000  # fixed epoch for mtimes: runs are reproducible
     for i in range(n_batches):
         stage = os.path.join(out, f"_stage_{i}")
         (
-            ev.where(F.col("event_id") % n_batches == i)
+            ev.where(F.col(key) % n_batches == i)
             .coalesce(1)
             .write.mode("overwrite")
             .parquet(stage)
@@ -664,6 +677,24 @@ def deterministic_event_batches(
     with open(done, "w") as f:
         f.write(str(n_batches))
     return out
+
+
+def deterministic_event_batches(
+    spark: SparkSession, sf_dir: str, n_batches: int = 4
+) -> str:
+    """Events split (event_id % n) — see :func:`_deterministic_batches`.
+    The tag for events omits the table suffix so r13 twins keep reusing
+    their already-built directories."""
+    return _deterministic_batches(spark, sf_dir, "events", "event_id", n_batches)
+
+
+def deterministic_doc_batches(
+    spark: SparkSession, sf_dir: str, n_batches: int = 4
+) -> str:
+    """Documents split (doc_id % n) — the text-stream counterpart."""
+    return _deterministic_batches(
+        spark, sf_dir, "documents", "doc_id", n_batches
+    )
 
 
 def drained_user_stats(
@@ -795,3 +826,66 @@ def drained_distribution_drift(
     return spark.createDataFrame(
         sorted(reports), "batch_id int, psi double"
     ).orderBy("batch_id")
+
+
+def drained_normalized_dedup(
+    spark: SparkSession, sf_dir: str, n_batches: int = 4
+) -> DataFrame:
+    """:func:`streaming_normalized_dedup` over a DOCUMENTS file stream,
+    drained through deterministic micro-batches — the FOURTH streaming
+    operator under the value-exact gate (r14).
+
+    The driver's documents table has NO normalized duplicates, so the
+    stream is AUGMENTED with a deterministic casing/punctuation variant
+    of every doc (doc_id + 1000001 — the +1 rotates its batch index —
+    with upper-cased text wrapped in extra punctuation/whitespace): each
+    normalized digest now arrives exactly twice, in different batches,
+    and the op must keep precisely the earlier one. Documents carry no
+    event time, so a constant timestamp is injected — far enough past
+    the epoch that the watermark delay never swings the computed
+    watermark below zero (a delay LARGER than the event time stamps
+    every row late and the stream silently emits nothing; found the
+    hard way with ts=0, pinned in tests). Emission-invariant projection
+    (the exact-dedup precedent): within a batch, WHICH duplicate row is
+    emitted is a task race, but its batch index is shared by
+    construction, so each emission projects to (norm_hash, first_batch
+    = doc_id % n) — and the oracle is ``GROUP BY norm_hash,
+    min(doc_id % n)`` over the same augmented union."""
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    variants = docs.select(
+        (F.col("doc_id") + 1000001).alias("doc_id"),
+        F.concat(F.lit("  "), F.upper("text"), F.lit(" !!")).alias("text"),
+    )
+    aug = docs.select("doc_id", "text").unionByName(variants)
+    path = _deterministic_batches(
+        spark, sf_dir, "documents", "doc_id", n_batches,
+        frame=aug, variant="casepunct",
+    )
+    schema = spark.read.parquet(path).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+        .withColumn("ts", F.timestamp_seconds(F.lit(1_000_000_000)))
+    )
+    emitted: list = []
+
+    def sink(df: DataFrame, _epoch: int) -> None:
+        for r in df.select("doc_id", "norm_hash").collect():
+            emitted.append((r["doc_id"], r["norm_hash"]))
+
+    q = (
+        streaming_normalized_dedup(
+            stream, content_col="text", id_cols=("doc_id",),
+            watermark="3650 days",
+        )
+        .writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = sorted((h, int(d % n_batches)) for d, h in emitted)
+    return spark.createDataFrame(
+        rows, "norm_hash string, first_batch int"
+    ).orderBy("norm_hash")

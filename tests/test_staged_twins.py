@@ -822,3 +822,18 @@ def test_similarity_topk_pca_index_twin_both_sfs(spark):
         _check("similarity_topk_pca_index",
                q_similarity_topk_pca_index(spark, sf), con,
                SIMILARITY_PCA_INDEX_ORACLE)
+
+
+def test_streaming_norm_dedup_twin_both_sfs(spark):
+    """r14 (wave-11 bank): the FOURTH streaming twin — C4-normalized
+    dedup over a documents stream drained to its global first-occurrence
+    set, value-exact vs the digest-grouped oracle at both test SFs."""
+    from compute_histogram_spark.registry import (
+        STREAMING_NORM_DEDUP_ORACLE,
+        q_streaming_norm_dedup,
+    )
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        con = duck_connection(sf)
+        _check("streaming_norm_dedup", q_streaming_norm_dedup(spark, sf),
+               con, STREAMING_NORM_DEDUP_ORACLE)

@@ -402,3 +402,40 @@ def test_streaming_normalized_dedup_collapses_variants(spark, sf_dir, stream_dir
     )
     assert len(out) == batch_norm_distinct
     assert len({r["norm_hash"] for r in out}) == len(out)
+
+
+def test_watermark_delay_past_epoch_drops_everything(spark, sf_dir):
+    """The drained_normalized_dedup footgun, pinned: a constant event
+    time EARLIER than the watermark delay swings the computed watermark
+    negative and the dedup operator silently emits nothing — the reason
+    the drain injects ts = 1e9 s, comfortably past its 3650-day delay."""
+    from pyspark.sql import functions as F
+
+    from compute_histogram_spark.streaming.stream_ops import (
+        deterministic_doc_batches,
+        streaming_normalized_dedup,
+    )
+
+    path = deterministic_doc_batches(spark, sf_dir, 4)
+    schema = spark.read.parquet(path).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+        .withColumn("ts", F.timestamp_seconds(F.lit(0)))
+    )
+    emitted = []
+    q = (
+        streaming_normalized_dedup(
+            stream, content_col="text", id_cols=("doc_id",),
+            watermark="3650 days",
+        )
+        .writeStream.foreachBatch(
+            lambda df, _e: emitted.append(df.count())
+        )
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert sum(emitted) == 0  # every row late on arrival: silent empty
