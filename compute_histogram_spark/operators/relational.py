@@ -1295,7 +1295,12 @@ def volume_shipping(
     {region_a, region_b}), shrinking both shuffle inputs; the exact
     directed-pair predicate evaluates post-join in codegen.
     """
-    geo_s = (
+    # both geography maps ride the cardinality gate (r14): the supplier
+    # side fits at every measured SF (sf100 ~400k rows, ~29 MB est); the
+    # customer side fits through sf10 (~43 MB) and exceeds the budget at
+    # sf100 (~6M rows, ~430 MB est) where the gate falls back to the
+    # keyed-shuffle plan — the per-scale adaptivity is the point.
+    geo_s = broadcast_if_fits(
         supplier.join(
             F.broadcast(nation),
             supplier["s_nationkey"] == nation["n_nationkey"],
@@ -1304,7 +1309,7 @@ def volume_shipping(
         .where(F.col("r_name").isin(region_a, region_b))
         .select("s_suppkey", F.col("r_name").alias("supp_region"))
     )
-    geo_c = (
+    geo_c = broadcast_if_fits(
         customer.join(
             F.broadcast(nation),
             customer["c_nationkey"] == nation["n_nationkey"],
@@ -1451,12 +1456,22 @@ def product_type_profit(
     data-scaled shuffles (partkey, orderkey) are unavoidable and keyed
     on the fact's own columns.
     """
-    p = part.where(F.col("p_name").contains(name_token)).select(
-        "p_partkey", "p_retailprice"
+    # both slices ride the cardinality gate (r14): the name slice is
+    # ~1/8 of part (sf100 ~2.5M rows, ~100 MB est) and the supplier
+    # geography map is dimension-bounded (~1M rows, ~72 MB est) — their
+    # static estimates (pre-filter file size / join output) blocked the
+    # broadcasts and both of these fact joins shuffled 600M rows at
+    # sf100.
+    p = broadcast_if_fits(
+        part.where(F.col("p_name").contains(name_token)).select(
+            "p_partkey", "p_retailprice"
+        )
     )
-    sn = supplier.join(
-        F.broadcast(nation), supplier["s_nationkey"] == nation["n_nationkey"]
-    ).select("s_suppkey", "n_name")
+    sn = broadcast_if_fits(
+        supplier.join(
+            F.broadcast(nation), supplier["s_nationkey"] == nation["n_nationkey"]
+        ).select("s_suppkey", "n_name")
+    )
     amount_e4 = cents("l_extendedprice") * (100 - cents("l_discount")) - cents(
         "p_retailprice"
     ) * cents("l_quantity")
@@ -1570,7 +1585,11 @@ def min_cost_supplier(
     # fact row) -> 7.0 s (this form).
     cost = (
         lineitem.join(
-            eu.select("s_suppkey"),
+            # regional key slice through the cardinality gate (r14):
+            # ~1/|regions| of supplier (sf100 ~200k keys, ~5 MB est) —
+            # its join-derived static estimate forced an SMJ that
+            # shuffled all of lineitem before the pair aggregate.
+            broadcast_if_fits(eu.select("s_suppkey")),
             lineitem["l_suppkey"] == F.col("s_suppkey"),
             "left_semi",
         )
@@ -1706,7 +1725,12 @@ def supplier_part_counts(
     9.98 -> 7.22 s (-28%); class_id without the hint 8.50 s, hint
     without class_id a wash (10.02) — both levers carry.
     """
-    bad = supplier.where(F.col("s_acctbal") < min_acctbal).select("s_suppkey")
+    # the excluded-supplier key slice rides the cardinality gate (r14):
+    # the anti join otherwise plans against the pre-filter supplier file
+    # estimate and shuffles the fact (sf100: ~0.5M keys, ~12 MB est).
+    bad = broadcast_if_fits(
+        supplier.where(F.col("s_acctbal") < min_acctbal).select("s_suppkey")
+    )
     p = part.where(F.col("p_brand") != excluded_brand).select(
         "p_partkey", "p_brand", "p_type", "p_size"
     )
@@ -1814,7 +1838,12 @@ def promotion_suppliers(
     supplier. Every data-scaled join is keyed; the name filter prunes
     the part scan with a pushed predicate.
     """
-    p = part.where(F.col("p_name").contains(name_token)).select("p_partkey")
+    # the name-slice semi join rides the cardinality gate (r14):
+    # sf100 ~2.5M single-key rows, ~60 MB est — map-side semi instead
+    # of a fact shuffle.
+    p = broadcast_if_fits(
+        part.where(F.col("p_name").contains(name_token)).select("p_partkey")
+    )
     sq = (
         lineitem.where(
             (F.col("l_shipdate") >= F.lit(start).cast("timestamp"))
@@ -1914,9 +1943,9 @@ def volume_shipping_bucketed(
 ) -> DataFrame:
     """:func:`volume_shipping` (Q7) on the shared write-once orderkey
     layout: the lineitem-orders join — the only data-scaled shuffle in
-    the plain plan — goes bucket-local; the two geography chains stay
-    bounded-dimension broadcasts around it."""
-    geo_s = (
+    the plain plan — goes bucket-local; the two geography chains ride
+    the same cardinality gate as the plain form (r14)."""
+    geo_s = broadcast_if_fits(
         supplier.join(
             F.broadcast(nation), supplier["s_nationkey"] == nation["n_nationkey"]
         )
@@ -1924,7 +1953,7 @@ def volume_shipping_bucketed(
         .where(F.col("r_name").isin(region_a, region_b))
         .select("s_suppkey", F.col("r_name").alias("supp_region"))
     )
-    geo_c = (
+    geo_c = broadcast_if_fits(
         customer.join(
             F.broadcast(nation), customer["c_nationkey"] == nation["n_nationkey"]
         )
@@ -1977,12 +2006,22 @@ def product_type_profit_orderkey(
     filtered/bounded and BROADCAST in the plain plan, so the one
     data-scaled shuffle is the unfiltered lineitem-orders join the
     orderkey buckets remove."""
-    p = part.where(F.col("p_name").contains(name_token)).select(
-        "p_partkey", "p_retailprice"
+    # both slices ride the cardinality gate (r14): the name slice is
+    # ~1/8 of part (sf100 ~2.5M rows, ~100 MB est) and the supplier
+    # geography map is dimension-bounded (~1M rows, ~72 MB est) — their
+    # static estimates (pre-filter file size / join output) blocked the
+    # broadcasts and both of these fact joins shuffled 600M rows at
+    # sf100.
+    p = broadcast_if_fits(
+        part.where(F.col("p_name").contains(name_token)).select(
+            "p_partkey", "p_retailprice"
+        )
     )
-    sn = supplier.join(
-        F.broadcast(nation), supplier["s_nationkey"] == nation["n_nationkey"]
-    ).select("s_suppkey", "n_name")
+    sn = broadcast_if_fits(
+        supplier.join(
+            F.broadcast(nation), supplier["s_nationkey"] == nation["n_nationkey"]
+        ).select("s_suppkey", "n_name")
+    )
     li = spark.table(lineitem_table)
     orders = spark.table(orders_table).select("o_orderkey", "o_orderdate")
     amount_e4 = cents("l_extendedprice") * (100 - cents("l_discount")) - cents(
