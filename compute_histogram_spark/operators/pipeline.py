@@ -933,3 +933,158 @@ def end_to_end_corpus(
     # 5. model-quality gate over the SCRUBBED text
     out = _tap(score_filter(d4, weights, threshold=threshold), "gate")
     return (out, obs) if with_metrics else out
+
+
+def incremental_corpus_ingest(
+    new_docs: DataFrame,
+    state_dir: str,
+    weights: DataFrame,
+    url_col: str = "uri",
+    threshold: float = 0.5,
+    min_span: int = 16,
+    num_hashes: int = 8,
+    rows_per_band: int = 2,
+    n: int = 3,
+) -> DataFrame:
+    """O(delta) FORWARD-ONLY ingest of one document batch into a
+    persisted corpus — the production counterpart of
+    :func:`end_to_end_corpus` (r14). A 100 TB corpus is not rebuilt per
+    crawl; batches arrive and each must be refined against everything
+    already ingested WITHOUT rescanning it. Per batch the job reads the
+    new docs plus two small persisted indexes — never the corpus text:
+
+    - ``state_dir/keys``   (kind, k): every canonical-URL and exact-text
+      digest that has ever ARRIVED (~64 B/doc — the o(corpus) state that
+      makes exact stages incremental);
+    - ``state_dir/sigs``   MinHash signatures of every doc that reached
+      the near-dup stage, kept OR removed (indexing removed docs is what
+      preserves transitive removal across batches);
+    - ``state_dir/corpus`` the kept, span-scrubbed, gated output
+      (append-only; never read by ingest).
+
+    Stages mirror the batch pipeline: within-batch URL winner ->
+    cross-batch URL anti-join -> within-batch exact winner ->
+    cross-batch exact anti-join -> near-dup removal over
+    :func:`~compute_histogram_spark.operators.dedup.delta_candidates`
+    pairs (index x new and new x new only — old x old pairs are never
+    re-derived) resolved by the same min-label components ->
+    batch-local ExactSubstr span scrub -> quality gate.
+
+    SEMANTICS vs the batch form (documented, tested): under the
+    monotone-id ingest contract (doc_id increases with arrival, the
+    crawl-capture ordering) the URL/exact stages and any near-dup
+    group whose members pairwise collide make IDENTICAL keep decisions;
+    a chain-shaped component whose earliest member arrives between its
+    neighbors can differ (forward-only cannot retroactively unkeep),
+    and the span stage is batch-local — duplicate spans across batches
+    are not retroactively scrubbed from already-shipped docs. Both are
+    inherent to any no-reprocessing ingest, not implementation choices.
+    """
+    import os
+
+    from compute_histogram_spark.operators.classify import score_filter
+    from compute_histogram_spark.operators.dedup import (
+        delta_candidates,
+        duplicate_span_removal,
+        minhash_signatures,
+        shingle_table,
+    )
+    from compute_histogram_spark.operators.graph import connected_components
+
+    spark = new_docs.sparkSession
+    keys_path = os.path.join(state_dir, "keys")
+    sigs_path = os.path.join(state_dir, "sigs")
+    corpus_path = os.path.join(state_dir, "corpus")
+    has_keys = os.path.exists(os.path.join(keys_path, "_SUCCESS"))
+    has_sigs = os.path.exists(os.path.join(sigs_path, "_SUCCESS"))
+    keys = (
+        spark.read.parquet(keys_path)
+        if has_keys
+        else spark.createDataFrame([], "kind string, k string")
+    )
+
+    # 1+2. URL stage: earliest capture per canonical within the batch,
+    # then drop anything whose canonical digest has ever arrived
+    canon = new_docs.withColumn(
+        "uk", F.sha2(canonical_url(F.col(url_col)), 256)
+    )
+    w_url = canon.groupBy("uk").agg(F.min("doc_id").alias("doc_id"))
+    d1 = (
+        canon.join(w_url.select("doc_id"), "doc_id", "left_semi")
+        .join(
+            keys.where(F.col("kind") == "url")
+            .select(F.col("k").alias("uk")),
+            "uk",
+            "left_anti",
+        )
+        .withColumn("tk", F.sha2(F.col("text"), 256))
+    )
+    # d1 is consumed by the exact stage AND the key-state write below;
+    # checkpoint it so the second consumer replays a materialized form
+    # instead of re-reading keys_path AFTER this batch appended to it
+    # (the self-poisoning read the write ordering note below prices)
+    d1 = d1.localCheckpoint(eager=False)
+    # 3+4. exact stage, same shape on the text digest
+    w_txt = d1.groupBy("tk").agg(F.min("doc_id").alias("doc_id"))
+    d2 = (
+        d1.join(w_txt.select("doc_id"), "doc_id", "left_semi")
+        .join(
+            keys.where(F.col("kind") == "text")
+            .select(F.col("k").alias("tk")),
+            "tk",
+            "left_anti",
+        )
+        .select("doc_id", "text")
+    )
+    # the anti-joins above are lazily consumed three times below (sigs,
+    # state writes, output); localCheckpoint once so the batch's
+    # filtered form computes once
+    d2 = d2.localCheckpoint(eager=False)
+
+    # 5. near-dup: delta pairs against the signature index, min-label
+    # components; with monotone ids the component min is the earliest
+    # arrival, so "node != component" removes exactly the forward-only
+    # losers (old docs are never in d2, so only new docs can be dropped)
+    sigs_new = minhash_signatures(
+        shingle_table(d2, n=n, distinct=False), num_hashes
+    ).localCheckpoint(eager=False)
+    all_sigs = (
+        spark.read.parquet(sigs_path).unionByName(sigs_new)
+        if has_sigs
+        else sigs_new
+    )
+    pairs = delta_candidates(
+        all_sigs, d2.select("doc_id"), num_hashes, rows_per_band
+    )
+    losers = connected_components(pairs).where(
+        F.col("node") != F.col("component")
+    ).select(F.col("node").alias("doc_id"))
+    d3 = d2.join(losers, "doc_id", "left_anti")
+
+    # 6+7. batch-local span scrub, then the model-quality gate
+    out = score_filter(
+        duplicate_span_removal(d3, min_len=min_span),
+        weights,
+        threshold=threshold,
+    ).localCheckpoint(eager=False)
+
+    # state updates: every ARRIVED canonical/text digest (kept or not)
+    # blocks future copies; signatures of every doc that reached the
+    # near-dup stage preserve cross-batch transitivity
+    new_keys = (
+        canon.select(F.lit("url").alias("kind"), F.col("uk").alias("k"))
+        .unionByName(
+            d1.select(F.lit("text").alias("kind"), F.col("tk").alias("k"))
+        )
+        .distinct()
+    )
+    # WRITE ORDER MATTERS: the output (whose lineage reads keys_path /
+    # sigs_path lazily) materializes FIRST; only then do the state
+    # appends land. Appending keys before the batch's own anti-joins
+    # ran would make d1 re-read a keys table that already contains this
+    # batch's digests and silently drop every row. canon is re-derived
+    # for the url keys — it reads only the new batch, never state.
+    out.write.mode("append").parquet(corpus_path)
+    sigs_new.write.mode("append").parquet(sigs_path)
+    new_keys.write.mode("append").parquet(keys_path)
+    return out
