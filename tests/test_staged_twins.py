@@ -24,9 +24,11 @@ streaming_user_stats, blocklist_signals, embedding_covariance and
 corpus_overlap_kmv are now driver-gated; their pins here stay as the
 fast check. Newly staged this round: streaming_drift (the THIRD
 streaming twin — cumulative per-batch PSI through the deterministic
-drain, every intermediate report oracle-checked) and
+drain, every intermediate report oracle-checked),
 similarity_topk_pca_index (the persisted PCA serving path at full dim,
-sharing the exact tier's oracle)."""
+sharing the exact tier's oracle) and streaming_norm_dedup (the FOURTH
+streaming twin: C4-normalized dedup over an augmented documents
+stream)."""
 
 import os
 import sys
