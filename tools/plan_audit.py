@@ -79,6 +79,13 @@ NLJ_ALLOWED = {
     # (total_c, n_parts) scalar over the per-part value aggregate
     # crossed into the HAVING filter (same bounded scalar shape)
     "important_parts",
+    # embedding_covariance (rotated in r14): crossJoin(broadcast(n_row))
+    # — the ONE-row vector-count scalar onto the d(d+1)/2-bounded
+    # moments table (clustering.py:embedding_moments)
+    "embedding_covariance",
+    # corpus_overlap_kmv (rotated in r14): ua.crossJoin(common) — TWO
+    # one-row sketch-algebra scalars (sketches.py:corpus_overlap_kmv)
+    "corpus_overlap_kmv",
 }
 # pure-Python kernel paths: no codegen span expected
 PY_KERNEL = {
@@ -101,6 +108,11 @@ PY_KERNEL = {
 # Rank-style global windows preceded by a WindowGroupLimit partial limit
 # (top-k pushdown, input <= partitions x k) are accepted without listing.
 GLOBAL_WINDOW_BOUNDED = {
+    # supplier_part_counts (Q16, r14): row_number over the DISTINCT
+    # (brand, type, size) class table — O(brands x types x sizes),
+    # bounded by the attribute domains, never data-scaled (the dense
+    # collision-free class id that replaced xxhash64, ADVICE r13)
+    "supplier_part_counts",
     "histogram_deciles",
     "equi_depth_histogram",
     "session_concurrency",
@@ -255,6 +267,17 @@ def _layout_form(which: str):
 # - session/peak_concurrency: bucket-prefix offsets, bounded by the time
 #   span (explicitly F.broadcast in behavior.py)
 BCAST_OVER_SHUFFLE_BOUNDED = {
+    # end_to_end_corpus (rotated in r14): the broadcast sides are the
+    # stage-bounded aggregates of the five-stage chain — url/exact
+    # winner key sets (bounded by duplicates), near-dup cluster losers,
+    # duplicated-window digests — each bounded by the dup count, not
+    # the corpus (pipeline.py:end_to_end_corpus, the same aggregated-
+    # keys-back shape as apply_changes)
+    "end_to_end_corpus",
+    # corpus_overlap_kmv (rotated in r14): broadcasts of the <= k-row
+    # KMV sketches (TakeOrderedAndProject bottom-k inside — a shuffle,
+    # but the result is k rows by construction)
+    "corpus_overlap_kmv",
     # important_parts / top_supplier: ONE-row scalars aggregated from the
     # per-group value table (Q11's HAVING threshold, Q15's max revenue) —
     # bounded by construction regardless of input scale
