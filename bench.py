@@ -150,6 +150,13 @@ LOCAL_QUERIES = {
     "returned_item_customers_layout": lambda spark, d: _orderkey_layout_served(
         spark, d, "q10"
     ),
+    # r14: write-once cents PROJECTION for the scan-agg family's Q1 —
+    # the per-run round(x*100) cast chain (measured: half the query at
+    # sf10) amortizes into the layout write. sf10 A/B (value-equal
+    # asserted): 1.52 -> 0.66 s (-56%); sf1 0.48 -> 0.31.
+    "pricing_summary_layout": lambda spark, d: _cents_projection_served(
+        spark, d
+    ),
 }
 
 # DuckDB twins of the four local queries (the r01 registry oracle SQL,
@@ -251,6 +258,7 @@ LOCAL_ORACLES["large_volume_customers_layout"] = registry.ORACLES[
 LOCAL_ORACLES["returned_item_customers_layout"] = (
     registry.RETURNED_ITEM_CUSTOMERS_ORACLE
 )
+LOCAL_ORACLES["pricing_summary_layout"] = registry.ORACLES["pricing_summary"]
 
 HEADLINE = [
     "histogram_linear",
@@ -409,6 +417,18 @@ def _userkey_layout_served(s, d, which):
     ev = s.table(_IDX_CACHE[key])
     return (BH.cohort_retention if which == "cohort"
             else BH.event_transitions)(ev)
+
+
+def _cents_projection_served(s, d):
+    """pricing_summary over the write-once integer-cents projection
+    (sources/bucketing.py:write_pricing_projection) — the derived-column
+    member of the layout family; value-exact vs the plain form."""
+    from compute_histogram_spark.sources import bucketing as BK
+
+    key = ("centsproj", d)
+    if key not in _IDX_CACHE:
+        _IDX_CACHE[key] = BK.write_pricing_projection(s, d)
+    return R.pricing_summary_projected(s.read.parquet(_IDX_CACHE[key]))
 
 
 def _ivfpq_index_served(s, d):
@@ -928,6 +948,7 @@ def _bench_sf10(spark, out: dict) -> None:
             "waiting_suppliers_layout",
             "large_volume_customers_layout",
             "returned_item_customers_layout",
+            "pricing_summary_layout",
         ),
     )
     # r08-r10 comparability: the old 5-query trend totals, recomputed

@@ -70,6 +70,43 @@ def pricing_summary(lineitem: DataFrame, cutoff: str = "1998-09-02") -> DataFram
     )
 
 
+def pricing_summary_projected(
+    proj: DataFrame, cutoff: str = "1998-09-02"
+) -> DataFrame:
+    """:func:`pricing_summary` over the write-once cents projection
+    (sources/bucketing.py:write_pricing_projection): identical
+    aggregate expressions on the MATERIALIZED integer-cents columns —
+    value-exact by construction (the stored values are the same
+    round(x*100) bigints the plain form derives per run), with the
+    four-cast-per-row chain amortized into the layout write."""
+    li = proj.where(F.col("l_shipdate") <= F.lit(cutoff).cast("timestamp"))
+    return (
+        li.select(
+            "l_returnflag",
+            "l_linestatus",
+            "qc",
+            "pc",
+            "dc",
+            (F.col("pc") * (100 - F.col("dc"))).alias("disc_pc"),
+            (F.col("pc") * (100 - F.col("dc")) * (100 + F.col("tc"))).alias(
+                "charge_pc"
+            ),
+        )
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            (F.sum("qc") / 100.0).alias("sum_qty"),
+            (F.sum("pc") / 100.0).alias("sum_base_price"),
+            (F.sum("disc_pc") / 10000.0).alias("sum_disc_price"),
+            (F.sum("charge_pc") / 1000000.0).alias("sum_charge"),
+            (F.sum("qc") / F.count(F.lit(1)) / 100.0).alias("avg_qty"),
+            (F.sum("pc") / F.count(F.lit(1)) / 100.0).alias("avg_price"),
+            (F.sum("dc") / F.count(F.lit(1)) / 100.0).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
 def top_customers(customer: DataFrame, orders: DataFrame, k: int = 10) -> DataFrame:
     """Highest-spend customers: exact cents sum, deterministic
     tie-break, TakeOrdered top-k (no global sort shuffle). The fact side
