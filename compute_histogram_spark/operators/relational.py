@@ -614,8 +614,18 @@ def _region_star_bucketed(spark, orders_table, customer_table, region, nation):
     Value-identical to the raw-parquet plans (same oracles)."""
     orders = spark.table(orders_table)
     customer = spark.table(customer_table)
+    # r14: layouts written with the derived tp_c column aggregate the
+    # STORED cents (same round(x*100) bigints the expression derives —
+    # value-exact by construction); older layouts keep the expression
+    per_cust = (
+        orders.groupBy("o_custkey").agg(
+            F.sum("tp_c").alias("rev_c"), F.count(F.lit(1)).alias("n_o")
+        )
+        if "tp_c" in orders.columns
+        else _orders_per_customer(orders)
+    )
     return (
-        _orders_per_customer(orders)
+        per_cust
         .join(customer, F.col("o_custkey") == customer["c_custkey"])
         .join(F.broadcast(nation), customer["c_nationkey"] == nation["n_nationkey"])
         .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])

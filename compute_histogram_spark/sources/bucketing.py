@@ -89,10 +89,17 @@ def write_custkey_layout(
     co-bucketed, so region_revenue/rollup_revenue/top_customers plans
     carry ZERO fact-side Exchange — only the bounded post-dim aggregate
     shuffles (≤ |nations| rows)."""
+    from pyspark.sql import functions as F
+
     names = write_layout(
         spark, sf_dir,
         (("orders", "o_custkey"), ("customer", "c_custkey")),
         buckets, database,
+        # r14: the per-run cents cast moves into the write (measured at
+        # sf10: the cast is half of the orders pre-aggregation)
+        derive={"orders": {
+            "tp_c": F.round(F.col("o_totalprice") * 100).cast("bigint")
+        }},
     )
     return names["orders"], names["customer"]
 
@@ -137,6 +144,7 @@ def write_layout(
     tables_keys: tuple[tuple[str, str], ...],
     buckets: int = 32,
     database: str | None = None,
+    derive: dict | None = None,
 ) -> dict[str, str]:
     """Write the given (table, bucket_key) pairs as same-bucketed,
     key-sorted catalog tables for exchange-free equi-joins/groupBys on
@@ -148,7 +156,14 @@ def write_layout(
     ``repartition(buckets, key)`` before the bucketed write gives exactly
     ONE file per bucket, which is the condition Spark requires to trust
     the sortBy metadata at scan time (many files per bucket would re-Sort
-    before the merge join)."""
+    before the merge join).
+
+    ``derive`` maps table -> {column_name: Column} of DERIVED columns
+    materialized at write time (r14, the cents-projection trade folded
+    into the bucketed family: per-run expression chains over columns
+    that never change move into the one-time write). Derived names join
+    the layout tag, so changing them builds a NEW layout instead of
+    silently reusing one without the columns."""
     import hashlib
     import os
 
@@ -157,8 +172,11 @@ def write_layout(
     db = database or spark.catalog.currentDatabase()
     names = {}
     for tbl, key in tables_keys:
+        extra = (derive or {}).get(tbl, {})
+        dtag = ("" if not extra
+                else ":" + ",".join(sorted(extra)))
         tag = hashlib.md5(
-            f"{os.path.abspath(sf_dir)}:{key}:{buckets}".encode()
+            f"{os.path.abspath(sf_dir)}:{key}:{buckets}{dtag}".encode()
         ).hexdigest()[:10]
         name = f"{db}.{tbl}_bk_{tag}"
         names[tbl] = name
@@ -207,7 +225,10 @@ def write_layout(
             import shutil
 
             shutil.rmtree(orphan)
-        df = load(spark, sf_dir, tbl).repartition(buckets, key)
+        df = load(spark, sf_dir, tbl)
+        for cname, cexpr in extra.items():
+            df = df.withColumn(cname, cexpr)
+        df = df.repartition(buckets, key)
         (
             df.write.mode("overwrite")
             # Writer-reader heap asymmetry (r13, found at sf100): row-group
