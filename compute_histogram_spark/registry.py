@@ -4582,6 +4582,24 @@ def q_streaming_norm_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SO.drained_normalized_dedup(spark, sf_dir, n_batches=4)
 
 
+# Q1 over the write-once cents PROJECTION (staged r14): identical
+# aggregates on the materialized integer-cents columns — shares the
+# plain form's oracle (value-identical by construction; the
+# SIMILARITY_GEMM precedent of serving the fastest value-identical
+# formulation under the same oracle).
+PRICING_PROJECTED_ORACLE = ORACLES["pricing_summary"]
+
+
+def q_pricing_summary_projected(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from compute_histogram_spark.operators import relational as RL
+    from compute_histogram_spark.sources.bucketing import (
+        write_pricing_projection,
+    )
+
+    path = write_pricing_projection(spark, sf_dir)
+    return RL.pricing_summary_projected(spark.read.parquet(path))
+
+
 # Cross-corpus overlap from mergeable KMV sketches
 # (sketches.py:corpus_overlap_kmv — staged r13): Jaccard/intersection
 # planning without joining the corpora; every number replicated to the

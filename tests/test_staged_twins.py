@@ -26,9 +26,10 @@ fast check. Newly staged this round: streaming_drift (the THIRD
 streaming twin — cumulative per-batch PSI through the deterministic
 drain, every intermediate report oracle-checked),
 similarity_topk_pca_index (the persisted PCA serving path at full dim,
-sharing the exact tier's oracle) and streaming_norm_dedup (the FOURTH
+sharing the exact tier's oracle), streaming_norm_dedup (the FOURTH
 streaming twin: C4-normalized dedup over an augmented documents
-stream)."""
+stream) and pricing_summary_projected (Q1 over the write-once cents
+projection, sharing the plain form's oracle)."""
 
 import os
 import sys
@@ -839,3 +840,19 @@ def test_streaming_norm_dedup_twin_both_sfs(spark):
         con = duck_connection(sf)
         _check("streaming_norm_dedup", q_streaming_norm_dedup(spark, sf),
                con, STREAMING_NORM_DEDUP_ORACLE)
+
+
+def test_pricing_summary_projected_twin_both_sfs(spark):
+    """r14 (wave-11 bank): Q1 over the write-once cents projection —
+    the derived-column layout member — value-exact vs the plain form's
+    oracle at both test SFs."""
+    from compute_histogram_spark.registry import (
+        PRICING_PROJECTED_ORACLE,
+        q_pricing_summary_projected,
+    )
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        con = duck_connection(sf)
+        _check("pricing_summary_projected",
+               q_pricing_summary_projected(spark, sf), con,
+               PRICING_PROJECTED_ORACLE)
