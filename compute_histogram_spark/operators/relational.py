@@ -2038,6 +2038,71 @@ def volume_shipping_bucketed(
     )
 
 
+def market_share_bucketed(
+    spark,
+    orders_table: str,
+    lineitem_table: str,
+    customer: DataFrame,
+    supplier: DataFrame,
+    part: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    supp_region: str = "ASIA",
+    market_region: str = "EUROPE",
+    p_type: str = "STANDARD",
+) -> DataFrame:
+    """:func:`market_share` (Q8) on the shared write-once orderkey
+    layout (r14, 10th member): with the part slice, the supplier
+    geography map and the market-customer key slice all riding the
+    cardinality gate, the ONLY data-scaled exchange left in the plain
+    plan is the lineitem-orders orderkey join — exactly what the
+    co-bucketed layout removes. The composed plan is map-side joins
+    over a bucket-local merge plus the bounded per-year aggregate."""
+    orders = spark.table(orders_table)
+    lineitem = spark.table(lineitem_table)
+    p = broadcast_if_fits(
+        part.where(F.col("p_type") == p_type).select("p_partkey")
+    )
+    geo_s = broadcast_if_fits(
+        supplier.join(
+            F.broadcast(nation),
+            supplier["s_nationkey"] == nation["n_nationkey"],
+        )
+        .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
+        .select("s_suppkey", F.col("r_name").alias("supp_region"))
+    )
+    mkt_c = broadcast_if_fits(
+        customer.join(
+            F.broadcast(nation),
+            customer["c_nationkey"] == nation["n_nationkey"],
+        )
+        .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
+        .where(F.col("r_name") == market_region)
+        .select("c_custkey")
+    )
+    o = orders.join(
+        mkt_c, orders["o_custkey"] == mkt_c["c_custkey"], "left_semi"
+    ).select("o_orderkey", "o_orderdate")
+    j = (
+        lineitem.join(p, lineitem["l_partkey"] == p["p_partkey"])
+        .join(geo_s, lineitem["l_suppkey"] == geo_s["s_suppkey"])
+        .join(o, lineitem["l_orderkey"] == o["o_orderkey"])
+    )
+    disc_pc = cents("l_extendedprice") * (100 - cents("l_discount"))
+    num = F.sum(
+        F.when(F.col("supp_region") == supp_region, disc_pc).otherwise(F.lit(0))
+    )
+    den = F.sum(disc_pc)
+    return (
+        j.groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            (num / den).alias("mkt_share"),
+            (den / 10000.0).alias("total_volume"),
+        )
+        .orderBy("o_year")
+    )
+
+
 def product_type_profit_orderkey(
     spark,
     orders_table: str,

@@ -476,3 +476,36 @@ def test_pricing_projection_values_and_idempotence(spark, sf_dir, tmp_path):
     plain = R.pricing_summary(load(spark, sf_dir, "lineitem"))
     proj = R.pricing_summary_projected(spark.read.parquet(p1))
     assert plain.collect() == proj.collect()
+
+
+def test_orderkey_layout_q8_plan_and_values(spark, sf_dir, tmp_path):
+    """market_share (Q8) on the shared orderkey layout — family member
+    10 (r14): with every dimension slice gated, the plain plan's one
+    remaining data-scaled exchange is the fact-fact orderkey join,
+    which the co-bucketed layout removes. sf100 warm fresh-JVM:
+    17.05 (gated plain) -> 12.38 s (-27%)."""
+    from compute_histogram_spark.operators import relational as R
+
+    spark.sql(
+        f"CREATE DATABASE IF NOT EXISTS oktest8 LOCATION '{tmp_path / 'wh'}'"
+    )
+    spark.catalog.setCurrentDatabase("oktest8")
+    try:
+        ot, lt = B.write_q5_layout(spark, sf_dir, buckets=8)
+        dims = {t: load(spark, sf_dir, t)
+                for t in ("customer", "supplier", "part", "nation", "region")}
+        b = R.market_share_bucketed(
+            spark, ot, lt, dims["customer"], dims["supplier"],
+            dims["part"], dims["nation"], dims["region"],
+        )
+        r = R.market_share(
+            load(spark, sf_dir, "lineitem"), load(spark, sf_dir, "orders"),
+            dims["customer"], dims["supplier"], dims["part"],
+            dims["nation"], dims["region"],
+        )
+        assert b.collect() == r.collect()
+        plan = _plan(b)
+        assert "Exchange hashpartitioning(l_orderkey" not in plan, plan
+        assert "Exchange hashpartitioning(o_orderkey" not in plan, plan
+    finally:
+        spark.catalog.setCurrentDatabase("default")
