@@ -309,32 +309,50 @@ def cosine_topk_ivf_index(
 # main.py:127-149 min/max partials, generalized to matrix moments).
 
 
+# Fixed-point scale for the moments pass. Each float64 coordinate is
+# quantized ONCE to round-half-up(x * MOMENTS_SCALE) as int64, so every
+# downstream sum is exact integer arithmetic — bit-identical under ANY
+# partition layout or summation order (the dsir_bucket_llr micro-nats
+# precedent, operators/classify.py; VERDICT r14 #1: round-6 float sums
+# flipped a digit on 2/2080 cells when the driver's partition layout
+# reordered the partials). Overflow ceiling: with |x| < 1 the per-cell
+# cross-product sum is < n * SCALE^2, so int64 holds to n ~ 9e4 vectors
+# per corpus at |x|<1 (~9e18/1e14); the synthetic embeddings tables top
+# out at 2e3. Past that, lower SCALE or split the sum.
+MOMENTS_SCALE = 10**7
+
+
 def _moments_table(
     emb: DataFrame, vec_col: str, id_col: str
 ) -> DataFrame:
     """Merged raw-moment partials of a vector column in one pass:
     rows (i, j, s_xy) for i <= j, (i, -1, s_x) coordinate sums, and
     (-1, -1, n) — O(d^2) rows total, the shared substrate for both the
-    covariance table and the driver-side (cov, mean) model fit."""
+    covariance table and the driver-side (cov, mean) model fit.
+
+    All sums are EXACT int64 over MOMENTS_SCALE-quantized coordinates:
+    floor(x * SCALE + 0.5), the same expression the DuckDB oracle
+    evaluates, so the merged moments are engine- and layout-exact."""
     import pandas as pd
 
     v = _vectors(emb, vec_col, id_col)
 
     def kernel(batches):
-        s = None  # [d] running sum
-        ssq = None  # [d, d] running cross-product
+        s = None  # [d] running int64 sum
+        ssq = None  # [d, d] running int64 cross-product
         n = 0
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             m = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+            q = np.floor(m * MOMENTS_SCALE + 0.5).astype(np.int64)
             if s is None:
-                s = m.sum(axis=0)
-                ssq = m.T @ m
+                s = q.sum(axis=0)
+                ssq = q.T @ q
             else:
-                s += m.sum(axis=0)
-                ssq += m.T @ m
-            n += m.shape[0]
+                s += q.sum(axis=0)
+                ssq += q.T @ q
+            n += q.shape[0]
         if s is None:
             return
         d = s.shape[0]
@@ -347,11 +365,11 @@ def _moments_table(
                 "j": np.concatenate(
                     [ju.astype(np.int32), np.full(d, -1, np.int32), [-1]]
                 ),
-                "s": np.concatenate([ssq[iu, ju], s, [float(n)]]),
+                "s": np.concatenate([ssq[iu, ju], s, [np.int64(n)]]),
             }
         )
 
-    partials = v.select("v").mapInPandas(kernel, "i int, j int, s double")
+    partials = v.select("v").mapInPandas(kernel, "i int, j int, s long")
     return partials.groupBy("i", "j").agg(F.sum("s").alias("s"))
 
 
@@ -367,14 +385,22 @@ def embedding_moments(
     is emitted: (i, j, s_xy) for i <= j, (i, -1, s_x) row sums, and
     (-1, -1, n). A groupBy(i, j) merge then moves O(partitions x d^2)
     tiny rows -- never the vectors themselves. Output: one row per
-    (i <= j) pair with the population covariance, rounded to DEC so the
-    result is summation-order invariant (same convention as kmeans).
+    (i <= j) pair with the population covariance of the quantized
+    coordinates, rounded to DEC.
+
+    Summation-order invariance is by CONSTRUCTION, not by rounding: the
+    partials are exact int64 over fixed-point coordinates (see
+    MOMENTS_SCALE), the covariance numerator sxy*n - sx*sy is exact
+    decimal(38,0) arithmetic, and ONE double division at the end maps
+    identical integers to an identical double in every engine and under
+    every partition layout (VERDICT r14 #1: the previous round-6 float
+    form flipped 2/2080 cells under the driver's layout).
 
     Returns columns ``(i, j, n, cov)`` sorted by (i, j).
     """
     tot = _moments_table(emb, vec_col, id_col)
     n_row = tot.where((F.col("i") == -1) & (F.col("j") == -1)).select(
-        F.col("s").cast("bigint").alias("n")
+        F.col("s").alias("n")
     )
     sums = tot.where((F.col("i") >= 0) & (F.col("j") == -1)).select(
         F.col("i").alias("k"), F.col("s").alias("sx")
@@ -382,6 +408,16 @@ def embedding_moments(
     cross = tot.where(F.col("j") >= 0)
     # n is a 1-row scalar and sums is d rows: broadcast both (bounded by
     # dimension, not data).
+    dec = "decimal(38,0)"
+    num = (
+        F.col("s").cast(dec) * F.col("n").cast(dec)
+        - F.col("sx").cast(dec) * F.col("sy").cast(dec)
+    )
+    den = (
+        F.col("n").cast("double")
+        * F.col("n").cast("double")
+        * F.lit(float(MOMENTS_SCALE) * float(MOMENTS_SCALE))
+    )
     out = (
         cross.crossJoin(F.broadcast(n_row))
         .join(F.broadcast(sums).withColumnRenamed("k", "i_"),
@@ -393,11 +429,7 @@ def embedding_moments(
             "i",
             "j",
             "n",
-            F.round(
-                F.col("s") / F.col("n")
-                - (F.col("sx") / F.col("n")) * (F.col("sy") / F.col("n")),
-                DEC,
-            ).alias("cov"),
+            F.round(num.cast("double") / den, DEC).alias("cov"),
         )
     )
     return out.orderBy("i", "j")
@@ -417,14 +449,17 @@ def _cov_and_mean(emb: DataFrame, vec_col: str, id_col: str):
     ssq = np.zeros((d, d))
     for r in rows:
         if r["i"] == -1:
-            n = r["s"]
+            n = float(r["s"])
         elif r["j"] == -1:
             sx[r["i"]] = r["s"]
         else:
             ssq[r["i"], r["j"]] = r["s"]
             ssq[r["j"], r["i"]] = r["s"]
-    mean = sx / n
-    cov = np.round(ssq / n - np.outer(mean, mean), DEC)
+    # Descale the exact fixed-point moments (see MOMENTS_SCALE) back to
+    # coordinate units: mean = sx/(n*S), cov = ssq/(n*S^2) - mean mean^T.
+    s = float(MOMENTS_SCALE)
+    mean = sx / (n * s)
+    cov = np.round(ssq / (n * s * s) - np.outer(mean, mean), DEC)
     return cov, mean
 
 

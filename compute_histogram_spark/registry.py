@@ -4409,9 +4409,17 @@ def q_blocklist_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
 # One-pass distributed covariance of the embedding column
 # (clustering.py:embedding_moments — staged r13): the moments stage of PCA
 # whitening; d(d+1)/2 upper-triangle rows, shuffle O(partitions x d^2).
+# Engine-EXACT form (VERDICT r14 #1): both engines quantize each float32
+# coordinate once with the identical expression floor(x*1e7 + 0.5) to
+# int64, accumulate exact integer moments (DuckDB sum(BIGINT) -> HUGEINT,
+# Spark int64 GEMM partials), build the numerator sxy*n - sx*sy in exact
+# wide-integer arithmetic, and perform ONE double division — identical
+# integers in, identical double out, under any partition layout.
 EMBEDDING_COVARIANCE_ORACLE = """
     WITH u AS (
-        SELECT vec_id, g - 1 AS k, CAST(embedding[g] AS DOUBLE) AS x
+        SELECT vec_id, g - 1 AS k,
+               CAST(floor(CAST(embedding[g] AS DOUBLE) * 10000000 + 0.5)
+                    AS BIGINT) AS q
         FROM (
             SELECT vec_id, embedding,
                    unnest(generate_series(1, len(embedding))) AS g
@@ -4419,14 +4427,16 @@ EMBEDDING_COVARIANCE_ORACLE = """
         )
     ),
     p AS (
-        SELECT a.k AS i, b.k AS j, sum(a.x * b.x) AS sxy
+        SELECT a.k AS i, b.k AS j, sum(a.q * b.q) AS sxy
         FROM u a JOIN u b ON a.vec_id = b.vec_id AND a.k <= b.k
         GROUP BY 1, 2
     ),
-    m AS (SELECT k, sum(x) AS sx FROM u GROUP BY k),
+    m AS (SELECT k, sum(q) AS sx FROM u GROUP BY k),
     c AS (SELECT count(*) AS n FROM embeddings)
     SELECT CAST(p.i AS INT) AS i, CAST(p.j AS INT) AS j, c.n AS n,
-           round(p.sxy / c.n - (mi.sx / c.n) * (mj.sx / c.n), 6) AS cov
+           round(CAST(p.sxy * c.n - mi.sx * mj.sx AS DOUBLE)
+                 / (CAST(c.n AS DOUBLE) * CAST(c.n AS DOUBLE) * 1e14),
+                 6) AS cov
     FROM p, c
     JOIN m mi ON mi.k = p.i
     JOIN m mj ON mj.k = p.j

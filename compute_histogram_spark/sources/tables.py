@@ -42,7 +42,16 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # layouts carried nanos — operators dispatch on the loaded dtype via
     # operators.temporal.epoch_micros_sql, so both decode paths work.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    # Partition-robustness screen hook (VERDICT r14 #2): the rotation gate
+    # re-runs each candidate query under several forced input layouts to
+    # reject results that depend on partial-aggregation order (a local
+    # gate under ONE layout cannot certify order-sensitive float
+    # rounding). Screen-only — unset in production, so no extra shuffle.
+    parts = os.environ.get("SPARK_GRAFT_LAYOUT_PARTS")
+    if parts:
+        df = df.repartition(int(parts))
+    return df
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -5,7 +5,15 @@ DuckDB over the same sf directory, then compares row count, column names,
 and values (rows sorted by all columns; exact for ints/strings, tight
 tolerance report for floats). Usage:
 
-    python tools/check_oracle.py [sf_dir] [name ...]
+    python tools/check_oracle.py [--layouts] [sf_dir] [name ...]
+
+``--layouts`` additionally re-runs each Spark query under forced input
+partition layouts (repartition 1/7/64 via the SPARK_GRAFT_LAYOUT_PARTS
+hook in sources/tables.py) and requires EXACT value equality across all
+layouts. This is the rotation-gate pre-screen (VERDICT r14 #2): a query
+that is oracle-green under one layout but whose float rounding depends on
+partial-summation order (the embedding_covariance r14 failure class) is
+rejected HERE instead of going red at the driver.
 """
 
 from __future__ import annotations
@@ -77,9 +85,34 @@ def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
     return problems
 
 
+LAYOUT_PARTS = (1, 7, 64)
+
+
+def layout_screen(name: str, fn, spark, sf_dir: str, base: pd.DataFrame) -> list[str]:
+    """Re-run ``fn`` under each forced input layout and demand exact value
+    equality with the default-layout result. Returns problem strings."""
+    problems = []
+    for parts in LAYOUT_PARTS:
+        os.environ["SPARK_GRAFT_LAYOUT_PARTS"] = str(parts)
+        try:
+            alt = fn(spark, sf_dir).toPandas()
+        except Exception as e:  # noqa: BLE001 — report, don't crash the sweep
+            problems.append(f"layout {parts}: spark error: {type(e).__name__}: {e}")
+            continue
+        finally:
+            os.environ.pop("SPARK_GRAFT_LAYOUT_PARTS", None)
+        diff = compare(name, alt, base)
+        for p in diff:
+            problems.append(f"layout {parts}: {p}")
+    return problems
+
+
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = sys.argv[1:]
+    layouts = "--layouts" in argv
+    argv = [a for a in argv if a != "--layouts"]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
     # mirror the DRIVER's session, not the engine's tuned one: ANSI ON is
     # the default in Spark 4 and is what the real gate runs with — any
     # wrapping/overflowing cast must fail HERE, not at the driver.
@@ -109,6 +142,8 @@ def main() -> int:
             print(f"FAIL  {name}: duckdb error: {type(e).__name__}: {e}")
             continue
         problems = compare(name, sdf, odf)
+        if layouts and not problems:
+            problems = layout_screen(name, fn, spark, sf_dir, sdf)
         if problems:
             failed.append(name)
             print(f"FAIL  {name} [{time.time()-t0:.1f}s]")
