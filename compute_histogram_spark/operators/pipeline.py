@@ -935,6 +935,70 @@ def end_to_end_corpus(
     return (out, obs) if with_metrics else out
 
 
+def _ingest_batch_tag(new_docs: DataFrame, url_col: str) -> str:
+    """Deterministic content-derived batch tag: a retry of the same
+    batch resumes the same staged commit instead of appending twice.
+    One column-pruned aggregation over the delta (count + id range +
+    order-independent crc sums of uri and text)."""
+    import hashlib
+
+    r = new_docs.agg(
+        F.count("*").alias("c"),
+        F.min("doc_id").alias("mn"),
+        F.max("doc_id").alias("mx"),
+        F.sum(F.crc32(F.col(url_col).cast("binary"))).alias("su"),
+        F.sum(F.crc32(F.col("text").cast("binary"))).alias("st"),
+    ).first()
+    key = f"{r['c']}:{r['mn']}:{r['mx']}:{r['su']}:{r['st']}"
+    return hashlib.sha256(key.encode()).hexdigest()[:16]
+
+
+def _publish_staged(state_dir: str, tag: str) -> None:
+    """Resume-safe publish of a COMMITTED staged batch: rename each
+    staged part-file into the flat state table under a tag-prefixed
+    (collision-free, idempotent) name, then drop the staging dir.
+    Renames are atomic per file; a crash mid-publish leaves the
+    remaining files in staging for the next entry's recovery scan
+    (already-moved files are gone from staging and skipped)."""
+    import glob
+    import os
+    import shutil
+
+    stage = os.path.join(state_dir, "staging", tag)
+    for sub in ("corpus", "sigs", "keys"):
+        src_dir = os.path.join(stage, sub)
+        if not os.path.isdir(src_dir):
+            continue
+        dst_dir = os.path.join(state_dir, sub)
+        os.makedirs(dst_dir, exist_ok=True)
+        for f in sorted(glob.glob(os.path.join(src_dir, "part-*"))):
+            os.rename(
+                f, os.path.join(dst_dir, f"{tag}-{os.path.basename(f)}")
+            )
+        # the readers' existence probe (matches what a Spark append
+        # would have left behind)
+        open(os.path.join(dst_dir, "_SUCCESS"), "w").close()
+    shutil.rmtree(stage, ignore_errors=True)
+
+
+def _recover_ingest_state(state_dir: str) -> None:
+    """Crash recovery for the staged-commit protocol: a batch under
+    staging/ WITH a commit marker was fully staged — finish its
+    publish; one WITHOUT never committed — discard it (the retry
+    re-stages deterministically under the same content-derived tag)."""
+    import os
+    import shutil
+
+    staging = os.path.join(state_dir, "staging")
+    if not os.path.isdir(staging):
+        return
+    for tag in os.listdir(staging):
+        if os.path.exists(os.path.join(state_dir, "_commits", tag)):
+            _publish_staged(state_dir, tag)
+        else:
+            shutil.rmtree(os.path.join(staging, tag), ignore_errors=True)
+
+
 def incremental_corpus_ingest(
     new_docs: DataFrame,
     state_dir: str,
@@ -979,6 +1043,22 @@ def incremental_corpus_ingest(
     and the span stage is batch-local — duplicate spans across batches
     are not retroactively scrubbed from already-shipped docs. Both are
     inherent to any no-reprocessing ingest, not implementation choices.
+
+    CRASH SAFETY (ADVICE r14): the three state appends commit
+    atomically as one batch. All outputs are staged under
+    ``state_dir/staging/<tag>`` (tag = content-derived digest of the
+    batch, so a retry resumes the SAME commit), a marker file in
+    ``state_dir/_commits`` is created only after staging completes, and
+    the staged part-files are then renamed into the flat tables under
+    collision-free tag-prefixed names. Entry runs a recovery scan
+    first: a staged batch WITH a marker is finish-published, one
+    WITHOUT is discarded. A crash anywhere therefore yields either
+    "nothing committed" (retry re-stages) or "fully committed" (retry
+    detects the marker and appends nothing) — never the half-committed
+    state where corpus rows were served without their blocking digests.
+    Single-writer protocol; renames are atomic on local/HDFS
+    filesystems (object stores should gate reads on the marker
+    instead).
     """
     import os
 
@@ -994,7 +1074,13 @@ def incremental_corpus_ingest(
     spark = new_docs.sparkSession
     keys_path = os.path.join(state_dir, "keys")
     sigs_path = os.path.join(state_dir, "sigs")
-    corpus_path = os.path.join(state_dir, "corpus")
+    # Finish or discard any crashed prior attempt BEFORE reading state:
+    # a committed-but-half-published batch may have corpus rows on disk
+    # whose blocking digests haven't landed in keys/ yet.
+    _recover_ingest_state(state_dir)
+    tag = _ingest_batch_tag(new_docs, url_col)
+    marker = os.path.join(state_dir, "_commits", tag)
+    committed = os.path.exists(marker)
     has_keys = os.path.exists(os.path.join(keys_path, "_SUCCESS"))
     has_sigs = os.path.exists(os.path.join(sigs_path, "_SUCCESS"))
     keys = (
@@ -1079,12 +1165,23 @@ def incremental_corpus_ingest(
         .distinct()
     )
     # WRITE ORDER MATTERS: the output (whose lineage reads keys_path /
-    # sigs_path lazily) materializes FIRST; only then do the state
-    # appends land. Appending keys before the batch's own anti-joins
-    # ran would make d1 re-read a keys table that already contains this
-    # batch's digests and silently drop every row. canon is re-derived
-    # for the url keys — it reads only the new batch, never state.
-    out.write.mode("append").parquet(corpus_path)
-    sigs_new.write.mode("append").parquet(sigs_path)
-    new_keys.write.mode("append").parquet(keys_path)
+    # sigs_path lazily) materializes FIRST (the staging write triggers
+    # its localCheckpoint); only then do the state mutations land.
+    # canon is re-derived for the url keys — it reads only the new
+    # batch, never state. All three writes go to staging and publish
+    # atomically behind the commit marker (see CRASH SAFETY above).
+    if committed:
+        # This exact batch already committed in a previous attempt —
+        # appending again would duplicate state. The returned frame is
+        # still meaningful (the anti-joins against the committed keys
+        # make it the already-ingested answer: empty for a pure retry).
+        return out
+    stage = os.path.join(state_dir, "staging", tag)
+    out.write.mode("overwrite").parquet(os.path.join(stage, "corpus"))
+    sigs_new.write.mode("overwrite").parquet(os.path.join(stage, "sigs"))
+    new_keys.write.mode("overwrite").parquet(os.path.join(stage, "keys"))
+    os.makedirs(os.path.dirname(marker), exist_ok=True)
+    with open(marker, "w") as fh:
+        fh.write(tag)
+    _publish_staged(state_dir, tag)
     return out

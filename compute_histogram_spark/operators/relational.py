@@ -29,7 +29,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
-from ..plans.broadcast_gate import broadcast_if_fits, counted_rows
+from ..plans.broadcast_gate import broadcast_if_fits, counted_rows, fits
 
 
 def cents(col: Column | str) -> Column:
@@ -60,7 +60,13 @@ def pricing_summary(lineitem: DataFrame, cutoff: str = "1998-09-02") -> DataFram
             (F.sum("qc") / 100.0).alias("sum_qty"),
             (F.sum("pc") / 100.0).alias("sum_base_price"),
             (F.sum("disc_pc") / 10000.0).alias("sum_disc_price"),
-            (F.sum("charge_pc") / 1000000.0).alias("sum_charge"),
+            # charge_pc is ~1e11 per row (pc ~1e7 x 100 x 100), so a
+            # per-group int64 sum wraps silently a little past sf100
+            # (~5e18 measured there; ADVICE r14). decimal(38,0) keeps
+            # the sum exact to ~1e38; disc_pc (~1e9/row) and pc keep
+            # int64 headroom to ~sf10000 and are left on the fast path.
+            (F.sum(F.col("charge_pc").cast("decimal(38,0)"))
+             / 1000000.0).alias("sum_charge"),
             (F.sum("qc") / F.count(F.lit(1)) / 100.0).alias("avg_qty"),
             (F.sum("pc") / F.count(F.lit(1)) / 100.0).alias("avg_price"),
             (F.sum("dc") / F.count(F.lit(1)) / 100.0).alias("avg_disc"),
@@ -97,7 +103,13 @@ def pricing_summary_projected(
             (F.sum("qc") / 100.0).alias("sum_qty"),
             (F.sum("pc") / 100.0).alias("sum_base_price"),
             (F.sum("disc_pc") / 10000.0).alias("sum_disc_price"),
-            (F.sum("charge_pc") / 1000000.0).alias("sum_charge"),
+            # charge_pc is ~1e11 per row (pc ~1e7 x 100 x 100), so a
+            # per-group int64 sum wraps silently a little past sf100
+            # (~5e18 measured there; ADVICE r14). decimal(38,0) keeps
+            # the sum exact to ~1e38; disc_pc (~1e9/row) and pc keep
+            # int64 headroom to ~sf10000 and are left on the fast path.
+            (F.sum(F.col("charge_pc").cast("decimal(38,0)"))
+             / 1000000.0).alias("sum_charge"),
             (F.sum("qc") / F.count(F.lit(1)) / 100.0).alias("avg_qty"),
             (F.sum("pc") / F.count(F.lit(1)) / 100.0).alias("avg_price"),
             (F.sum("dc") / F.count(F.lit(1)) / 100.0).alias("avg_disc"),
@@ -2071,7 +2083,7 @@ def market_share_bucketed(
         .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
         .select("s_suppkey", F.col("r_name").alias("supp_region"))
     )
-    mkt_c = broadcast_if_fits(
+    mkt_c_raw = (
         customer.join(
             F.broadcast(nation),
             customer["c_nationkey"] == nation["n_nationkey"],
@@ -2080,9 +2092,18 @@ def market_share_bucketed(
         .where(F.col("r_name") == market_region)
         .select("c_custkey")
     )
+    mkt_fits = fits(mkt_c_raw)
+    mkt_c = F.broadcast(mkt_c_raw) if mkt_fits else mkt_c_raw
     o = orders.join(
         mkt_c, orders["o_custkey"] == mkt_c["c_custkey"], "left_semi"
     ).select("o_orderkey", "o_orderdate")
+    if not mkt_fits:
+        # ADVICE r14: when the gate declines the customer slice, o is a
+        # data-scaled intermediate whose static estimate the planner can
+        # misjudge small enough to broadcast (the misplan class
+        # tools/plan_audit.py catches). Pin the fact join to the
+        # bucket-local sort-merge the layout exists for.
+        o = o.hint("merge")
     j = (
         lineitem.join(p, lineitem["l_partkey"] == p["p_partkey"])
         .join(geo_s, lineitem["l_suppkey"] == geo_s["s_suppkey"])

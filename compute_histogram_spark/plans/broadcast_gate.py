@@ -51,7 +51,24 @@ DEFAULT_BUDGET_BYTES = 256 * 1024 * 1024
 
 # (semanticHash) -> counted rows; process-lifetime, bounded by the
 # number of distinct gated plans (a handful per session).
+#
+# HAZARD (ADVICE r14, documented single-session contract): the key is
+# the LOGICAL plan, so if the files under the same path change within
+# one session (appends, regenerated testdata) a stale smaller count can
+# admit a now-oversized slice; a 32-bit semanticHash collision would
+# silently reuse the wrong count. Both are accepted risks for a cache
+# whose entries are a handful of dimension slices: the driver protocol
+# runs one sf_dir per process, and layouts are write-once. Call
+# :func:`invalidate_count_cache` after mutating data a gated plan
+# reads. The budget's 256 MiB headroom (vs multi-GiB executors) bounds
+# the blast radius of a stale admit.
 _COUNT_CACHE: dict[int, int] = {}
+
+
+def invalidate_count_cache() -> None:
+    """Drop all cached slice counts (call after in-session data
+    mutation under a path a gated plan reads)."""
+    _COUNT_CACHE.clear()
 
 
 def est_row_bytes(df: DataFrame) -> int:
@@ -82,6 +99,22 @@ def counted_rows(df: DataFrame) -> int:
     return n
 
 
+def fits(
+    df: DataFrame,
+    budget_bytes: int | None = None,
+    known_rows: int | None = None,
+) -> bool:
+    """The gate's decision alone — for callers that must also adjust a
+    DOWNSTREAM join hint when the slice is declined (ADVICE r14:
+    market_share_bucketed needs the plain form's shuffle-hash/merge
+    fallback on the orders intermediate when mkt_c doesn't broadcast,
+    or the static estimator can re-introduce the misplan the gate
+    exists to prevent)."""
+    budget = gate_budget_bytes() if budget_bytes is None else budget_bytes
+    n = counted_rows(df) if known_rows is None else known_rows
+    return n * est_row_bytes(df) <= budget
+
+
 def broadcast_if_fits(
     df: DataFrame,
     budget_bytes: int | None = None,
@@ -94,8 +127,6 @@ def broadcast_if_fits(
     slice that feeds it) instead of triggering a second count — pass it
     ONLY when it is a genuine upper bound on ``df``'s row count.
     """
-    budget = gate_budget_bytes() if budget_bytes is None else budget_bytes
-    n = counted_rows(df) if known_rows is None else known_rows
-    if n * est_row_bytes(df) <= budget:
+    if fits(df, budget_bytes, known_rows):
         return F.broadcast(df)
     return df

@@ -161,9 +161,11 @@ def write_layout(
     ``derive`` maps table -> {column_name: Column} of DERIVED columns
     materialized at write time (r14, the cents-projection trade folded
     into the bucketed family: per-run expression chains over columns
-    that never change move into the one-time write). Derived names join
-    the layout tag, so changing them builds a NEW layout instead of
-    silently reusing one without the columns."""
+    that never change move into the one-time write). Derived names AND
+    the canonical string of each derive expression join the layout tag
+    (ADVICE r14: names alone would silently reuse a stale table with
+    old stored values when an expression changes under the same name),
+    so any derive change builds a NEW layout."""
     import hashlib
     import os
 
@@ -174,7 +176,8 @@ def write_layout(
     for tbl, key in tables_keys:
         extra = (derive or {}).get(tbl, {})
         dtag = ("" if not extra
-                else ":" + ",".join(sorted(extra)))
+                else ":" + ",".join(
+                    f"{c}={extra[c]}" for c in sorted(extra)))
         tag = hashlib.md5(
             f"{os.path.abspath(sf_dir)}:{key}:{buckets}{dtag}".encode()
         ).hexdigest()[:10]

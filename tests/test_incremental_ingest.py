@@ -116,3 +116,86 @@ def test_ingest_never_reads_the_corpus(spark, sf_dir, state):
     )
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "corpus_state/corpus" not in plan, plan
+
+
+def _two_docs(spark, ids_and_texts):
+    return spark.createDataFrame(
+        [Row(doc_id=i, text=t, uri=f"http://x.example/{i}")
+         for i, t in ids_and_texts]
+    )
+
+
+_T1 = ("a long enough first document about the calibration of orbital "
+       "spectrometers during quiet tuesday afternoon maintenance shifts")
+_T2 = ("a second, unrelated long document on the economics of medieval "
+       "salt trading routes across the western alpine mountain passes")
+_T3 = ("a third document describing the migratory patterns of arctic "
+       "terns and the surveying instruments used to follow them at night")
+_T4 = ("a fourth document on the statistical properties of rolling-hash "
+       "document fingerprints under adversarial token substitutions")
+
+
+def test_crash_mid_publish_recovers_exactly_once(spark, state, monkeypatch):
+    """The ADVICE r14 window: corpus part-files published, blocking
+    digests NOT yet in keys/, process dies. The retry must (a) finish
+    the committed publish at entry and (b) append nothing again —
+    exactly-once, no duplicate corpus rows, no unguarded digests."""
+    import glob
+    import os
+
+    w = demo_weights(spark)
+    b1_out = PL.incremental_corpus_ingest(
+        _two_docs(spark, [(1, _T1), (2, _T2)]), state, w
+    )
+    ids1 = {r["doc_id"] for r in b1_out.select("doc_id").collect()}
+    b2 = _two_docs(spark, [(10, _T3), (11, _T4)])
+
+    def half_publish(state_dir, tag):
+        stage = os.path.join(state_dir, "staging", tag)
+        dst = os.path.join(state_dir, "corpus")
+        os.makedirs(dst, exist_ok=True)
+        for f in sorted(glob.glob(os.path.join(stage, "corpus", "part-*"))):
+            os.rename(f, os.path.join(dst, f"{tag}-{os.path.basename(f)}"))
+        raise RuntimeError("simulated crash mid-publish")
+
+    monkeypatch.setattr(PL, "_publish_staged", half_publish)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        PL.incremental_corpus_ingest(b2, state, w)
+    monkeypatch.undo()
+
+    # the half-published state is live on disk: corpus has batch-2 rows,
+    # keys does not have their digests yet
+    assert len(glob.glob(os.path.join(state, "staging", "*"))) == 1
+
+    retry = PL.incremental_corpus_ingest(b2, state, w)
+    assert retry.count() == 0  # marker says committed; nothing re-appended
+    corpus = spark.read.parquet(state + "/corpus")
+    assert corpus.count() == corpus.dropDuplicates(["doc_id"]).count()
+    assert {r["doc_id"] for r in corpus.select("doc_id").collect()} == (
+        ids1 | {10, 11}
+    )
+    keys = spark.read.parquet(state + "/keys")
+    assert keys.count() == keys.distinct().count()
+    assert glob.glob(os.path.join(state, "staging", "*")) == []  # drained
+    # batch-2 digests now block future copies (the hazard being fixed)
+    copy = _two_docs(spark, [(20, _T3)])
+    assert PL.incremental_corpus_ingest(copy, state, w).count() == 0
+
+
+def test_uncommitted_staging_is_discarded(spark, state):
+    """A staged batch with NO commit marker never happened: entry
+    discards it instead of publishing garbage."""
+    import os
+
+    w = demo_weights(spark)
+    # _T2/_T3 both clear the quality gate (_T1 scores 0.4967 < 0.5)
+    PL.incremental_corpus_ingest(_two_docs(spark, [(1, _T2)]), state, w)
+    junk = os.path.join(state, "staging", "deadbeefdeadbeef")
+    os.makedirs(os.path.join(junk, "corpus"))
+    with open(os.path.join(junk, "corpus", "part-bogus"), "w") as fh:
+        fh.write("not parquet")
+    out = PL.incremental_corpus_ingest(_two_docs(spark, [(2, _T3)]),
+                                       state, w)
+    assert out.count() == 1
+    assert not os.path.exists(junk)
+    assert spark.read.parquet(state + "/corpus").count() == 2
