@@ -598,6 +598,49 @@ def local_supplier_revenue_bucketed(
         F.broadcast(supp), lineitem["l_suppkey"] == supp["s_suppkey"]
     ).select("l_orderkey", "l_extendedprice", "l_discount", "s_nationkey")
     # the bucket-local fact join: single key, co-bucketed, co-sorted
+    # r15, GATE + LAYOUT COMPOSITION: the region's customer slice with
+    # n_name attached is ~88 B/row and legitimately exceeds the 256 MiB
+    # gate budget at sf100 (r14 adjudication) — but the JOIN only needs
+    # the two bigint KEYS (~40 B/row, ~120 MB at sf100). Gate the
+    # narrow key slice; when it fits:
+    #  - its custkey projection SEMI-joins into orders BEFORE the
+    #    bucket-local merge (broadcast semi preserves the bucketing),
+    #    so the merge emits only region-customer orders (~1/|regions|)
+    #    and the pair join downstream probes ~24M rows, not ~120M;
+    #  - the custkey pair join is a map-side broadcast;
+    #  - the aggregate groups by the bounded s_nationkey and n_name
+    #    attaches AFTER the agg from the broadcast nation slice (1:1
+    #    on nationkey — value-identical to grouping by name).
+    # Measured warm fresh-JVM at sf100: 16.08 (r14 layout form) ->
+    # 13.12 (keys broadcast alone) -> 7.70 s (plus orders semi,
+    # 1.65x the comparator). Gate declined -> the r13 shape: AQE
+    # picks the strategy for the wide slice join.
+    cust_keys = customer.join(
+        F.broadcast(nat), customer["c_nationkey"] == nat["n_nationkey"]
+    ).select("c_custkey", "c_nationkey")
+    if fits(cust_keys):
+        ords = orders.join(
+            F.broadcast(cust_keys.select("c_custkey")),
+            orders["o_custkey"] == F.col("c_custkey"),
+            "left_semi",
+        )
+        facts = ords.join(
+            li, ords["o_orderkey"] == li["l_orderkey"]
+        ).select("o_custkey", "s_nationkey", "l_extendedprice", "l_discount")
+        agg = (
+            facts.join(
+                F.broadcast(cust_keys),
+                (facts["o_custkey"] == cust_keys["c_custkey"])
+                & (facts["s_nationkey"] == cust_keys["c_nationkey"]),
+            )
+            .groupBy("s_nationkey")
+            .agg((F.sum(disc_pc) / 10000.0).alias("revenue"))
+        )
+        return (
+            agg.join(F.broadcast(nat), agg["s_nationkey"] == nat["n_nationkey"])
+            .select("n_name", "revenue")
+            .orderBy(F.desc("revenue"), F.asc("n_name"))
+        )
     facts = orders.join(
         li, orders["o_orderkey"] == li["l_orderkey"]
     ).select("o_custkey", "s_nationkey", "l_extendedprice", "l_discount")
@@ -698,18 +741,53 @@ def shipping_priority_bucketed(
     Exchange (plan-asserted in tests/test_bucketing.py; top-k is
     TakeOrdered, no sort shuffle).
 
-    FACT-FIRST join order, the Q5-bucketed lesson: the customer join
-    comes AFTER the bucket-local fact join, on its narrow projected
-    output, so a custkey shuffle can never land on orders before the
-    bucketing pays off. The segment-filtered customer is data-scaled,
-    so its join strategy stays AQE's stats-based choice (it broadcasts
-    while small, shuffles the narrow fact projection beyond) — never
-    force-broadcast a table that grows with the data."""
+    r15, GATE + LAYOUT COMPOSITION, JOIN-FIRST (the composition that
+    took Q7 to 0.90x in r14, plus a measured inversion of the r13
+    pre-aggregation): the segment slice is a single-bigint-column
+    projection of customer (~1/|segments| of the dim; sf100 ~3M rows,
+    ~72 MB est), so it rides the cardinality gate and broadcasts as a
+    SEMI join into orders BEFORE the fact join — broadcast semi
+    preserves orders' bucketed distribution, so zero orderkey Exchange.
+
+    The r13 lineitem pre-aggregation is DROPPED on this path, by sf100
+    measurement: Q3's shipdate filter keeps ~150M of 600M lines but
+    ~134M distinct orderkeys — compression ~1.1x, so the 134M-group
+    hash table was pure overhead AND aggregated lines for every
+    orderkey when only ~10% survive the segment+date semi-join.
+    Joining first, the bucket-local merge emits ~13M rows and the
+    aggregate hashes those alone: 15.4 -> 13.7 s (composition only)
+    -> 7.65 s (join-first), warm fresh-JVM. Pre-aggregation stays
+    correct for HIGH-compression shapes (Q4/Q18's full-table
+    per-order aggs); this records that it is filter-selectivity-,
+    not shape-, driven. Gate declined (the slice is data-scaled) ->
+    the r13 pre-agg form: without the broadcast, a custkey exchange
+    would land on orders before the bucketing pays off."""
     orders = spark.table(orders_table)
     lineitem = spark.table(lineitem_table)
     cust = customer.where(F.col("c_mktsegment") == segment).select("c_custkey")
-    ords = orders.where(F.col("o_orderdate") < F.lit(cutoff).cast("timestamp"))
     disc_pc = cents("l_extendedprice") * (100 - cents("l_discount"))
+    ords = orders.where(F.col("o_orderdate") < F.lit(cutoff).cast("timestamp"))
+    if fits(cust):
+        ords = ords.join(
+            F.broadcast(cust), ords["o_custkey"] == cust["c_custkey"],
+            "left_semi",
+        )
+        li = lineitem.where(
+            F.col("l_shipdate") > F.lit(cutoff).cast("timestamp")
+        ).select("l_orderkey", "l_extendedprice", "l_discount")
+        j = ords.join(li, ords["o_orderkey"] == li["l_orderkey"]).select(
+            "l_orderkey", "o_orderdate", "o_orderpriority",
+            disc_pc.alias("pc"),
+        )
+        return (
+            j.groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+            .agg((F.sum("pc") / 10000.0).alias("revenue"))
+            .select(
+                "l_orderkey", "o_orderdate", "o_orderpriority", "revenue"
+            )
+            .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+            .limit(k)
+        )
     li = (
         lineitem.where(F.col("l_shipdate") > F.lit(cutoff).cast("timestamp"))
         .groupBy("l_orderkey")
@@ -1821,6 +1899,59 @@ def supplier_part_counts(
     j = lineitem.select("l_partkey", "l_suppkey").join(
         bad, lineitem["l_suppkey"] == bad["s_suppkey"], "left_anti"
     ).join(p_id.hint("SHUFFLE_HASH"), F.col("l_partkey") == p_id["p_partkey"])
+    counts = j.groupBy("class_id").agg(
+        F.countDistinct("l_suppkey").alias("supplier_cnt")
+    )
+    return (
+        counts.join(F.broadcast(classes), "class_id")
+        .select("p_brand", "p_type", "p_size", "supplier_cnt")
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+def supplier_part_counts_bucketed(
+    spark,
+    lineitem_table: str,
+    part_table: str,
+    supplier: DataFrame,
+    excluded_brand: str = "Brand#1",
+    min_acctbal: float = 1000.0,
+) -> DataFrame:
+    """:func:`supplier_part_counts` (Q16) on the PARTKEY fact layout
+    (sources/bucketing.py:write_partkey_layout, r15 — VERDICT r14 #4):
+    the one data-scaled exchange in the plain plan is the 600M-row
+    lineitem shuffle into the part join (sf100: 93.9 s warm, the
+    largest remaining row). Co-bucketed on partkey, that join is
+    bucket-local sort-merge — both broadcast prunes (the acctbal anti
+    join, the class-id attach) preserve the streamed side's bucketing
+    and sort order, so the scan-to-join pipeline carries ZERO Exchange
+    and ZERO Sort (plan-asserted in tests/test_bucketing.py). The only
+    shuffle left is the distinct (class_id, suppkey) pair exchange —
+    Q16's structural floor (~59M two-int rows at sf100). No
+    SHUFFLE_HASH hint here: the hint exists in the plain form to skip
+    SMJ sorts that the layout's sortBy already provides."""
+    lineitem = spark.table(lineitem_table)
+    part = spark.table(part_table)
+    bad = broadcast_if_fits(
+        supplier.where(F.col("s_acctbal") < min_acctbal).select("s_suppkey")
+    )
+    p = part.where(F.col("p_brand") != excluded_brand).select(
+        "p_partkey", "p_brand", "p_type", "p_size"
+    )
+    classes = (
+        p.select("p_brand", "p_type", "p_size")
+        .distinct()
+        .withColumn(
+            "class_id",
+            F.row_number().over(Window.orderBy("p_brand", "p_type", "p_size")),
+        )
+    )
+    p_id = p.join(F.broadcast(classes), ["p_brand", "p_type", "p_size"]).select(
+        "p_partkey", "class_id"
+    )
+    j = lineitem.select("l_partkey", "l_suppkey").join(
+        bad, lineitem["l_suppkey"] == bad["s_suppkey"], "left_anti"
+    ).join(p_id, F.col("l_partkey") == p_id["p_partkey"])
     counts = j.groupBy("class_id").agg(
         F.countDistinct("l_suppkey").alias("supplier_cnt")
     )

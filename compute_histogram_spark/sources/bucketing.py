@@ -77,6 +77,30 @@ def write_q5_layout(
     return names["orders"], names["lineitem"]
 
 
+def write_partkey_layout(
+    spark: SparkSession,
+    sf_dir: str,
+    buckets: int = 32,
+    database: str | None = None,
+) -> tuple[str, str]:
+    """Write lineitem + part as same-bucketed, key-sorted catalog tables
+    for exchange-free PARTKEY joins (r15, VERDICT r14 #4 — the layout
+    attack on Q16, the largest remaining sf100 row): the orderkey
+    family cannot help Q16, whose one data-scaled exchange is the
+    600M-row lineitem shuffle into the part join. Partkey-bucketed,
+    that join is bucket-local and the partial distinct over
+    (class_id, suppkey) runs inside the bucket — the only shuffle left
+    is the ~59M distinct-pair exchange, Q16's structural floor (the
+    subset-key pattern that carried Q21/Q18/Q10 on the orderkey
+    family)."""
+    names = write_layout(
+        spark, sf_dir,
+        (("lineitem", "l_partkey"), ("part", "p_partkey")),
+        buckets, database,
+    )
+    return names["lineitem"], names["part"]
+
+
 def write_custkey_layout(
     spark: SparkSession,
     sf_dir: str,
