@@ -417,11 +417,18 @@ def _userkey_layout_served(s, d, which):
 
     key = ("uklayout", d)
     if key not in _IDX_CACHE:
+        from compute_histogram_spark.operators.behavior import _week_key
+
         db = "bench_uk_" + hashlib.md5(d.encode()).hexdigest()[:10]
         s.sql(f"CREATE DATABASE IF NOT EXISTS {db} LOCATION '/tmp/{db}_wh'")
+        # r15: materialize the epoch-week at write time (the tp_c
+        # derived-column precedent) — cohort's per-run timestamp
+        # decode + div chain was the layout row's remaining non-scan
+        # cost at sf100 (VERDICT r14 #6)
         _IDX_CACHE[key] = BK.write_layout(
             s, d, (("events", "user_id"),),
-            buckets=BK.scaled_buckets(d, table="events"), database=db
+            buckets=BK.scaled_buckets(d, table="events"), database=db,
+            derive={"events": {"wk": _week_key(load(s, d, "events"))}},
         )["events"]
     ev = s.table(_IDX_CACHE[key])
     return (BH.cohort_retention if which == "cohort"
