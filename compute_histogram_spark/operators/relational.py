@@ -1975,33 +1975,42 @@ def small_quantity_revenue(
     materializing avg as a double entirely (multiply through by the
     count instead of dividing by it).
 
-    The brand filter prunes the part dimension before both the
-    aggregate's fact scan and the final join; the per-part aggregate
-    is partkey-bounded. avg_yearly divides one exact integer sum by 7.
+    The brand filter prunes the part dimension before the fact scan
+    (the key slice rides the cardinality gate, ~1/25 of part; sf100
+    ~0.8M rows, ~19 MB est). avg_yearly divides one exact integer sum
+    by 7.
 
-    Both joins ride the cardinality gate (plans/broadcast_gate.py): the
-    1-brand key slice is ~1/25 of part (sf100: ~0.8M rows, ~19 MB est),
-    and the per-part aggregate has AT MOST that many rows — the slice
-    count is a genuine upper bound, so one count gates both sides and
-    the fact never shuffles (the groupBy partial-aggregates map-side
-    into at most |slice| groups before its one bounded exchange).
+    r15 ADOPTED (sf100 warm fresh-JVM, value-equal): the correlated
+    per-part statistics come from ONE window over the semi-filtered
+    rows instead of a groupBy re-joined to a second full fact scan —
+    7.12 -> 4.58 s (1.55x the comparator). The r14 two-scan form
+    gated both sides so the fact never shuffled, but it paid the
+    600M-row scan TWICE; the window pays one scan plus one exchange
+    of only the brand-filtered fraction (~4% of the fact — at any
+    scale, shuffling 4% beats rescanning 100%). Per-partkey window
+    state is bounded by lines-per-part (~30), skew-free; when the
+    gate ever declines the slice, the semi join's partkey exchange
+    already clusters the rows, so the window adds NO second shuffle.
     """
     p = part.where(F.col("p_brand") == brand).select("p_partkey")
-    n_p = counted_rows(p)
-    p = broadcast_if_fits(p, known_rows=n_p)
-    li = lineitem.join(p, lineitem["l_partkey"] == p["p_partkey"], "left_semi")
-    pa = li.groupBy(F.col("l_partkey").alias("pa_partkey")).agg(
-        F.sum(cents("l_quantity")).alias("sum_qty_c"),
-        F.count(F.lit(1)).alias("n_items"),
+    p = broadcast_if_fits(p, known_rows=counted_rows(p))
+    li = lineitem.join(
+        p, lineitem["l_partkey"] == p["p_partkey"], "left_semi"
+    ).select(
+        "l_partkey",
+        cents("l_quantity").alias("qty_c"),
+        cents("l_extendedprice").alias("price_c"),
     )
-    pa = broadcast_if_fits(pa, known_rows=n_p)
-    j = li.join(pa, li["l_partkey"] == pa["pa_partkey"])
+    w = Window.partitionBy("l_partkey")
+    j = li.withColumn("sum_qty_c", F.sum("qty_c").over(w)).withColumn(
+        "n_items", F.count(F.lit(1)).over(w)
+    )
     small = (
-        cents("l_quantity") * F.lit(fraction_denom) * F.col("n_items")
+        F.col("qty_c") * F.lit(fraction_denom) * F.col("n_items")
         < F.col("sum_qty_c")
     )
     return j.where(small).agg(
-        (F.sum(cents("l_extendedprice")) / 100.0 / 7.0).alias("avg_yearly"),
+        (F.sum("price_c") / 100.0 / 7.0).alias("avg_yearly"),
         F.count(F.lit(1)).alias("n_small"),
     )
 
@@ -2023,10 +2032,20 @@ def promotion_suppliers(
     q_c * n_suppliers > total_c * multiple.
 
     The structural chain is Q20's nested-IN pyramid as semi-joins:
-    part-name filter -> windowed (part, supplier) aggregate -> per-part
-    totals joined back -> qualifying supplier keys -> LEFT SEMI into
+    part-name filter -> (part, supplier) pair aggregate -> per-part
+    window totals -> qualifying supplier keys -> LEFT SEMI into
     supplier. Every data-scaled join is keyed; the name filter prunes
     the part scan with a pushed predicate.
+
+    r15 ADOPTED (sf100 warm fresh-JVM, value-equal): ONE partkey
+    repartition of the doubly-filtered fact slice (~1.9% of lineitem)
+    feeds the pair aggregate AND the per-part window — HashPartitioning
+    on partkey satisfies the (partkey, suppkey) clustering, so the pair
+    groupBy, the per-part totals, and the peer comparison all run
+    exchange-free on that one shuffle, replacing the r14 chain's
+    pair-keyed exchange + per-part aggregate + merge-hinted join-back:
+    9.44 -> 5.16 s (1.75x the comparator). Per-partkey window state is
+    bounded by suppliers-per-part, skew-free.
     """
     # the name-slice semi join rides the cardinality gate (r14):
     # sf100 ~2.5M single-key rows, ~60 MB est — map-side semi instead
@@ -2034,25 +2053,24 @@ def promotion_suppliers(
     p = broadcast_if_fits(
         part.where(F.col("p_name").contains(name_token)).select("p_partkey")
     )
-    sq = (
+    fil = (
         lineitem.where(
             (F.col("l_shipdate") >= F.lit(start).cast("timestamp"))
             & (F.col("l_shipdate") < F.lit(end).cast("timestamp"))
         )
         .join(p, lineitem["l_partkey"] == p["p_partkey"], "left_semi")
-        .groupBy("l_partkey", "l_suppkey")
-        .agg(F.sum(cents("l_quantity")).alias("q_c"))
+        .select(
+            "l_partkey", "l_suppkey", cents("l_quantity").alias("qc")
+        )
+        .repartition("l_partkey")
     )
-    pt = sq.groupBy(F.col("l_partkey").alias("pt_partkey")).agg(
-        F.sum("q_c").alias("total_c"),
-        F.count(F.lit(1)).alias("n_supp"),
+    sq = fil.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum("qc").alias("q_c")
     )
-    # pt is partkey-bounded — part is a DATA-SCALED dimension, so the
-    # static estimator's broadcast of this aggregated-subtree-with-a-
-    # shuffle is the same misplan class as the final semi join below;
-    # both stay keyed shuffles via merge hints.
+    w = Window.partitionBy("l_partkey")
     qual = (
-        sq.join(pt.hint("merge"), sq["l_partkey"] == pt["pt_partkey"])
+        sq.withColumn("total_c", F.sum("q_c").over(w))
+        .withColumn("n_supp", F.count(F.lit(1)).over(w))
         .where(
             F.col("q_c") * F.col("n_supp")
             > F.col("total_c") * F.lit(multiple)
