@@ -269,6 +269,20 @@ LOCAL_ORACLES["supplier_part_counts_layout"] = (
     registry.SUPPLIER_PART_COUNTS_ORACLE
 )
 
+# r15 (eleventh rotation): the five rotated-out rows stay in HEADLINE —
+# bench totals remain cross-round comparable; their oracles moved to
+# registry module constants + tests/test_rotated_out.py.
+LOCAL_QUERIES["asof_join"] = registry.q_asof_join
+LOCAL_QUERIES["range_band_join"] = registry.q_range_band_join
+LOCAL_QUERIES["windowed_histogram"] = registry.q_windowed_histogram
+LOCAL_QUERIES["sessionize"] = registry.q_sessionize
+LOCAL_QUERIES["conversion_funnel"] = registry.q_conversion_funnel
+LOCAL_ORACLES["asof_join"] = registry.ASOF_JOIN_ORACLE
+LOCAL_ORACLES["range_band_join"] = registry.RANGE_BAND_JOIN_ORACLE
+LOCAL_ORACLES["windowed_histogram"] = registry.WINDOWED_HISTOGRAM_ORACLE
+LOCAL_ORACLES["sessionize"] = registry.SESSIONIZE_ORACLE
+LOCAL_ORACLES["conversion_funnel"] = registry.CONVERSION_FUNNEL_ORACLE
+
 HEADLINE = [
     "histogram_linear",
     "histogram_log",

@@ -538,9 +538,10 @@ def q_json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 from compute_histogram_spark.operators import temporal as T  # noqa: E402
 
 
-@register(
-    "asof_join",
-    """
+# rotated out r15 (eleventh wave, for the staged streaming/TPC-H twins)
+# — driver-green r02-r14 (13 rounds); oracle kept verbatim for
+# tests/test_rotated_out.py.
+ASOF_JOIN_ORACLE = """
     WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS tsu FROM events),
     o AS (
         SELECT o_orderkey, o_custkey, epoch_us(o_orderdate) AS odu, o_totalprice
@@ -562,8 +563,9 @@ from compute_histogram_spark.operators import temporal as T  # noqa: E402
            odu AS asof_order_us,
            o_totalprice AS asof_totalprice
     FROM j WHERE rn = 1 ORDER BY event_id
-    """,
-)
+    """
+
+
 def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Spark plan is union+carry-forward (ONE shuffle, no range fan-out); the
     # oracle is the O(pairs) range-join argmax — same semantics, different
@@ -573,9 +575,9 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "range_band_join",
-    f"""
+# rotated out r15 (eleventh wave) — driver-green r02-r14; oracle kept
+# verbatim for tests/test_rotated_out.py.
+RANGE_BAND_JOIN_ORACLE = f"""
     WITH bands(band, lo, hi) AS (
         VALUES {", ".join(f"('{b}', {lo}, {hi})" for b, lo, hi in T.VALUE_BANDS)}
     )
@@ -585,8 +587,9 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
     WHERE value IS NOT NULL AND NOT isnan(value)
     GROUP BY band, b.lo ORDER BY b.lo
-    """,
-)
+    """
+
+
 def q_range_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.events_by_band(load(spark, sf_dir, "events"))
 
@@ -603,9 +606,9 @@ def q_range_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ts is epoch-nanos BIGINT in Spark; both engines agree at micros precision.
 # ---------------------------------------------------------------------------
 
-@register(
-    "windowed_histogram",
-    """
+# rotated out r15 (eleventh wave) — driver-green r02-r14; oracle kept
+# verbatim for tests/test_rotated_out.py.
+WINDOWED_HISTOGRAM_ORACLE = """
     SELECT (epoch_us(ts) // 600000000) * 600 AS window_start_s,
            CAST(floor(value / 50.0) AS BIGINT) AS bin,
            CAST(floor(value / 50.0) AS BIGINT) * 50.0 AS bin_value,
@@ -613,8 +616,9 @@ def q_range_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM events
     WHERE value IS NOT NULL AND NOT isnan(value)
     GROUP BY 1, 2, 3 ORDER BY 1, 2
-    """,
-)
+    """
+
+
 def q_windowed_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return W.windowed_histogram(load(spark, sf_dir, "events"))
 
@@ -643,9 +647,10 @@ def q_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return W.click_attribution(load(spark, sf_dir, "events"))
 
 
-@register(
-    "sessionize",
-    """
+# rotated out r15 (eleventh wave) — driver-green r02-r14; oracle kept
+# verbatim for tests/test_rotated_out.py (the salted variant's shared
+# oracle at q_sessionize_salted stays pointing here).
+SESSIONIZE_ORACLE = """
     WITH t AS (SELECT user_id, event_id, epoch_us(ts) AS tsu FROM events),
     l AS (
         SELECT *, lag(tsu) OVER (PARTITION BY user_id ORDER BY tsu, event_id) AS prev
@@ -666,8 +671,9 @@ def q_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
            min(tsu) AS start_us, max(tsu) AS end_us,
            (max(tsu) - min(tsu)) / 1000000 AS duration_s
     FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id
-    """,
-)
+    """
+
+
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return W.sessionize(load(spark, sf_dir, "events"))
 
@@ -1541,9 +1547,9 @@ def q_histogram_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
     return PR.histogram_2d(load(spark, sf_dir, "events"))
 
 
-@register(
-    "conversion_funnel",
-    """
+# rotated out r15 (eleventh wave) — driver-green r02-r14; oracle kept
+# verbatim for tests/test_rotated_out.py.
+CONVERSION_FUNNEL_ORACLE = """
     WITH per_user AS (
         SELECT user_id,
                min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS t0,
@@ -1563,8 +1569,9 @@ def q_histogram_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
     UNION ALL SELECT 1, 'click', n1, CAST(n1 AS DOUBLE) / n0 FROM c
     UNION ALL SELECT 2, 'purchase', n2, CAST(n2 AS DOUBLE) / n0 FROM c
     ORDER BY stage_idx
-    """,
-)
+    """
+
+
 def q_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     from compute_histogram_spark.operators import behavior as BH
 
@@ -3635,6 +3642,7 @@ WAITING_SUPPLIERS_ORACLE = """
     """
 
 
+@register("waiting_suppliers", WAITING_SUPPLIERS_ORACLE)  # rotated IN r15 (11th wave)
 def q_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return R.waiting_suppliers(
         load(spark, sf_dir, "orders"),
@@ -3686,6 +3694,7 @@ CUSTOMER_ORDER_DIST_ORACLE = """
     """
 
 
+@register("customer_order_distribution", CUSTOMER_ORDER_DIST_ORACLE)  # rotated IN r15 (11th wave)
 def q_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return R.customer_order_distribution(
         load(spark, sf_dir, "customer"), load(spark, sf_dir, "orders")
@@ -4488,6 +4497,7 @@ STREAMING_EXACT_DEDUP_ORACLE = """
     """
 
 
+@register("streaming_exact_dedup", STREAMING_EXACT_DEDUP_ORACLE)  # rotated IN r15 (11th wave)
 def q_streaming_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from compute_histogram_spark.streaming import stream_ops as SO
 
@@ -4552,6 +4562,7 @@ STREAMING_DRIFT_ORACLE = """
     """
 
 
+@register("streaming_drift", STREAMING_DRIFT_ORACLE)  # rotated IN r15 (11th wave)
 def q_streaming_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     from compute_histogram_spark.streaming import stream_ops as SO
 
@@ -4586,6 +4597,7 @@ STREAMING_NORM_DEDUP_ORACLE = """
     """
 
 
+@register("streaming_norm_dedup", STREAMING_NORM_DEDUP_ORACLE)  # rotated IN r15 (11th wave)
 def q_streaming_norm_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from compute_histogram_spark.streaming import stream_ops as SO
 

@@ -670,3 +670,46 @@ def test_doc_perplexity_oracle(spark, sf_dir, con):
 
     _check("doc_perplexity", q_doc_perplexity(spark, sf_dir), con,
            DOC_PERPLEXITY_ORACLE)
+
+
+# ---------------------------------------------------------------------------
+# eleventh rotation (r15): asof_join / range_band_join /
+# windowed_histogram / sessionize / conversion_funnel left the window for
+# the staged streaming + TPC-H twins; oracles preserved verbatim as
+# registry module constants.
+# ---------------------------------------------------------------------------
+
+
+def test_asof_join_oracle(spark, sf_dir, con):
+    from compute_histogram_spark import registry as RG
+
+    _check("asof_join", RG.q_asof_join(spark, sf_dir), con,
+           RG.ASOF_JOIN_ORACLE)
+
+
+def test_range_band_join_oracle(spark, sf_dir, con):
+    from compute_histogram_spark import registry as RG
+
+    _check("range_band_join", RG.q_range_band_join(spark, sf_dir), con,
+           RG.RANGE_BAND_JOIN_ORACLE)
+
+
+def test_windowed_histogram_oracle(spark, sf_dir, con):
+    from compute_histogram_spark import registry as RG
+
+    _check("windowed_histogram", RG.q_windowed_histogram(spark, sf_dir),
+           con, RG.WINDOWED_HISTOGRAM_ORACLE)
+
+
+def test_sessionize_oracle(spark, sf_dir, con):
+    from compute_histogram_spark import registry as RG
+
+    _check("sessionize", RG.q_sessionize(spark, sf_dir), con,
+           RG.SESSIONIZE_ORACLE)
+
+
+def test_conversion_funnel_oracle(spark, sf_dir, con):
+    from compute_histogram_spark import registry as RG
+
+    _check("conversion_funnel", RG.q_conversion_funnel(spark, sf_dir),
+           con, RG.CONVERSION_FUNNEL_ORACLE)
