@@ -269,6 +269,18 @@ LOCAL_ORACLES["supplier_part_counts_layout"] = (
     registry.SUPPLIER_PART_COUNTS_ORACLE
 )
 
+# r15: the adopted orderkey-layout forms of Q8/Q9 get probe names (the
+# r14 addendum measured them ad-hoc; weakclass/tpch sweeps need stable
+# labels)
+LOCAL_QUERIES["market_share_layout"] = (
+    lambda spark, d: _orderkey_layout_served(spark, d, "q8")
+)
+LOCAL_QUERIES["product_type_profit_layout"] = (
+    lambda spark, d: _orderkey_layout_served(spark, d, "q9")
+)
+LOCAL_ORACLES["market_share_layout"] = registry.MARKET_SHARE_ORACLE
+LOCAL_ORACLES["product_type_profit_layout"] = registry.PRODUCT_PROFIT_ORACLE
+
 # r15 (eleventh rotation): the five rotated-out rows stay in HEADLINE —
 # bench totals remain cross-round comparable; their oracles moved to
 # registry module constants + tests/test_rotated_out.py.
@@ -414,6 +426,16 @@ def _orderkey_layout_served(s, d, which):
         return R.returned_item_customers_bucketed(
             s, ot, lt, load(s, d, "customer"), load(s, d, "nation")
         )
+    if which == "q8":
+        return R.market_share_bucketed(
+            s, ot, lt, load(s, d, "customer"), load(s, d, "supplier"),
+            load(s, d, "part"), load(s, d, "nation"), load(s, d, "region"),
+        )
+    if which == "q9":
+        return R.product_type_profit_orderkey(
+            s, ot, lt, load(s, d, "supplier"), load(s, d, "part"),
+            load(s, d, "nation"),
+        )
     return R.late_order_priority_bucketed(s, ot, lt)
 
 
@@ -445,7 +467,7 @@ def _userkey_layout_served(s, d, which):
             derive={"events": {"wk": _week_key(load(s, d, "events"))}},
         )["events"]
     ev = s.table(_IDX_CACHE[key])
-    return (BH.cohort_retention if which == "cohort"
+    return (BH.cohort_retention_clustered if which == "cohort"
             else BH.event_transitions)(ev)
 
 

@@ -131,6 +131,36 @@ def cohort_retention(events: DataFrame) -> DataFrame:
     )
 
 
+def cohort_retention_clustered(events: DataFrame) -> DataFrame:
+    """:func:`cohort_retention` for input ALREADY clustered on user_id
+    (the bench user_id events layout): the pre-r13 distinct -> min ->
+    join chain, which on raw parquet costs three fact shuffles (the
+    r13 rejection), runs ENTIRELY exchange-free here — distinct
+    (user, wk), the per-user min, and the join back all cluster on a
+    superset of the bucket key, so only the bounded (cohort, week)
+    aggregate exchanges. It also swaps the collect_set OBJECT
+    aggregate for codegen'd hash aggregates: sf100 warm 1.85 -> 1.45 s
+    (value-equal; the layout row's measured floor — the scan alone is
+    0.65 s). Do NOT use on unclustered input."""
+    per = (
+        events.select("user_id", "wk")
+        if "wk" in events.columns
+        else events.select("user_id", _week_key(events))
+    ).where(F.col("wk").isNotNull()).distinct()
+    coh = per.groupBy("user_id").agg(F.min("wk").alias("cwk"))
+    j = per.join(coh, "user_id")
+    return (
+        j.groupBy("cwk", "wk")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .select(
+            (F.col("cwk") * 7 * 86_400).alias("cohort_week_start_s"),
+            (F.col("wk") - F.col("cwk")).cast("int").alias("week_offset"),
+            "n_users",
+        )
+        .orderBy("cohort_week_start_s", "week_offset")
+    )
+
+
 def event_transitions(events: DataFrame) -> DataFrame:
     """Event-type transition matrix: for each user's time-ordered stream,
     count (event_type -> next event_type) steps — the Markov-chain view of

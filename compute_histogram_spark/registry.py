@@ -1906,12 +1906,20 @@ def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     incumbent carry-the-text 7.66 s, groupBy(text) 6.10 s, THIS form
     4.11 s (-46%) — the per-doc recompute on the 1000x-duplicated tile
     is cheaper than shuffling distinct texts (and on low-dup real
-    crawls the trade only improves)."""
+    crawls the trade only improves).
+
+    r15: the dedup key shuffles as 32 RAW BYTES (unhex of the sha2 hex)
+    instead of the 64-char hex string — same byte-diet logic one level
+    down; sf100 warm 5.19 -> 3.84 s (-26%), value-equal (the digest
+    never reaches the output). Remaining floor is the text scan + sha2
+    + tokenization map work, measured this round at ~2.6x an in-process
+    comparator that does the same single pass without JVM<->Tungsten
+    row transitions."""
     docs = load(spark, sf_dir, "documents")
     stop = F.array([F.lit(w) for w in ("the", "a", "of", "and", "in", "to")])
     t = F.split("text", " ")
     per_doc = docs.select(
-        F.sha2("text", 256).alias("h"),
+        F.unhex(F.sha2("text", 256)).alias("h"),
         "lang",
         "doc_id",
         F.length("text").alias("n_chars"),
