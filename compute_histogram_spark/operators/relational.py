@@ -345,6 +345,37 @@ def shipping_priority(
     cust = customer.where(F.col("c_mktsegment") == segment).select("c_custkey")
     ords = orders.where(F.col("o_orderdate") < F.lit(cutoff).cast("timestamp"))
     disc_pc = cents("l_extendedprice") * (100 - cents("l_discount"))
+    # r15: the JOIN-FIRST rewrite (measured on the layout form, same
+    # selectivity argument without it): Q3's shipdate filter leaves
+    # ~1.1x compression for the per-order pre-aggregation, so the
+    # 134M-group hash table was overhead on rows that mostly lose the
+    # segment join anyway. When the gated segment slice broadcasts, the
+    # semi-filtered orders (~1/|segments| x date) hash-build against
+    # the filtered lines (SHUFFLE_HASH skips sorting the big side) and
+    # the aggregate hashes only the ~2% surviving rows.
+    if fits(cust):
+        oc = ords.join(
+            F.broadcast(cust), ords["o_custkey"] == cust["c_custkey"],
+            "left_semi",
+        ).select("o_orderkey", "o_orderdate", "o_orderpriority")
+        li = lineitem.where(
+            F.col("l_shipdate") > F.lit(cutoff).cast("timestamp")
+        ).select("l_orderkey", "l_extendedprice", "l_discount")
+        j = oc.hint("shuffle_hash").join(
+            li, oc["o_orderkey"] == li["l_orderkey"]
+        ).select(
+            "l_orderkey", "o_orderdate", "o_orderpriority",
+            disc_pc.alias("pc"),
+        )
+        return (
+            j.groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+            .agg((F.sum("pc") / 10000.0).alias("revenue"))
+            .select(
+                "l_orderkey", "o_orderdate", "o_orderpriority", "revenue"
+            )
+            .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+            .limit(k)
+        )
     li = (
         lineitem.where(F.col("l_shipdate") > F.lit(cutoff).cast("timestamp"))
         .groupBy("l_orderkey")
@@ -501,20 +532,41 @@ def local_supplier_revenue(
     # back to exactly the r13 keyed-shuffle form. The gate never forces
     # a data-scaled broadcast (the 100x failure the module docstring
     # prices); A/B in BASELINE.md r14.
-    cust = broadcast_if_fits(
-        customer.join(
-            F.broadcast(nat), customer["c_nationkey"] == nat["n_nationkey"]
-        ).select("c_custkey", "c_nationkey", "n_name")
-    )
-    # No supplier⋈nation join: c_nationkey = s_nationkey plus the
-    # region-filtered customer already constrains the supplier's region, and
-    # a raw 2-column supplier SCAN has an honest file-size estimate (the
-    # planner broadcasts it while small, shuffles beyond), whereas a
-    # supplier⋈nation subtree gets the product-inflated join estimate that
-    # forced a pointless extra SMJ stage pair here.
+    cust_wide = customer.join(
+        F.broadcast(nat), customer["c_nationkey"] == nat["n_nationkey"]
+    ).select("c_custkey", "c_nationkey", "n_name")
+    # r15: when the WIDE slice exceeds the budget, the two-bigint KEY
+    # projection usually still fits (~40 B/row vs ~88; sf100 ~120 MB) —
+    # the layout form's composition, minus the layout: broadcast the
+    # keys, group by the bounded s_nationkey, attach n_name after the
+    # aggregate (1:1 on nationkey). This removes BOTH fact shuffles the
+    # r13 fallback paid (orders on custkey, then oc+li on orderkey
+    # becomes one orderkey join of pre-filtered sides). Only when even
+    # the key slice is declined does the keyed-shuffle form run.
+    cust_keys = customer.join(
+        F.broadcast(nat), customer["c_nationkey"] == nat["n_nationkey"]
+    ).select("c_custkey", "c_nationkey")
+    wide_fits = fits(cust_wide)
+    cust = F.broadcast(cust_wide) if wide_fits else cust_wide
+    # r15: the r13 form joined the RAW 2-column supplier scan (honest
+    # file estimate; the supplier⋈nation subtree's product-inflated
+    # estimate forced a pointless SMJ pair) — but past sf10 the raw
+    # scan exceeds the static broadcast threshold too, and the
+    # lineitem side shuffled all 600M rows into that join (measured
+    # 41-44 s warm at sf100 regardless of the customer-side plan). The
+    # cardinality gate resolves the same estimate problem by COUNTING:
+    # the REGION-filtered supplier slice (~1/|regions|, single-digit
+    # MB at sf100) broadcasts, which both kills the supplier shuffle
+    # and prunes lineitem to the region's lines map-side before its
+    # one orderkey shuffle. Region-filtering supplier early is
+    # semantics-preserving: the final c_nationkey = s_nationkey pair
+    # condition already constrains suppliers to the region's nations.
+    supp = supplier.join(
+        F.broadcast(nat.select("n_nationkey")),
+        supplier["s_nationkey"] == nat["n_nationkey"],
+    ).select("s_suppkey", "s_nationkey")
     li = lineitem.join(
-        supplier.select("s_suppkey", "s_nationkey"),
-        lineitem["l_suppkey"] == supplier["s_suppkey"],
+        broadcast_if_fits(supp), lineitem["l_suppkey"] == supp["s_suppkey"]
     ).select("l_orderkey", "l_extendedprice", "l_discount", "s_nationkey")
     # SHUFFLE_HASH on the region-filtered orders side of the fact join
     # (r13): the SMJ here sorted all of lineitem just to merge; hashing
@@ -524,6 +576,27 @@ def local_supplier_revenue(
     # input-sized partition count, so per-task build state is bounded by
     # BYTES_PER_SHUFFLE_PARTITION at any input volume, and AQE skew
     # splitting applies to SHJ as it does to SMJ.
+    if not wide_fits and fits(cust_keys):
+        # the wide slice is over budget but its two-bigint KEY
+        # projection fits: broadcast the keys, group by the bounded
+        # s_nationkey, attach n_name after the aggregate — the r13
+        # fallback's custkey shuffle of orders vanishes.
+        oc = orders.join(
+            F.broadcast(cust_keys), orders["o_custkey"] == cust_keys["c_custkey"]
+        ).select("o_orderkey", "c_nationkey").hint("shuffle_hash")
+        j = oc.join(
+            li,
+            (oc["o_orderkey"] == li["l_orderkey"])
+            & (oc["c_nationkey"] == li["s_nationkey"]),
+        )
+        agg = j.groupBy("s_nationkey").agg(
+            (F.sum(disc_pc) / 10000.0).alias("revenue")
+        )
+        return (
+            agg.join(F.broadcast(nat), agg["s_nationkey"] == nat["n_nationkey"])
+            .select("n_name", "revenue")
+            .orderBy(F.desc("revenue"), F.asc("n_name"))
+        )
     oc = orders.join(cust, orders["o_custkey"] == cust["c_custkey"]).hint(
         "shuffle_hash"
     )
