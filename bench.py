@@ -163,6 +163,12 @@ LOCAL_QUERIES = {
     "supplier_part_counts_layout": lambda spark, d: _partkey_layout_served(
         spark, d
     ),
+    "small_quantity_revenue_layout": lambda spark, d: _partkey_layout_served(
+        spark, d, "q17"
+    ),
+    "promotion_suppliers_layout": lambda spark, d: _partkey_layout_served(
+        spark, d, "q20"
+    ),
 }
 
 # DuckDB twins of the four local queries (the r01 registry oracle SQL,
@@ -267,6 +273,10 @@ LOCAL_ORACLES["returned_item_customers_layout"] = (
 LOCAL_ORACLES["pricing_summary_layout"] = registry.ORACLES["pricing_summary"]
 LOCAL_ORACLES["supplier_part_counts_layout"] = (
     registry.SUPPLIER_PART_COUNTS_ORACLE
+)
+LOCAL_ORACLES["small_quantity_revenue_layout"] = registry.SMALL_QUANTITY_ORACLE
+LOCAL_ORACLES["promotion_suppliers_layout"] = (
+    registry.PROMOTION_SUPPLIERS_ORACLE
 )
 
 # r15: the adopted orderkey-layout forms of Q8/Q9 get probe names (the
@@ -471,11 +481,11 @@ def _userkey_layout_served(s, d, which):
             else BH.event_transitions)(ev)
 
 
-def _partkey_layout_served(s, d):
-    """Q16 on the write-once partkey layout (lineitem + part co-bucketed
-    on partkey, r15): the cold (untimed) run writes the layout; warm
-    runs measure the bucket-local plan — same amortization claim as the
-    orderkey/custkey families."""
+def _partkey_layout_served(s, d, which="q16"):
+    """Q16/q17/q20 on the write-once partkey layout (lineitem + part
+    co-bucketed on partkey, r15): the cold (untimed) run writes the
+    layout; warm runs measure the bucket-local plan — same amortization
+    claim as the orderkey/custkey families."""
     from compute_histogram_spark.sources import bucketing as BK
 
     key = ("pklayout", d)
@@ -486,6 +496,12 @@ def _partkey_layout_served(s, d):
             s, d, buckets=BK.scaled_buckets(d), database=db
         )
     lt, pt = _IDX_CACHE[key]
+    if which == "q17":
+        return R.small_quantity_revenue_bucketed(s, lt, load(s, d, "part"))
+    if which == "q20":
+        return R.promotion_suppliers_bucketed(
+            s, lt, load(s, d, "supplier"), load(s, d, "part")
+        )
     return R.supplier_part_counts_bucketed(
         s, lt, pt, load(s, d, "supplier")
     )

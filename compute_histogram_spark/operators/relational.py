@@ -2088,6 +2088,96 @@ def small_quantity_revenue(
     )
 
 
+def small_quantity_revenue_bucketed(
+    spark,
+    lineitem_table: str,
+    part: DataFrame,
+    brand: str = "Brand#2",
+    fraction_denom: int = 5,
+) -> DataFrame:
+    """:func:`small_quantity_revenue` (q17) on the PARTKEY layout (r15):
+    the broadcast semi preserves the bucketing AND the sortBy order, so
+    the per-part window runs with ZERO exchange and ZERO sort — the
+    plain form's one shuffle (the ~4% brand slice) disappears; what
+    remains is the scan + broadcast probe + streaming window."""
+    lineitem = spark.table(lineitem_table)
+    p = part.where(F.col("p_brand") == brand).select("p_partkey")
+    p = broadcast_if_fits(p, known_rows=counted_rows(p))
+    li = lineitem.join(
+        p, lineitem["l_partkey"] == p["p_partkey"], "left_semi"
+    ).select(
+        "l_partkey",
+        cents("l_quantity").alias("qty_c"),
+        cents("l_extendedprice").alias("price_c"),
+    )
+    w = Window.partitionBy("l_partkey")
+    j = li.withColumn("sum_qty_c", F.sum("qty_c").over(w)).withColumn(
+        "n_items", F.count(F.lit(1)).over(w)
+    )
+    small = (
+        F.col("qty_c") * F.lit(fraction_denom) * F.col("n_items")
+        < F.col("sum_qty_c")
+    )
+    return j.where(small).agg(
+        (F.sum("price_c") / 100.0 / 7.0).alias("avg_yearly"),
+        F.count(F.lit(1)).alias("n_small"),
+    )
+
+
+def promotion_suppliers_bucketed(
+    spark,
+    lineitem_table: str,
+    supplier: DataFrame,
+    part: DataFrame,
+    name_token: str = "widget",
+    start: str = "1996-01-01",
+    end: str = "1997-01-01",
+    multiple: int = 2,
+) -> DataFrame:
+    """:func:`promotion_suppliers` (q20) on the PARTKEY layout (r15):
+    the plain form's one partkey repartition of the filtered slice is
+    the bucketing itself here — the pair aggregate and the per-part
+    window cluster on a superset of the bucket key, so the whole
+    pyramid down to the distinct supplier keys runs exchange-free."""
+    lineitem = spark.table(lineitem_table)
+    p = broadcast_if_fits(
+        part.where(F.col("p_name").contains(name_token)).select("p_partkey")
+    )
+    fil = (
+        lineitem.where(
+            (F.col("l_shipdate") >= F.lit(start).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(end).cast("timestamp"))
+        )
+        .join(p, lineitem["l_partkey"] == p["p_partkey"], "left_semi")
+        .select(
+            "l_partkey", "l_suppkey", cents("l_quantity").alias("qc")
+        )
+    )
+    sq = fil.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum("qc").alias("q_c")
+    )
+    w = Window.partitionBy("l_partkey")
+    qual = (
+        sq.withColumn("total_c", F.sum("q_c").over(w))
+        .withColumn("n_supp", F.count(F.lit(1)).over(w))
+        .where(
+            F.col("q_c") * F.col("n_supp")
+            > F.col("total_c") * F.lit(multiple)
+        )
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        supplier.join(
+            qual.hint("merge"),
+            supplier["s_suppkey"] == qual["l_suppkey"],
+            "left_semi",
+        )
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
+
+
 def promotion_suppliers(
     lineitem: DataFrame,
     supplier: DataFrame,
