@@ -68,7 +68,12 @@ def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
         sv, ov = s[c].to_numpy(), o[c].to_numpy()
         if np.issubdtype(sv.dtype, np.floating):
             both_nan = pd.isna(sv) & pd.isna(ov)
-            eq = (sv == ov) | both_nan
+            # The driver's value-hash distinguishes -0.0 from +0.0 (IEEE
+            # `==` does not), so mirror it: equal values must also agree
+            # on the sign bit. VERDICT r15 #1 — embedding_covariance was
+            # local-green/driver-red for two rounds on exactly this.
+            with np.errstate(invalid="ignore"):
+                eq = ((sv == ov) & (np.signbit(sv) == np.signbit(ov))) | both_nan
             if not eq.all():
                 bad = (~eq).sum()
                 with np.errstate(invalid="ignore"):
