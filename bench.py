@@ -150,6 +150,14 @@ LOCAL_QUERIES = {
     "returned_item_customers_layout": lambda spark, d: _orderkey_layout_served(
         spark, d, "q10"
     ),
+    # r16: Q12 joins the orderkey family (member 11) — the unfiltered
+    # orders-side shuffle (the plain form's heaviest exchange, and the
+    # one whose warm re-run the 8 GB sf100 harness can't hold) goes
+    # bucket-local; only the 2-group final agg shuffles. Resolves the
+    # VERDICT r15 #2 adoption contradiction: this IS the row of record.
+    "latency_mode_layout": lambda spark, d: _orderkey_layout_served(
+        spark, d, "q12"
+    ),
     # r14: write-once cents PROJECTION for the scan-agg family's Q1 —
     # the per-run round(x*100) cast chain (measured: half the query at
     # sf10) amortizes into the layout write. sf10 A/B (value-equal
@@ -270,6 +278,7 @@ LOCAL_ORACLES["large_volume_customers_layout"] = registry.ORACLES[
 LOCAL_ORACLES["returned_item_customers_layout"] = (
     registry.RETURNED_ITEM_CUSTOMERS_ORACLE
 )
+LOCAL_ORACLES["latency_mode_layout"] = registry.LATENCY_MODE_ORACLE
 LOCAL_ORACLES["pricing_summary_layout"] = registry.ORACLES["pricing_summary"]
 LOCAL_ORACLES["supplier_part_counts_layout"] = (
     registry.SUPPLIER_PART_COUNTS_ORACLE
@@ -446,6 +455,8 @@ def _orderkey_layout_served(s, d, which):
             s, ot, lt, load(s, d, "supplier"), load(s, d, "part"),
             load(s, d, "nation"),
         )
+    if which == "q12":
+        return R.latency_mode_priority_bucketed(s, ot, lt)
     return R.late_order_priority_bucketed(s, ot, lt)
 
 
