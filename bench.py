@@ -158,6 +158,11 @@ LOCAL_QUERIES = {
     "latency_mode_layout": lambda spark, d: _orderkey_layout_served(
         spark, d, "q12"
     ),
+    # r16: Q22 joins the custkey family — the anti join (both sides
+    # keyed on custkey) goes bucket-local (VERDICT r15 #3 adjudication).
+    "sales_opportunity_layout": lambda spark, d: _custkey_layout_served(
+        spark, d, "q22"
+    ),
     # r14: write-once cents PROJECTION for the scan-agg family's Q1 —
     # the per-run round(x*100) cast chain (measured: half the query at
     # sf10) amortizes into the layout write. sf10 A/B (value-equal
@@ -279,6 +284,7 @@ LOCAL_ORACLES["returned_item_customers_layout"] = (
     registry.RETURNED_ITEM_CUSTOMERS_ORACLE
 )
 LOCAL_ORACLES["latency_mode_layout"] = registry.LATENCY_MODE_ORACLE
+LOCAL_ORACLES["sales_opportunity_layout"] = registry.SALES_OPPORTUNITY_ORACLE
 LOCAL_ORACLES["pricing_summary_layout"] = registry.ORACLES["pricing_summary"]
 LOCAL_ORACLES["supplier_part_counts_layout"] = (
     registry.SUPPLIER_PART_COUNTS_ORACLE
@@ -414,6 +420,8 @@ def _custkey_layout_served(s, d, which):
             s, d, buckets=BK.scaled_buckets(d, table="orders"), database=db
         )
     ot, ct = _IDX_CACHE[key]
+    if which == "q22":
+        return R.sales_opportunity_bucketed(s, ot, ct)
     fn = (R.region_revenue_bucketed if which == "region"
           else R.rollup_revenue_bucketed)
     return fn(s, ot, ct, load(s, d, "region"), load(s, d, "nation"))

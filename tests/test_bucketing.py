@@ -315,6 +315,33 @@ def test_orderkey_layout_q12_plan_and_values(spark, sf_dir, tmp_path):
         spark.catalog.setCurrentDatabase("default")
 
 
+def test_custkey_layout_q22_plan_and_values(spark, sf_dir, tmp_path):
+    """sales_opportunity (Q22) on the write-once custkey layout:
+    value-exact vs the raw plan, zero custkey Exchange — the anti join
+    (both sides keyed on custkey) was the plain form's only data-scaled
+    shuffle (sf100 solo probe 2.64 -> 1.00 s, r16)."""
+    from compute_histogram_spark.operators import relational as R
+
+    spark.sql(
+        f"CREATE DATABASE IF NOT EXISTS ck22test LOCATION '{tmp_path / 'wh'}'"
+    )
+    spark.catalog.setCurrentDatabase("ck22test")
+    try:
+        ot, ct = B.write_custkey_layout(spark, sf_dir, buckets=8)
+        orders = load(spark, sf_dir, "orders")
+        customer = load(spark, sf_dir, "customer")
+
+        b22 = R.sales_opportunity_bucketed(spark, ot, ct)
+        r22 = R.sales_opportunity(customer, orders)
+        assert b22.collect() == r22.collect()
+
+        plan = _plan(b22)
+        assert "Exchange hashpartitioning(c_custkey" not in plan, plan
+        assert "Exchange hashpartitioning(o_custkey" not in plan, plan
+    finally:
+        spark.catalog.setCurrentDatabase("default")
+
+
 def test_orderkey_layout_q7_q9_plan_and_values(spark, sf_dir, tmp_path):
     """volume_shipping / product_type_profit on the shared orderkey
     layout: value-exact vs the raw plans, zero orderkey Exchange.
