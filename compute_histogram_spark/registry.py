@@ -777,13 +777,16 @@ def q_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "dedup_exact",
-    """
+# rotated out r16 (twelfth wave, for the staged sketch/graph/ANN/text
+# twins) — driver-green r01-r15 (15 rounds, the window's oldest row);
+# oracle kept verbatim for tests/test_rotated_out.py and the bench
+# LOCAL fallback.
+DEDUP_EXACT_ORACLE = """
     SELECT min(doc_id) AS doc_id, count(*) AS n_copies
     FROM documents GROUP BY text ORDER BY doc_id
-    """,
-)
+    """
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Spark groups by sha2(text) — digest shuffle keys, not full documents;
     # the oracle groups by raw text (same partition, collision-free).
@@ -1144,9 +1147,10 @@ n AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM u GROUP BY vec_id)
 """
 
 
-@register(
-    "similarity_topk",
-    f"""
+# rotated out r16 (twelfth wave) — driver-green r01-r15; oracle kept
+# verbatim for tests/test_rotated_out.py, the bench LOCAL fallback, and
+# the GEMM / PCA-index tiers that share it (value-identical results).
+SIMILARITY_TOPK_ORACLE = f"""
     WITH {_EMB_CTES},
     d AS (
         SELECT q.vec_id AS query_id, c.vec_id AS vec_id, sum(q.x * c.x) AS dot
@@ -1169,8 +1173,9 @@ n AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM u GROUP BY vec_id)
     )
     SELECT query_id, rnk, vec_id, cosine FROM r WHERE rnk <= 5
     ORDER BY query_id, rnk
-    """,
-)
+    """
+
+
 def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.cosine_topk(load(spark, sf_dir, "embeddings"))
 
@@ -1408,7 +1413,7 @@ def q_similarity_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 # rotated out r7 (fourth wave, for the r6 LM/mix/concurrency/neardup ops) —
 # driver-green r02-r06; shares similarity_topk's oracle (value-identical by
 # construction), re-checked in tests/test_rotated_out.py.
-SIMILARITY_GEMM_ORACLE = ORACLES["similarity_topk"]
+SIMILARITY_GEMM_ORACLE = SIMILARITY_TOPK_ORACLE
 
 
 def q_similarity_topk_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1709,7 +1714,12 @@ def _text_profile_oracle() -> str:
     """
 
 
-@register("text_stats", _text_profile_oracle())
+# rotated out r16 (twelfth wave) — driver-green r02-r15 (14 rounds);
+# oracle kept for tests/test_rotated_out.py and the bench LOCAL fallback
+# (HEADLINE still times the Arrow kernel form every round).
+TEXT_STATS_ORACLE = _text_profile_oracle()
+
+
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the fused text profile (operators/text.py:text_profile): quality
     # stats + whitespace AND BPE-ish token counts + language-ID argmax in
@@ -2414,8 +2424,9 @@ def q_doc_perplexity_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return LM.doc_perplexity_backoff(load(spark, sf_dir, "documents"))
 
 
-@register(
-    "temperature_mix",
+# rotated out r16 (twelfth wave) — driver-green r07-r15 (9 rounds);
+# oracle kept verbatim for tests/test_rotated_out.py.
+TEMPERATURE_MIX_ORACLE = (
     # temperature-resampled corpus (pipeline.py:temperature_mix, alpha=0.5
     # over lang): per-group rates are round(q_g * total / n_g, 2) with
     # q proportional to p^alpha — the mBERT/XLM-R alpha-sampling scheme —
@@ -2454,8 +2465,10 @@ def q_doc_perplexity_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     WHERE n_copies > 0
     ORDER BY doc_id, copy_id
-    """,
+    """
 )
+
+
 def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = PL.temperature_mix(
         load(spark, sf_dir, "documents"), group_col="lang", alpha=0.5
@@ -2692,7 +2705,8 @@ TOKEN_CMS_ORACLE = """
     """
 
 
-@register("token_cms", TOKEN_CMS_ORACLE)
+# rotated out r16 (twelfth wave — token_bloom takes the sketch slot) —
+# driver-green r10-r15; oracle kept for tests/test_rotated_out.py.
 def q_token_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from compute_histogram_spark.operators import sketches as SK
 
@@ -3279,6 +3293,7 @@ TOKEN_ENTROPY_ORACLE = """
     """
 
 
+@register("token_entropy", TOKEN_ENTROPY_ORACLE)  # rotated IN r16 (12th wave)
 def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.token_entropy_per_lang(load(spark, sf_dir, "documents"))
 
@@ -3304,6 +3319,7 @@ NORMALIZED_DEDUP_ORACLE = """
     """
 
 
+@register("normalized_dedup", NORMALIZED_DEDUP_ORACLE)  # rotated IN r16
 def q_normalized_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.normalized_dedup(load(spark, sf_dir, "documents"))
 
@@ -3410,6 +3426,7 @@ TOKEN_BLOOM_ORACLE = """
     """
 
 
+@register("token_bloom", TOKEN_BLOOM_ORACLE)  # rotated IN r16 (12th wave)
 def q_token_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     from compute_histogram_spark.functions.texthash import tokens as _tk
     from compute_histogram_spark.operators import sketches as SK3
@@ -3611,6 +3628,7 @@ TRIANGLE_ORACLE = f"""
     """
 
 
+@register("dedup_triangles", TRIANGLE_ORACLE)  # rotated IN r16 (12th wave)
 def q_dedup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from compute_histogram_spark.operators import graph as G2
 
@@ -4479,9 +4497,10 @@ def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
 # is value-identical to the exact tier and SHARES its oracle (the
 # SIMILARITY_GEMM_ORACLE precedent); truncated-dim recall floors stay
 # pinned in tests/test_clustering.py.
-SIMILARITY_PCA_INDEX_ORACLE = ORACLES["similarity_topk"]
+SIMILARITY_PCA_INDEX_ORACLE = SIMILARITY_TOPK_ORACLE
 
 
+@register("similarity_topk_pca_index", SIMILARITY_PCA_INDEX_ORACLE)  # IN r16
 def q_similarity_topk_pca_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     import hashlib as _hl
     import os

@@ -713,3 +713,48 @@ def test_conversion_funnel_oracle(spark, sf_dir, con):
 
     _check("conversion_funnel", RG.q_conversion_funnel(spark, sf_dir),
            con, RG.CONVERSION_FUNNEL_ORACLE)
+
+
+# ---------------------------------------------------------------------------
+# twelfth rotation (r16): dedup_exact / similarity_topk / text_stats /
+# temperature_mix / token_cms left the window for the staged
+# token_entropy / normalized_dedup / token_bloom / dedup_triangles /
+# similarity_topk_pca_index twins; oracles preserved verbatim as
+# registry module constants. dedup_exact and similarity_topk were the
+# window's two oldest rows (driver-green since r01).
+# ---------------------------------------------------------------------------
+
+
+def test_dedup_exact_oracle(spark, sf_dir, con):
+    from compute_histogram_spark import registry as RG
+
+    _check("dedup_exact", RG.q_dedup_exact(spark, sf_dir), con,
+           RG.DEDUP_EXACT_ORACLE)
+
+
+def test_similarity_topk_oracle(spark, sf_dir, con):
+    from compute_histogram_spark import registry as RG
+
+    _check("similarity_topk", RG.q_similarity_topk(spark, sf_dir), con,
+           RG.SIMILARITY_TOPK_ORACLE)
+
+
+def test_text_stats_oracle(spark, sf_dir, con):
+    from compute_histogram_spark import registry as RG
+
+    _check("text_stats", RG.q_text_stats(spark, sf_dir), con,
+           RG.TEXT_STATS_ORACLE)
+
+
+def test_temperature_mix_oracle(spark, sf_dir, con):
+    from compute_histogram_spark import registry as RG
+
+    _check("temperature_mix", RG.q_temperature_mix(spark, sf_dir), con,
+           RG.TEMPERATURE_MIX_ORACLE)
+
+
+def test_token_cms_oracle(spark, sf_dir, con):
+    from compute_histogram_spark import registry as RG
+
+    _check("token_cms", RG.q_token_cms(spark, sf_dir), con,
+           RG.TOKEN_CMS_ORACLE)

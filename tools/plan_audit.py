@@ -55,6 +55,9 @@ NLJ_ALLOWED = {
     # candidate scan (pq.py:cosine_topk_sq — the point is that the scan
     # touches only the quantized quarter-width payload)
     "similarity_topk_sq",
+    # and against the reduced-dim PCA index scan (the shortlist pass of
+    # clustering.py:_pca_topk_from_candidates — rotated IN r16)
+    "similarity_topk_pca_index",
     "equi_depth_histogram_approx",
     "bm25_topk",
     "token_pmi",
@@ -355,6 +358,13 @@ SORT_RESAMPLE_BOUNDED: dict[str, str] = {
     # <= |queries| x rerank (= 500) rows regardless of corpus size, read
     # back from the exchange, never the scan (pq.py:cosine_topk_sq)
     "similarity_topk_sq": "rerank region input <= queries x rerank rows",
+    # similarity_topk_pca_index: identical rerank shape to _sq — the
+    # region above the final orderBy re-runs the exact-cosine fold, but
+    # its input is the post-WindowGroupLimit shortlist (<= queries x
+    # overfetch*k = 200 rows), read back from the window's exchange,
+    # never the index scan (clustering.py:_pca_topk_from_candidates)
+    "similarity_topk_pca_index": "rerank region input <= queries x "
+                                 "overfetch*k rows",
 }
 
 
