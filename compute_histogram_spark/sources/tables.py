@@ -8,6 +8,7 @@ tree; partition pruning applies when predicates hit partition columns.
 from __future__ import annotations
 
 import os
+import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -30,24 +31,48 @@ TABLES = (
 BROADCAST_DIMS = ("region", "nation", "customer", "supplier", "part")
 
 
+# Relation-resolution cache, per live session (r16, VERDICT r15 #4): a
+# path-based ``spark.read.parquet`` re-lists the directory and re-reads
+# parquet footers on EVERY call (~66 ms warm even for a one-row table on
+# this box) — catalog tables get metadata caching from Spark, path reads
+# don't. Repeated loads of the immutable testdata tables paid that per
+# query per run; the comparator binds its DuckDB views once per session.
+# DataFrames are immutable, so handing back the same relation object is
+# semantics-free; the WeakKey keyed on the session lets a stopped
+# session's relations be collected instead of leaking across restarts.
+_RELATION_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
+    weakref.WeakKeyDictionary()
+)
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
-    # Set UNCONDITIONALLY (not just for events): TIMESTAMP(NANOS) columns
-    # are rejected by the vectorized reader without it, and setting it only
-    # on some loads would make schemas depend on table read ORDER within a
-    # session. With it, any nanos column uniformly decodes as epoch-nanos
-    # BIGINT. The driver's current testdata stores events.ts as
-    # timestamp[us] (-> TIMESTAMP_NTZ, untouched by this flag), but legacy
-    # layouts carried nanos — operators dispatch on the loaded dtype via
-    # operators.temporal.epoch_micros_sql, so both decode paths work.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    try:
+        cache = _RELATION_CACHE.setdefault(spark, {})
+    except TypeError:  # unexpected unhashable/mock session: skip caching
+        cache = {}
+    key = (os.path.abspath(sf_dir), name)
+    df = cache.get(key)
+    if df is None:
+        # Set UNCONDITIONALLY (not just for events): TIMESTAMP(NANOS)
+        # columns are rejected by the vectorized reader without it, and
+        # setting it only on some loads would make schemas depend on table
+        # read ORDER within a session. With it, any nanos column uniformly
+        # decodes as epoch-nanos BIGINT. The driver's current testdata
+        # stores events.ts as timestamp[us] (-> TIMESTAMP_NTZ, untouched by
+        # this flag), but legacy layouts carried nanos — operators dispatch
+        # on the loaded dtype via operators.temporal.epoch_micros_sql, so
+        # both decode paths work.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+        cache[key] = df
     # Partition-robustness screen hook (VERDICT r14 #2): the rotation gate
     # re-runs each candidate query under several forced input layouts to
     # reject results that depend on partial-aggregation order (a local
     # gate under ONE layout cannot certify order-sensitive float
     # rounding). Screen-only — unset in production, so no extra shuffle.
+    # Applied OUTSIDE the cache so the hook always sees the env var.
     parts = os.environ.get("SPARK_GRAFT_LAYOUT_PARTS")
     if parts:
         df = df.repartition(int(parts))
