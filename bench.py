@@ -285,6 +285,12 @@ LOCAL_ORACLES["returned_item_customers_layout"] = (
 )
 LOCAL_ORACLES["latency_mode_layout"] = registry.LATENCY_MODE_ORACLE
 LOCAL_ORACLES["sales_opportunity_layout"] = registry.SALES_OPPORTUNITY_ORACLE
+# r16 (VERDICT r15 #7): Arrow-kernel A/B form of corpus_pipeline's
+# per-doc map stage; value-exact vs the declarative plan at both SFs.
+LOCAL_QUERIES["corpus_pipeline_arrow"] = lambda spark, d: __import__(
+    "compute_histogram_spark.operators.pipeline", fromlist=["x"]
+).corpus_pipeline_arrow(load(spark, d, "documents"))
+LOCAL_ORACLES["corpus_pipeline_arrow"] = registry.ORACLES["corpus_pipeline"]
 LOCAL_ORACLES["pricing_summary_layout"] = registry.ORACLES["pricing_summary"]
 LOCAL_ORACLES["supplier_part_counts_layout"] = (
     registry.SUPPLIER_PART_COUNTS_ORACLE
