@@ -915,3 +915,40 @@ def duplicate_span_removal(
         .orderBy(id_col)
     )
     return out
+
+
+def neardup_source_overlap(docs: DataFrame) -> DataFrame:
+    """Cross-source NEAR-duplicate provenance matrix: for every source
+    pair (s1 <= s2), the number of MinHash candidate pairs whose two
+    documents come from those sources — the audit a multi-crawl corpus
+    build runs before weighting sources (a high-overlap pair means the
+    mixing weights double-count a shared near-identical slice). Staged
+    r16, wave-13 bank.
+
+    Scale shape: the pair set comes from the banded MinHash join
+    (:func:`minhash_candidates` — never all-pairs), the two source
+    lookups are keyed equi-joins on a two-column pruned projection of
+    documents, and the final aggregate is bounded by |sources|^2. The
+    (s1, s2) key is order-normalized with least/greatest so the matrix
+    is triangular regardless of candidate-pair orientation.
+
+    -> (s1, s2, n_pairs) ordered by (s1, s2)."""
+    pairs = minhash_candidates(docs)
+    src = docs.select("doc_id", "source")
+    a = src.select(
+        F.col("doc_id").alias("doc_id_1"), F.col("source").alias("src_1")
+    )
+    b = src.select(
+        F.col("doc_id").alias("doc_id_2"), F.col("source").alias("src_2")
+    )
+    return (
+        pairs.join(a, "doc_id_1")
+        .join(b, "doc_id_2")
+        .select(
+            F.least("src_1", "src_2").alias("s1"),
+            F.greatest("src_1", "src_2").alias("s2"),
+        )
+        .groupBy("s1", "s2")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy("s1", "s2")
+    )

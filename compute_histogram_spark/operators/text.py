@@ -1142,3 +1142,106 @@ def blocklist_signals(
     return sig.withColumn(
         "blocklist_pass", F.col("blocked_frac") <= max_frac
     ).sortWithinPartitions("doc_id")
+
+
+def skipgram_pairs(
+    docs: DataFrame,
+    window: int = 2,
+    min_count: int = 5,
+    k: int = 25,
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k skip-gram co-occurrences: ordered token pairs within a
+    ±``window`` position band — the word2vec/GloVe context-count pass a
+    corpus-curation pipeline runs before embedding training (staged
+    r16, wave-13 bank).
+
+    Plan: one map-side explode PER DISTANCE builds (left, right) pairs
+    with the :func:`token_pmi` index-sequence idiom — no posexplode
+    self-join, no data-scaled join at all — then one partial->final
+    hash aggregation; exact integer counts; top-k is deterministic on
+    (n desc, a, b) and compiles to TakeOrderedAndProject.
+
+    -> (a, b, n_pairs) top-k by (n_pairs desc, a, b)."""
+    from compute_histogram_spark.functions.texthash import tokens
+    from compute_histogram_spark.sources.tables import ensure_parallelism
+
+    toks = ensure_parallelism(docs).select(tokens(text_col).alias("ts"))
+    per_dist = [
+        toks.where(F.size("ts") >= d + 1).select(
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, size(ts) - 1 - {d}), "
+                    f"i -> struct(ts[i] AS a, ts[i + {d}] AS b))"
+                )
+            ).alias("p")
+        ).select("p.a", "p.b")
+        for d in range(1, window + 1)
+    ]
+    pairs = per_dist[0]
+    for extra in per_dist[1:]:
+        pairs = pairs.unionAll(extra)
+    w = Window.orderBy(F.desc("n_pairs"), F.asc("a"), F.asc("b"))
+    return (
+        pairs.groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .where(F.col("n_pairs") >= min_count)
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("a", "b", "n_pairs")
+        .orderBy(F.desc("n_pairs"), "a", "b")
+    )
+
+
+# (numerator, denominator) rational percentiles — integer-exact rank
+# selection, zero float arithmetic anywhere (staged r16): the k-th
+# smallest value of a multiset is well-defined regardless of tie order,
+# and idx = ceil(num*n/den) computes as (num*n + den - 1) div den.
+LENGTH_QUANTILE_PS = ((25, 100), (50, 100), (75, 100), (90, 100))
+
+
+def doc_length_quantiles(
+    docs: DataFrame,
+    ps=LENGTH_QUANTILE_PS,
+    len_col: str = "n_chars",
+    group_col: str = "lang",
+) -> DataFrame:
+    """Per-group exact length quantiles by INTEGER rank selection — the
+    corpus length-distribution audit (truncation budgeting, chunk-size
+    calibration) without percentile_approx's error bounds or
+    interpolated floats (staged r16, wave-13 bank).
+
+    Scale shape: counts collapse to (group, length) first — bounded by
+    |groups| x |distinct lengths|, NOT by rows — then a window cumsum
+    over those bounded rows and a broadcast of the tiny rational
+    percentile list. The quantile spec is idx = ceil(p*n) computed in
+    exact integer arithmetic, so both engines select the identical
+    element under any partitioning.
+
+    -> (group, pct, n_docs, q_len) ordered by (group, pct)."""
+    cnt = docs.groupBy(
+        F.col(group_col).alias("g"), F.col(len_col).alias("len")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("g").orderBy("len")
+    cum = cnt.withColumn("cum", F.sum("c").over(w)).withColumn(
+        "n", F.sum("c").over(Window.partitionBy("g"))
+    )
+    ps_df = F.broadcast(
+        docs.sparkSession.createDataFrame(
+            [(num, den) for num, den in ps], "num INT, den INT"
+        )
+    )
+    hit = cum.crossJoin(ps_df).where(
+        F.col("cum") * F.col("den") >= F.col("num") * F.col("n")
+    )
+    return (
+        hit.groupBy("g", "num", "den", "n")
+        .agg(F.min("len").alias("q_len"))
+        .select(
+            F.col("g").alias(group_col),
+            (F.col("num") * 100 / F.col("den")).cast("int").alias("pct"),
+            F.col("n").alias("n_docs"),
+            "q_len",
+        )
+        .orderBy(group_col, "pct")
+    )

@@ -4718,3 +4718,99 @@ def q_corpus_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SKO.corpus_overlap_kmv(
         docs.where(par == 0), docs.where(par == 1)
     )
+
+
+# ---------------------------------------------------------------------------
+# Staged-twin bank refill for the 13th rotation (r16): three NEW operators
+# with value-exact DuckDB twins, pytest-pinned at both SFs in
+# tests/test_staged_twins.py until they enter the 50-row window. All three
+# passed the --layouts repartition(1/7/64) pre-screen and a signed-zero
+# sweep (integer outputs only — no round() that can straddle a tiny
+# negative) before staging.
+
+# Cross-source NEAR-duplicate provenance matrix
+# (operators/dedup.py:neardup_source_overlap — staged r16): source-pair
+# counts over the SAME banded MinHash pair set the dedup_minhash oracle
+# derives (never all-pairs); exact integer counts, and the (s1, s2) key is
+# least/greatest-normalized so the matrix is triangular under any
+# candidate-pair orientation.
+NEARDUP_SOURCE_OVERLAP_ORACLE = f"""
+    WITH {_minhash_pairs_ctes()},
+    src AS (SELECT doc_id, source FROM documents)
+    SELECT least(a.source, b.source) AS s1,
+           greatest(a.source, b.source) AS s2,
+           count(*) AS n_pairs
+    FROM pairs p
+    JOIN src a ON p.doc_id_1 = a.doc_id
+    JOIN src b ON p.doc_id_2 = b.doc_id
+    GROUP BY s1, s2
+    ORDER BY s1, s2
+    """
+
+
+def q_neardup_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return DD.neardup_source_overlap(load(spark, sf_dir, "documents"))
+
+
+# Top-k skip-gram co-occurrences (operators/text.py:skipgram_pairs —
+# staged r16): the word2vec/GloVe context-count pass. One map-side explode
+# per distance (the token_pmi index-sequence idiom, no posexplode
+# self-join), exact integer counts, deterministic top-k on (n desc, a, b).
+SKIPGRAM_PAIRS_ORACLE = """
+    WITH t AS (SELECT string_split(text, ' ') AS ts FROM documents),
+    p AS (
+        SELECT ts[i] AS a, ts[i + 1] AS b
+        FROM (SELECT ts, unnest(generate_series(1, len(ts) - 1)) AS i
+              FROM t WHERE len(ts) >= 2)
+        UNION ALL
+        SELECT ts[i] AS a, ts[i + 2] AS b
+        FROM (SELECT ts, unnest(generate_series(1, len(ts) - 2)) AS i
+              FROM t WHERE len(ts) >= 3)
+    )
+    SELECT a, b, n_pairs FROM (
+        SELECT a, b, count(*) AS n_pairs,
+               row_number() OVER (ORDER BY count(*) DESC, a, b) AS rnk
+        FROM p GROUP BY a, b
+        HAVING count(*) >= 5
+    ) WHERE rnk <= 25 ORDER BY n_pairs DESC, a, b
+    """
+
+
+def q_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TX.skipgram_pairs(
+        load(spark, sf_dir, "documents"), window=2, min_count=5, k=25
+    )
+
+
+# Per-group exact length quantiles by integer rank selection
+# (operators/text.py:doc_length_quantiles — staged r16): idx =
+# ceil(p * n) computed as cum * den >= num * n in EXACT integer
+# arithmetic on both engines — no percentile_approx error bounds, no
+# interpolated floats, layout-invariant by construction (the k-th
+# smallest element of a multiset does not depend on tie order).
+DOC_LENGTH_QUANTILES_ORACLE = """
+    WITH cnt AS (
+        SELECT lang AS g, n_chars AS len, count(*) AS c
+        FROM documents GROUP BY g, len
+    ),
+    cum AS (
+        SELECT g, len,
+               sum(c) OVER (PARTITION BY g ORDER BY len) AS cum,
+               sum(c) OVER (PARTITION BY g) AS n
+        FROM cnt
+    ),
+    ps AS (SELECT * FROM (VALUES (25, 100), (50, 100), (75, 100),
+                                 (90, 100)) AS v(num, den))
+    SELECT g AS lang,
+           CAST(num * 100 / den AS INT) AS pct,
+           CAST(n AS BIGINT) AS n_docs,
+           min(len) AS q_len
+    FROM cum CROSS JOIN ps
+    WHERE cum * den >= num * n
+    GROUP BY g, num, den, n
+    ORDER BY lang, pct
+    """
+
+
+def q_doc_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TX.doc_length_quantiles(load(spark, sf_dir, "documents"))

@@ -378,3 +378,27 @@ def test_ngram_jaccard_arrow_hub_cap_regimes(spark):
         ).collect()
         assert [tuple(r) for r in a] == [tuple(r) for r in b], max_df
         assert bool(a) == expect_nonempty, max_df
+
+
+def test_neardup_source_overlap_matches_pair_recount(spark, sf_dir):
+    """The provenance matrix is exactly the per-source-pair recount of
+    minhash_candidates' pair set (triangular under least/greatest)."""
+    import collections
+
+    from compute_histogram_spark.operators.dedup import (
+        minhash_candidates,
+        neardup_source_overlap,
+    )
+    from compute_histogram_spark.sources.tables import load
+
+    docs = load(spark, sf_dir, "documents")
+    src = {r.doc_id: r.source
+           for r in docs.select("doc_id", "source").collect()}
+    expect = collections.Counter()
+    for r in minhash_candidates(docs).collect():
+        s1, s2 = sorted((src[r.doc_id_1], src[r.doc_id_2]))
+        expect[(s1, s2)] += 1
+    got = {(r.s1, r.s2): r.n_pairs
+           for r in neardup_source_overlap(docs).collect()}
+    assert got == dict(expect)
+    assert all(s1 <= s2 for (s1, s2) in got)

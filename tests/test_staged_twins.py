@@ -29,7 +29,18 @@ similarity_topk_pca_index (the persisted PCA serving path at full dim,
 sharing the exact tier's oracle), streaming_norm_dedup (the FOURTH
 streaming twin: C4-normalized dedup over an augmented documents
 stream) and pricing_summary_projected (Q1 over the write-once cents
-projection, sharing the plain form's oracle)."""
+projection, sharing the plain form's oracle).
+
+r16 status: the 12th rotation landed — token_bloom, dedup_triangles,
+similarity_topk_pca_index (plus the streaming twins from wave 11) are
+driver-gated; pins here stay as the fast check. Newly staged this round
+(wave-13 bank): neardup_source_overlap (cross-source near-dup provenance
+matrix over the banded MinHash pair set), skipgram_pairs (window-2
+skip-gram context counts, the word2vec/GloVe pre-pass) and
+doc_length_quantiles (per-lang EXACT quantiles by integer rank
+selection — zero float arithmetic, layout-invariant by construction).
+All three passed check_oracle compare + the --layouts 1/7/64 pre-screen
+at sf0.01 before staging."""
 
 import os
 import sys
@@ -856,3 +867,50 @@ def test_pricing_summary_projected_twin_both_sfs(spark):
         _check("pricing_summary_projected",
                q_pricing_summary_projected(spark, sf), con,
                PRICING_PROJECTED_ORACLE)
+
+
+def test_neardup_source_overlap_twin_both_sfs(spark):
+    """r16 (wave-13 bank): cross-source near-duplicate provenance matrix
+    — source-pair counts over the SAME banded MinHash pair set the
+    dedup_minhash oracle derives, (s1, s2) least/greatest-normalized;
+    value-exact at both test SFs."""
+    from compute_histogram_spark.registry import (
+        NEARDUP_SOURCE_OVERLAP_ORACLE,
+        q_neardup_source_overlap,
+    )
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        con = duck_connection(sf)
+        _check("neardup_source_overlap",
+               q_neardup_source_overlap(spark, sf), con,
+               NEARDUP_SOURCE_OVERLAP_ORACLE)
+
+
+def test_skipgram_pairs_twin_both_sfs(spark):
+    """r16 (wave-13 bank): top-k skip-gram co-occurrences (window=2) —
+    one map-side explode per distance, exact integer counts,
+    deterministic top-k; value-exact at both test SFs."""
+    from compute_histogram_spark.registry import (
+        SKIPGRAM_PAIRS_ORACLE,
+        q_skipgram_pairs,
+    )
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        con = duck_connection(sf)
+        _check("skipgram_pairs", q_skipgram_pairs(spark, sf), con,
+               SKIPGRAM_PAIRS_ORACLE)
+
+
+def test_doc_length_quantiles_twin_both_sfs(spark):
+    """r16 (wave-13 bank): per-lang exact length quantiles by integer
+    rank selection (cum * den >= num * n, zero float arithmetic) —
+    layout-invariant by construction; value-exact at both test SFs."""
+    from compute_histogram_spark.registry import (
+        DOC_LENGTH_QUANTILES_ORACLE,
+        q_doc_length_quantiles,
+    )
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        con = duck_connection(sf)
+        _check("doc_length_quantiles", q_doc_length_quantiles(spark, sf),
+               con, DOC_LENGTH_QUANTILES_ORACLE)

@@ -557,3 +557,54 @@ def test_arrow_kernels_null_text(spark):
     jp = {r.doc_id: r for r in text_profile(df).collect()}
     assert jp[2].n_tokens is None and jp[2].lang_pred is None
     assert jp[1].lang_pred == tp[1].lang_pred
+
+
+def test_skipgram_pairs_hand_case(spark):
+    """Window-2 skip-grams over a hand corpus: ordered pairs at distance
+    1 and 2, counts exact, top-k deterministic on (n desc, a, b)."""
+    from compute_histogram_spark.operators.text import skipgram_pairs
+
+    df = spark.createDataFrame(
+        [(1, "a b a b a"), (2, "a b"), (3, "x",)],
+        "doc_id bigint, text string",
+    )
+    rows = {(r.a, r.b): r.n_pairs
+            for r in skipgram_pairs(df, window=2, min_count=1, k=25).collect()}
+    # d=1: doc1 -> (a,b)x2 (b,a)x2; doc2 -> (a,b). d=2: doc1 -> (a,a)x2
+    # (b,b)x1... positions: ts=[a,b,a,b,a]; d=2 pairs (a,a),(b,b),(a,a).
+    assert rows[("a", "b")] == 3
+    assert rows[("b", "a")] == 2
+    assert rows[("a", "a")] == 2
+    assert rows[("b", "b")] == 1
+    # the one-token doc contributes nothing; no self-window pairs beyond d<=2
+    assert ("x", "x") not in rows and len(rows) == 4
+    # min_count prunes exactly
+    pruned = {(r.a, r.b) for r in
+              skipgram_pairs(df, window=2, min_count=3, k=25).collect()}
+    assert pruned == {("a", "b")}
+
+
+def test_doc_length_quantiles_rank_selection(spark):
+    """Integer rank selection: idx = ceil(p*n) — for n=4 lengths
+    [10,20,30,40], p25 -> 1st (10), p50 -> 2nd (20), p75 -> 3rd (30),
+    p90 -> ceil(3.6)=4th (40). Ties collapse to one (g, len) count row
+    but ranks still select the correct element."""
+    from compute_histogram_spark.operators.text import doc_length_quantiles
+
+    df = spark.createDataFrame(
+        [("en", 10), ("en", 20), ("en", 30), ("en", 40),
+         ("de", 5), ("de", 5), ("de", 7)],
+        "lang string, n_chars int",
+    )
+    out = {(r.lang, r.pct): (r.n_docs, r.q_len)
+           for r in doc_length_quantiles(df).collect()}
+    assert out[("en", 25)] == (4, 10)
+    assert out[("en", 50)] == (4, 20)
+    assert out[("en", 75)] == (4, 30)
+    assert out[("en", 90)] == (4, 40)
+    # de: n=3, ceil(.25*3)=1 -> 5, ceil(.5*3)=2 -> 5 (tie), ceil(.75*3)=3
+    # -> 7, ceil(.9*3)=3 -> 7
+    assert out[("de", 25)] == (3, 5)
+    assert out[("de", 50)] == (3, 5)
+    assert out[("de", 75)] == (3, 7)
+    assert out[("de", 90)] == (3, 7)
