@@ -1160,7 +1160,9 @@ def skipgram_pairs(
     with the :func:`token_pmi` index-sequence idiom — no posexplode
     self-join, no data-scaled join at all — then one partial->final
     hash aggregation; exact integer counts; top-k is deterministic on
-    (n desc, a, b) and compiles to TakeOrderedAndProject.
+    (n desc, a, b) and rides the rank-filter WindowGroupLimit pushdown
+    (partial per-partition limit before the single ordered window — the
+    token_pmi idiom, accepted by tools/plan_audit.py without listing).
 
     -> (a, b, n_pairs) top-k by (n_pairs desc, a, b)."""
     from compute_histogram_spark.functions.texthash import tokens

@@ -68,6 +68,11 @@ NLJ_ALLOWED = {
     # (default 10) threshold spine against the per-doc score table; the
     # same bounded scalar-broadcast shape as histogram_deciles/bm25_topk
     "pr_curve",
+    # doc_length_quantiles (r16, wave-13 bank): crossJoin(broadcast(ps))
+    # — the 4-row rational-percentile spine against the (group, length)
+    # COUNT table (bounded by groups x distinct lengths, never raw rows);
+    # the pr_curve shape
+    "doc_length_quantiles",
     # idf_top_terms: crossJoin(broadcast(N)) — the ONE-row corpus-count
     # scalar against the token df table (the bm25/token_pmi shape)
     "idf_top_terms",
@@ -224,6 +229,16 @@ def _extra_queries():
         ),
         "promotion_suppliers": lambda s, d: (
             entrymod.registry.q_promotion_suppliers(s, d)
+        ),
+        # r16 staged twins (wave-13 bank) — same pre-rotation gating
+        "neardup_source_overlap": lambda s, d: (
+            entrymod.registry.q_neardup_source_overlap(s, d)
+        ),
+        "skipgram_pairs": lambda s, d: (
+            entrymod.registry.q_skipgram_pairs(s, d)
+        ),
+        "doc_length_quantiles": lambda s, d: (
+            entrymod.registry.q_doc_length_quantiles(s, d)
         ),
         # r12 layout-served bench rows: audited on a layout written into a
         # temp database at the audit SF (the plan shape is what's gated;
@@ -407,6 +422,15 @@ def _global_windows(plan: str) -> int:
     a global window omits the partition group: ``Window [funcs], [orderSpec]``.
     Group counting tracks bracket depth so nested brackets inside function
     expressions don't split groups.
+
+    Two-group disambiguation (r16): an UNORDERED partitioned window (e.g.
+    ``sum(c) OVER (PARTITION BY g)``) also prints two groups —
+    ``Window [funcs], [partitionSpec]`` — and is NOT global (it requires
+    only hashpartitioning, no single-partition sort). The cases are told
+    apart by the second group's content: an orderSpec carries sort
+    direction markers (`` ASC``/`` DESC``), a partitionSpec is bare
+    attribute refs. Before this fix doc_length_quantiles' per-group total
+    was misflagged as a global window.
     """
     n = 0
     for line in plan.splitlines():
@@ -414,15 +438,20 @@ def _global_windows(plan: str) -> int:
         if not s.startswith(("Window ", "WindowExec")):
             continue
         depth = 0
-        groups = 0
-        for ch in s:
+        groups = []
+        start = None
+        for i, ch in enumerate(s):
             if ch == "[":
                 if depth == 0:
-                    groups += 1
+                    start = i
                 depth += 1
             elif ch == "]":
                 depth -= 1
-        if groups <= 2:  # funcs + order only -> no partition spec
+                if depth == 0:
+                    groups.append(s[start : i + 1])
+        if len(groups) <= 2 and groups and (
+            " ASC" in groups[-1] or " DESC" in groups[-1]
+        ):
             n += 1
     return n
 
