@@ -4814,3 +4814,44 @@ DOC_LENGTH_QUANTILES_ORACLE = """
 
 def q_doc_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.doc_length_quantiles(load(spark, sf_dir, "documents"))
+
+
+# The FIFTH streaming twin (staged r16, wave-13 bank addendum): the
+# native session_window state machine drained to convergence via
+# complete mode + far-future watermark (streaming/stream_ops.py:
+# drained_sessionize — boundary/merge/floor semantics documented there).
+# Oracle: the batch SESSIONIZE gap-CTE (lag -> is_new -> cumsum -> group)
+# re-projected to session_window's output convention: start = floor
+# seconds of the first event, end = floor seconds of the last event +
+# the 1800 s gap (whole-second gap commutes with the floor). All-integer
+# output — hash-exact.
+STREAMING_SESSIONIZE_ORACLE = """
+    WITH t AS (SELECT user_id, event_id, epoch_us(ts) AS tsu FROM events),
+    l AS (
+        SELECT *, lag(tsu) OVER (PARTITION BY user_id ORDER BY tsu, event_id) AS prev
+        FROM t
+    ),
+    f AS (
+        SELECT *, CASE WHEN prev IS NULL OR tsu - prev > 1800000000
+                       THEN 1 ELSE 0 END AS is_new
+        FROM l
+    ),
+    s AS (
+        SELECT *, CAST(sum(is_new) OVER (
+            PARTITION BY user_id ORDER BY tsu, event_id ROWS UNBOUNDED PRECEDING
+        ) AS BIGINT) AS session_id
+        FROM f
+    )
+    SELECT user_id,
+           CAST(floor(min(tsu) / 1000000) AS BIGINT) AS session_start_s,
+           CAST(floor(max(tsu) / 1000000) + 1800 AS BIGINT) AS session_end_s,
+           count(*) AS n_events
+    FROM s GROUP BY user_id, session_id
+    ORDER BY user_id, session_start_s
+    """
+
+
+def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from compute_histogram_spark.streaming import stream_ops as SO
+
+    return SO.drained_sessionize(spark, sf_dir, n_batches=4)

@@ -889,3 +889,61 @@ def drained_normalized_dedup(
     return spark.createDataFrame(
         rows, "norm_hash string, first_batch int"
     ).orderBy("norm_hash")
+
+
+def drained_sessionize(
+    spark: SparkSession, sf_dir: str, n_batches: int = 4
+) -> DataFrame:
+    """:func:`streaming_sessionize` driven through the same fixed
+    micro-batches as :func:`drained_user_stats`, drained to the converged
+    session table — the FIFTH streaming operator under the value-exact
+    gate (r16): the native ``session_window`` state machine itself.
+
+    Two twin-harness choices make convergence observable and exact:
+
+    - **complete mode** (the only mode Spark supports for session-window
+      aggregations besides append): every epoch re-emits the ENTIRE
+      merged session table, so the LAST epoch's emission IS the
+      converged state — no emission-projection tricks needed, because
+      session MERGING is associative over any batch split (a session's
+      interval only ever widens). Complete mode holds all state, which
+      is exactly what a finite drain wants and what production append
+      mode (watermark eviction) deliberately avoids.
+    - **far-future watermark** ("3650 days", the exact-dedup precedent):
+      the batch split is by ``event_id % n``, NOT by time, so later
+      batches contain arbitrarily early events — any realistic watermark
+      would drop them and diverge from the batch twin.
+
+    Boundary semantics verified empirically and pinned in tests: an
+    event at EXACTLY gap after the previous one MERGES (session_window
+    treats [t, t+gap) windows that touch as overlapping), matching the
+    batch twin's strict ``tsu - prev > gap_us`` new-session rule; and
+    ``sw.start/.end cast("long")`` floors micros to epoch seconds, with
+    ``end = last event + gap`` so whole-second gaps commute with the
+    floor. Oracle: the batch SESSIONIZE CTE re-projected to
+    (floor(min/1e6), floor(max/1e6) + gap_s)."""
+    path = deterministic_event_batches(spark, sf_dir, n_batches)
+    stream = read_events_stream(spark, path, max_files_per_trigger=1)
+    final: dict = {"rows": []}
+
+    def sink(df: DataFrame, _epoch: int) -> None:
+        # complete mode: every emission is the full table; last wins
+        final["rows"] = [
+            (r["user_id"], r["session_start_s"], r["session_end_s"],
+             r["n_events"])
+            for r in df.collect()
+        ]
+
+    q = (
+        streaming_sessionize(stream, watermark="3650 days")
+        .writeStream.foreachBatch(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.createDataFrame(
+        sorted(final["rows"]),
+        "user_id bigint, session_start_s bigint, session_end_s bigint, "
+        "n_events bigint",
+    ).orderBy("user_id", "session_start_s")

@@ -38,9 +38,12 @@ driver-gated; pins here stay as the fast check. Newly staged this round
 matrix over the banded MinHash pair set), skipgram_pairs (window-2
 skip-gram context counts, the word2vec/GloVe pre-pass) and
 doc_length_quantiles (per-lang EXACT quantiles by integer rank
-selection — zero float arithmetic, layout-invariant by construction).
-All three passed check_oracle compare + the --layouts 1/7/64 pre-screen
-at sf0.01 before staging."""
+selection — zero float arithmetic, layout-invariant by construction),
+plus streaming_sessionize (the FIFTH streaming twin: the native
+session_window state machine drained to convergence via complete mode
++ far-future watermark; exact-gap merge parity with the batch CTE
+pinned in tests/test_streaming.py). All passed check_oracle compare +
+the --layouts 1/7/64 pre-screen at sf0.01 before staging."""
 
 import os
 import sys
@@ -914,3 +917,20 @@ def test_doc_length_quantiles_twin_both_sfs(spark):
         con = duck_connection(sf)
         _check("doc_length_quantiles", q_doc_length_quantiles(spark, sf),
                con, DOC_LENGTH_QUANTILES_ORACLE)
+
+
+def test_streaming_sessionize_twin_both_sfs(spark):
+    """r16 (wave-13 bank): the FIFTH streaming twin — the native
+    session_window state machine drained to convergence (complete mode
+    + far-future watermark); converged sessions == the batch gap-CTE
+    re-projected to session_window's (floor-second start, last+gap end)
+    convention. Value-exact at both test SFs."""
+    from compute_histogram_spark.registry import (
+        STREAMING_SESSIONIZE_ORACLE,
+        q_streaming_sessionize,
+    )
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        con = duck_connection(sf)
+        _check("streaming_sessionize", q_streaming_sessionize(spark, sf),
+               con, STREAMING_SESSIONIZE_ORACLE)

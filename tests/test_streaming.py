@@ -439,3 +439,81 @@ def test_watermark_delay_past_epoch_drops_everything(spark, sf_dir):
     )
     q.awaitTermination()
     assert sum(emitted) == 0  # every row late on arrival: silent empty
+
+
+def test_drained_sessionize_exact_gap_merges_like_batch(spark, tmp_path):
+    """The session_window boundary rule matches the batch twin at the
+    EXACT-gap edge: an event arriving precisely gap seconds after the
+    previous one merges in BOTH forms (streaming treats touching
+    [t, t+gap) windows as overlapping; batch starts a new session only
+    on strictly-greater gaps) — and a cross-batch split whose pieces
+    overlap in time merges back to one session. Also pins the
+    cast("long") floor of sub-second session starts."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    base = str(tmp_path / "sess_edge")
+    os.makedirs(base)
+    # batch 0: u1 at t=0; u2 at t=100us.  batch 1 (later mtime): u1 at
+    # EXACTLY t=1800s (gap edge); u2 at t=900s (overlaps u2's window).
+    batches = [
+        [(1, 0), (2, 100)],
+        [(1, 1_800_000_000), (2, 900_000_000)],
+    ]
+    for i, rows in enumerate(batches):
+        df = spark.createDataFrame(
+            rows, "user_id bigint, tsu bigint"
+        ).select(
+            "user_id", F.timestamp_micros(F.col("tsu")).alias("event_time")
+        )
+        stage = os.path.join(base, f"_st{i}")
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        part = next(
+            f for f in os.listdir(stage)
+            if f.endswith(".parquet") and not f.startswith("_")
+        )
+        dst = os.path.join(base, f"b{i}.parquet")
+        shutil.move(os.path.join(stage, part), dst)
+        shutil.rmtree(stage)
+        os.utime(dst, (1_000_000_000 + i,) * 2)
+
+    stream = (
+        spark.readStream.schema("user_id bigint, event_time timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(base)
+    )
+    final = {}
+
+    def sink(df, _epoch):
+        final["rows"] = sorted(tuple(r) for r in df.collect())
+
+    # streaming_sessionize derives event_time itself from a ts column;
+    # here the frame already HAS event_time, so apply the session agg
+    # directly with the same output projection
+    agg = (
+        stream.withWatermark("event_time", "3650 days")
+        .groupBy(
+            F.session_window("event_time", "30 minutes").alias("sw"),
+            "user_id",
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("sw.start").cast("long").alias("session_start_s"),
+            F.col("sw.end").cast("long").alias("session_end_s"),
+            "n_events",
+        )
+    )
+    q = (
+        agg.writeStream.foreachBatch(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # u1: exact-gap event MERGED (one session 0..3600, 2 events); a new
+    # session would have read (0, 1800, 1), (1800, 3600, 1).
+    # u2: cross-batch overlap merged; start floors 100us -> 0 s.
+    assert final["rows"] == [(1, 0, 3600, 2), (2, 0, 2700, 2)]
