@@ -68,3 +68,92 @@ def test_skipgram_pairs_matches_brute_force(spark, docs, window):
     # convention, so an empty doc yields no pairs only because size 1 < 2
     brute = {k: v for k, v in brute.items() if v >= 1}
     assert got == dict(brute)
+
+
+# session merging must be associative over ANY batch split — the claim
+# that makes drained_sessionize's complete-mode convergence equal the
+# batch gap-CTE. Tight time domain (0..5 gaps, micros jitter) makes
+# merges, exact-gap edges, and sub-second floors all likely.
+_GAP_US = 1_800_000_000
+sess_event = st.tuples(
+    st.integers(1, 2),                      # user_id
+    st.integers(0, 5 * _GAP_US + 1),        # tsu (micros)
+)
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(events=st.lists(sess_event, min_size=1, max_size=10),
+       batch_of=st.lists(st.integers(0, 2), min_size=10, max_size=10))
+def test_streaming_sessionize_invariant_under_any_batch_split(
+    spark, tmp_path_factory, events, batch_of
+):
+    """Drained session_window output == the batch twin's gap rule for a
+    RANDOM assignment of events to (up to) three micro-batches — the
+    associativity property the deterministic drain harness relies on."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    base = str(tmp_path_factory.mktemp("sess_prop"))
+    batches = {}
+    for idx, (u, t) in enumerate(events):
+        batches.setdefault(batch_of[idx], []).append((u, t))
+    for i, (b, rows) in enumerate(sorted(batches.items())):
+        df = spark.createDataFrame(
+            rows, "user_id bigint, tsu bigint"
+        ).select(
+            "user_id", F.timestamp_micros(F.col("tsu")).alias("event_time")
+        )
+        stage = os.path.join(base, f"_st{i}")
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        part = next(f for f in os.listdir(stage) if f.endswith(".parquet"))
+        shutil.move(os.path.join(stage, part),
+                    os.path.join(base, f"b{i}.parquet"))
+        shutil.rmtree(stage)
+        os.utime(os.path.join(base, f"b{i}.parquet"),
+                 (1_000_000_000 + i,) * 2)
+
+    stream = (
+        spark.readStream.schema("user_id bigint, event_time timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(base)
+    )
+    final = {}
+
+    def sink(df, _epoch):
+        final["rows"] = sorted(tuple(r) for r in df.collect())
+
+    q = (
+        stream.withWatermark("event_time", "3650 days")
+        .groupBy(F.session_window("event_time", "30 minutes").alias("sw"),
+                 "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("user_id", F.col("sw.start").cast("long").alias("s"),
+                F.col("sw.end").cast("long").alias("e"), "n")
+        .writeStream.foreachBatch(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    # python twin of the batch gap rule (strictly-greater gap splits)
+    expect = []
+    per_user = collections.defaultdict(list)
+    for u, t in events:
+        per_user[u].append(t)
+    for u, ts in per_user.items():
+        ts.sort()
+        start = prev = ts[0]
+        n = 0
+        for t in ts:
+            if t - prev > _GAP_US:
+                expect.append((u, start // 10**6,
+                               prev // 10**6 + 1800, n))
+                start, n = t, 0
+            n += 1
+            prev = t
+        expect.append((u, start // 10**6, prev // 10**6 + 1800, n))
+    assert final["rows"] == sorted(expect)
