@@ -981,6 +981,91 @@ def _publish_staged(state_dir: str, tag: str) -> None:
     shutil.rmtree(stage, ignore_errors=True)
 
 
+def _commit_log(state_dir: str) -> list:
+    """Ordered commit log [(seq, tag), ...] reconstructed from the
+    marker files. Markers written since r16 carry ``"<seq>\\n<tag>"``
+    with an ABSOLUTE sequence (the writer computes next = 1 + max over
+    this log, so explicit seqs already sit above any legacy ones);
+    legacy tag-only markers (r15) are assigned implicit seqs by mtime
+    rank. O(batches) tiny files — the same scale class as the markers
+    themselves."""
+    import os
+
+    commits = os.path.join(state_dir, "_commits")
+    if not os.path.isdir(commits):
+        return []
+    explicit, legacy = [], []
+    for tag in os.listdir(commits):
+        if tag.endswith(".tmp"):  # torn marker write: never committed
+            continue
+        p = os.path.join(commits, tag)
+        try:
+            body = open(p).read()
+        except OSError:
+            continue
+        first = body.split("\n", 1)[0].strip()
+        # a legacy (r15) marker's body IS its own tag — that test, not
+        # isdigit(), disambiguates: a 16-hex tag can be all digits
+        if first != tag and first.isdigit():
+            explicit.append((int(first), tag))
+        else:
+            legacy.append((os.path.getmtime(p), tag))
+    legacy.sort()
+    out = [(i + 1, tag) for i, (_m, tag) in enumerate(legacy)]
+    out.extend(explicit)
+    out.sort()
+    return out
+
+
+def corpus_snapshots(state_dir: str) -> list:
+    """The ingest's commit history as [{"seq": n, "tag": t}, ...] in
+    commit order — the discovery call before :func:`read_corpus_as_of`."""
+    return [{"seq": s, "tag": t} for s, t in _commit_log(state_dir)]
+
+
+def read_corpus_as_of(spark, state_dir: str, seq: int | None = None):
+    """SNAPSHOT read of the ingested corpus as of commit ``seq`` (None =
+    latest) — time travel over the append-only state (r16).
+
+    Because every published part-file is tag-prefixed and every commit
+    is marker-logged, any historical snapshot is reconstructible by
+    FILE-LIST PRUNING alone: select the part-files whose tag committed
+    at or before ``seq`` and hand Spark that explicit list. No data is
+    copied, no tombstones consulted — the corpus is append-only by
+    construction (removals happen before publication, never after), so
+    a snapshot is exactly a prefix of the commit log. Cost is
+    O(committed files) driver-side listing; the read itself plans like
+    any parquet scan (pruning/pushdown intact).
+
+    Runs the entry-time recovery scan first (the ingest's own
+    protocol): a committed-but-half-published batch is finish-published
+    before listing, so a snapshot can never observe a torn commit. The
+    single-writer / rename-atomicity caveats of the ingest apply
+    unchanged (object stores should gate reads on the marker)."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as _F  # noqa: F401
+
+    _recover_ingest_state(state_dir)
+    log = _commit_log(state_dir)
+    if not log:
+        raise ValueError(f"no committed ingest batches under {state_dir}")
+    keep = {tag for s, tag in log if seq is None or s <= seq}
+    corpus_dir = os.path.join(state_dir, "corpus")
+    files = [
+        f for f in sorted(glob.glob(os.path.join(corpus_dir, "*-part-*")))
+        if os.path.basename(f).split("-", 1)[0] in keep
+    ]
+    if not files:
+        # valid snapshot before any kept rows landed: empty frame with
+        # the table's schema (the full table must exist to know it)
+        return spark.createDataFrame(
+            [], spark.read.parquet(corpus_dir).schema
+        )
+    return spark.read.parquet(*files)
+
+
 def _recover_ingest_state(state_dir: str) -> None:
     """Crash recovery for the staged-commit protocol: a batch under
     staging/ WITH a commit marker was fully staged — finish its
@@ -1181,8 +1266,16 @@ def incremental_corpus_ingest(
     sigs_new.write.mode("overwrite").parquet(os.path.join(stage, "sigs"))
     new_keys.write.mode("overwrite").parquet(os.path.join(stage, "keys"))
     os.makedirs(os.path.dirname(marker), exist_ok=True)
-    with open(marker, "w") as fh:
-        fh.write(tag)
+    # r16: the marker carries an absolute commit sequence (enables
+    # read_corpus_as_of snapshot reads) and lands via temp+rename so a
+    # crash mid-write can never leave a torn marker that reads as
+    # committed. A retry of a committed batch never reaches here, so a
+    # seq is assigned exactly once per batch.
+    seq = 1 + max((s for s, _t in _commit_log(state_dir)), default=0)
+    tmp_marker = marker + ".tmp"
+    with open(tmp_marker, "w") as fh:
+        fh.write(f"{seq}\n{tag}")
+    os.replace(tmp_marker, marker)
     _publish_staged(state_dir, tag)
     return out
 

@@ -199,3 +199,93 @@ def test_uncommitted_staging_is_discarded(spark, state):
     assert out.count() == 1
     assert not os.path.exists(junk)
     assert spark.read.parquet(state + "/corpus").count() == 2
+
+
+def test_snapshot_reads_reconstruct_every_commit(spark, state):
+    """read_corpus_as_of(seq) == the corpus exactly as it stood after
+    commit seq, for every commit — time travel by file-list pruning
+    over the tag-prefixed append-only parts (r16)."""
+    w = demo_weights(spark)
+    batches = [[(1, _T2)], [(10, _T3)], [(20, _T4)]]
+    after = []  # corpus doc_id set observed right after each commit
+    for b in batches:
+        PL.incremental_corpus_ingest(_two_docs(spark, b), state, w)
+        after.append({r["doc_id"] for r in
+                      spark.read.parquet(state + "/corpus").collect()})
+    snaps = PL.corpus_snapshots(state)
+    assert [s["seq"] for s in snaps] == [1, 2, 3]
+    for seq, want in zip([1, 2, 3], after):
+        got = {r["doc_id"] for r in
+               PL.read_corpus_as_of(spark, state, seq).collect()}
+        assert got == want, seq
+    # latest (None) == last commit == full table read
+    latest = {r["doc_id"] for r in
+              PL.read_corpus_as_of(spark, state).collect()}
+    assert latest == after[-1]
+
+
+def test_snapshot_retry_assigns_no_new_seq(spark, state):
+    """Re-ingesting a committed batch is a no-op in the commit log too:
+    the snapshot history gains no entry and existing seqs are stable."""
+    w = demo_weights(spark)
+    b = _two_docs(spark, [(1, _T2)])
+    PL.incremental_corpus_ingest(b, state, w)
+    log1 = PL.corpus_snapshots(state)
+    PL.incremental_corpus_ingest(b, state, w)  # idempotent retry
+    assert PL.corpus_snapshots(state) == log1
+    PL.incremental_corpus_ingest(_two_docs(spark, [(2, _T3)]), state, w)
+    log2 = PL.corpus_snapshots(state)
+    assert log2[: len(log1)] == log1 and log2[-1]["seq"] == 2
+
+
+def test_snapshot_never_observes_a_torn_commit(spark, state, monkeypatch):
+    """An as-of read entered against a committed-but-half-published
+    state finishes the publish first (the ingest's own recovery), so a
+    snapshot can never return a commit's partial row set; and an
+    UNcommitted staged batch is invisible at every seq."""
+    import glob
+    import os
+
+    w = demo_weights(spark)
+    PL.incremental_corpus_ingest(_two_docs(spark, [(1, _T2)]), state, w)
+    b2 = _two_docs(spark, [(10, _T3), (11, _T4)])
+
+    def no_publish(state_dir, tag):
+        raise RuntimeError("simulated crash before publish")
+
+    monkeypatch.setattr(PL, "_publish_staged", no_publish)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        PL.incremental_corpus_ingest(b2, state, w)
+    monkeypatch.undo()
+
+    # marker exists, parts still in staging: the snapshot read must
+    # surface the COMPLETE batch-2 commit (recovery publishes it)
+    assert glob.glob(os.path.join(state, "staging", "*"))
+    got = {r["doc_id"] for r in
+           PL.read_corpus_as_of(spark, state, 2).collect()}
+    assert got == {1, 10, 11}
+    assert glob.glob(os.path.join(state, "staging", "*")) == []
+    # seq 1 stays historically exact after the recovery
+    assert {r["doc_id"] for r in
+            PL.read_corpus_as_of(spark, state, 1).collect()} == {1}
+
+
+def test_snapshot_legacy_tagonly_markers_still_order(spark, state):
+    """A state dir whose markers predate the seq format (body == tag)
+    keeps a total commit order by mtime, and the next writer continues
+    ABOVE it — mixed histories read correctly."""
+    import os
+
+    w = demo_weights(spark)
+    PL.incremental_corpus_ingest(_two_docs(spark, [(1, _T2)]), state, w)
+    # rewrite the marker to the legacy format (content == filename)
+    commits = os.path.join(state, "_commits")
+    (tag,) = os.listdir(commits)
+    with open(os.path.join(commits, tag), "w") as fh:
+        fh.write(tag)
+    assert PL.corpus_snapshots(state) == [{"seq": 1, "tag": tag}]
+    PL.incremental_corpus_ingest(_two_docs(spark, [(2, _T3)]), state, w)
+    snaps = PL.corpus_snapshots(state)
+    assert [s["seq"] for s in snaps] == [1, 2] and snaps[0]["tag"] == tag
+    assert {r["doc_id"] for r in
+            PL.read_corpus_as_of(spark, state, 1).collect()} == {1}
