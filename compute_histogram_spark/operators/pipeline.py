@@ -1038,10 +1038,13 @@ def read_corpus_as_of(spark, state_dir: str, seq: int | None = None):
     any parquet scan (pruning/pushdown intact).
 
     Runs the entry-time recovery scan first (the ingest's own
-    protocol): a committed-but-half-published batch is finish-published
-    before listing, so a snapshot can never observe a torn commit. The
-    single-writer / rename-atomicity caveats of the ingest apply
-    unchanged (object stores should gate reads on the marker)."""
+    protocol): a committed-but-half-published batch OR compaction is
+    finish-published before listing, so a snapshot can never observe a
+    torn commit. After :func:`compact_corpus_state`, snapshots below
+    the compaction horizon raise (their granularity was vacuumed);
+    snapshots at/above it read the compact set plus later tags and stay
+    exact. The single-writer / rename-atomicity caveats of the ingest
+    apply unchanged (object stores should gate reads on the marker)."""
     import glob
     import os
 
@@ -1051,7 +1054,21 @@ def read_corpus_as_of(spark, state_dir: str, seq: int | None = None):
     log = _commit_log(state_dir)
     if not log:
         raise ValueError(f"no committed ingest batches under {state_dir}")
-    keep = {tag for s, tag in log if seq is None or s <= seq}
+    manifest = _compaction_manifest(state_dir)
+    if manifest is not None:
+        horizon = manifest["horizon"]
+        if seq is not None and seq < horizon:
+            raise ValueError(
+                f"snapshot {seq} predates the compaction horizon "
+                f"{horizon}: that granularity was vacuumed "
+                "(compact_corpus_state truncates history below its "
+                "horizon — the Delta/Iceberg vacuum trade)"
+            )
+        keep = {tag for s, tag in log
+                if s > horizon and (seq is None or s <= seq)}
+        keep.add(manifest["prefix"])
+    else:
+        keep = {tag for s, tag in log if seq is None or s <= seq}
     corpus_dir = os.path.join(state_dir, "corpus")
     files = [
         f for f in sorted(glob.glob(os.path.join(corpus_dir, "*-part-*")))
@@ -1070,18 +1087,164 @@ def _recover_ingest_state(state_dir: str) -> None:
     """Crash recovery for the staged-commit protocol: a batch under
     staging/ WITH a commit marker was fully staged — finish its
     publish; one WITHOUT never committed — discard it (the retry
-    re-stages deterministically under the same content-derived tag)."""
+    re-stages deterministically under the same content-derived tag).
+    Also finishes a committed-but-half-published COMPACTION (r16): the
+    manifest is the compaction's commit marker — with it present, any
+    staged compact parts publish and every replaced-prefix straggler is
+    deleted; a staged compact set WITHOUT a matching manifest never
+    committed and is discarded."""
     import os
     import shutil
 
     staging = os.path.join(state_dir, "staging")
-    if not os.path.isdir(staging):
+    manifest = _compaction_manifest(state_dir)
+    if os.path.isdir(staging):
+        for tag in os.listdir(staging):
+            if tag.startswith("compact-"):
+                prefix = tag[len("compact-"):]
+                if manifest and manifest["prefix"] == prefix:
+                    _publish_compaction(state_dir, prefix)
+                else:
+                    shutil.rmtree(
+                        os.path.join(staging, tag), ignore_errors=True
+                    )
+            elif os.path.exists(os.path.join(state_dir, "_commits", tag)):
+                _publish_staged(state_dir, tag)
+            else:
+                shutil.rmtree(os.path.join(staging, tag), ignore_errors=True)
+    if manifest:
+        _delete_replaced_parts(state_dir, manifest["replaced"])
+
+
+def _compaction_manifest(state_dir: str):
+    """The committed compaction, or None. One JSON file written via
+    temp+rename — its existence IS the compaction's commit point."""
+    import json
+    import os
+
+    p = os.path.join(state_dir, "_compaction")
+    if not os.path.exists(p):
+        return None
+    with open(p) as fh:
+        return json.load(fh)
+
+
+def _publish_compaction(state_dir: str, prefix: str) -> None:
+    """Rename staged compact part-files into corpus/ under the manifest
+    prefix — same idempotent per-file rename as :func:`_publish_staged`."""
+    import glob
+    import os
+    import shutil
+
+    stage = os.path.join(state_dir, "staging", f"compact-{prefix}")
+    if not os.path.isdir(stage):
         return
-    for tag in os.listdir(staging):
-        if os.path.exists(os.path.join(state_dir, "_commits", tag)):
-            _publish_staged(state_dir, tag)
-        else:
-            shutil.rmtree(os.path.join(staging, tag), ignore_errors=True)
+    dst = os.path.join(state_dir, "corpus")
+    os.makedirs(dst, exist_ok=True)
+    for f in sorted(glob.glob(os.path.join(stage, "part-*"))):
+        os.rename(f, os.path.join(dst, f"{prefix}-{os.path.basename(f)}"))
+    shutil.rmtree(stage, ignore_errors=True)
+
+
+def _delete_replaced_parts(state_dir: str, replaced) -> None:
+    """Vacuum the data files a committed compaction superseded —
+    idempotent, re-run at every entry until clean."""
+    import glob
+    import os
+
+    corpus = os.path.join(state_dir, "corpus")
+    gone = set(replaced)
+    for f in glob.glob(os.path.join(corpus, "*-part-*")):
+        if os.path.basename(f).split("-", 1)[0] in gone:
+            os.remove(f)
+
+
+def compact_corpus_state(
+    spark, state_dir: str, up_to_seq: int | None = None
+) -> dict:
+    """Compact the corpus part-files of every commit <= ``up_to_seq``
+    (default: latest) into ONE coalesced file set — the table
+    maintenance the snapshot design makes necessary (r16): each commit
+    publishes its own tag-prefixed parts, so a long-lived state
+    accumulates O(batches) small files and scan cost starts scaling
+    with FILE COUNT, not bytes (the sources/compaction.py story applied
+    to the ingest state).
+
+    Semantics — the Delta/Iceberg vacuum trade, stated explicitly:
+    snapshot granularity BELOW the horizon is truncated
+    (``read_corpus_as_of(seq < horizon)`` raises); reads at or above
+    the horizon stay EXACT (compact parts cover exactly the commits
+    <= horizon; later tags layer on top). The commit LOG itself is
+    untouched — markers keep their sequences, so horizons only move
+    forward and re-compaction folds the previous compact set in.
+
+    Crash safety mirrors the ingest protocol: parts stage under
+    ``staging/compact-<prefix>``, the manifest lands via temp+rename
+    (the commit point), entry-time recovery finishes the publish and
+    the vacuum. The rewrite is verified (rows in == rows out) before
+    the manifest is written. Single-writer, same object-store caveat.
+
+    -> {"horizon": h, "prefix": p, "n_files_before": a, "n_files_after": b}
+    """
+    import glob
+    import json
+    import os
+
+    _recover_ingest_state(state_dir)
+    log = _commit_log(state_dir)
+    if not log:
+        raise ValueError(f"no committed ingest batches under {state_dir}")
+    horizon = log[-1][0] if up_to_seq is None else up_to_seq
+    old = _compaction_manifest(state_dir)
+    if old and horizon <= old["horizon"]:
+        raise ValueError(
+            f"horizon {horizon} does not advance past the existing "
+            f"compaction at {old['horizon']} (history below a horizon "
+            "is already truncated)"
+        )
+    prefixes = {tag for s, tag in log if s <= horizon}
+    if old:
+        prefixes.add(old["prefix"])
+    corpus_dir = os.path.join(state_dir, "corpus")
+    files = [
+        f for f in sorted(glob.glob(os.path.join(corpus_dir, "*-part-*")))
+        if os.path.basename(f).split("-", 1)[0] in prefixes
+    ]
+    if not files:
+        raise ValueError("nothing to compact below the requested horizon")
+    prefix = f"cp{horizon}"
+    src = spark.read.parquet(*files)
+    n_rows = src.count()
+    # size-derived output count (~128 MiB/file, the compaction module's
+    # convention) — a fixed count would mean one giant file at 100 TB
+    total = sum(os.path.getsize(f) for f in files)
+    n_out = max(1, -(-total // (128 << 20)))
+    stage = os.path.join(state_dir, "staging", f"compact-{prefix}")
+    src.coalesce(int(n_out)).write.mode("overwrite").parquet(stage)
+    got = spark.read.parquet(stage).count()
+    if got != n_rows:
+        raise RuntimeError(
+            f"compaction rewrite verification failed: {got} != {n_rows}"
+        )
+    manifest = {
+        "horizon": horizon,
+        "prefix": prefix,
+        "replaced": sorted(prefixes),
+    }
+    tmp = os.path.join(state_dir, "_compaction.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh)
+    os.replace(tmp, os.path.join(state_dir, "_compaction"))
+    _publish_compaction(state_dir, prefix)
+    _delete_replaced_parts(state_dir, manifest["replaced"])
+    return {
+        "horizon": horizon,
+        "prefix": prefix,
+        "n_files_before": len(files),
+        "n_files_after": len(
+            glob.glob(os.path.join(corpus_dir, f"{prefix}-part-*"))
+        ),
+    }
 
 
 def incremental_corpus_ingest(

@@ -289,3 +289,97 @@ def test_snapshot_legacy_tagonly_markers_still_order(spark, state):
     assert [s["seq"] for s in snaps] == [1, 2] and snaps[0]["tag"] == tag
     assert {r["doc_id"] for r in
             PL.read_corpus_as_of(spark, state, 1).collect()} == {1}
+
+
+def test_compaction_preserves_snapshots_at_and_above_horizon(spark, state):
+    """compact_corpus_state folds every commit <= horizon into one
+    coalesced part set: reads at/above the horizon stay EXACT, file
+    count drops, and history below the horizon raises (the vacuum
+    trade, stated in the API)."""
+    import glob
+    import os
+
+    w = demo_weights(spark)
+    for b in [[(1, _T2)], [(10, _T3)], [(20, _T4)]]:
+        PL.incremental_corpus_ingest(_two_docs(spark, b), state, w)
+    before_2 = {r["doc_id"] for r in
+                PL.read_corpus_as_of(spark, state, 2).collect()}
+    before_3 = {r["doc_id"] for r in
+                PL.read_corpus_as_of(spark, state, 3).collect()}
+    n_files = len(glob.glob(os.path.join(state, "corpus", "*-part-*")))
+
+    res = PL.compact_corpus_state(spark, state, up_to_seq=2)
+    assert res["horizon"] == 2 and res["n_files_after"] == 1
+    files = glob.glob(os.path.join(state, "corpus", "*-part-*"))
+    assert len(files) < n_files
+    # exactness at and above the horizon
+    assert {r["doc_id"] for r in
+            PL.read_corpus_as_of(spark, state, 2).collect()} == before_2
+    assert {r["doc_id"] for r in
+            PL.read_corpus_as_of(spark, state, 3).collect()} == before_3
+    assert {r["doc_id"] for r in
+            PL.read_corpus_as_of(spark, state).collect()} == before_3
+    # full-directory reads see no duplicates after the vacuum
+    corpus = spark.read.parquet(state + "/corpus")
+    assert corpus.count() == corpus.dropDuplicates(["doc_id"]).count()
+    # granularity below the horizon is gone
+    with pytest.raises(ValueError, match="compaction horizon"):
+        PL.read_corpus_as_of(spark, state, 1)
+    # a horizon that does not advance is rejected
+    with pytest.raises(ValueError, match="does not advance"):
+        PL.compact_corpus_state(spark, state, up_to_seq=2)
+
+
+def test_recompaction_folds_previous_compact_set(spark, state):
+    """A later compaction absorbs the previous cp set plus the newer
+    tags; commits keep flowing afterwards with correct sequences."""
+    import glob
+    import os
+
+    w = demo_weights(spark)
+    for b in [[(1, _T2)], [(10, _T3)]]:
+        PL.incremental_corpus_ingest(_two_docs(spark, b), state, w)
+    PL.compact_corpus_state(spark, state)  # horizon 2
+    PL.incremental_corpus_ingest(_two_docs(spark, [(20, _T4)]), state, w)
+    assert [s["seq"] for s in PL.corpus_snapshots(state)] == [1, 2, 3]
+    res = PL.compact_corpus_state(spark, state)  # horizon 3 folds cp2
+    assert res["horizon"] == 3
+    parts = glob.glob(os.path.join(state, "corpus", "*-part-*"))
+    assert len(parts) == 1 and os.path.basename(parts[0]).startswith("cp3-")
+    assert {r["doc_id"] for r in
+            PL.read_corpus_as_of(spark, state).collect()} == {1, 10, 20}
+
+
+def test_compaction_crash_after_manifest_recovers(spark, state, monkeypatch):
+    """The manifest is the commit point: crash after it lands (parts
+    still staged, nothing vacuumed) and the next snapshot read must
+    finish the publish + vacuum and return exact results."""
+    import glob
+    import os
+
+    w = demo_weights(spark)
+    for b in [[(1, _T2)], [(10, _T3)]]:
+        PL.incremental_corpus_ingest(_two_docs(spark, b), state, w)
+    want = {r["doc_id"] for r in
+            PL.read_corpus_as_of(spark, state).collect()}
+
+    def no_publish(state_dir, prefix):
+        raise RuntimeError("simulated crash after manifest")
+
+    monkeypatch.setattr(PL, "_publish_compaction", no_publish)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        PL.compact_corpus_state(spark, state)
+    monkeypatch.undo()
+
+    # committed manifest + staged parts + un-vacuumed old files on disk
+    assert PL._compaction_manifest(state) is not None
+    assert glob.glob(os.path.join(state, "staging", "compact-*"))
+    got = {r["doc_id"] for r in
+           PL.read_corpus_as_of(spark, state).collect()}
+    assert got == want
+    # recovery drained staging, published cp parts, vacuumed the rest
+    assert glob.glob(os.path.join(state, "staging", "compact-*")) == []
+    parts = glob.glob(os.path.join(state, "corpus", "*-part-*"))
+    assert all(os.path.basename(p).startswith("cp2-") for p in parts)
+    corpus = spark.read.parquet(state + "/corpus")
+    assert corpus.count() == corpus.dropDuplicates(["doc_id"]).count()
