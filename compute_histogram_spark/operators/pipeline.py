@@ -1129,9 +1129,15 @@ def _compaction_manifest(state_dir: str):
         return json.load(fh)
 
 
+_COMPACTED_TABLES = ("corpus", "keys", "sigs")
+
+
 def _publish_compaction(state_dir: str, prefix: str) -> None:
-    """Rename staged compact part-files into corpus/ under the manifest
-    prefix — same idempotent per-file rename as :func:`_publish_staged`."""
+    """Rename staged compact part-files into each state table under the
+    manifest prefix — same idempotent per-file rename as
+    :func:`_publish_staged`. Staged layout is either per-table
+    subdirectories (``compact-<prefix>/<table>/part-*``) or the r16
+    corpus-only flat layout (``compact-<prefix>/part-*``)."""
     import glob
     import os
     import shutil
@@ -1139,9 +1145,16 @@ def _publish_compaction(state_dir: str, prefix: str) -> None:
     stage = os.path.join(state_dir, "staging", f"compact-{prefix}")
     if not os.path.isdir(stage):
         return
-    dst = os.path.join(state_dir, "corpus")
-    os.makedirs(dst, exist_ok=True)
-    for f in sorted(glob.glob(os.path.join(stage, "part-*"))):
+    flat = sorted(glob.glob(os.path.join(stage, "part-*")))
+    per_table = [("corpus", f) for f in flat]
+    for table in _COMPACTED_TABLES:
+        per_table.extend(
+            (table, f)
+            for f in sorted(glob.glob(os.path.join(stage, table, "part-*")))
+        )
+    for table, f in per_table:
+        dst = os.path.join(state_dir, table)
+        os.makedirs(dst, exist_ok=True)
         os.rename(f, os.path.join(dst, f"{prefix}-{os.path.basename(f)}"))
     shutil.rmtree(stage, ignore_errors=True)
 
@@ -1152,23 +1165,26 @@ def _delete_replaced_parts(state_dir: str, replaced) -> None:
     import glob
     import os
 
-    corpus = os.path.join(state_dir, "corpus")
     gone = set(replaced)
-    for f in glob.glob(os.path.join(corpus, "*-part-*")):
-        if os.path.basename(f).split("-", 1)[0] in gone:
-            os.remove(f)
+    for table in _COMPACTED_TABLES:
+        for f in glob.glob(os.path.join(state_dir, table, "*-part-*")):
+            if os.path.basename(f).split("-", 1)[0] in gone:
+                os.remove(f)
 
 
 def compact_corpus_state(
     spark, state_dir: str, up_to_seq: int | None = None
 ) -> dict:
-    """Compact the corpus part-files of every commit <= ``up_to_seq``
-    (default: latest) into ONE coalesced file set — the table
-    maintenance the snapshot design makes necessary (r16): each commit
-    publishes its own tag-prefixed parts, so a long-lived state
-    accumulates O(batches) small files and scan cost starts scaling
-    with FILE COUNT, not bytes (the sources/compaction.py story applied
-    to the ingest state).
+    """Compact ALL THREE state tables (corpus, keys, sigs) for every
+    commit <= ``up_to_seq`` (default: latest) into one coalesced file
+    set each — the table maintenance the per-commit publish makes
+    necessary (r16): each commit leaves its own tag-prefixed parts, so
+    a long-lived state accumulates O(batches) small files and scan
+    cost starts scaling with FILE COUNT, not bytes (the
+    sources/compaction.py story applied to the ingest state). keys/
+    and sigs/ matter MORE than corpus/ here: every future ingest batch
+    reads both indexes, so their file count taxes every O(delta) job,
+    not just snapshot reads.
 
     Semantics — the Delta/Iceberg vacuum trade, stated explicitly:
     snapshot granularity BELOW the horizon is truncated
@@ -1205,27 +1221,37 @@ def compact_corpus_state(
     prefixes = {tag for s, tag in log if s <= horizon}
     if old:
         prefixes.add(old["prefix"])
-    corpus_dir = os.path.join(state_dir, "corpus")
-    files = [
-        f for f in sorted(glob.glob(os.path.join(corpus_dir, "*-part-*")))
-        if os.path.basename(f).split("-", 1)[0] in prefixes
-    ]
-    if not files:
-        raise ValueError("nothing to compact below the requested horizon")
     prefix = f"cp{horizon}"
-    src = spark.read.parquet(*files)
-    n_rows = src.count()
-    # size-derived output count (~128 MiB/file, the compaction module's
-    # convention) — a fixed count would mean one giant file at 100 TB
-    total = sum(os.path.getsize(f) for f in files)
-    n_out = max(1, -(-total // (128 << 20)))
     stage = os.path.join(state_dir, "staging", f"compact-{prefix}")
-    src.coalesce(int(n_out)).write.mode("overwrite").parquet(stage)
-    got = spark.read.parquet(stage).count()
-    if got != n_rows:
-        raise RuntimeError(
-            f"compaction rewrite verification failed: {got} != {n_rows}"
-        )
+    n_before = 0
+    staged_any = False
+    for table in _COMPACTED_TABLES:
+        tdir = os.path.join(state_dir, table)
+        files = [
+            f for f in sorted(glob.glob(os.path.join(tdir, "*-part-*")))
+            if os.path.basename(f).split("-", 1)[0] in prefixes
+        ]
+        if not files:
+            continue
+        n_before += len(files)
+        src = spark.read.parquet(*files)
+        n_rows = src.count()
+        # size-derived output count (~128 MiB/file, the compaction
+        # module's convention) — fixed 1 would mean one giant file at
+        # 100 TB
+        total = sum(os.path.getsize(f) for f in files)
+        n_out = max(1, -(-total // (128 << 20)))
+        tstage = os.path.join(stage, table)
+        src.coalesce(int(n_out)).write.mode("overwrite").parquet(tstage)
+        got = spark.read.parquet(tstage).count()
+        if got != n_rows:
+            raise RuntimeError(
+                f"compaction rewrite verification failed for {table}: "
+                f"{got} != {n_rows}"
+            )
+        staged_any = True
+    if not staged_any:
+        raise ValueError("nothing to compact below the requested horizon")
     manifest = {
         "horizon": horizon,
         "prefix": prefix,
@@ -1240,9 +1266,12 @@ def compact_corpus_state(
     return {
         "horizon": horizon,
         "prefix": prefix,
-        "n_files_before": len(files),
-        "n_files_after": len(
-            glob.glob(os.path.join(corpus_dir, f"{prefix}-part-*"))
+        "n_files_before": n_before,
+        "n_files_after": sum(
+            len(glob.glob(
+                os.path.join(state_dir, t, f"{prefix}-part-*")
+            ))
+            for t in _COMPACTED_TABLES
         ),
     }
 
@@ -1405,12 +1434,19 @@ def incremental_corpus_ingest(
     # state updates: every ARRIVED canonical/text digest (kept or not)
     # blocks future copies; signatures of every doc that reached the
     # near-dup stage preserve cross-batch transitivity
+    # anti-join against the existing index: a re-arrived TEXT under a
+    # fresh URL (crawl mirrors) passes the url stage, so its text digest
+    # would re-append and the key state would grow with every mirror —
+    # blocking semantics never cared (semi/anti joins ignore dup keys)
+    # but the uniqueness invariant and state size do (found r16 by the
+    # post-compaction continuity test)
     new_keys = (
         canon.select(F.lit("url").alias("kind"), F.col("uk").alias("k"))
         .unionByName(
             d1.select(F.lit("text").alias("kind"), F.col("tk").alias("k"))
         )
         .distinct()
+        .join(keys, ["kind", "k"], "left_anti")
     )
     # WRITE ORDER MATTERS: the output (whose lineage reads keys_path /
     # sigs_path lazily) materializes FIRST (the staging write triggers

@@ -309,7 +309,8 @@ def test_compaction_preserves_snapshots_at_and_above_horizon(spark, state):
     n_files = len(glob.glob(os.path.join(state, "corpus", "*-part-*")))
 
     res = PL.compact_corpus_state(spark, state, up_to_seq=2)
-    assert res["horizon"] == 2 and res["n_files_after"] == 1
+    # one coalesced file per state table (corpus, keys, sigs)
+    assert res["horizon"] == 2 and res["n_files_after"] == 3
     files = glob.glob(os.path.join(state, "corpus", "*-part-*"))
     assert len(files) < n_files
     # exactness at and above the horizon
@@ -383,3 +384,36 @@ def test_compaction_crash_after_manifest_recovers(spark, state, monkeypatch):
     assert all(os.path.basename(p).startswith("cp2-") for p in parts)
     corpus = spark.read.parquet(state + "/corpus")
     assert corpus.count() == corpus.dropDuplicates(["doc_id"]).count()
+
+
+def test_ingest_continues_correctly_after_state_compaction(spark, state):
+    """Compaction folds keys/ and sigs/ too (every future batch reads
+    both indexes — their file count taxes every O(delta) job). The
+    compacted indexes must keep blocking: a re-arriving text dedupes,
+    a fresh batch ingests, and the commit log keeps counting."""
+    import glob
+    import os
+
+    w = demo_weights(spark)
+    for b in [[(1, _T2)], [(10, _T3)]]:
+        PL.incremental_corpus_ingest(_two_docs(spark, b), state, w)
+    res = PL.compact_corpus_state(spark, state)
+    # all three tables hold exactly the compact set now
+    for t in ("corpus", "keys", "sigs"):
+        parts = glob.glob(os.path.join(state, t, "*-part-*"))
+        assert parts and all(
+            os.path.basename(p).startswith("cp2-") for p in parts
+        ), t
+    # the compacted keys still block an exact re-arrival under a new id
+    assert PL.incremental_corpus_ingest(
+        _two_docs(spark, [(30, _T3)]), state, w
+    ).count() == 0
+    # and a genuinely new batch still lands with the next sequence
+    out = PL.incremental_corpus_ingest(_two_docs(spark, [(40, _T4)]),
+                                       state, w)
+    assert out.count() == 1
+    assert [s["seq"] for s in PL.corpus_snapshots(state)] == [1, 2, 3, 4]
+    assert {r["doc_id"] for r in
+            PL.read_corpus_as_of(spark, state).collect()} == {1, 10, 40}
+    keys = spark.read.parquet(state + "/keys")
+    assert keys.count() == keys.distinct().count()
