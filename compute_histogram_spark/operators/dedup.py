@@ -128,6 +128,51 @@ def _band_long(sig: DataFrame, num_hashes: int, rows_per_band: int) -> DataFrame
     )
 
 
+def band_rows_stateless(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    rows_per_band: int = DEFAULT_ROWS_PER_BAND,
+) -> DataFrame:
+    """(doc_id, band_id, band_hash) with ZERO aggregation.
+
+    The per-doc MinHash signature is computed as array higher-order
+    functions — ``array_min(transform(shingles, s -> md5(seed:s)))`` is
+    value-identical to the ``groupBy(doc_id).agg(min(...))`` form over
+    the exploded shingle rows (min over the same multiset) — so the whole
+    band projection is a stateless per-row expression. That is what lets
+    it run on a STREAMING DataFrame, where Structured Streaming allows
+    only ONE stateful aggregation: the online dedup index spends it on
+    the per-band ``min(doc_id)`` instead of on signature assembly
+    (streaming/stream_ops.py:streaming_neardup_index). Docs with fewer
+    than ``n`` tokens yield no shingles and are dropped, matching the
+    batch path (no shingle rows -> no signature -> no bands).
+    """
+    from compute_histogram_spark.functions.texthash import seeded_md5
+
+    df = docs.select(
+        F.col(id_col).alias("doc_id"), tokens(text_col).alias("toks")
+    ).withColumn("sh", word_shingles("toks", n)).where(F.size("sh") > 0)
+
+    # seed must be bound through a closure factory: a `lambda s, i=i:`
+    # default-arg bind has ARITY 2, which pyspark's transform() reads as
+    # the (element, index) form and silently passes the array INDEX as i
+    def _seeded(i: int):
+        return lambda s: seeded_md5(i, s)
+
+    for i in range(num_hashes):
+        df = df.withColumn(
+            f"mh{i}", F.array_min(F.transform(F.col("sh"), _seeded(i)))
+        )
+    return _band_long(
+        df.select("doc_id", *[f"mh{i}" for i in range(num_hashes)]),
+        num_hashes,
+        rows_per_band,
+    )
+
+
 def build_minhash_index(
     docs: DataFrame,
     path: str,

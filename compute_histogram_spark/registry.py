@@ -793,9 +793,10 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.exact_dedup(load(spark, sf_dir, "documents"))
 
 
-def _minhash_pairs_ctes(num_hashes: int = 8, rows_per_band: int = 2) -> str:
-    """CTE chain ending in ``pairs(doc_id_1, doc_id_2)`` — shared by the
-    pair-emitting oracle and the recursive component-resolution oracle."""
+def _minhash_bands_ctes(num_hashes: int = 8, rows_per_band: int = 2) -> str:
+    """CTE chain ending in ``bands(doc_id, band_id, band_hash)`` — the
+    LSH-index substrate shared by the pair oracles and the streaming
+    online-dedup twin (which never forms pairs at all)."""
     mins = ",\n           ".join(
         f"min(md5('{i}:' || s)) AS mh{i}" for i in range(num_hashes)
     )
@@ -817,7 +818,13 @@ def _minhash_pairs_ctes(num_hashes: int = 8, rows_per_band: int = 2) -> str:
     ),
     bands AS (
     {bands}
-    ),
+    )"""
+
+
+def _minhash_pairs_ctes(num_hashes: int = 8, rows_per_band: int = 2) -> str:
+    """CTE chain ending in ``pairs(doc_id_1, doc_id_2)`` — shared by the
+    pair-emitting oracle and the recursive component-resolution oracle."""
+    return f"""{_minhash_bands_ctes(num_hashes, rows_per_band)},
     pairs AS (
         SELECT DISTINCT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2
         FROM bands a
@@ -4855,3 +4862,64 @@ def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from compute_histogram_spark.streaming import stream_ops as SO
 
     return SO.drained_sessionize(spark, sf_dir, n_batches=4)
+
+
+# STAGED r16 (wave-13 bank addendum) — the SIXTH streaming twin: online
+# first-occurrence near-duplicate MARKING via a streaming MinHash-LSH
+# band index (streaming/stream_ops.py:streaming_neardup_index /
+# drained_neardup_mark). Signatures are stateless array-HOF expressions
+# (dedup.py:band_rows_stateless — value-identical to the batch groupBy
+# min form); the query's single stateful aggregation maintains the
+# per-band min(doc_id), which is associative, hence micro-batch-
+# invariant. Oracle: a doc is a near-dup iff an earlier doc shares a
+# band bucket — per-band minima, no pair graph (the tombstone-retaining
+# online rule; deliberately distinct from neardup_dedup's transitive
+# clusters, see the drain docstring). All-integer/bool output.
+STREAMING_NEARDUP_ORACLE = f"""
+    WITH {_minhash_bands_ctes()},
+    m AS (
+        SELECT band_id, band_hash, min(doc_id) AS min_doc
+        FROM bands GROUP BY 1, 2
+    ),
+    fl AS (
+        SELECT b.doc_id,
+               max(CASE WHEN m.min_doc < b.doc_id THEN 1 ELSE 0 END) AS isd
+        FROM bands b
+        JOIN m ON m.band_id = b.band_id AND m.band_hash = b.band_hash
+        GROUP BY b.doc_id
+    )
+    SELECT d.doc_id, coalesce(fl.isd = 1, FALSE) AS is_dup
+    FROM documents d LEFT JOIN fl ON fl.doc_id = d.doc_id
+    ORDER BY d.doc_id
+    """
+
+
+def q_streaming_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from compute_histogram_spark.streaming import stream_ops as SO
+
+    return SO.drained_neardup_mark(spark, sf_dir, n_batches=4)
+
+
+# STAGED r16 (wave-13 bank addendum) — the SEVENTH streaming twin and
+# the first with TWO inputs: orders STREAM joined to the STATIC customer
+# dimension (stream-static broadcast join — stateless, the dimension is
+# the build side so the stream never shuffles for the join), then the
+# one stateful aggregation keeps per-segment running (count, cent-sum):
+# state bounded by |segments|. Integer-cents sums are associative, so
+# the converged totals are micro-batch-invariant
+# (streaming/stream_ops.py:streaming_segment_revenue /
+# drained_segment_revenue).
+STREAMING_SEGMENT_REVENUE_ORACLE = """
+    SELECT c_mktsegment AS segment,
+           count(*) AS n_orders,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               / 100.0 AS revenue
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY 1 ORDER BY 1
+    """
+
+
+def q_streaming_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from compute_histogram_spark.streaming import stream_ops as SO
+
+    return SO.drained_segment_revenue(spark, sf_dir, n_batches=4)

@@ -947,3 +947,195 @@ def drained_sessionize(
         "user_id bigint, session_start_s bigint, session_end_s bigint, "
         "n_events bigint",
     ).orderBy("user_id", "session_start_s")
+
+
+def streaming_neardup_index(
+    stream: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 8,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """Online MinHash-LSH dedup index as ONE streaming aggregation.
+
+    The streaming form of the batch ``minhash_candidates`` substrate
+    (operators/dedup.py): per-doc signatures are computed STATELESS via
+    array HOFs (``band_rows_stateless`` — Structured Streaming permits
+    only one stateful aggregation per query, and signature assembly by
+    groupBy would already spend it), and the single allowed aggregation
+    maintains the index itself: per (band_id, band_hash) the min doc_id
+    seen so far. min() is associative and commutative, so the converged
+    state is identical under ANY micro-batch split — the property the
+    drained twin's oracle relies on.
+
+    This is the streaming counterpart of ``append_minhash_index``: state
+    cardinality is O(docs x bands) — the same rows the batch banded join
+    shuffles — and the emitted updates ARE the index delta a sink would
+    persist. Production deployments bound state by time (watermark on an
+    ingest timestamp) when dedup-against-recent suffices, exactly like
+    ``streaming_exact_dedup``'s 32-byte-key story; the drain harness
+    keeps everything because a finite corpus wants the global index.
+    """
+    from compute_histogram_spark.operators.dedup import band_rows_stateless
+
+    bands = band_rows_stateless(
+        stream,
+        text_col=text_col,
+        n=n,
+        num_hashes=num_hashes,
+        rows_per_band=rows_per_band,
+    )
+    return bands.groupBy("band_id", "band_hash").agg(
+        F.min("doc_id").alias("min_doc")
+    )
+
+
+def drained_neardup_mark(
+    spark: SparkSession, sf_dir: str, n_batches: int = 4
+) -> DataFrame:
+    """:func:`streaming_neardup_index` drained through deterministic
+    document micro-batches — the SIXTH streaming operator under the
+    value-exact gate: online first-occurrence near-duplicate MARKING.
+
+    Semantics (the tombstone-retaining online rule every streaming
+    dedup service implements): a document is a near-duplicate iff some
+    EARLIER document (smaller doc_id — ingest order) shares at least one
+    LSH band bucket with it. Dropped docs still insert their bands
+    (tombstones), so the decision for a later doc never depends on
+    whether its partner was itself kept — which is what makes the rule
+    order-associative: the converged per-band min is the only state
+    needed, and it is micro-batch-invariant by construction.
+
+    Note this is deliberately NOT the batch ``neardup_dedup`` transitive-
+    cluster rule: connected components need the whole pair graph; an
+    online service has only the index-so-far. The two keep different
+    survivor sets on chains (A~B, B~C, A!~C: clustering keeps A only;
+    the online rule also drops C because B's bands are tombstoned).
+    Both semantics are real pipeline variants; each carries its own
+    oracle.
+
+    Emission-invariance: update-mode emissions carry the key's current
+    min — deterministic per micro-batch regardless of task order; the
+    sink folds min over emissions, so re-emissions are harmless. The
+    driver-side dict is the TEST harness (O(index) rows, fine at test
+    SF); production writes the updates to a keyed sink table and the
+    final mark join runs against it.
+    """
+    from compute_histogram_spark.operators.dedup import band_rows_stateless
+
+    path = deterministic_doc_batches(spark, sf_dir, n_batches)
+    schema = spark.read.parquet(path).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    minima: dict = {}
+
+    def sink(df: DataFrame, _epoch: int) -> None:
+        for r in df.collect():
+            k = (r["band_id"], r["band_hash"])
+            v = r["min_doc"]
+            if k not in minima or v < minima[k]:
+                minima[k] = v
+
+    q = (
+        streaming_neardup_index(stream)
+        .writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    mins = spark.createDataFrame(
+        sorted((b, h, m) for (b, h), m in minima.items()),
+        "band_id int, band_hash string, min_doc bigint",
+    )
+    flags = (
+        band_rows_stateless(docs)
+        .join(F.broadcast(mins), ["band_id", "band_hash"])
+        .groupBy("doc_id")
+        .agg(F.max((F.col("min_doc") < F.col("doc_id")).cast("int")).alias("isd"))
+    )
+    return (
+        docs.select("doc_id")
+        .join(flags, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("isd") == 1, F.lit(False)).alias("is_dup"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def streaming_segment_revenue(
+    stream: DataFrame, customer: DataFrame
+) -> DataFrame:
+    """Running revenue per market segment over an orders STREAM enriched
+    by a STATIC customer dimension — the stream-static join feature
+    class (no other twin exercises it).
+
+    The join is stateless: Spark broadcasts the static side into every
+    micro-batch (at scale: the dimension is the broadcast build side, so
+    the stream is never shuffled for the join); the query's one stateful
+    aggregation is the per-segment running (count, cent-sum) — state
+    bounded by |segments|, with map-side partial aggregation per
+    micro-batch. Cents via ``round(price*100)`` — the USER_STATS
+    integer-cents precedent, so sums are associative and the converged
+    totals are micro-batch-invariant.
+    """
+    j = stream.join(
+        F.broadcast(customer.select("c_custkey", "c_mktsegment")),
+        stream["o_custkey"] == F.col("c_custkey"),
+    )
+    return j.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents"),
+    )
+
+
+def drained_segment_revenue(
+    spark: SparkSession, sf_dir: str, n_batches: int = 4
+) -> DataFrame:
+    """:func:`streaming_segment_revenue` drained through deterministic
+    order micro-batches (``o_orderkey % n``) — the SEVENTH streaming
+    operator under the value-exact gate, and the first with TWO inputs
+    (stream + static dimension).
+
+    Update-mode emissions per segment are the cumulative totals after
+    each micro-batch — deterministic given batch content; epochs arrive
+    in order, so last-emission-per-key IS the converged total. Oracle:
+    the plain batch join + GROUP BY.
+    """
+    path = _deterministic_batches(
+        spark, sf_dir, "orders", "o_orderkey", n_batches
+    )
+    schema = spark.read.parquet(path).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    customer = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+    final: dict = {}
+
+    def sink(df: DataFrame, _epoch: int) -> None:
+        for r in df.collect():
+            final[r["segment"]] = (r["n_orders"], r["cents"])
+
+    q = (
+        streaming_segment_revenue(stream, customer)
+        .writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = [
+        (seg, n, c / 100.0) for seg, (n, c) in sorted(final.items())
+    ]
+    return spark.createDataFrame(
+        rows, "segment string, n_orders bigint, revenue double"
+    ).orderBy("segment")

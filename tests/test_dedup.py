@@ -402,3 +402,25 @@ def test_neardup_source_overlap_matches_pair_recount(spark, sf_dir):
            for r in neardup_source_overlap(docs).collect()}
     assert got == dict(expect)
     assert all(s1 <= s2 for (s1, s2) in got)
+
+
+def test_band_rows_stateless_equals_aggregated_form(spark, sf_dir):
+    """The array-HOF signature path (streaming-safe, zero aggregation)
+    must produce exactly the batch groupBy-min band rows — array_min
+    over the transformed shingle array is min over the same multiset.
+    Guards the seeded-md5 closure bind (an arity-2 lambda would make
+    pyspark pass the array INDEX as the seed — found the hard way)."""
+    from compute_histogram_spark.operators.dedup import (
+        _band_long,
+        band_rows_stateless,
+        minhash_signatures,
+        shingle_table,
+    )
+    from compute_histogram_spark.sources.tables import load
+
+    docs = load(spark, sf_dir, "documents")
+    a = set(map(tuple, band_rows_stateless(docs).collect()))
+    b = set(map(tuple, _band_long(
+        minhash_signatures(shingle_table(docs, distinct=False)), 8, 2
+    ).collect()))
+    assert a == b and len(a) > 0

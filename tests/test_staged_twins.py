@@ -934,3 +934,64 @@ def test_streaming_sessionize_twin_both_sfs(spark):
         con = duck_connection(sf)
         _check("streaming_sessionize", q_streaming_sessionize(spark, sf),
                con, STREAMING_SESSIONIZE_ORACLE)
+
+
+def test_streaming_neardup_twin_both_sfs(spark):
+    """r16 (wave-13 bank addendum): the SIXTH streaming twin — online
+    first-occurrence near-dup marking via a streaming MinHash-LSH band
+    index (stateless array-HOF signatures; the one allowed stateful
+    aggregation holds the per-band min, associative hence micro-batch-
+    invariant). Value-exact at both test SFs."""
+    from compute_histogram_spark.registry import (
+        STREAMING_NEARDUP_ORACLE,
+        q_streaming_neardup,
+    )
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        con = duck_connection(sf)
+        _check("streaming_neardup", q_streaming_neardup(spark, sf),
+               con, STREAMING_NEARDUP_ORACLE)
+
+
+def test_streaming_neardup_invariant_under_batch_split(spark):
+    """Converged per-band minima are independent of the micro-batch
+    split (min is associative/commutative): 2-batch and 4-batch drains
+    emit the identical mark table."""
+    from compute_histogram_spark.streaming.stream_ops import (
+        drained_neardup_mark,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    a = [tuple(r) for r in drained_neardup_mark(spark, sf, 4).collect()]
+    b = [tuple(r) for r in drained_neardup_mark(spark, sf, 2).collect()]
+    assert a == b and len(a) == 500
+
+
+def test_streaming_segment_revenue_twin_both_sfs(spark):
+    """r16 (wave-13 bank addendum): the SEVENTH streaming twin — the
+    first with TWO inputs: orders stream x static customer dim
+    (stream-static broadcast join, stateless) + one per-segment stateful
+    aggregation in integer cents. Value-exact at both test SFs."""
+    from compute_histogram_spark.registry import (
+        STREAMING_SEGMENT_REVENUE_ORACLE,
+        q_streaming_segment_revenue,
+    )
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        con = duck_connection(sf)
+        _check("streaming_segment_revenue",
+               q_streaming_segment_revenue(spark, sf),
+               con, STREAMING_SEGMENT_REVENUE_ORACLE)
+
+
+def test_streaming_segment_revenue_invariant_under_batch_split(spark):
+    """Converged per-segment totals are independent of the micro-batch
+    split (integer-cent sums are associative)."""
+    from compute_histogram_spark.streaming.stream_ops import (
+        drained_segment_revenue,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    a = [tuple(r) for r in drained_segment_revenue(spark, sf, 4).collect()]
+    b = [tuple(r) for r in drained_segment_revenue(spark, sf, 2).collect()]
+    assert a == b and len(a) == 5
