@@ -1083,6 +1083,64 @@ def read_corpus_as_of(spark, state_dir: str, seq: int | None = None):
     return spark.read.parquet(*files)
 
 
+def corpus_snapshot_diff(
+    spark, state_dir: str, from_seq: int, to_seq: int | None = None
+):
+    """Rows ADDED to the ingested corpus between commits ``from_seq``
+    (exclusive) and ``to_seq`` (inclusive; None = latest) — the
+    incremental-consumer API over the snapshot store (r16).
+
+    The corpus state is append-only by construction (dedup removals
+    happen before publication, never after), so the diff between two
+    snapshots is EXACTLY the rows of the commits in between: no
+    anti-join, no checksum comparison — file-list pruning selects the
+    part-files whose tag committed in ``(from_seq, to_seq]`` and the
+    read is O(delta) like the ingest itself. This is what a downstream
+    consumer (index builder, trainer shard packer) polls instead of
+    re-reading the corpus: ``diff(last_seen, None)`` is its catch-up
+    batch. Identity: rows(as_of(b)) == rows(as_of(a)) + diff(a, b) —
+    pinned in tests.
+
+    ``from_seq`` must be a valid snapshot boundary: at/above the
+    compaction horizon (below it, per-commit granularity was vacuumed
+    and the prefix can no longer be split) and not beyond the latest
+    commit. ``from_seq == 0`` (diff from genesis, horizon permitting)
+    returns the whole corpus as of ``to_seq``."""
+    import glob
+    import os
+
+    _recover_ingest_state(state_dir)
+    log = _commit_log(state_dir)
+    if not log:
+        raise ValueError(f"no committed ingest batches under {state_dir}")
+    latest = max(s for s, _t in log)
+    if to_seq is None:
+        to_seq = latest
+    manifest = _compaction_manifest(state_dir)
+    horizon = manifest["horizon"] if manifest is not None else 0
+    if from_seq < horizon:
+        raise ValueError(
+            f"diff base {from_seq} predates the compaction horizon "
+            f"{horizon}: that granularity was vacuumed"
+        )
+    if not 0 <= from_seq <= to_seq <= latest:
+        raise ValueError(
+            f"invalid diff range ({from_seq}, {to_seq}]: latest commit "
+            f"is {latest}"
+        )
+    keep = {tag for s, tag in log if from_seq < s <= to_seq}
+    corpus_dir = os.path.join(state_dir, "corpus")
+    files = [
+        f for f in sorted(glob.glob(os.path.join(corpus_dir, "*-part-*")))
+        if os.path.basename(f).split("-", 1)[0] in keep
+    ]
+    if not files:
+        return spark.createDataFrame(
+            [], spark.read.parquet(corpus_dir).schema
+        )
+    return spark.read.parquet(*files)
+
+
 def _recover_ingest_state(state_dir: str) -> None:
     """Crash recovery for the staged-commit protocol: a batch under
     staging/ WITH a commit marker was fully staged — finish its

@@ -417,3 +417,51 @@ def test_ingest_continues_correctly_after_state_compaction(spark, state):
             PL.read_corpus_as_of(spark, state).collect()} == {1, 10, 40}
     keys = spark.read.parquet(state + "/keys")
     assert keys.count() == keys.distinct().count()
+
+
+def test_snapshot_diff_is_the_commit_delta(spark, state):
+    """diff(a, b) returns exactly the rows added by commits a+1..b, and
+    as_of(a) + diff(a, b) == as_of(b) — the incremental-consumer
+    identity, by file-list pruning (never an anti-join)."""
+    w = demo_weights(spark)
+    for b in [[(1, _T2)], [(10, _T3)], [(20, _T4)]]:
+        PL.incremental_corpus_ingest(_two_docs(spark, b), state, w)
+
+    def ids(df):
+        return {r["doc_id"] for r in df.collect()}
+
+    a1 = ids(PL.read_corpus_as_of(spark, state, 1))
+    a3 = ids(PL.read_corpus_as_of(spark, state, 3))
+    d13 = ids(PL.corpus_snapshot_diff(spark, state, 1, 3))
+    assert a1 | d13 == a3 and not (a1 & d13)
+    # None == latest; from genesis == the full corpus
+    assert ids(PL.corpus_snapshot_diff(spark, state, 1)) == d13
+    assert ids(PL.corpus_snapshot_diff(spark, state, 0)) == a3
+    # empty delta is a valid empty frame with the corpus schema
+    empty = PL.corpus_snapshot_diff(spark, state, 3, 3)
+    assert empty.count() == 0 and "doc_id" in empty.columns
+
+
+def test_snapshot_diff_range_validation(spark, state):
+    """Bad ranges fail loudly: base beyond latest, inverted ranges, and
+    bases below the compaction horizon (granularity vacuumed)."""
+    import pytest as _pytest
+
+    w = demo_weights(spark)
+    for b in [[(1, _T2)], [(10, _T3)], [(20, _T4)]]:
+        PL.incremental_corpus_ingest(_two_docs(spark, b), state, w)
+    with _pytest.raises(ValueError, match="invalid diff range"):
+        PL.corpus_snapshot_diff(spark, state, 4)
+    with _pytest.raises(ValueError, match="invalid diff range"):
+        PL.corpus_snapshot_diff(spark, state, 2, 1)
+    PL.compact_corpus_state(spark, state, up_to_seq=2)
+    with _pytest.raises(ValueError, match="compaction horizon"):
+        PL.corpus_snapshot_diff(spark, state, 1, 3)
+    # at/above the horizon the diff stays exact across the compact set
+    d23 = {r["doc_id"] for r in
+           PL.corpus_snapshot_diff(spark, state, 2, 3).collect()}
+    a2 = {r["doc_id"] for r in
+          PL.read_corpus_as_of(spark, state, 2).collect()}
+    a3 = {r["doc_id"] for r in
+          PL.read_corpus_as_of(spark, state, 3).collect()}
+    assert a2 | d23 == a3 and not (a2 & d23)
