@@ -975,6 +975,13 @@ def streaming_neardup_index(
     ingest timestamp) when dedup-against-recent suffices, exactly like
     ``streaming_exact_dedup``'s 32-byte-key story; the drain harness
     keeps everything because a finite corpus wants the global index.
+
+    Cost trade (measured, tools/ab_minhash_stateless_r16.json): the
+    stateless array-HOF signature is ~19x slower per row than the batch
+    codegen'd explode+min form — acceptable HERE because streaming pays
+    it per micro-batch DELTA, and the alternative (a second stateful
+    aggregation) is illegal in one streaming query; batch keeps the
+    aggregated form (BASELINE r16 addendum 2).
     """
     from compute_histogram_spark.operators.dedup import band_rows_stateless
 
