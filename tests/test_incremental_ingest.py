@@ -465,3 +465,28 @@ def test_snapshot_diff_range_validation(spark, state):
     a3 = {r["doc_id"] for r in
           PL.read_corpus_as_of(spark, state, 3).collect()}
     assert a2 | d23 == a3 and not (a2 & d23)
+
+
+def test_diff_feeds_incremental_index_maintenance(spark, state, tmp_path):
+    """The consumer loop the diff API exists for: after every commit,
+    append only diff(last_seen, latest) signatures to a MinHash index
+    (dedup.append_minhash_index) — the index stays identical to a full
+    rebuild over as_of(latest), at O(delta) cost per commit."""
+    from compute_histogram_spark.operators import dedup as DD
+
+    w = demo_weights(spark)
+    idx = str(tmp_path / "sig_index")
+    last = 0
+    for b in [[(1, _T2)], [(10, _T3)], [(20, _T4)]]:
+        PL.incremental_corpus_ingest(_two_docs(spark, b), state, w)
+        latest = PL.corpus_snapshots(state)[-1]["seq"]
+        delta = PL.corpus_snapshot_diff(spark, state, last, latest)
+        DD.append_minhash_index(delta.select("doc_id", "text"), idx)
+        last = latest
+    full = DD.minhash_signatures(DD.shingle_table(
+        PL.read_corpus_as_of(spark, state).select("doc_id", "text"),
+        distinct=False,
+    ))
+    inc = spark.read.parquet(idx)
+    assert sorted(map(tuple, inc.collect())) == \
+        sorted(map(tuple, full.collect()))
