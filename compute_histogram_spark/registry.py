@@ -4923,3 +4923,19 @@ def q_streaming_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     from compute_histogram_spark.streaming import stream_ops as SO
 
     return SO.drained_segment_revenue(spark, sf_dir, n_batches=4)
+
+
+# STAGED r16 (wave-13 bank addendum) — the EIGHTH streaming twin: a
+# Count-Min sketch maintained AS streaming state
+# (streaming/stream_ops.py:streaming_token_cms / drained_token_cms).
+# CMS linearity (union sketch = cell-wise sum) is the associativity the
+# drain relies on; state is bounded by depth x width, never the stream.
+# Shares TOKEN_CMS_ORACLE verbatim with the rotated-out batch twin —
+# identical output contract, streaming mechanics.
+STREAMING_TOKEN_CMS_ORACLE = TOKEN_CMS_ORACLE
+
+
+def q_streaming_token_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from compute_histogram_spark.streaming import stream_ops as SO
+
+    return SO.drained_token_cms(spark, sf_dir, n_batches=4)

@@ -1146,3 +1146,120 @@ def drained_segment_revenue(
     return spark.createDataFrame(
         rows, "segment string, n_orders bigint, revenue double"
     ).orderBy("segment")
+
+
+def streaming_token_cms(
+    stream: DataFrame,
+    text_col: str = "text",
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Count-Min sketch maintained AS streaming state — the mergeable-
+    sketch class under the streaming gate.
+
+    CMS linearity (sketch of a union = cell-wise sum) is exactly the
+    associativity the drain twins rely on: the token-cell explode is
+    stateless, and the query's one stateful aggregation holds the cell
+    counts — state bounded by depth x width (4096 cells here), NEVER by
+    the token stream. The portable md5 bucket expression is shared with
+    the batch ``cms_point_estimates_portable``, so the converged cells
+    are the batch sketch verbatim.
+    """
+    from compute_histogram_spark.functions.texthash import tokens
+    from compute_histogram_spark.operators.sketches import _bucket_portable
+
+    toks = stream.select(F.explode(tokens(text_col)).alias("tok"))
+    cells = toks.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("r"),
+                        _bucket_portable(F.col("tok"), r, width).alias("b"),
+                    )
+                    for r in range(depth)
+                ]
+            )
+        ).alias("cell")
+    )
+    return cells.groupBy(
+        F.col("cell.r").alias("r"), F.col("cell.b").alias("b")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def drained_token_cms(
+    spark: SparkSession, sf_dir: str, n_batches: int = 4
+) -> DataFrame:
+    """:func:`streaming_token_cms` drained through deterministic
+    document micro-batches — the EIGHTH streaming operator under the
+    value-exact gate: a SKETCH as streaming state.
+
+    Update-mode emissions per cell are cumulative counts (monotone;
+    epochs arrive in order), so last-emission-per-cell is the converged
+    sketch; the driver dict is O(depth x width), the sketch's own size.
+    The probe stage is batch post-processing of converged state (the
+    ``drained_neardup_mark`` precedent): exact top-10 tokens joined
+    against the drained cells, min over rows -> the classic CMS
+    estimate. Output and oracle are the batch ``token_cms`` twin's
+    verbatim (TOKEN_CMS_ORACLE — rotated out wave 12; this re-covers
+    the class with streaming mechanics).
+    """
+    from compute_histogram_spark.operators.sketches import _bucket_portable
+    from compute_histogram_spark.functions.texthash import tokens
+
+    path = deterministic_doc_batches(spark, sf_dir, n_batches)
+    schema = spark.read.parquet(path).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    cells: dict = {}
+
+    def sink(df: DataFrame, _epoch: int) -> None:
+        for r in df.collect():
+            cells[(r["r"], r["b"])] = r["cnt"]
+
+    q = (
+        streaming_token_cms(stream)
+        .writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    cms = spark.createDataFrame(
+        sorted((r, b, c) for (r, b), c in cells.items()),
+        "r int, b int, cnt bigint",
+    )
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    toks = docs.select(F.explode(tokens("text")).alias("tok"))
+    top = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+        .orderBy(F.desc("n_exact"), F.asc("tok"))
+        .limit(10)
+    )
+    probes = top.select(
+        "tok",
+        "n_exact",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("r"),
+                        _bucket_portable(F.col("tok"), r, 1024).alias("b"),
+                    )
+                    for r in range(4)
+                ]
+            )
+        ).alias("p"),
+    ).select("tok", "n_exact", F.col("p.r").alias("r"), F.col("p.b").alias("b"))
+    return (
+        F.broadcast(probes)
+        .join(cms, ["r", "b"])
+        .groupBy("tok", "n_exact")
+        .agg(F.min("cnt").alias("cms_est"))
+        .orderBy("tok")
+    )

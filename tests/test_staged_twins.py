@@ -995,3 +995,33 @@ def test_streaming_segment_revenue_invariant_under_batch_split(spark):
     a = [tuple(r) for r in drained_segment_revenue(spark, sf, 4).collect()]
     b = [tuple(r) for r in drained_segment_revenue(spark, sf, 2).collect()]
     assert a == b and len(a) == 5
+
+
+def test_streaming_token_cms_twin_both_sfs(spark):
+    """r16 (wave-13 bank addendum): the EIGHTH streaming twin — a
+    Count-Min sketch maintained as streaming state (CMS linearity is
+    the drain's associativity; state bounded by depth x width). Shares
+    TOKEN_CMS_ORACLE with the rotated-out batch twin. Value-exact at
+    both test SFs."""
+    from compute_histogram_spark.registry import (
+        STREAMING_TOKEN_CMS_ORACLE,
+        q_streaming_token_cms,
+    )
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        con = duck_connection(sf)
+        _check("streaming_token_cms", q_streaming_token_cms(spark, sf),
+               con, STREAMING_TOKEN_CMS_ORACLE)
+
+
+def test_streaming_token_cms_invariant_under_batch_split(spark):
+    """Converged sketch cells are independent of the micro-batch split
+    (cell-wise sums are associative)."""
+    from compute_histogram_spark.streaming.stream_ops import (
+        drained_token_cms,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    a = [tuple(r) for r in drained_token_cms(spark, sf, 4).collect()]
+    b = [tuple(r) for r in drained_token_cms(spark, sf, 2).collect()]
+    assert a == b and len(a) == 10
