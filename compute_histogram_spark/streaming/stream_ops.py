@@ -1188,7 +1188,11 @@ def streaming_token_cms(
 
 
 def drained_token_cms(
-    spark: SparkSession, sf_dir: str, n_batches: int = 4
+    spark: SparkSession,
+    sf_dir: str,
+    n_batches: int = 4,
+    depth: int = 4,
+    width: int = 1024,
 ) -> DataFrame:
     """:func:`streaming_token_cms` drained through deterministic
     document micro-batches — the EIGHTH streaming operator under the
@@ -1221,7 +1225,7 @@ def drained_token_cms(
             cells[(r["r"], r["b"])] = r["cnt"]
 
     q = (
-        streaming_token_cms(stream)
+        streaming_token_cms(stream, depth=depth, width=width)
         .writeStream.foreachBatch(sink)
         .outputMode("update")
         .trigger(availableNow=True)
@@ -1249,9 +1253,9 @@ def drained_token_cms(
                 *[
                     F.struct(
                         F.lit(r).alias("r"),
-                        _bucket_portable(F.col("tok"), r, 1024).alias("b"),
+                        _bucket_portable(F.col("tok"), r, width).alias("b"),
                     )
-                    for r in range(4)
+                    for r in range(depth)
                 ]
             )
         ).alias("p"),
