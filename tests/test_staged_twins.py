@@ -43,7 +43,16 @@ plus streaming_sessionize (the FIFTH streaming twin: the native
 session_window state machine drained to convergence via complete mode
 + far-future watermark; exact-gap merge parity with the batch CTE
 pinned in tests/test_streaming.py). All passed check_oracle compare +
-the --layouts 1/7/64 pre-screen at sf0.01 before staging."""
+the --layouts 1/7/64 pre-screen at sf0.01 before staging.
+
+r16 addendum: three more streaming twins joined the bank — 
+streaming_neardup (SIXTH: online MinHash-LSH first-occurrence marking;
+stateless array-HOF signatures, the one stateful agg holds per-band
+minima), streaming_segment_revenue (SEVENTH: the first two-input twin,
+orders stream x static customer dim broadcast join + integer-cents
+agg), and streaming_token_cms (EIGHTH: a Count-Min sketch AS streaming
+state, sharing TOKEN_CMS_ORACLE with the rotated-out batch twin). Each
+is value-exact at both SFs and pinned batch-split-invariant below."""
 
 import os
 import sys
