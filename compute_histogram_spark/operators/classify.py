@@ -354,6 +354,16 @@ def dsir_bucket_llr(
     buckets = spark.range(n_buckets).select(
         F.col("id").cast("int").alias("bucket")
     )
+    # r16 optimization round: ``j`` is referenced twice below (the
+    # totals scalar and the crossJoin output), and without a cache each
+    # reference re-ran BOTH feature-hashing corpus aggregations
+    # (before-plan: 4 of dsir_weights' 5 documents scans came from this
+    # diamond). ``j`` is <= n_buckets rows — guide §5's
+    # cache-when-reused case — so persisting it leaves one evaluation
+    # of tc/sc and puts dsir_weights at its 3-scan structural floor
+    # (target slice + source + the per-doc weights pass).
+    from pyspark import StorageLevel
+
     j = (
         buckets.join(tc, "bucket", "left").join(sc, "bucket", "left")
         .select(
@@ -361,6 +371,7 @@ def dsir_bucket_llr(
             F.coalesce("ct", F.lit(0)).alias("ct"),
             F.coalesce("cs", F.lit(0)).alias("cs"),
         )
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     # the two corpus totals ride a ONE-row scalar crossJoin (the
     # bm25/token_pmi pattern) so building this plan stays LAZY — the

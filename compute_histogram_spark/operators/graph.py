@@ -261,7 +261,25 @@ def triangle_count(
     orientation-invariant, so the SQL twin uses the naive a<b<c form —
     same number, independently derived.
 
-    -> one row: (n_triangles BIGINT)"""
+    -> one row: (n_triangles BIGINT)
+
+    The canonical edge list and the oriented edge list are each
+    referenced several times downstream (``e`` by the degree table and
+    the degree join; ``oriented`` by both wedge legs and the closing
+    semi-join), and Catalyst gives no common-subexpression reuse across
+    differently-keyed exchanges — without intervention every reference
+    re-executes the ENTIRE upstream pipeline that produced ``edges``
+    (for the registry's dedup_triangles that is the full MinHash-LSH
+    candidate DAG, ~10 copies: measured r16, 30 parquet scans / 107
+    Exchanges in the before-plan). Both frames are therefore persisted
+    (guide §5: cache exactly when an intermediate is reused and
+    recomputing it is expensive): they are O(|E|) rows of two/three
+    ints — tiny next to the corpus at every scale — MEMORY_AND_DISK
+    spills gracefully, and the cache lives inside one query evaluation
+    (recomputed from source per invocation; the ContextCleaner drops it
+    when the DataFrames are collected)."""
+    from pyspark import StorageLevel
+
     e = (
         edges.select(
             F.least(F.col(src), F.col(dst)).cast("bigint").alias("u"),
@@ -269,6 +287,7 @@ def triangle_count(
         )
         .where(F.col("u") != F.col("v"))
         .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     deg = (
         e.select(F.col("u").alias("n")).unionAll(e.select("v"))
@@ -286,7 +305,7 @@ def triangle_count(
         )
         .otherwise(F.struct(F.col("v").alias("s"), F.col("u").alias("t")))
         .alias("e")
-    ).select("e.s", "e.t")
+    ).select("e.s", "e.t").persist(StorageLevel.MEMORY_AND_DISK)
     w1 = oriented.withColumnsRenamed({"s": "x", "t": "y"})
     w2 = oriented.withColumnsRenamed({"s": "x2", "t": "z"})
     wedges = w1.join(w2, F.col("y") == F.col("x2")).select("x", "y", "z")

@@ -24,7 +24,7 @@ from __future__ import annotations
 
 from functools import reduce
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 from pyspark.sql.functions import broadcast
 
 from compute_histogram_spark.operators.histogram import _valid, bin_counts
@@ -40,6 +40,38 @@ def delta_counts(df: DataFrame, col: str, scheme: BinScheme) -> DataFrame:
     c = F.col(col)
     keys = df.where(_valid(c)).select(scheme.bin_key_expr(c).alias("k"))
     return bin_counts(keys, "k", scheme.lo, scheme.hi, dense=False)
+
+
+def delta_counts_tagged(
+    df: DataFrame, col: str, scheme: BinScheme, delta: Column
+) -> DataFrame:
+    """Per-delta partial states from ONE scan of ``df`` ->
+    ``(delta, bin, pixel_count)``.
+
+    Value-identical to running :func:`delta_counts` once per delta value
+    over ``df.where(delta == i)`` (each ``(delta, bin)`` group counts
+    exactly the rows the per-delta filter would keep), but the input is
+    scanned once instead of once per delta — the r16 optimization-round
+    rewrite (guide §2.3 "aggregate before you shuffle" / §1.2 fewer
+    passes). Each delta's state remains an independent, mergeable group;
+    callers restrict ``delta`` to the intended domain themselves (a
+    filter on the tag column), exactly as they previously chose which
+    per-delta filters to run.
+    """
+    c = F.col(col)
+    k = F.col("__k")
+    keys = df.where(_valid(c)).select(
+        delta.alias("delta"), scheme.bin_key_expr(c).alias("__k")
+    )
+    return (
+        keys.where((k >= F.lit(scheme.lo)) & (k <= F.lit(scheme.hi)))
+        .select(
+            "delta",
+            F.least(k, F.lit(scheme.hi - 1)).cast("bigint").alias("bin"),
+        )
+        .groupBy("delta", "bin")
+        .agg(F.count(F.lit(1)).alias("pixel_count"))
+    )
 
 
 def merge_states(*states: DataFrame) -> DataFrame:

@@ -938,11 +938,17 @@ def waiting_suppliers_bucketed(
     layout as Q3/Q4/Q5 — its seventh member, and the one whose plan the
     layout collapses the furthest: the fact-fact join is co-bucketed,
     and every downstream step clusters on an orderkey SUPERSET —
-    groupBy(l_orderkey, l_suppkey), groupBy(l_orderkey) and the
-    qualifying left-semi join are all satisfied by
-    HashPartitioning(orderkey) (the same subset-key-clustering rule the
-    user_id events layout exploits) — so the ONLY data-scaled Exchange
-    left in Q21 is the final supplier-bounded numwait count."""
+    groupBy(l_orderkey, l_suppkey), the per-order window and the
+    qualifying filter are all satisfied by HashPartitioning(orderkey)
+    (the same subset-key-clustering rule the user_id events layout
+    exploits) — so the ONLY data-scaled Exchange left in Q21 is the
+    final supplier-bounded numwait count.
+
+    r16 optimization round: same diamond collapse as the plain form —
+    the per-order stats are an unordered window over ``per`` instead of
+    a second aggregation + semi-join-back, so the co-bucketed join and
+    the (orderkey, suppkey) aggregate execute ONCE instead of twice
+    (the before-plan scanned both layout tables twice)."""
     orders = spark.table(orders_table)
     lineitem = spark.table(lineitem_table)
     lo = lineitem.join(
@@ -953,14 +959,15 @@ def waiting_suppliers_bucketed(
         F.max("l_shipdate").alias("ms"),
         F.max("o_orderdate").alias("od"),
     ).withColumn("late", (F.col("ms") > F.col("od")).cast("int"))
-    ostats = per.groupBy("l_orderkey").agg(
-        F.count(F.lit(1)).alias("n_supp"),
-        F.sum("late").alias("n_late"),
-    )
-    qual = per.where(F.col("late") == 1).join(
-        ostats.where((F.col("n_supp") >= 2) & (F.col("n_late") == 1)),
-        "l_orderkey",
-        "left_semi",
+    w = Window.partitionBy("l_orderkey")
+    qual = (
+        per.withColumn("n_supp", F.count(F.lit(1)).over(w))
+        .withColumn("n_late", F.sum("late").over(w))
+        .where(
+            (F.col("late") == 1)
+            & (F.col("n_supp") >= 2)
+            & (F.col("n_late") == 1)
+        )
     )
     counts = qual.groupBy("l_suppkey").agg(
         F.count(F.lit(1)).alias("numwait")
@@ -1263,9 +1270,21 @@ def waiting_suppliers(
     order count suppliers and late suppliers; the qualifying rows are
     exactly "late AND n_supp >= 2 AND n_late == 1" (sole late supplier
     on a multi-supplier order — EXISTS another supplier, NOT EXISTS
-    another LATE one). Two hash aggregations on the same orderkey
-    spine + one small join-back; no correlated re-scans, no anti-join
-    storm. Top-k is TakeOrdered on (numwait DESC, s_name ASC)."""
+    another LATE one). Top-k is TakeOrdered on (numwait DESC, s_name ASC).
+
+    r16 optimization round: the per-order stats ride an UNORDERED window
+    over the (order, supplier) aggregate instead of a second groupBy +
+    semi-join-back. The old diamond referenced ``per`` twice, and with
+    no common-subexpression reuse across the two consumers the
+    lineitem⋈orders join and the first aggregation executed TWICE
+    (before-plan: lineitem/orders each scanned twice). The window needs
+    exactly the clustering the aggregate already produced (orderkey is a
+    subset of the group key), so it adds no Exchange — the q17
+    correlated-window precedent (relational.py small_quantity_revenue).
+    Window-vs-aggregate equivalence: n_supp = count(*) over the orderkey
+    partition and n_late = sum(late) over it are the same numbers the
+    ostats join-back attached; the late/n_supp/n_late filter then keeps
+    identical rows."""
     lo = lineitem.join(
         orders.select("o_orderkey", "o_orderdate"),
         lineitem["l_orderkey"] == orders["o_orderkey"],
@@ -1274,14 +1293,15 @@ def waiting_suppliers(
         F.max("l_shipdate").alias("ms"),
         F.max("o_orderdate").alias("od"),
     ).withColumn("late", (F.col("ms") > F.col("od")).cast("int"))
-    ostats = per.groupBy("l_orderkey").agg(
-        F.count(F.lit(1)).alias("n_supp"),
-        F.sum("late").alias("n_late"),
-    )
-    qual = per.where(F.col("late") == 1).join(
-        ostats.where((F.col("n_supp") >= 2) & (F.col("n_late") == 1)),
-        "l_orderkey",
-        "left_semi",
+    w = Window.partitionBy("l_orderkey")
+    qual = (
+        per.withColumn("n_supp", F.count(F.lit(1)).over(w))
+        .withColumn("n_late", F.sum("late").over(w))
+        .where(
+            (F.col("late") == 1)
+            & (F.col("n_supp") >= 2)
+            & (F.col("n_late") == 1)
+        )
     )
     counts = qual.groupBy("l_suppkey").agg(
         F.count(F.lit(1)).alias("numwait")
@@ -1811,6 +1831,20 @@ def min_cost_supplier(
     5.57 vs 5.24 s at sf10 min-of-3 interleaved — inside noise; the
     residual is the pair-aggregate shuffle itself, not the join
     algorithm. merge kept (more memory-stable on the aged JVM).
+
+    r16 optimization round: the per-part min rides an UNORDERED window
+    over the pair aggregate instead of a second groupBy + equality
+    join-back. The old diamond referenced ``cost`` twice and Catalyst
+    gives no reuse across its two consumers, so the lineitem semi-join
+    + pair aggregate executed TWICE (before-plan: lineitem scanned
+    twice, 15 scans / 9 Exchanges total). The window pays one
+    |pairs|-sized Exchange on partkey — pairs-scaled, never
+    fact-scaled — and the supplier-attribute join now touches only the
+    WINNING pairs instead of all pairs. Equivalence: the semi-join
+    already restricts pairs to regional suppliers, s_suppkey is unique
+    in ``eu`` (supplier PK x single nation/region), so min-over-window
+    = the old per-part min, and the equality filter keeps the same
+    tied winners the join-back kept.
     """
     eu = (
         supplier.join(
@@ -1826,7 +1860,7 @@ def min_cost_supplier(
     # the per-pair aggregate, which is |pairs|-sized, not |lineitem|-
     # sized. Measured at sf10: 9.5 s (wide keys, 3 carried strings per
     # fact row) -> 7.0 s (this form).
-    cost = (
+    pairs = (
         lineitem.join(
             # regional key slice through the cardinality gate (r14):
             # ~1/|regions| of supplier (sf100 ~200k keys, ~5 MB est) —
@@ -1845,26 +1879,19 @@ def min_cost_supplier(
                 )
             ).alias("unit_milli")
         )
-        # merge hint: the static estimator otherwise broadcasts the
-        # PAIR-scaled aggregate side of this join (twice-aggregated
-        # subtree, the promotion_suppliers misplan class)
-        .hint("merge")
-        .join(eu, F.col("l_suppkey") == eu["s_suppkey"])
     )
-    best = cost.groupBy(F.col("l_partkey").alias("b_partkey")).agg(
-        F.min("unit_milli").alias("min_milli")
-    )
+    w = Window.partitionBy("l_partkey")
+    winners = pairs.withColumn(
+        "min_milli", F.min("unit_milli").over(w)
+    ).where(F.col("unit_milli") == F.col("min_milli"))
     p = part.where(F.col("p_size") < max_size).select("p_partkey", "p_name")
-    # merge hint: best is part-scaled (one row per part), but the
-    # static estimator sees a twice-aggregated subtree and broadcasts
-    # it — the promotion_suppliers misplan class; keep the join-back a
-    # keyed shuffle
+    # merge hint: winners is pairs-scaled, but the static estimator
+    # sees an aggregated+windowed subtree and would broadcast it — the
+    # promotion_suppliers misplan class; keep the attrs join a keyed
+    # shuffle (the r13 SHUFFLE_HASH A/B above applies unchanged)
     return (
-        cost.join(
-            best.hint("merge"),
-            (F.col("l_partkey") == F.col("b_partkey"))
-            & (F.col("unit_milli") == F.col("min_milli")),
-        )
+        winners.hint("merge")
+        .join(eu, F.col("l_suppkey") == eu["s_suppkey"])
         .join(p, F.col("l_partkey") == p["p_partkey"])
         .select(
             (cents("s_acctbal") / 100.0).alias("s_acctbal"),

@@ -478,25 +478,32 @@ def bloom_word_table_portable(
     """
     if m_bits % 64:
         raise ValueError(f"m_bits must be a multiple of 64, got {m_bits}")
-    rows = None
+    # r16 optimization round: the k per-hash row sets were a k-way
+    # unionAll, each branch referencing ``values`` — and when the caller
+    # passes a derived frame (token_bloom's explode+distinct vocabulary)
+    # every branch re-ran that subtree (before-plan: 4 corpus scans +
+    # 4 distinct shuffles for k=4). All k positions are row-local
+    # expressions, so one explode(array(pos_0..pos_{k-1})) emits the
+    # identical multiset from a SINGLE pass (guide §1.2: fewer passes
+    # beats per-task tuning; no cache needed).
+    pos_exprs = []
     for i in range(k):
         h = F.md5(F.concat(F.lit(f"bf{i}:"), F.col(value_col).cast("string")))
-        pos = (
+        pos_exprs.append(
             F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint") % m_bits
         )
-        part = (
-            values.where(F.col(value_col).isNotNull())
-            .select(pos.alias("pos"))
-            .select(
-                (F.col("pos") / 64).cast("int").alias("word_idx"),
-                # shiftleft's bit count must be a column here (pos % 64),
-                # which the Python API only takes as an int literal
-                F.expr(
-                    "shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))"
-                ).alias("bit"),
-            )
+    rows = (
+        values.where(F.col(value_col).isNotNull())
+        .select(F.explode(F.array(*pos_exprs)).alias("pos"))
+        .select(
+            (F.col("pos") / 64).cast("int").alias("word_idx"),
+            # shiftleft's bit count must be a column here (pos % 64),
+            # which the Python API only takes as an int literal
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))"
+            ).alias("bit"),
         )
-        rows = part if rows is None else rows.unionAll(part)
+    )
     return (
         rows.groupBy("word_idx")
         .agg(F.bit_or("bit").alias("word"))
@@ -578,7 +585,19 @@ def corpus_overlap_kmv(
     forwards <= k digests), then all algebra on <= 2k broadcast rows.
     -> one row (k_used, n_common, jaccard_est, union_distinct_est,
     intersection_est).
+
+    r16 optimization round: the three sketch frames are persisted —
+    each is referenced up to three times downstream (``u`` by the
+    common-filter semi-joins and the kth-value scalar; ``ska``/``skb``
+    by the union and both semi-joins), and without a cache every
+    reference re-ran the full shingle+hash+dedup corpus scan
+    (before-plan: 6 documents scans for a <=64-row result). The cached
+    frames are bounded by k rows — guide §5's cache-when-reused case at
+    its most extreme — and the corpus is now scanned exactly twice
+    (once per side), the structural floor for two disjoint inputs.
     """
+    from pyspark import StorageLevel
+
     from compute_histogram_spark.operators.dedup import shingle_table
 
     def sketch(docs: DataFrame) -> DataFrame:
@@ -586,10 +605,13 @@ def corpus_overlap_kmv(
         h = sh.select(
             F.md5(F.concat(F.lit("kmv:"), F.col("s"))).alias("h")
         ).dropDuplicates(["h"])
-        return h.orderBy("h").limit(k)
+        return h.orderBy("h").limit(k).persist(StorageLevel.MEMORY_AND_DISK)
 
     ska, skb = sketch(docs_a), sketch(docs_b)
-    u = ska.union(skb).dropDuplicates(["h"]).orderBy("h").limit(k)
+    u = (
+        ska.union(skb).dropDuplicates(["h"]).orderBy("h").limit(k)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     common = (
         u.join(F.broadcast(ska), "h", "left_semi")
         .join(F.broadcast(skb), "h", "left_semi")

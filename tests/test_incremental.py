@@ -56,6 +56,45 @@ def test_persisted_state_roundtrip(events, scheme, tmp_path):
     assert inc == _as_dict(H.histogram(events, "value", "linear"))
 
 
+def test_tagged_states_equal_per_delta_states(events, scheme):
+    """r16 single-scan rewrite: delta_counts_tagged(df, .., tag) must
+    emit, per tag value, EXACTLY the state delta_counts builds from the
+    per-delta filtered scan — the registry's histogram_incremental now
+    rides the tagged form (one events scan instead of one per delta)."""
+    from pyspark.sql import functions as F
+
+    for mod in (2, 3):
+        tagged = INC.delta_counts_tagged(
+            events.where(F.col("event_id") % mod >= 0),
+            "value",
+            scheme,
+            F.col("event_id") % mod,
+        )
+        got = {
+            (r["delta"], r["bin"]): r["pixel_count"] for r in tagged.collect()
+        }
+        want = {}
+        for i in range(mod):
+            st = INC.delta_counts(
+                events.where(f"event_id % {mod} = {i}"), "value", scheme
+            )
+            for r in st.collect():
+                want[(i, r["bin"])] = r["pixel_count"]
+        assert got == want
+
+
+def test_tagged_merge_equals_full(events, scheme):
+    """Merging the tagged states (the registry plan) == full recompute."""
+    from pyspark.sql import functions as F
+
+    delta = F.col("event_id") % 2
+    states = INC.delta_counts_tagged(
+        events.where(delta.isin(0, 1)), "value", scheme, delta
+    )
+    inc = _as_dict(INC.finalize(INC.merge_states(states), scheme))
+    assert inc == _as_dict(H.histogram(events, "value", "linear"))
+
+
 def test_empty_delta_is_identity(events, scheme):
     d = INC.delta_counts(events, "value", scheme)
     empty = INC.delta_counts(events.where("event_id < 0"), "value", scheme)

