@@ -158,6 +158,13 @@ LOCAL_QUERIES = {
     "latency_mode_layout": lambda spark, d: _orderkey_layout_served(
         spark, d, "q12"
     ),
+    # r16 optimization round: Q7 joins the orderkey family (member 12) —
+    # the lineitem-orders join (the plain plan's only data-scaled
+    # exchange; both geography chains are bounded broadcasts) goes
+    # bucket-local. sf10 A/B (value-equal asserted): 1.79 -> 1.00 s.
+    "volume_shipping_layout": lambda spark, d: _orderkey_layout_served(
+        spark, d, "q7"
+    ),
     # r16: Q22 joins the custkey family — the anti join (both sides
     # keyed on custkey) goes bucket-local (VERDICT r15 #3 adjudication).
     "sales_opportunity_layout": lambda spark, d: _custkey_layout_served(
@@ -181,6 +188,13 @@ LOCAL_QUERIES = {
     ),
     "promotion_suppliers_layout": lambda spark, d: _partkey_layout_served(
         spark, d, "q20"
+    ),
+    # r16 optimization round: Q14 joins the partkey family (member 4) —
+    # the plain form's forced FULL-part broadcast (|part| scales with
+    # the fact) becomes a bucket-local merge join. sf10 A/B (value-equal
+    # asserted): 1.21 -> 1.08 s; the delta grows with |part|.
+    "promo_revenue_share_layout": lambda spark, d: _partkey_layout_served(
+        spark, d, "q14"
     ),
 }
 
@@ -484,6 +498,11 @@ def _orderkey_layout_served(s, d, which):
         )
     if which == "q12":
         return R.latency_mode_priority_bucketed(s, ot, lt)
+    if which == "q7":
+        return R.volume_shipping_bucketed(
+            s, ot, lt, load(s, d, "customer"), load(s, d, "supplier"),
+            load(s, d, "nation"), load(s, d, "region"),
+        )
     return R.late_order_priority_bucketed(s, ot, lt)
 
 
@@ -540,6 +559,8 @@ def _partkey_layout_served(s, d, which="q16"):
         return R.promotion_suppliers_bucketed(
             s, lt, load(s, d, "supplier"), load(s, d, "part")
         )
+    if which == "q14":
+        return R.promo_revenue_share_bucketed(s, lt, pt)
     return R.supplier_part_counts_bucketed(
         s, lt, pt, load(s, d, "supplier")
     )
@@ -984,10 +1005,12 @@ _TPCH_ADOPTED = {
     "tpch_q03": "shipping_priority_layout",
     "tpch_q04": "late_order_priority_layout",
     "tpch_q05": "local_supplier_revenue_layout",
+    "tpch_q07": "volume_shipping_layout",
     "tpch_q08": "market_share_layout",
     "tpch_q09": "product_type_profit_layout",
     "tpch_q10": "returned_item_customers_layout",
     "tpch_q12": "latency_mode_layout",
+    "tpch_q14": "promo_revenue_share_layout",
     "tpch_q16": "supplier_part_counts_layout",
     "tpch_q17": "small_quantity_revenue_layout",
     "tpch_q18": "large_volume_customers_layout",

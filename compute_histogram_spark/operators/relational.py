@@ -560,9 +560,19 @@ def local_supplier_revenue(
     # back to exactly the r13 keyed-shuffle form. The gate never forces
     # a data-scaled broadcast (the 100x failure the module docstring
     # prices); A/B in BASELINE.md r14.
+    # r16 optimization round: the wide slice is referenced twice per
+    # run (the gate's count action + the join broadcast) and each
+    # reference re-ran the customer scan + dim chain; persist it so the
+    # gate's count doubles as the cache-warmer (guide §5). Bounded: the
+    # 1-of-|regions| slice is exactly what the broadcast budget admits;
+    # lives inside one query evaluation (ContextCleaner reclaims it).
+    from pyspark import StorageLevel
+
     cust_wide = customer.join(
         F.broadcast(nat), customer["c_nationkey"] == nat["n_nationkey"]
-    ).select("c_custkey", "c_nationkey", "n_name")
+    ).select("c_custkey", "c_nationkey", "n_name").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     # r15: when the WIDE slice exceeds the budget, the two-bigint KEY
     # projection usually still fits (~40 B/row vs ~88; sf100 ~120 MB) —
     # the layout form's composition, minus the layout: broadcast the
@@ -716,9 +726,22 @@ def local_supplier_revenue_bucketed(
     # 13.12 (keys broadcast alone) -> 7.70 s (plus orders semi,
     # 1.65x the comparator). Gate declined -> the r13 shape: AQE
     # picks the strategy for the wide slice join.
+    # r16 optimization round: the key slice is referenced THREE times
+    # per run (the gate's count action, the orders semi broadcast, the
+    # pair-join broadcast) and each reference re-ran the customer scan
+    # + dim chain. Persist it (guide §5 cache-when-reused): the gate's
+    # count becomes the cache-warmer and both broadcasts read the
+    # cached rows. Bounded: the 1-of-|regions| key projection is the
+    # same ~40 B/row slice the broadcast budget already admits
+    # (~120 MB at sf100); lives inside one query evaluation, the
+    # ContextCleaner drops it with the DataFrame. sf10 solo probe
+    # (fresh JVM, warm-min of 4): layout form 1.04 -> 0.96 s, plain
+    # form 1.41 -> 1.24 s.
+    from pyspark import StorageLevel
+
     cust_keys = customer.join(
         F.broadcast(nat), customer["c_nationkey"] == nat["n_nationkey"]
-    ).select("c_custkey", "c_nationkey")
+    ).select("c_custkey", "c_nationkey").persist(StorageLevel.MEMORY_AND_DISK)
     if fits(cust_keys):
         ords = orders.join(
             F.broadcast(cust_keys.select("c_custkey")),
@@ -742,6 +765,9 @@ def local_supplier_revenue_bucketed(
             .select("n_name", "revenue")
             .orderBy(F.desc("revenue"), F.asc("n_name"))
         )
+    # gate declined: the cached key slice is not used on this path —
+    # release it rather than hold ~sf100-scale rows for nothing
+    cust_keys.unpersist()
     facts = orders.join(
         li, orders["o_orderkey"] == li["l_orderkey"]
     ).select("o_custkey", "s_nationkey", "l_extendedprice", "l_discount")
@@ -1067,6 +1093,40 @@ def promo_revenue_share(
     )
     disc_pc = cents("l_extendedprice") * (100 - cents("l_discount"))
     j = li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+    return j.agg(
+        (
+            F.sum(F.when(F.col("p_type") == "PROMO", disc_pc).otherwise(F.lit(0)))
+            * 100.0
+            / F.sum(disc_pc)
+        ).alias("promo_pct"),
+        (F.sum(disc_pc) / 10000.0).alias("total_revenue"),
+    )
+
+
+def promo_revenue_share_bucketed(
+    spark,
+    lineitem_table: str,
+    part_table: str,
+    start: str = "1997-01-01",
+    end: str = "1997-04-01",
+) -> DataFrame:
+    """:func:`promo_revenue_share` (Q14) on the write-once PARTKEY
+    layout — its fourth member (r16 optimization round). The plain form
+    force-broadcasts the FULL part dimension (|part| grows with the
+    fact: 2M rows / ~60 MB pruned at sf10, 20M at sf100 — a per-run
+    hash-table build that dominates the 3-month fact slice it probes).
+    Co-bucketed on partkey the join is bucket-local sort-merge: no
+    broadcast build, no exchange, and the single-row aggregate is the
+    only post-join step. sf10 A/B (value-equal asserted): warm
+    1.21 -> 1.08 s (-11%); the win grows with |part| by construction."""
+    lineitem = spark.table(lineitem_table)
+    part = spark.table(part_table)
+    li = lineitem.where(
+        (F.col("l_shipdate") >= F.lit(start).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(end).cast("timestamp"))
+    )
+    disc_pc = cents("l_extendedprice") * (100 - cents("l_discount"))
+    j = li.join(part, li["l_partkey"] == part["p_partkey"])
     return j.agg(
         (
             F.sum(F.when(F.col("p_type") == "PROMO", disc_pc).otherwise(F.lit(0)))
@@ -2415,7 +2475,12 @@ def volume_shipping_bucketed(
     """:func:`volume_shipping` (Q7) on the shared write-once orderkey
     layout: the lineitem-orders join — the only data-scaled shuffle in
     the plain plan — goes bucket-local; the two geography chains ride
-    the same cardinality gate as the plain form (r14)."""
+    the same cardinality gate as the plain form (r14).
+
+    r16 optimization round: ADOPTED as the tpch_q07 row of record
+    (bench.py _TPCH_ADOPTED) — the form existed since r12 but the sweep
+    still benched the plain plan. sf10 A/B on the shared layout
+    (value-equal asserted): warm 1.79 -> 1.00 s (-44%)."""
     geo_s = broadcast_if_fits(
         supplier.join(
             F.broadcast(nation), supplier["s_nationkey"] == nation["n_nationkey"]

@@ -90,6 +90,21 @@ def get_session(
         # memory configs. For an existing process use spark-submit /
         # SPARK_SUBMIT_OPTS instead (ADVICE r01).
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # Throughput GC for a batch engine (r16, guide §1.2 config tier):
+        # this workload has no pause-time SLO — every metric is wall-clock
+        # of whole jobs — so G1's pause-target machinery only costs
+        # throughput. A/B on the 26-query headline set (fresh JVM per
+        # variant, 3 paired runs): ParallelGC wins the aged/mixed total
+        # 3/3 (11.43->10.24, 11.40->11.12, 11.34->10.84 s; mean -5.8%)
+        # and is never worse fresh (mean -2.6%). A bigger code cache
+        # (+UseCodeCacheFlushing, 512m) measured NO effect, so the aging
+        # tax is old-gen churn, not JIT deopt. Env-overridable: executors
+        # on a real cluster set spark.executor.extraJavaOptions via
+        # spark-submit; this local-mode flag covers the single JVM here.
+        .config(
+            "spark.driver.extraJavaOptions",
+            os.environ.get("SPARK_GRAFT_DRIVER_JAVA_OPTS", "-XX:+UseParallelGC"),
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

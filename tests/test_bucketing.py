@@ -536,3 +536,30 @@ def test_orderkey_layout_q8_plan_and_values(spark, sf_dir, tmp_path):
         assert "Exchange hashpartitioning(o_orderkey" not in plan, plan
     finally:
         spark.catalog.setCurrentDatabase("default")
+
+
+def test_partkey_layout_q14_plan_and_values(spark, sf_dir, tmp_path):
+    """promo_revenue_share (Q14) on the write-once partkey layout —
+    family member 4 (r16 optimization round): the plain form
+    force-broadcasts the FULL part dimension (it scales with the fact,
+    2M rows at sf10), a per-run hash-table build the co-bucketed merge
+    join does not need. Value-exact vs the plain form, zero partkey
+    Exchange. sf10 A/B: warm 1.21 -> 1.08 s."""
+    from compute_histogram_spark.operators import relational as R
+
+    spark.sql(
+        f"CREATE DATABASE IF NOT EXISTS pk14test LOCATION '{tmp_path / 'wh'}'"
+    )
+    spark.catalog.setCurrentDatabase("pk14test")
+    try:
+        lt, pt = B.write_partkey_layout(spark, sf_dir, buckets=8)
+        plain = R.promo_revenue_share(
+            load(spark, sf_dir, "part"), load(spark, sf_dir, "lineitem")
+        )
+        bucketed = R.promo_revenue_share_bucketed(spark, lt, pt)
+        assert bucketed.collect() == plain.collect()
+        plan = _plan(bucketed)
+        assert "Exchange hashpartitioning(l_partkey" not in plan, plan
+        assert "Exchange hashpartitioning(p_partkey" not in plan, plan
+    finally:
+        spark.catalog.setCurrentDatabase("default")
