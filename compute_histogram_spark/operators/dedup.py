@@ -98,8 +98,19 @@ def minhash_candidates(
         "doc_id", f"stack({n_bands}, {stack_args}) AS (band_id, band_hash)"
     )
     a, b = long.alias("a"), long.alias("b")
+    # r16 optimization round (guide §3.1): without a hint, the optimizer
+    # broadcasts one side of this self-join at bench scales — and a
+    # BroadcastExchange can never reuse the other side's shuffle Exchange,
+    # so the ENTIRE signature DAG (scan + shingle explode + k min-digest
+    # aggregations, the dominant cost) executed twice per run. Forcing the
+    # sort-merge strategy makes both sides' exchanges canonically equal and
+    # AQE reuses the materialized stage (final plan shows ReusedExchange;
+    # pinned in tests/test_dedup.py): signatures compute ONCE. sf1 A/B
+    # 1.60 -> 1.38 s warm-min (sf0.1 tie); the delta is the signature
+    # recompute, so it grows with corpus size. SMJ over SHUFFLE_HASH
+    # (measured tie at sf1): no per-partition hash-build memory at scale.
     return (
-        a.join(
+        a.hint("merge").join(
             b,
             (F.col("a.band_id") == F.col("b.band_id"))
             & (F.col("a.band_hash") == F.col("b.band_hash"))

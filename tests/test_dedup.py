@@ -424,3 +424,24 @@ def test_band_rows_stateless_equals_aggregated_form(spark, sf_dir):
         minhash_signatures(shingle_table(docs, distinct=False)), 8, 2
     ).collect()))
     assert a == b and len(a) > 0
+
+
+def test_minhash_candidates_signature_subtree_computed_once(spark, sf_dir):
+    """r16 optimization round: the band self-join must REUSE the
+    signature subtree's shuffle stage instead of executing the whole
+    scan + shingle-explode + k min-digest DAG once per join side. The
+    merge hint makes both sides' exchanges canonically equal, so AQE's
+    stage reuse fires at every scale (a broadcast side never reuses a
+    shuffle Exchange — the pre-r16 shape paid double signatures).
+    Pinned on the FINAL adaptive plan, post-execution."""
+    from compute_histogram_spark.operators.dedup import minhash_candidates
+    from compute_histogram_spark.sources.tables import load
+
+    df = minhash_candidates(load(spark, sf_dir, "documents"))
+    df.collect()
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    final = plan.split("== Initial Plan ==")[0]
+    assert "== Final Plan ==" in final, final[:500]
+    assert "ReusedExchange" in final, final
