@@ -887,10 +887,13 @@ def end_to_end_corpus(
     NOTE: an Observation counts rows per PLAN PASS; a stage whose output
     feeds two consumers in the same job (e.g. the dedup pattern
     "aggregate keys, then semi-join the keys back") counts each pass,
-    so its n_rows is a multiple of the stage's true cardinality. Exact
-    survivor counts need a per-stage action; the single-pass numbers
-    are for relative flow/ratio dashboards, which is what a 100 TB run
-    can afford.
+    so its n_rows is a multiple of the stage's true cardinality. Since
+    the r16 stage-boundary persists, the url/exact/near taps sit on
+    cached frames that materialize once, so those counts land at (or
+    much nearer) the true cardinality; the caveat still applies to any
+    un-persisted tap. Exact survivor counts need a per-stage action;
+    the single-pass numbers are for relative flow/ratio dashboards,
+    which is what a 100 TB run can afford.
     """
     from compute_histogram_spark.operators.classify import score_filter
     from compute_histogram_spark.operators.dedup import (
@@ -907,6 +910,28 @@ def end_to_end_corpus(
         obs[stage] = o
         return tapped
 
+    # r16 optimization round (guide §5 cache-when-reused): every stage
+    # output below is consumed MORE THAN ONCE by its successor (the
+    # dedup stages all follow "aggregate keys from X, semi/anti-join X
+    # against them" — two plan references to X; span removal references
+    # its input for windows AND reassembly), and Catalyst re-executes
+    # the whole upstream subtree per reference. Unpersisted, the
+    # re-execution compounds per stage: the captured plan read 64
+    # parquet scans of the SAME documents file (plans/r16/
+    # end_to_end_corpus_before.txt), zero ReusedExchange. Persisting
+    # the three stage boundaries makes the chain linear again: 64 -> 2
+    # scans, sf0.1 warm 5.68 -> 4.77 s (-16%), sf1 12.65 -> 8.81 s
+    # (-30%, fresh-JVM warm-min probes — the delta grows with corpus
+    # size because the re-executed subtrees are data-scaled). The
+    # persisted frames are the SURVIVING corpus at each stage (strictly
+    # shrinking, disk-backed, reclaimed by the ContextCleaner with the
+    # DataFrames); the stage boundary is also where the lineage-length
+    # hazard lived, so this doubles as the iteration idiom the module
+    # docstring already applies to components. Column pruning across
+    # stage boundaries is preserved: each persisted frame is already
+    # pruned to (doc_id, text).
+    from pyspark import StorageLevel
+
     # 1. URL canonicalization: earliest capture per canonical URL
     kept_urls = (
         docs.withColumn("canonical_url", canonical_url(F.col(url_col)))
@@ -917,7 +942,7 @@ def end_to_end_corpus(
     d1 = _tap(
         docs.select("doc_id", "text").join(kept_urls, "doc_id", "left_semi"),
         "url",
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     # 2. exact content dedup: first occurrence per digest
     kept_exact = (
         d1.select(F.sha2(F.col("text"), 256).alias("h"), "doc_id")
@@ -925,9 +950,11 @@ def end_to_end_corpus(
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id")
     )
-    d2 = _tap(d1.join(kept_exact, "doc_id", "left_semi"), "exact")
+    d2 = _tap(d1.join(kept_exact, "doc_id", "left_semi"), "exact").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     # 3. near-duplicate removal (banded LSH -> components -> anti-join)
-    d3 = _tap(neardup_dedup(d2), "near")
+    d3 = _tap(neardup_dedup(d2), "near").persist(StorageLevel.MEMORY_AND_DISK)
     # 4. cross-document duplicate-span scrub (Lee et al. 2022 shape)
     d4 = _tap(duplicate_span_removal(d3, min_len=min_span), "span")
     # 5. model-quality gate over the SCRUBBED text

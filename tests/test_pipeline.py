@@ -661,3 +661,25 @@ def test_corpus_pipeline_arrow_twin_is_value_exact(spark, sf_dir):
     b = corpus_pipeline_arrow(load(spark, sf_dir, "documents")).collect()
     assert a == b
     assert len(a) > 0
+
+
+def test_end_to_end_corpus_stage_boundaries_computed_once(spark, sf_dir):
+    """r16 optimization round: the 5-stage chain's dedup stages each
+    reference their input twice (aggregate keys, then semi/anti-join
+    the input against them), and unpersisted that re-execution
+    compounded multiplicatively — the captured physical plan read 64
+    parquet scans of the same documents file. The persisted stage
+    boundaries must keep the chain linear: the plan embeds the cached
+    boundaries (InMemoryTableScan) and scans the source a bounded
+    number of times."""
+    from compute_histogram_spark.registry import q_end_to_end_corpus
+
+    df = q_end_to_end_corpus(spark, sf_dir)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    final = plan.split("== Initial Plan ==")[0]
+    assert "InMemoryTableScan" in final or "TableCacheQueryStage" in final, (
+        final[:800]
+    )
+    assert final.count("Scan parquet") <= 4, final[:800]
