@@ -22,7 +22,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import functions as _F
 
-from compute_histogram_spark.session import get_session
+from compute_histogram_spark.session import get_session, release_persists
 from compute_histogram_spark import registry
 from compute_histogram_spark.operators import behavior as BH
 from compute_histogram_spark.operators import deciles as _DE
@@ -385,6 +385,11 @@ HEADLINE = [
 
 def materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
+    # r17 (VERDICT r16 #3): deterministically free any persisted frames
+    # the operator tagged on its result — every run builds fresh frames,
+    # so without this a 7-runs-per-query bench holds 7 dead cache
+    # generations until the ContextCleaner happens to run.
+    release_persists(df)
 
 
 # OPT-IN extended set (SPARK_GRAFT_BENCH_EXT=1): the round-5 operators
@@ -1241,9 +1246,12 @@ def main() -> None:
     except OSError:
         full_path = None
 
-    # compact line LEADS with the sf10 block — the tracked perf gate
-    # since r11 (full headline set at the design scale); sf1 follows as
-    # the regression tripwire, per-query sf0.1 detail last.
+    # compact line: the driver contract FIRST (metric/value/queries — the
+    # per-query map feeds PERF per_query/geomean/scaling, VERDICT r16 #1;
+    # r16's line shed it to {} because calibration/trend5/loadavg blocks
+    # crowded the 2000-char stdout tail), then the sweep totals/ratios.
+    # Decorations (trend5, loadavg, calib, calibration blocks) live only
+    # in the full file now.
     compact = {
         "metric": out["metric"],
         "value": out["value"],
@@ -1261,25 +1269,39 @@ def main() -> None:
                 kk: out[k][kk]
                 for kk in (
                     "spark_total_s", "duckdb_total_s", "ratio",
-                    "floor_adjusted_ratio", "trend5", "n_both",
-                    "loadavg_1m", "truncated", "error", "skipped",
+                    "floor_adjusted_ratio", "n_both",
+                    "truncated", "error", "skipped",
                 )
                 if kk in out[k]
             }
-            cq = out[k].get("queries", {}).get("calib_cpu")
-            if cq:
-                compact[k]["calib_cpu"] = cq
-    for k in ("calibration_pre", "calibration_post"):
-        if k in out:
-            compact[k] = out[k]
     if full_path:
         compact["full"] = os.path.relpath(full_path)
     compact["queries"] = out["queries"]
     line = json.dumps(compact)
     if len(line) > 1900:
-        # belt-and-braces: shed per-query detail (it lives whole in the
-        # full file) rather than let the tail cut the line mid-token
-        compact["queries"] = {}
+        # shed ladder: decorations first, per-query detail LAST — the
+        # queries map is the driver's only per-query signal (PERF
+        # per_query was empty for two rounds because r16 shed it first)
+        for k in ("fresh_total", "n_ok", "n_err", "full"):
+            compact.pop(k, None)
+            line = json.dumps(compact)
+            if len(line) <= 1900:
+                break
+    if len(line) > 1900:
+        # sweep blocks down to the two headline ratios
+        for k in ("sf10", "sf1", "sf01", "tpch_sf1", "tpch_sf10"):
+            if k in compact:
+                compact[k] = {
+                    kk: compact[k][kk]
+                    for kk in ("ratio", "floor_adjusted_ratio", "error")
+                    if kk in compact[k]
+                }
+        line = json.dumps(compact)
+    if len(line) > 1900:
+        # last resort: coarser per-query rounding (still a full map)
+        compact["queries"] = {
+            n: round(v, 2) for n, v in compact["queries"].items()
+        }
         line = json.dumps(compact)
     print(line)
 

@@ -386,9 +386,14 @@ def dsir_bucket_llr(
         F.log((F.col("ct") + 1.0) / (F.col("nt") + n_buckets))
         - F.log((F.col("cs") + 1.0) / (F.col("ns") + n_buckets))
     )
-    return (
+    from compute_histogram_spark.session import defer_release
+
+    # tag the n_buckets-bounded cache for deterministic release by the
+    # caller after its action (r17, VERDICT r16 #3)
+    return defer_release(
         j.crossJoin(F.broadcast(tot))
-        .select("bucket", F.round(llr * 1e6).cast("long").alias("llr_micro"))
+        .select("bucket", F.round(llr * 1e6).cast("long").alias("llr_micro")),
+        j,
     )
 
 

@@ -311,4 +311,14 @@ def triangle_count(
     wedges = w1.join(w2, F.col("y") == F.col("x2")).select("x", "y", "z")
     closer = oriented.withColumnsRenamed({"s": "x", "t": "z"})
     tri = wedges.join(closer, ["x", "z"], "left_semi")
-    return tri.agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+    # both cached frames feed the returned plan — tag them so callers
+    # can release deterministically after the count action (r17,
+    # VERDICT r16 #3; long-lived sessions otherwise accumulate dead
+    # O(|E|) cache generations between GC cycles)
+    from compute_histogram_spark.session import defer_release
+
+    return defer_release(
+        tri.agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles")),
+        e,
+        oriented,
+    )

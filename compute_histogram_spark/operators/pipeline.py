@@ -924,13 +924,30 @@ def end_to_end_corpus(
     # (-30%, fresh-JVM warm-min probes — the delta grows with corpus
     # size because the re-executed subtrees are data-scaled). The
     # persisted frames are the SURVIVING corpus at each stage (strictly
-    # shrinking, disk-backed, reclaimed by the ContextCleaner with the
-    # DataFrames); the stage boundary is also where the lineage-length
-    # hazard lived, so this doubles as the iteration idiom the module
-    # docstring already applies to components. Column pruning across
-    # stage boundaries is preserved: each persisted frame is already
-    # pruned to (doc_id, text).
+    # shrinking, disk-backed); the stage boundary is also where the
+    # lineage-length hazard lived, so this doubles as the iteration
+    # idiom the module docstring already applies to components. Column
+    # pruning across stage boundaries is preserved: each persisted
+    # frame is already pruned to (doc_id, text).
+    #
+    # r17 lifecycle (VERDICT r16 #3 / ADVICE): the three boundaries are
+    # (doc_id, text) frames — AT the 100 TB design point that is
+    # roughly corpus-sized executor storage EACH, so holding all three
+    # until driver GC is a ~3x-corpus cache footprint (disk-backed, so
+    # it degrades rather than OOMs — but task-failing degradation when
+    # local disk runs short). EAGER STAGE LOOP instead: materialize
+    # each boundary with a count (the cache-building pass the next
+    # stage would have paid anyway — total compute is unchanged, the
+    # stages were already serialized by their shuffles), then unpersist
+    # its predecessor. Peak footprint is ~2x the current surviving
+    # corpus during a boundary build and 1x after; the LAST boundary
+    # (d3) feeds the returned lazy plan twice (span windows +
+    # reassembly), so it is tagged via defer_release for the caller to
+    # free after its action (bench.materialize and the tests do;
+    # otherwise the ContextCleaner reclaims it with the frame).
     from pyspark import StorageLevel
+
+    from compute_histogram_spark.session import defer_release
 
     # 1. URL canonicalization: earliest capture per canonical URL
     kept_urls = (
@@ -953,12 +970,17 @@ def end_to_end_corpus(
     d2 = _tap(d1.join(kept_exact, "doc_id", "left_semi"), "exact").persist(
         StorageLevel.MEMORY_AND_DISK
     )
+    d2.count()  # materializes d2's cache (and d1's, en route)
+    d1.unpersist()  # nothing downstream references d1 anymore
     # 3. near-duplicate removal (banded LSH -> components -> anti-join)
     d3 = _tap(neardup_dedup(d2), "near").persist(StorageLevel.MEMORY_AND_DISK)
+    d3.count()
+    d2.unpersist()
     # 4. cross-document duplicate-span scrub (Lee et al. 2022 shape)
     d4 = _tap(duplicate_span_removal(d3, min_len=min_span), "span")
     # 5. model-quality gate over the SCRUBBED text
     out = _tap(score_filter(d4, weights, threshold=threshold), "gate")
+    defer_release(out, d3)  # caller frees d3 after its action
     return (out, obs) if with_metrics else out
 
 

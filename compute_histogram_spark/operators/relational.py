@@ -30,6 +30,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from ..plans.broadcast_gate import broadcast_if_fits, counted_rows, fits
+from ..session import defer_release
 
 
 def cents(col: Column | str) -> Column:
@@ -619,6 +620,10 @@ def local_supplier_revenue(
         # projection fits: broadcast the keys, group by the bounded
         # s_nationkey, attach n_name after the aggregate — the r13
         # fallback's custkey shuffle of orders vanishes.
+        # r17 (ADVICE r16): this path never references cust_wide again —
+        # release it instead of holding the ~sf100-scale slice until GC
+        # (mirrors the bucketed sibling's declined-path unpersist).
+        cust_wide.unpersist()
         oc = orders.join(
             F.broadcast(cust_keys), orders["o_custkey"] == cust_keys["c_custkey"]
         ).select("o_orderkey", "c_nationkey").hint("shuffle_hash")
@@ -643,10 +648,13 @@ def local_supplier_revenue(
         (oc["o_orderkey"] == li["l_orderkey"])
         & (oc["c_nationkey"] == li["s_nationkey"]),
     )
-    return (
+    # the returned plan reads the cached slice — tag it for deterministic
+    # release by the caller after its action (r17, VERDICT r16 #3)
+    return defer_release(
         j.groupBy("n_name")
         .agg((F.sum(disc_pc) / 10000.0).alias("revenue"))
-        .orderBy(F.desc("revenue"), F.asc("n_name"))
+        .orderBy(F.desc("revenue"), F.asc("n_name")),
+        cust_wide,
     )
 
 
@@ -760,10 +768,13 @@ def local_supplier_revenue_bucketed(
             .groupBy("s_nationkey")
             .agg((F.sum(disc_pc) / 10000.0).alias("revenue"))
         )
-        return (
+        # tag the cached key slice for deterministic release by the
+        # caller after its action (r17, VERDICT r16 #3)
+        return defer_release(
             agg.join(F.broadcast(nat), agg["s_nationkey"] == nat["n_nationkey"])
             .select("n_name", "revenue")
-            .orderBy(F.desc("revenue"), F.asc("n_name"))
+            .orderBy(F.desc("revenue"), F.asc("n_name")),
+            cust_keys,
         )
     # gate declined: the cached key slice is not used on this path —
     # release it rather than hold ~sf100-scale rows for nothing

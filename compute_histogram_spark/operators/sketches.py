@@ -634,10 +634,19 @@ def corpus_overlap_kmv(
     jac = F.when(
         F.col("n") > 0, F.round(F.col("n_common") / F.col("n"), round_to)
     ).otherwise(F.lit(0.0))
-    return row.select(
-        F.col("n").cast("int").alias("k_used"),
-        F.col("n_common").cast("int").alias("n_common"),
-        jac.alias("jaccard_est"),
-        d_union.alias("union_distinct_est"),
-        F.round(jac * d_union, round_to).alias("intersection_est"),
+    from compute_histogram_spark.session import defer_release
+
+    # tag the k-bounded sketch caches for deterministic release by the
+    # caller after its action (r17, VERDICT r16 #3)
+    return defer_release(
+        row.select(
+            F.col("n").cast("int").alias("k_used"),
+            F.col("n_common").cast("int").alias("n_common"),
+            jac.alias("jaccard_est"),
+            d_union.alias("union_distinct_est"),
+            F.round(jac * d_union, round_to).alias("intersection_est"),
+        ),
+        ska,
+        skb,
+        u,
     )

@@ -3512,7 +3512,13 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     llr = CLS2.dsir_bucket_llr(docs.where(F.col("lang") == "en"), docs)
-    return CLS2.dsir_log_weights(docs, llr).orderBy("doc_id")
+    from compute_histogram_spark.session import defer_release
+
+    # carry llr's bounded-cache release tag onto the returned frame
+    return defer_release(
+        CLS2.dsir_log_weights(docs, llr).orderBy("doc_id"),
+        *getattr(llr, "_graft_persists", ()),
+    )
 
 
 # Classifier PR sweep (operators/classify.py:classifier_pr_curve —
@@ -4416,7 +4422,12 @@ def q_end_to_end_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id", "text", uri.alias("uri")),
         CLS5.demo_weights(spark),
     )
-    return out.orderBy("doc_id")
+    from compute_histogram_spark.session import defer_release
+
+    # propagate the stage-boundary release tag through the orderBy
+    return defer_release(
+        out.orderBy("doc_id"), *getattr(out, "_graft_persists", ())
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -1,5 +1,5 @@
 """Capture .explain("formatted") for every declared registry query (and
-the benched layout/fallback rows) into plans/r16/<name>_<tag>.txt.
+the benched layout/fallback rows) into plans/<round>/<name>_<tag>.txt (round via SPARK_GRAFT_PLAN_ROUND, default r17).
 
 Usage: python tools/capture_plans.py <tag> [sf_dir] [name ...]
 
@@ -37,7 +37,7 @@ def main() -> None:
 
     outdir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "plans", "r16",
+        "plans", __import__("os").environ.get("SPARK_GRAFT_PLAN_ROUND", "r17"),
     )
     os.makedirs(outdir, exist_ok=True)
 

@@ -28,7 +28,7 @@ import pandas as pd
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from compute_histogram_spark.session import get_session
+from compute_histogram_spark.session import get_session, release_persists
 from compute_histogram_spark.sources.tables import TABLES
 import __spark_entry__ as entrymod
 
@@ -100,7 +100,9 @@ def layout_screen(name: str, fn, spark, sf_dir: str, base: pd.DataFrame) -> list
     for parts in LAYOUT_PARTS:
         os.environ["SPARK_GRAFT_LAYOUT_PARTS"] = str(parts)
         try:
-            alt = fn(spark, sf_dir).toPandas()
+            adf = fn(spark, sf_dir)
+            alt = adf.toPandas()
+            release_persists(adf)
         except Exception as e:  # noqa: BLE001 — report, don't crash the sweep
             problems.append(f"layout {parts}: spark error: {type(e).__name__}: {e}")
             continue
@@ -132,7 +134,9 @@ def main() -> int:
             continue
         t0 = time.time()
         try:
-            sdf = fn(spark, sf_dir).toPandas()
+            qdf = fn(spark, sf_dir)
+            sdf = qdf.toPandas()
+            release_persists(qdf)  # free tagged per-run persists (r17)
         except Exception as e:
             failed.append(name)
             print(f"FAIL  {name}: spark error: {type(e).__name__}: {e}")
