@@ -395,9 +395,19 @@ def ngram_jaccard_pairs_arrow(
     form minus the recompute, and the second size join now processes
     survivors instead of the full pair table. Equality is pinned in
     tests/test_dedup.py at both test SFs and on hub-binding
-    synthetics."""
+    synthetics.
+
+    r17 (guide §4.2): the pair kernel moved mapInPandas → mapInArrow.
+    The pandas boundary materialized the postings column as an OBJECT
+    series (one Python list per row, re-concatenated in Python); the
+    ListArray's (values, offsets) buffers are now read directly as two
+    flat NumPy views and the output batches are built from NumPy
+    without a DataFrame. Interleaved one-JVM A/B (noop sink, warm):
+    sf10 25.9 → 22.9 s (-11%, all three sample pairs agree); sf0.1/sf1
+    tie within jitter (1.55/1.59 and 3.03/2.94 min) — the win scales
+    with pair volume. Values verified equal at sf0.1 and sf1 in the
+    A/B itself plus the standing equality pins."""
     import numpy as np
-    import pandas as pd
 
     sh = shingle_table(docs, n=n, distinct=False).select(
         "doc_id", F.xxhash64("s").alias("h")
@@ -420,14 +430,25 @@ def ngram_jaccard_pairs_arrow(
     )
 
     def kernel(batches):
-        for pdf in batches:
-            lists = pdf["ds"].values
-            if not len(lists):
+        # r17 (guide §4.2): Arrow-native. The r16 mapInPandas form
+        # received the postings column as a pandas OBJECT series — one
+        # Python list-of-ndarray per row, concatenated row-by-row in
+        # Python. A ListArray is already (values buffer, offsets
+        # buffer): read both as flat int64/int32 NumPy views, zero
+        # per-row Python objects. Same ordered pairs by construction
+        # (identical template math over identical starts).
+        import pyarrow as pa
+
+        for rb in batches:
+            col = rb.column(0)
+            if len(col) == 0:
                 continue
-            ks = np.fromiter((len(x) for x in lists), np.int64, len(lists))
-            flat = np.concatenate(lists).astype(np.int64, copy=False)
-            starts = np.zeros(len(ks), np.int64)
-            np.cumsum(ks[:-1], out=starts[1:])
+            offs = col.offsets.to_numpy().astype(np.int64, copy=False)
+            flat = col.flatten().to_numpy(zero_copy_only=False).astype(
+                np.int64, copy=False
+            )
+            ks = np.diff(offs)
+            starts = offs[:-1] - offs[0]  # flatten() starts at offs[0]
             a_parts, b_parts = [], []
             for k in np.unique(ks):
                 if k < 2:
@@ -447,12 +468,18 @@ def ngram_jaccard_pairs_arrow(
             # partial aggregation already absorbs within-partition
             # duplicates at less cost than the NumPy lexsort, so the
             # transfer shrinkage never pays. Raw pairs stand.
-            yield pd.DataFrame({"d1": flat[ai], "d2": flat[bi]})
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(flat[ai], type=pa.int64()),
+                    pa.array(flat[bi], type=pa.int64()),
+                ],
+                ["d1", "d2"],
+            )
 
     pairs = (
         posts.where(F.size("ds") >= 2)
         .select("ds")
-        .mapInPandas(kernel, "d1 bigint, d2 bigint")
+        .mapInArrow(kernel, "d1 bigint, d2 bigint")
     )
     inter = pairs.groupBy("d1", "d2").agg(F.count(F.lit(1)).alias("n_inter"))
     s1 = sizes.withColumnsRenamed({"doc_id": "d1", "n_sh": "n1"}).hint(
