@@ -41,18 +41,29 @@ def seeded_md5(seed: int, col: Column) -> Column:
 
 
 def minhash_aggs(shingle_col: str, num_hashes: int) -> list[Column]:
-    """Aggregate exprs: per-doc MinHash signature (one min-digest per seed)."""
+    """Aggregate exprs: per-doc MinHash signature (one min-digest per seed).
+
+    Built as ONE parsed expression string per seed (r17, guide §5 — the
+    driver should do almost no work: the nested ``F.min(F.md5(F.concat(
+    F.lit(...))))`` constructor chain cost ~6 py4j socket round trips
+    per seed, ~100 ms of every minhash-family query BUILD at any scale;
+    ``F.expr`` parses the same tree JVM-side in one round trip).
+    Identical analyzed plan, value-identity pinned by every existing
+    signature test."""
     return [
-        F.min(seeded_md5(i, F.col(shingle_col))).alias(f"mh{i}")
+        F.expr(f"min(md5(concat('{i}:', {shingle_col}))) AS mh{i}")
         for i in range(num_hashes)
     ]
 
 
 def band_hashes(num_hashes: int, rows_per_band: int) -> list[Column]:
-    """LSH banding: hash each band of the signature down to one digest."""
+    """LSH banding: hash each band of the signature down to one digest.
+    One parsed expression per band (see minhash_aggs)."""
     bands = num_hashes // rows_per_band
     out = []
     for b in range(bands):
-        members = [f"mh{b * rows_per_band + r}" for r in range(rows_per_band)]
-        out.append(F.md5(F.concat_ws("|", *members)).alias(f"band{b}"))
+        members = ", ".join(
+            f"mh{b * rows_per_band + r}" for r in range(rows_per_band)
+        )
+        out.append(F.expr(f"md5(concat_ws('|', {members})) AS band{b}"))
     return out
