@@ -31,6 +31,15 @@ def _n_cached(spark) -> int:
     return n
 
 
+def _preclear(spark, builder):
+    """Evaluate + release once so a stale identical-plan cache left by an
+    earlier test in the session (CacheManager dedupes by logical plan —
+    'Asked to cache already cached data') cannot skew the delta below."""
+    df = builder()
+    df.collect()
+    release_persists(df)
+
+
 def test_defer_release_tags_and_releases(spark):
     df = spark.range(10).persist()
     df.count()  # register the cache (persist alone is lazy)
@@ -48,6 +57,7 @@ def test_end_to_end_corpus_releases_all_boundaries(spark, sf_dir):
     the caller: after the action + release, zero residual persists."""
     from compute_histogram_spark.registry import q_end_to_end_corpus
 
+    _preclear(spark, lambda: q_end_to_end_corpus(spark, sf_dir))
     before = _n_cached(spark)
     df = q_end_to_end_corpus(spark, sf_dir)
     # mid-flight: exactly one boundary (d3) is cached, not three
@@ -60,6 +70,7 @@ def test_end_to_end_corpus_releases_all_boundaries(spark, sf_dir):
 def test_q5_plain_releases_cached_slice(spark, sf_dir):
     from compute_histogram_spark.registry import q_local_supplier_revenue
 
+    _preclear(spark, lambda: q_local_supplier_revenue(spark, sf_dir))
     before = _n_cached(spark)
     df = q_local_supplier_revenue(spark, sf_dir)
     df.collect()
@@ -70,6 +81,7 @@ def test_q5_plain_releases_cached_slice(spark, sf_dir):
 def test_dedup_triangles_releases_edge_frames(spark, sf_dir):
     from compute_histogram_spark.registry import q_dedup_triangles
 
+    _preclear(spark, lambda: q_dedup_triangles(spark, sf_dir))
     before = _n_cached(spark)
     df = q_dedup_triangles(spark, sf_dir)
     df.collect()
@@ -80,6 +92,7 @@ def test_dedup_triangles_releases_edge_frames(spark, sf_dir):
 def test_dsir_weights_releases_bounded_cache(spark, sf_dir):
     from compute_histogram_spark.registry import q_dsir_weights
 
+    _preclear(spark, lambda: q_dsir_weights(spark, sf_dir))
     before = _n_cached(spark)
     df = q_dsir_weights(spark, sf_dir)
     df.collect()
@@ -90,6 +103,7 @@ def test_dsir_weights_releases_bounded_cache(spark, sf_dir):
 def test_corpus_overlap_kmv_releases_sketches(spark, sf_dir):
     from compute_histogram_spark.registry import q_corpus_overlap_kmv
 
+    _preclear(spark, lambda: q_corpus_overlap_kmv(spark, sf_dir))
     before = _n_cached(spark)
     df = q_corpus_overlap_kmv(spark, sf_dir)
     df.collect()
